@@ -1,13 +1,91 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.search.Knn
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` has a DuckDB twin in `oracleSql` (same column
+  * names, floats rounded identically on both sides) unless the operator is
+  * not SQL-expressible cross-engine (hash-function-dependent ops), in which
+  * case the driver records a rows-only check and a ScalaTest covers it.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * top-10 cosine neighbors for a deterministic query subset. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("knn_topk")(spark, "/root/testdata/sf0.001")
+
+  // Deterministic query subset for k-NN benchmarks: every 20th vector.
+  // (The reference samples `num_samples` queries unseeded, bcb_utils.py:150;
+  // we pin a seedless-but-deterministic subset so the oracle can reproduce it.)
+  private def knnQueries(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).filter(col("vec_id") % 20 === 0)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------------------------
+    // A-group: relational aggregation (SURVEY §2.4; partial+final hash agg)
+    // ------------------------------------------------------------------
+    // Money sums run on DECIMAL so Spark and DuckDB agree bit-for-bit
+    // (double summation order differs between engines); averages are
+    // double-divisions of those exact sums.
+    "q1_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+            .cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ------------------------------------------------------------------
+    // J2/T1/W3: the reference's core operator — exact per-query top-k
+    // cosine search with self-exclusion (bcb_utils.py:168-176).
+    // ------------------------------------------------------------------
+    "knn_topk" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      Knn.knnJoin(knnQueries(s, dir), "vec_id", "embedding",
+          corpus, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"),
+          col("rank"), col("score"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "knn_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 20 = 0
+        |), scored AS (
+        |  SELECT q.qid AS query_id, c.vec_id AS result_id,
+        |    ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS score
+        |  FROM q CROSS JOIN embeddings c
+        |  WHERE c.vec_id <> q.qid
+        |), ranked AS (
+        |  SELECT query_id, result_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, result_id, rank, score FROM ranked WHERE rank <= 10""".stripMargin,
+  )
 }

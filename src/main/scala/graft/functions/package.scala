@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{Column, GraftInternal, SparkSession}
+
+import graft.expr._
+
+/**
+ * Column-level API over graft's custom Catalyst expressions, plus SQL
+ * registration so `spark.sql("SELECT cosine_similarity(a,b) ...")` works.
+ */
+package object functions {
+  private def col(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    GraftInternal.column(e)
+  private def ex(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    GraftInternal.expression(c)
+
+  /** Cosine similarity of two array<float> columns, as double. */
+  def cosine_similarity(a: Column, b: Column): Column = col(CosineSimilarity(ex(a), ex(b)))
+
+  /** Dot product of two array<float> columns, as double. */
+  def dot_product(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
+
+  /** L2-normalize an array<float> column (zero vectors pass through). */
+  def l2_normalize(a: Column): Column = col(L2Normalize(ex(a)))
+
+  /** Euclidean norm of an array<float> column, as double. */
+  def l2_norm(a: Column): Column = col(L2Norm(ex(a)))
+
+  /** RFC 4122 UUIDv5 (DNS namespace) of a string column. */
+  def uuid5(a: Column): Column = col(Uuid5(ex(a)))
+
+  /** Register every graft function in the session's FunctionRegistry. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_similarity", es => CosineSimilarity(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("l2_normalize", es => L2Normalize(es.head), "built-in")
+    reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "built-in")
+    reg.createOrReplaceTempFunction("uuid5", es => Uuid5(es.head), "built-in")
+  }
+}

@@ -1,0 +1,74 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{cosine_similarity, dot_product}
+
+/**
+ * Exact top-k similarity join — the reference's core query: for each query
+ * snippet, the k most cosine-similar points of a collection, excluding the
+ * query's own point (`/root/reference/bcb_utils.py:168-176`, self-exclusion
+ * at :176; k default 100 `/root/reference/main.py:22`).
+ *
+ * Physical shape (scale rationale):
+ *  - the query set is small by contract (`--num_samples` default 500,
+ *    main.py:21) → broadcast it; the corpus streams, so corpus size is
+ *    unbounded: no shuffle of the corpus, no skew sensitivity.
+ *  - scoring runs inside whole-stage codegen (CosineSimilarity is a native
+ *    Expression with doGenCode).
+ *  - per-query top-k is a rank window over the scored pairs. |Q|·k rows of
+ *    shuffle (not |Q|·|C|) would be ideal; the window shuffles |Q|·|C| —
+ *    graft.plans.TopKAggregate (partial-aggregating bounded heap) is the
+ *    scale path and is used when `useTopKAgg` is true.
+ */
+object Knn {
+
+  /** Score metric: "cosine" or "dot" (use dot when vectors are pre-normalized
+    * — the reference's `--normalized` intent, main.py:19,30-34). */
+  def score(metric: String)(a: Column, b: Column): Column = metric match {
+    case "cosine" => cosine_similarity(a, b)
+    case "dot"    => dot_product(a, b)
+    case other    => throw new IllegalArgumentException(s"unknown metric: $other")
+  }
+
+  /**
+   * For each row of `queries`, the top-`k` rows of `corpus` by descending
+   * similarity, deterministic tie-break on ascending corpus id.
+   *
+   * Output columns: `query_id`, all corpus payload columns, `score`, `rank`.
+   */
+  def knnJoin(
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      k: Int,
+      excludeSelf: Boolean = true,
+      metric: String = "cosine",
+      roundScoreTo: Option[Int] = None): DataFrame = {
+    val q = queries.select(
+      col(queryId).as("query_id"),
+      col(queryVec).as("__query_vec"))
+    val rawScore = score(metric)(col("__query_vec"), col(corpusVec))
+    // roundScoreTo pins ranking to a precision both engines agree on —
+    // cross-engine float kernels can differ in the last ulp, which would
+    // make near-tie ranks nondeterministic vs the oracle.
+    val scoreCol = roundScoreTo.fold(rawScore)(n => round(rawScore, n))
+    val scored0 = broadcast(q)
+      .crossJoin(corpus)
+      .withColumn("score", scoreCol)
+    val scored =
+      if (excludeSelf) scored0.filter(col("query_id") =!= col(corpusId))
+      else scored0
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(corpusId).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("__query_vec")
+  }
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/**
+ * Minimal bridge into Spark's `private[sql]` Column <-> Expression
+ * converters (Spark 4 removed the public `new Column(expr)` constructor in
+ * the classic/connect unification). This is the only file that lives in the
+ * Spark namespace; everything else is plain `graft.*`.
+ */
+object GraftInternal {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,77 @@
+package graft.expr
+
+import graft.SparkSpec
+import graft.functions._
+import org.apache.spark.sql.functions._
+import org.scalatest.prop.TableDrivenPropertyChecks
+
+class ExpressionsSpec extends SparkSpec with TableDrivenPropertyChecks {
+  import org.apache.spark.sql.Row
+
+  private def one(colExpr: org.apache.spark.sql.Column): Any = {
+    spark.range(1).select(colExpr.as("v")).collect()(0).get(0)
+  }
+
+  test("uuid5 matches RFC 4122 / python uuid.uuid5 known vectors") {
+    // python: uuid.uuid5(uuid.NAMESPACE_DNS, "python.org")
+    assert(one(uuid5(lit("python.org"))) === "886313e1-3b8a-5372-9b90-0c9aee199e5d")
+    // uuid.uuid5(uuid.NAMESPACE_DNS, "42") — str(func_id) pattern of bcb_utils.py:54
+    assert(one(uuid5(lit("42"))) === "7c411b5e-9d3f-50b5-9c28-62096e41c4ed")
+    assert(one(uuid5(lit(""))) === "4ebd0208-8328-5d69-8c44-ec50939c0967")
+  }
+
+  test("uuid5 is deterministic and distinct per input") {
+    val df = spark.range(100).select(uuid5(col("id").cast("string")).as("u"))
+    assert(df.distinct().count() === 100)
+    assert(df.union(df).distinct().count() === 100)
+  }
+
+  test("uuid5 via SQL registration") {
+    assert(spark.sql("SELECT uuid5('python.org') AS u").collect()(0).getString(0)
+      === "886313e1-3b8a-5372-9b90-0c9aee199e5d")
+  }
+
+  test("cosine_similarity basics: parallel=1, orthogonal=0, antiparallel=-1, zero=0") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 0f), Array(2f, 0f), 1.0),
+      (Array(1f, 0f), Array(0f, 3f), 0.0),
+      (Array(1f, 0f), Array(-5f, 0f), -1.0),
+      (Array(0f, 0f), Array(1f, 1f), 0.0),
+      (Array(1f, 2f, 3f), Array(4f, 5f, 6f),
+        (4.0 + 10.0 + 18.0) / (math.sqrt(14.0) * math.sqrt(77.0)))
+    ).toDF("a", "b", "expect")
+    val got = df.select(cosine_similarity(col("a"), col("b")).as("c"), col("expect")).collect()
+    got.foreach { case Row(c: Double, e: Double) => assert(math.abs(c - e) < 1e-12) }
+  }
+
+  test("dot_product and l2_norm") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+    val r = df.select(dot_product(col("a"), col("b")), l2_norm(col("a"))).collect()(0)
+    assert(r.getDouble(0) === 32.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
+  }
+
+  test("l2_normalize yields unit vectors; zero vector passes through") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Array(3f, 4f)), Tuple1(Array(0f, 0f))).toDF("a")
+    val rows = df.select(l2_norm(l2_normalize(col("a"))).as("n")).collect()
+    assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-6)
+    assert(rows(1).getDouble(0) === 0.0)
+  }
+
+  test("cosine on real embeddings is within [-1, 1] and self-similarity is 1") {
+    val emb = spark.read.parquet(s"${graft.TestSpark.sf0001}/embeddings.parquet")
+    val self = emb.select(cosine_similarity(col("embedding"), col("embedding")).as("c"))
+    val mm = self.agg(min("c"), max("c")).collect()(0)
+    assert(mm.getDouble(0) > 1.0 - 1e-9 && mm.getDouble(1) < 1.0 + 1e-9)
+  }
+
+  test("null propagation") {
+    val r = spark.sql(
+      "SELECT cosine_similarity(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT))), uuid5(CAST(NULL AS STRING))")
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+}
