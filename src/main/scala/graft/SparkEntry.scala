@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.metrics.IrMetrics
 import graft.search.Knn
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,6 +25,16 @@ object SparkEntry {
   // we pin a seedless-but-deterministic subset so the oracle can reproduce it.)
   private def knnQueries(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).filter(col("vec_id") % 20 === 0)
+
+  /** Detailed results (one row per query×retrieved) with POJ-style relevance:
+    * same `label` ⇒ relevant (poj_utils.py:188). Shared by the metric queries. */
+  private def detailedResults(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val corpus = Tables.embeddings(s, dir)
+    Knn.knnJoin(knnQueries(s, dir), "vec_id", "embedding",
+        corpus, "vec_id", "embedding", k = k, roundScoreTo = Some(6))
+      .select(col("query_id"), col("vec_id").as("result_id"), col("rank"),
+        col("score"), (col("label") === col("query_label")).as("is_relevant"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------------------------
@@ -58,6 +69,33 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id").as("result_id"),
           col("rank"), col("score"))
     }),
+
+    // ------------------------------------------------------------------
+    // A7: per-query score-separation stats (bcb_utils.py:179-215 shape:
+    // query_id, avg clone/non-clone score, counts; 0.0 when a side is empty).
+    // ------------------------------------------------------------------
+    "query_stats" -> ((s, dir) => {
+      detailedResults(s, dir, k = 10)
+        .groupBy(col("query_id"))
+        .agg(
+          round(coalesce(avg(when(col("is_relevant"), col("score"))), lit(0.0)), 6)
+            .as("avg_clone_score"),
+          round(coalesce(avg(when(!col("is_relevant"), col("score"))), lit(0.0)), 6)
+            .as("avg_non_clone_score"),
+          count(when(col("is_relevant"), 1)).as("num_clones_found"),
+          count(when(!col("is_relevant"), 1)).as("num_non_clones_found"))
+        .orderBy(col("query_id"))
+    }),
+
+    // ------------------------------------------------------------------
+    // A3-A6 + A8 via W1/W2: the reference's printed metric suite
+    // (bcb_utils.py:255-277) as one distributed pass.
+    // ------------------------------------------------------------------
+    "ir_metrics" -> ((s, dir) => {
+      val g = IrMetrics.global(IrMetrics.perQuery(detailedResults(s, dir, k = 10)),
+        k = 10, apDenominator = lit(10))
+      g.select(g.columns.map(c => round(col(c), 6).as(c)): _*)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -87,5 +125,54 @@ object SparkEntry {
         |  FROM scored
         |)
         |SELECT query_id, result_id, rank, score FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "query_stats" -> (knnOracleCte +
+      """SELECT query_id,
+        |  ROUND(COALESCE(AVG(CASE WHEN is_relevant THEN score END), 0.0), 6) AS avg_clone_score,
+        |  ROUND(COALESCE(AVG(CASE WHEN NOT is_relevant THEN score END), 0.0), 6) AS avg_non_clone_score,
+        |  COUNT(CASE WHEN is_relevant THEN 1 END) AS num_clones_found,
+        |  COUNT(CASE WHEN NOT is_relevant THEN 1 END) AS num_non_clones_found
+        |FROM topk GROUP BY query_id ORDER BY query_id""".stripMargin),
+
+    "ir_metrics" -> (knnOracleCte +
+      """, perq AS (
+        |  SELECT query_id,
+        |    COUNT(CASE WHEN is_relevant THEN 1 END) AS hits,
+        |    MIN(CASE WHEN is_relevant THEN rank END) AS first_rel_rank,
+        |    SUM(CASE WHEN is_relevant THEN CAST(cum_rel AS DOUBLE) / rank ELSE 0.0 END) AS ap_numerator,
+        |    COALESCE(AVG(CASE WHEN is_relevant THEN score END), 0.0) AS avg_rel,
+        |    COALESCE(AVG(CASE WHEN NOT is_relevant THEN score END), 0.0) AS avg_irrel
+        |  FROM topk GROUP BY query_id
+        |)
+        |SELECT
+        |  ROUND(AVG(CASE WHEN hits > 0 THEN 1.0 ELSE 0.0 END), 6) AS success_rate,
+        |  ROUND(AVG(CAST(hits AS DOUBLE) / 10), 6) AS mean_precision_at_k,
+        |  ROUND(AVG(COALESCE(1.0 / first_rel_rank, 0.0)), 6) AS mrr,
+        |  ROUND(AVG(ap_numerator / 10), 6) AS map_at_k,
+        |  ROUND(AVG(avg_rel), 6) AS avg_relevant_score,
+        |  ROUND(AVG(avg_irrel), 6) AS avg_irrelevant_score
+        |FROM perq""".stripMargin),
   )
+
+  /** Shared DuckDB CTE: deterministic query subset → exact cosine top-10 with
+    * self-exclusion, POJ-style relevance, and the running relevant count (W2). */
+  private val knnOracleCte: String =
+    """WITH q AS (
+      |  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+      |  FROM embeddings WHERE vec_id % 20 = 0
+      |), scored AS (
+      |  SELECT q.qid AS query_id, c.vec_id AS result_id, c.label AS rlabel, q.qlabel,
+      |    ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS score
+      |  FROM q CROSS JOIN embeddings c
+      |  WHERE c.vec_id <> q.qid
+      |), ranked AS (
+      |  SELECT query_id, result_id, score, (rlabel = qlabel) AS is_relevant,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+      |  FROM scored
+      |), topk AS (
+      |  SELECT *, SUM(CASE WHEN is_relevant THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY query_id ORDER BY rank ROWS UNBOUNDED PRECEDING) AS cum_rel
+      |  FROM ranked WHERE rank <= 10
+      |)
+      |""".stripMargin
 }

@@ -50,9 +50,13 @@ object Knn {
       excludeSelf: Boolean = true,
       metric: String = "cosine",
       roundScoreTo: Option[Int] = None): DataFrame = {
+    // Query payload columns ride along as query_<name> (the reference keeps
+    // the query row's fields for relevance tagging, bcb_utils.py:182-189).
+    val payloadCols = queries.columns.toSeq
+      .filter(c => c != queryId && c != queryVec)
+      .map(c => col(c).as(s"query_$c"))
     val q = queries.select(
-      col(queryId).as("query_id"),
-      col(queryVec).as("__query_vec"))
+      col(queryId).as("query_id") +: col(queryVec).as("__query_vec") +: payloadCols: _*)
     val rawScore = score(metric)(col("__query_vec"), col(corpusVec))
     // roundScoreTo pins ranking to a precision both engines agree on —
     // cross-engine float kernels can differ in the last ulp, which would

@@ -1,0 +1,52 @@
+package graft.search
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 unit-ish vectors on known directions; cosine to (1,0) is trivially
+  // hand-computable.
+  private lazy val corpus = Seq(
+    (1L, Array(1f, 0f), "a"),
+    (2L, Array(0.9f, 0.1f), "a"),
+    (3L, Array(0f, 1f), "b"),
+    (4L, Array(-1f, 0f), "b")
+  ).toDF("vec_id", "embedding", "label")
+
+  test("knnJoin returns per-query top-k by cosine, self excluded, ranked") {
+    val q = corpus.filter($"vec_id" === 1L)
+    val res = Knn.knnJoin(q, "vec_id", "embedding", corpus, "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+    assert(res.length === 2)
+    assert(res(0).getAs[Long]("vec_id") === 2L) // closest direction
+    assert(res(0).getAs[Int]("rank") === 1)
+    assert(res(1).getAs[Long]("vec_id") === 3L) // orthogonal beats antiparallel
+    // self (vec_id=1, score 1.0) must be excluded
+    assert(!res.map(_.getAs[Long]("vec_id")).contains(1L))
+  }
+
+  test("query payload columns ride along as query_<name>") {
+    val q = corpus.filter($"vec_id" === 3L)
+    val res = Knn.knnJoin(q, "vec_id", "embedding", corpus, "vec_id", "embedding", k = 1)
+    assert(res.columns.contains("query_label"))
+    assert(res.select("query_label").collect()(0).getString(0) === "b")
+  }
+
+  test("excludeSelf=false keeps the self match at rank 1 with score 1") {
+    val q = corpus.filter($"vec_id" === 1L)
+    val res = Knn.knnJoin(q, "vec_id", "embedding", corpus, "vec_id", "embedding",
+      k = 1, excludeSelf = false).collect()(0)
+    assert(res.getAs[Long]("vec_id") === 1L)
+    assert(math.abs(res.getAs[Double]("score") - 1.0) < 1e-12)
+  }
+
+  test("dot metric ranks by raw dot product") {
+    val q = Seq((10L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val big = Seq((1L, Array(5f, 0f)), (2L, Array(0.9f, 0f))).toDF("vec_id", "embedding")
+    val res = Knn.knnJoin(q, "vec_id", "embedding", big, "vec_id", "embedding",
+      k = 2, metric = "dot").orderBy("rank").collect()
+    assert(res(0).getAs[Long]("vec_id") === 1L) // dot=5 beats dot=0.9
+  }
+}
