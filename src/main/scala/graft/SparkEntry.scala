@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ingest.{CloneGraph, Corpus}
 import graft.metrics.IrMetrics
 import graft.search.Knn
 
@@ -96,6 +97,40 @@ object SparkEntry {
         k = 10, apDenominator = lit(10))
       g.select(g.columns.map(c => round(col(c), 6).as(c)): _*)
     }),
+
+    // ------------------------------------------------------------------
+    // A1: clone-graph adjacency (symmetrize + collect-distinct) on a pair
+    // table. Arrays are emitted string-joined so the cross-engine compare
+    // is representation-stable.
+    // ------------------------------------------------------------------
+    "clone_adjacency" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir).select(col("l_orderkey").as("a"), col("l_partkey").as("b"))
+      CloneGraph.adjacencyWithCounts(pairs, "a", "b")
+        .select(col("id"), concat_ws(",", col("clones")).as("clones"), col("num_clones"))
+        .orderBy(col("id"))
+    }),
+
+    // ------------------------------------------------------------------
+    // S4/F5: the reference's line-slice read, as a column op over documents
+    // (space-delimited stand-in; semantics identical — python list slice).
+    // ------------------------------------------------------------------
+    "line_slice" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Corpus.sliceLines(col("text"), lit(3), lit(8), delim = " ").as("sliced"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ------------------------------------------------------------------
+    // F1: deterministic UUIDv5 point identity over documents. Not
+    // SQL-expressible in DuckDB (no uuid5) → rows-only driver check;
+    // RFC 4122 vectors are pinned in ExpressionsSpec.
+    // ------------------------------------------------------------------
+    "corpus_uuid" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), graft.functions.uuid5(col("doc_id").cast("string")).as("code_uuid"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -152,6 +187,20 @@ object SparkEntry {
         |  ROUND(AVG(avg_rel), 6) AS avg_relevant_score,
         |  ROUND(AVG(avg_irrel), 6) AS avg_irrelevant_score
         |FROM perq""".stripMargin),
+
+    "clone_adjacency" ->
+      """WITH pairs AS (SELECT l_orderkey AS a, l_partkey AS b FROM lineitem),
+        |sym AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs)
+        |SELECT a AS id,
+        |  array_to_string(list_sort(list(DISTINCT b)), ',') AS clones,
+        |  CAST(count(DISTINCT b) AS INT) AS num_clones
+        |FROM sym GROUP BY a ORDER BY id""".stripMargin,
+
+    "line_slice" ->
+      // python text.split(' ')[3:8] == DuckDB 1-based inclusive [4:8]
+      """SELECT doc_id,
+        |  array_to_string(string_split(text, ' ')[4:8], ' ') AS sliced
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared DuckDB CTE: deterministic query subset → exact cosine top-10 with

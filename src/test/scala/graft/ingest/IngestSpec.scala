@@ -1,0 +1,86 @@
+package graft.ingest
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CloneGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("adjacency symmetrizes and dedups (bcb_utils.py:24-33 semantics)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 2L)).toDF("a", "b")
+    val adj = CloneGraph.adjacency(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(adj(1L) === Seq(2L))
+    assert(adj(2L) === Seq(1L, 3L)) // both directions, sorted
+    assert(adj(3L) === Seq(2L))
+  }
+
+  test("adjacencyWithCounts sizes the BCB MAP denominator input") {
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val m = CloneGraph.adjacencyWithCounts(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(m === Map(1L -> 2, 2L -> 1, 3L -> 1))
+  }
+}
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sliceLines preserves the reference's off-by-one slice (bcb_utils.py:61-65)") {
+    val df = Seq("l1\nl2\nl3\nl4\nl5").toDF("text")
+    // python lines[1:3] → drops line 1, keeps lines 2..3
+    val got = df.select(Corpus.sliceLines($"text", lit(1), lit(3))).as[String].collect()(0)
+    assert(got === "l2\nl3")
+    // empty when start >= end (python empty slice)
+    val empty = df.select(Corpus.sliceLines($"text", lit(3), lit(3))).as[String].collect()(0)
+    assert(empty === "")
+  }
+
+  test("bcb corpus: inner-join drop semantics + uuid5 identity + clone carry") {
+    val adj = CloneGraph.adjacency(Seq((10L, 20L)).toDF("a", "b"), "a", "b")
+      .withColumnRenamed("id", "func_id")
+    val functions = Seq((10L, "f.java", 0, 2), (99L, "g.java", 0, 1))
+      .toDF("ID", "FILE", "START", "END")
+    val files = Seq(("f.java", "a\nb\nc")).toDF("path", "text")
+    val out = Corpus.bcb(adj, functions, "ID", "FILE", "START", "END", files, "path", "text")
+      .collect()
+    assert(out.length === 1) // func 20 has no metadata row → dropped (try/except pass)
+    val r = out(0)
+    assert(r.getAs[Long]("func_id") === 10L)
+    assert(r.getAs[String]("code_contents") === "a\nb") // lines[0:2]
+    assert(r.getAs[Seq[Long]]("clones") === Seq(20L))
+    // uuid5(NAMESPACE_DNS, "10")
+    assert(r.getAs[String]("code_uuid") === "0159d6c7-973f-5e7a-a9a0-d195d0ea6fe2")
+  }
+
+  test("poj corpus: label/name from path, uuid5 of label+name (poj_utils.py:59-62)") {
+    val files = Seq(("file:/data/poj104/17/1700.txt", "int main(){}")).toDF("path", "text")
+    val r = Corpus.poj(files).collect()(0)
+    assert(r.getAs[String]("clone_type") === "17")
+    assert(r.getAs[String]("code_name") === "1700.txt")
+    assert(r.getAs[String]("code_contents") === "int main(){}")
+    // python: uuid.uuid5(uuid.NAMESPACE_DNS, "171700.txt")
+    assert(r.getAs[String]("code_uuid") === "0728363c-f5dc-5f75-98a2-feb4b575a8fa")
+  }
+}
+
+class DirSourceSpec extends SparkSpec {
+
+  test("recursive *.txt scan with lossy decode (poj_utils.py:15-28,64-70)") {
+    val dir = Files.createTempDirectory("graft_dirsource")
+    Files.createDirectories(Paths.get(s"$dir/17"))
+    Files.createDirectories(Paths.get(s"$dir/42"))
+    Files.write(Paths.get(s"$dir/17/a.txt"), "hello".getBytes("UTF-8"))
+    // invalid UTF-8 byte in the middle — must be dropped, not replaced
+    Files.write(Paths.get(s"$dir/42/b.txt"), Array[Byte]('h', 'i', 0xFF.toByte, '!'))
+    Files.write(Paths.get(s"$dir/42/skip.csv"), "nope".getBytes("UTF-8"))
+
+    val got = DirSource.files(spark, dir.toString)
+      .select("path", "text").collect()
+      .map(r => (r.getString(0).split("/").takeRight(2).mkString("/"), r.getString(1)))
+      .toMap
+    assert(got === Map("17/a.txt" -> "hello", "42/b.txt" -> "hi!"))
+  }
+}
