@@ -1,0 +1,170 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication for large-scale corpus curation: exact, n-gram
+ * Jaccard, and MinHash+LSH near-dup. All operators are declarative DataFrame
+ * plans (codegen'd higher-order functions, no UDFs in the hot path).
+ *
+ * Scale design:
+ *  - exact: one hash-aggregate shuffle on a 128-bit digest — the digest is
+ *    computed map-side so the shuffle carries 16 bytes + id per row, not the
+ *    document text.
+ *  - MinHash+LSH: signatures are computed map-side (k hash passes over the
+ *    shingle array); candidate generation shuffles once on (band, bandHash)
+ *    — never all-pairs. The exact-Jaccard verify runs only on candidates.
+ *    This is the standard sub-quadratic near-dup pipeline; at 100 TB the
+ *    band-bucket join is the only shuffle and bucket skew (e.g. boilerplate
+ *    docs) is handled by AQE skew-join or dropping oversized buckets.
+ *  - all-pairs n-gram Jaccard is provided for oracle-checking and small
+ *    sets only; the LSH path is the production path.
+ */
+object Dedup {
+
+  /** Lower-cased whitespace tokens (empty tokens dropped — consecutive
+    * separators don't produce ghost shingles). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Distinct word n-gram shingles of `text`. Documents shorter than n
+    * tokens have no shingles (empty array — Spark's sequence(1,0) would
+    * count BACKWARDS, so the empty case is guarded explicitly). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val count = size(toks) - (n - 1)
+    when(count < 1, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(sequence(lit(1), count),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))))
+  }
+
+  /** Exact-duplicate groups: md5 of the raw text → (hash, keeper=min id,
+    * ids, group size). Groups of size 1 are unique documents. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("text_hash"), col(idCol))
+      .groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as("keeper"),
+        sort_array(collect_list(col(idCol))).as("ids"),
+        count(lit(1)).as("group_size"))
+
+  /** Exact dedup: keep one row (lowest id) per distinct text. Implemented as
+    * a rank window over the digest — the text itself never shuffles. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__text_hash")).orderBy(col(idCol))
+    df.withColumn("__text_hash", md5(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__text_hash", "__rn")
+  }
+
+  /** Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, 0.0).otherwise(inter / union)
+  }
+
+  /**
+   * All-pairs n-gram Jaccard over a (small) document set: every id pair
+   * (a < b) with similarity ≥ threshold. O(n²) — oracle/test path only;
+   * use [[minHashNearDups]] at scale.
+   */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val a = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /**
+   * MinHash signature: element j = min over shingles of a 64-bit hash salted
+   * by j (xxhash64 of (salt, shingle)). One map-side pass, no shuffle.
+   */
+  def minHashSignature(shingleArr: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      j => coalesce(array_min(transform(shingleArr, s => xxhash64(j, s))),
+        lit(Long.MaxValue)))
+
+  /**
+   * LSH band keys: the signature split into `bands` bands of `rowsPerBand`
+   * rows; each band hashed to one long. Docs agreeing on ANY band are
+   * candidates. P(candidate) = 1 - (1 - j^r)^b — tune (b, r) to the target
+   * threshold j ≈ (1/b)^(1/r).
+   */
+  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(slice(signature, b * rowsPerBand + 1, rowsPerBand)).as("bh")))
+
+  /**
+   * Near-duplicate pairs via MinHash+LSH, verified with exact shingle
+   * Jaccard on the candidate set only.
+   *
+   * @return (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold
+   */
+  def minHashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands evenly")
+    val r = numHashes / bands
+    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    // Band-bucket join carries only (id, bandKey) — the shingle arrays do
+    // NOT ride through the exploded shuffle; they're joined back onto the
+    // (much smaller) distinct candidate set afterwards.
+    val sigBands = withSh.select(col("id"), explode(
+      bandKeys(minHashSignature(col("sh"), numHashes), bands, r)).as("band"))
+    val candidates = sigBands.as("l")
+      .join(sigBands.as("r"),
+        col("l.band") === col("r.band") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct() // a pair can collide in several bands
+    candidates
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash Jaccard ESTIMATE (signature agreement rate) — used when even
+    * candidate-verify must avoid touching shingles. */
+  def minHashEstimate(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b))
+      .cast("double") / size(sigA)
+
+  /**
+   * SimHash near-dups: 64-bit fingerprints, candidates = docs agreeing on
+   * at least one 16-bit quarter of the fingerprint (any pair within Hamming
+   * distance 3 agrees on ≥1 quarter by pigeonhole), verified by exact
+   * Hamming distance. Fingerprints are 8 bytes/doc → the candidate join is
+   * tiny regardless of corpus size.
+   */
+  def simHashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    import graft.functions.{hamming_dist, simhash64}
+    require(maxHamming <= 3, "quarter-banding guarantees recall only up to Hamming 3")
+    val fp = df.select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("fp"))
+    val quarters = array((0 until 4).map(q =>
+      struct(lit(q).as("q"),
+        shiftright(col("fp"), q * 16).bitwiseAND(0xffffL).as("qh"))): _*)
+    val banded = fp.select(col("id"), col("fp"), explode(quarters).as("band"))
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.fp").as("fp_a"), col("r.fp").as("fp_b"))
+      .distinct()
+      .withColumn("hamming", hamming_dist(col("fp_a"), col("fp_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

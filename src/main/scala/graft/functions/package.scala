@@ -29,6 +29,18 @@ package object functions {
   /** RFC 4122 UUIDv5 (DNS namespace) of a string column. */
   def uuid5(a: Column): Column = col(Uuid5(ex(a)))
 
+  /** 64-bit SimHash fingerprint of an array<string> token column. */
+  def simhash64(a: Column): Column = col(SimHash64(ex(a)))
+
+  /** SRP-LSH signature (≤64 bits) of an array<float> column. */
+  def hyperplane_sig(a: Column, bits: Int, seed: Long): Column =
+    col(HyperplaneSig(ex(a), bits, seed))
+
+  /** Hamming distance between two long fingerprints (builtin bit_count of
+    * the xor — stays inside whole-stage codegen). */
+  def hamming_dist(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b)).cast("int")
+
   /** Register every graft function in the session's FunctionRegistry. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -37,5 +49,6 @@ package object functions {
     reg.createOrReplaceTempFunction("l2_normalize", es => L2Normalize(es.head), "built-in")
     reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "built-in")
     reg.createOrReplaceTempFunction("uuid5", es => Uuid5(es.head), "built-in")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
   }
 }
