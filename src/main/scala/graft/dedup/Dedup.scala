@@ -101,7 +101,7 @@ object Dedup {
   def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => struct(b.as("band"),
-        xxhash64(slice(signature, b * rowsPerBand + 1, rowsPerBand)).as("bh")))
+        xxhash64(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))).as("bh")))
 
   /**
    * Near-duplicate pairs via MinHash+LSH, verified with exact shingle
