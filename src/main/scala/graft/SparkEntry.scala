@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ingest.{CloneGraph, Corpus}
@@ -21,11 +21,32 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("knn_topk")(spark, "/root/testdata/sf0.001")
 
-  // Deterministic query subset for k-NN benchmarks: every 20th vector.
-  // (The reference samples `num_samples` queries unseeded, bcb_utils.py:150;
-  // we pin a seedless-but-deterministic subset so the oracle can reproduce it.)
+  // Fixed-size seeded query sample for k-NN benchmarks (T2): the reference
+  // draws `num_samples` (default 500, main.py:21) queries unseeded
+  // (bcb_utils.py:150); we pin determinism by ordering on a salted md5 of the
+  // id and taking the first 500 — reproducible in any engine with md5, and
+  // |Q| stays CONSTANT as the corpus grows (a %-based subset would scale
+  // |Q| with |C| and eventually OOM the query broadcast). Spark plans
+  // orderBy+limit as TakeOrderedAndProject: no full sort shuffle, each
+  // partition keeps its local top-500.
+  private val knnSampleSeed = "graft42:"
+  private val knnSampleSize = 500
   private def knnQueries(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir).filter(col("vec_id") % 20 === 0)
+    Tables.embeddings(spark, dir)
+      .orderBy(md5(concat(lit(knnSampleSeed), col("vec_id").cast("string"))), col("vec_id"))
+      .limit(knnSampleSize)
+
+  /** Cross-engine-stable 6-dp rounding: floor(x*1e6+0.5)/1e6 in plain IEEE
+    * double arithmetic — bit-identical in any engine for identical inputs.
+    * Spark's round() (shortest-string BigDecimal HALF_UP) and DuckDB's
+    * round() (exact-binary) disagree when the value sits on a decimal half
+    * boundary, which happens STRUCTURALLY for means of two 6-dp scores. */
+  private def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** Order-independent mean of a ≤6-dp score column: exact DECIMAL sum, then
+    * one double division — immune to partial-aggregation summation order. */
+  private def stableMean(c: Column): Column =
+    sum(c.cast("decimal(28,6)")).cast("double") / count(c)
 
   /** Detailed results (one row per query×retrieved) with POJ-style relevance:
     * same `label` ⇒ relevant (poj_utils.py:188). Shared by the metric queries. */
@@ -79,9 +100,9 @@ object SparkEntry {
       detailedResults(s, dir, k = 10)
         .groupBy(col("query_id"))
         .agg(
-          round(coalesce(avg(when(col("is_relevant"), col("score"))), lit(0.0)), 6)
+          coalesce(r6(stableMean(when(col("is_relevant"), col("score")))), lit(0.0))
             .as("avg_clone_score"),
-          round(coalesce(avg(when(!col("is_relevant"), col("score"))), lit(0.0)), 6)
+          coalesce(r6(stableMean(when(!col("is_relevant"), col("score")))), lit(0.0))
             .as("avg_non_clone_score"),
           count(when(col("is_relevant"), 1)).as("num_clones_found"),
           count(when(!col("is_relevant"), 1)).as("num_non_clones_found"))
@@ -95,7 +116,52 @@ object SparkEntry {
     "ir_metrics" -> ((s, dir) => {
       val g = IrMetrics.global(IrMetrics.perQuery(detailedResults(s, dir, k = 10)),
         k = 10, apDenominator = lit(10))
-      g.select(g.columns.map(c => round(col(c), 6).as(c)): _*)
+      g.select(g.columns.map(c => r6(col(c)).as(c)): _*)
+    }),
+
+    // ------------------------------------------------------------------
+    // Output-schema parity with the reference's detailed_results sink
+    // (POJ variant, poj_utils.py:196-222: query_id, result_id, result_type,
+    // similarity_score, is_same_type).
+    // ------------------------------------------------------------------
+    "detailed_results" -> ((s, dir) => {
+      detailedResults(s, dir, k = 10)
+        .select(col("query_id"), col("result_id"),
+          col("rank"), // keeps rows unique + sortable cross-engine
+          col("score").as("similarity_score"),
+          col("is_relevant").as("is_same_type"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ------------------------------------------------------------------
+    // P5/J3 + A6(BCB): the BigCloneBench relevance path — ground-truth
+    // clone sets as arrays (A1), membership relevance via array_contains
+    // (bcb_utils.py:183), and the BCB MAP denominator min(|clones|, k)
+    // (bcb_utils.py:250). The clone relation here (same label AND same
+    // id mod 7) is chosen so most queries have |clones| < k, genuinely
+    // exercising the BCB denominator.
+    // ------------------------------------------------------------------
+    "ir_metrics_bcb" -> ((s, dir) => {
+      val k = 10
+      val emb = Tables.embeddings(s, dir)
+      val a = emb.select(col("vec_id").as("ida"), col("label").as("la"),
+        (col("vec_id") % 7).as("ma"))
+      val b = emb.select(col("vec_id").as("idb"), col("label").as("lb"),
+        (col("vec_id") % 7).as("mb"))
+      val pairs = a.join(b, col("la") === col("lb") && col("ma") === col("mb") &&
+        col("ida") < col("idb")).select(col("ida"), col("idb"))
+      val truth = CloneGraph.adjacencyWithCounts(pairs, "ida", "idb")
+      val det = detailedResults(s, dir, k)
+        .join(broadcast(truth.select(col("id").as("query_id"), col("clones"),
+          col("num_clones"))), Seq("query_id"), "left")
+        .withColumn("is_clone",
+          coalesce(array_contains(col("clones"), col("result_id")), lit(false)))
+      val pq = IrMetrics.perQuery(det, relCol = "is_clone")
+        .join(broadcast(truth.select(col("id").as("query_id"),
+          col("num_clones").as("nc"))), Seq("query_id"), "left")
+        .na.fill(0, Seq("nc"))
+      val g = IrMetrics.global(pq, k, apDenominator = least(col("nc"), lit(k)))
+      g.select(g.columns.map(c => r6(col(c)).as(c)): _*)
     }),
 
     // ------------------------------------------------------------------
@@ -148,7 +214,8 @@ object SparkEntry {
 
     "knn_topk" ->
       """WITH q AS (
-        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 20 = 0
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  ORDER BY md5('graft42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 500
         |), scored AS (
         |  SELECT q.qid AS query_id, c.vec_id AS result_id,
         |    ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS score
@@ -163,8 +230,8 @@ object SparkEntry {
 
     "query_stats" -> (knnOracleCte +
       """SELECT query_id,
-        |  ROUND(COALESCE(AVG(CASE WHEN is_relevant THEN score END), 0.0), 6) AS avg_clone_score,
-        |  ROUND(COALESCE(AVG(CASE WHEN NOT is_relevant THEN score END), 0.0), 6) AS avg_non_clone_score,
+        |  COALESCE(FLOOR(CAST(SUM(CAST(CASE WHEN is_relevant THEN score END AS DECIMAL(28,6))) AS DOUBLE) / COUNT(CASE WHEN is_relevant THEN score END) * 1000000.0 + 0.5) / 1000000.0, 0.0) AS avg_clone_score,
+        |  COALESCE(FLOOR(CAST(SUM(CAST(CASE WHEN NOT is_relevant THEN score END AS DECIMAL(28,6))) AS DOUBLE) / COUNT(CASE WHEN NOT is_relevant THEN score END) * 1000000.0 + 0.5) / 1000000.0, 0.0) AS avg_non_clone_score,
         |  COUNT(CASE WHEN is_relevant THEN 1 END) AS num_clones_found,
         |  COUNT(CASE WHEN NOT is_relevant THEN 1 END) AS num_non_clones_found
         |FROM topk GROUP BY query_id ORDER BY query_id""".stripMargin),
@@ -175,18 +242,74 @@ object SparkEntry {
         |    COUNT(CASE WHEN is_relevant THEN 1 END) AS hits,
         |    MIN(CASE WHEN is_relevant THEN rank END) AS first_rel_rank,
         |    SUM(CASE WHEN is_relevant THEN CAST(cum_rel AS DOUBLE) / rank ELSE 0.0 END) AS ap_numerator,
-        |    COALESCE(AVG(CASE WHEN is_relevant THEN score END), 0.0) AS avg_rel,
-        |    COALESCE(AVG(CASE WHEN NOT is_relevant THEN score END), 0.0) AS avg_irrel
+        |    COALESCE(CAST(SUM(CAST(CASE WHEN is_relevant THEN score END AS DECIMAL(28,6))) AS DOUBLE) / COUNT(CASE WHEN is_relevant THEN score END), 0.0) AS avg_rel,
+        |    COALESCE(CAST(SUM(CAST(CASE WHEN NOT is_relevant THEN score END AS DECIMAL(28,6))) AS DOUBLE) / COUNT(CASE WHEN NOT is_relevant THEN score END), 0.0) AS avg_irrel
         |  FROM topk GROUP BY query_id
         |)
         |SELECT
-        |  ROUND(AVG(CASE WHEN hits > 0 THEN 1.0 ELSE 0.0 END), 6) AS success_rate,
-        |  ROUND(AVG(CAST(hits AS DOUBLE) / 10), 6) AS mean_precision_at_k,
-        |  ROUND(AVG(COALESCE(1.0 / first_rel_rank, 0.0)), 6) AS mrr,
-        |  ROUND(AVG(ap_numerator / 10), 6) AS map_at_k,
-        |  ROUND(AVG(avg_rel), 6) AS avg_relevant_score,
-        |  ROUND(AVG(avg_irrel), 6) AS avg_irrelevant_score
+        |  FLOOR(AVG(CASE WHEN hits > 0 THEN 1.0 ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS success_rate,
+        |  FLOOR(AVG(CAST(hits AS DOUBLE) / 10) * 1000000.0 + 0.5) / 1000000.0 AS mean_precision_at_k,
+        |  FLOOR(AVG(COALESCE(1.0 / first_rel_rank, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS mrr,
+        |  FLOOR(AVG(ap_numerator / 10) * 1000000.0 + 0.5) / 1000000.0 AS map_at_k,
+        |  FLOOR(AVG(avg_rel) * 1000000.0 + 0.5) / 1000000.0 AS avg_relevant_score,
+        |  FLOOR(AVG(avg_irrel) * 1000000.0 + 0.5) / 1000000.0 AS avg_irrelevant_score
         |FROM perq""".stripMargin),
+
+    "detailed_results" -> (knnOracleCte +
+      """SELECT query_id, result_id, rank, score AS similarity_score,
+        |  is_relevant AS is_same_type
+        |FROM topk ORDER BY query_id, rank""".stripMargin),
+
+    "ir_metrics_bcb" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  ORDER BY md5('graft42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 500
+        |), scored AS (
+        |  SELECT q.qid AS query_id, c.vec_id AS result_id,
+        |    ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS score
+        |  FROM q CROSS JOIN embeddings c
+        |  WHERE c.vec_id <> q.qid
+        |), ranked AS (
+        |  SELECT query_id, result_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+        |  FROM scored
+        |), truthp AS (
+        |  SELECT a.vec_id AS ida, b.vec_id AS idb
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id % 7 = b.vec_id % 7 AND a.vec_id < b.vec_id
+        |), sym AS (
+        |  SELECT ida AS id, idb AS other FROM truthp
+        |  UNION ALL SELECT idb AS id, ida AS other FROM truthp
+        |), truth AS (
+        |  SELECT id, list(DISTINCT other) AS clones, count(DISTINCT other) AS nc
+        |  FROM sym GROUP BY id
+        |), topk AS (
+        |  SELECT r.query_id, r.result_id, r.rank, r.score,
+        |    COALESCE(list_contains(t.clones, r.result_id), false) AS is_clone,
+        |    COALESCE(t.nc, 0) AS nc
+        |  FROM ranked r LEFT JOIN truth t ON r.query_id = t.id
+        |  WHERE r.rank <= 10
+        |), topk2 AS (
+        |  SELECT *, SUM(CASE WHEN is_clone THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY query_id ORDER BY rank ROWS UNBOUNDED PRECEDING) AS cum_rel
+        |  FROM topk
+        |), perq AS (
+        |  SELECT query_id, ANY_VALUE(nc) AS nc,
+        |    COUNT(CASE WHEN is_clone THEN 1 END) AS hits,
+        |    MIN(CASE WHEN is_clone THEN rank END) AS first_rel_rank,
+        |    SUM(CASE WHEN is_clone THEN CAST(cum_rel AS DOUBLE) / rank ELSE 0.0 END) AS ap_numerator,
+        |    COALESCE(CAST(SUM(CAST(CASE WHEN is_clone THEN score END AS DECIMAL(28,6))) AS DOUBLE) / COUNT(CASE WHEN is_clone THEN score END), 0.0) AS avg_rel,
+        |    COALESCE(CAST(SUM(CAST(CASE WHEN NOT is_clone THEN score END AS DECIMAL(28,6))) AS DOUBLE) / COUNT(CASE WHEN NOT is_clone THEN score END), 0.0) AS avg_irrel
+        |  FROM topk2 GROUP BY query_id
+        |)
+        |SELECT
+        |  FLOOR(AVG(CASE WHEN hits > 0 THEN 1.0 ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS success_rate,
+        |  FLOOR(AVG(CAST(hits AS DOUBLE) / 10) * 1000000.0 + 0.5) / 1000000.0 AS mean_precision_at_k,
+        |  FLOOR(AVG(COALESCE(1.0 / first_rel_rank, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS mrr,
+        |  FLOOR(AVG(CASE WHEN LEAST(nc, 10) > 0 THEN ap_numerator / LEAST(nc, 10) ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS map_at_k,
+        |  FLOOR(AVG(avg_rel) * 1000000.0 + 0.5) / 1000000.0 AS avg_relevant_score,
+        |  FLOOR(AVG(avg_irrel) * 1000000.0 + 0.5) / 1000000.0 AS avg_irrelevant_score
+        |FROM perq""".stripMargin,
 
     "clone_adjacency" ->
       """WITH pairs AS (SELECT l_orderkey AS a, l_partkey AS b FROM lineitem),
@@ -208,7 +331,8 @@ object SparkEntry {
   private val knnOracleCte: String =
     """WITH q AS (
       |  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
-      |  FROM embeddings WHERE vec_id % 20 = 0
+      |  FROM embeddings
+      |  ORDER BY md5('graft42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 500
       |), scored AS (
       |  SELECT q.qid AS query_id, c.vec_id AS result_id, c.label AS rlabel, q.qlabel,
       |    ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS score

@@ -49,8 +49,15 @@ object IrMetrics {
         min(when(col(relCol), col(rankCol))).as("first_rel_rank"),
         sum(when(col(relCol), col("__cum_rel").cast("double") / col(rankCol))
           .otherwise(lit(0.0))).as("ap_numerator"),
-        coalesce(avg(when(col(relCol), col(scoreCol))), lit(0.0)).as("avg_relevant_score"),
-        coalesce(avg(when(!col(relCol), col(scoreCol))), lit(0.0)).as("avg_irrelevant_score"),
+        // Score means run through an exact DECIMAL sum so they are
+        // order-independent and bit-identical across engines (callers
+        // pre-round scores to ≤6 dp; a plain double avg would depend on
+        // partial-aggregation order). Semantics unchanged: mean, 0 when the
+        // side is empty (bcb_utils.py:202-205).
+        coalesce(sum(when(col(relCol), col(scoreCol)).cast("decimal(28,6)")).cast("double") /
+          count(when(col(relCol), col(scoreCol))), lit(0.0)).as("avg_relevant_score"),
+        coalesce(sum(when(!col(relCol), col(scoreCol)).cast("decimal(28,6)")).cast("double") /
+          count(when(!col(relCol), col(scoreCol))), lit(0.0)).as("avg_irrelevant_score"),
         sum(rel1).as("num_relevant_found"),
         sum(when(!col(relCol), 1).otherwise(0)).as("num_irrelevant_found"))
   }
