@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.dedup.Dedup
 import graft.ingest.{CloneGraph, Corpus}
 import graft.metrics.IrMetrics
 import graft.search.Knn
@@ -188,6 +189,42 @@ object SparkEntry {
     }),
 
     // ------------------------------------------------------------------
+    // Dedup suite (training-data curation): exact groups, all-pairs n-gram
+    // Jaccard (oracle path), and MinHash+LSH near-dup (scale path). The LSH
+    // query shares the exact-Jaccard oracle: on this corpus every
+    // qualifying pair has j ≥ 0.8 with 128 hashes / 32 bands, so P(miss)
+    // < 1e-14 — a green row here certifies LSH recall, not just shape.
+    // ------------------------------------------------------------------
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("text_hash"), col("keeper"),
+          concat_ws(",", col("ids")).as("ids"), col("group_size"))
+        .orderBy(col("text_hash"))
+    }),
+
+    "dedup_jaccard_pairs" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .withColumn("jaccard", r6(col("jaccard")))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "dedup_minhash" -> ((s, dir) => {
+      Dedup.minHashNearDups(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, numHashes = 128, bands = 32, threshold = 0.8)
+        .withColumn("jaccard", r6(col("jaccard")))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dups: fingerprints depend on xxhash64 → no cross-engine
+    // SQL twin (rows-only driver check); semantics pinned in DedupSpec.
+    "simhash_pairs" -> ((s, dir) => {
+      Dedup.simHashNearDups(Tables.documents(s, dir), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ------------------------------------------------------------------
     // F1: deterministic UUIDv5 point identity over documents. Not
     // SQL-expressible in DuckDB (no uuid5) → rows-only driver check;
     // RFC 4122 vectors are pinned in ExpressionsSpec.
@@ -319,12 +356,41 @@ object SparkEntry {
         |  CAST(count(DISTINCT b) AS INT) AS num_clones
         |FROM sym GROUP BY a ORDER BY id""".stripMargin,
 
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keeper,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS ids,
+        |  count(*) AS group_size
+        |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+
+    "dedup_jaccard_pairs" -> jaccardPairsOracle,
+
+    "dedup_minhash" -> jaccardPairsOracle,
+
     "line_slice" ->
       // python text.split(' ')[3:8] == DuckDB 1-based inclusive [4:8]
       """SELECT doc_id,
         |  array_to_string(string_split(text, ' ')[4:8], ' ') AS sliced
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
+
+  /** Exact all-pairs 3-gram Jaccard ≥ 0.8 — oracle for both the brute-force
+    * and the MinHash+LSH near-dup queries (LSH recall is 1 on this corpus,
+    * see the `queries` comment). */
+  private val jaccardPairsOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS t
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS sh
+      |  FROM toks
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+      |)
+      |SELECT id_a, id_b, FLOOR(j * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+      |FROM pairs WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin
 
   /** Shared DuckDB CTE: deterministic query subset → exact cosine top-10 with
     * self-exclusion, POJ-style relevance, and the running relevant count (W2). */

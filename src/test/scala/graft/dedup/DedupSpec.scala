@@ -1,0 +1,98 @@
+package graft.dedup
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("shingles: n-grams, distinct, short-doc and separator edge cases") {
+    val df = Seq(
+      "a b c d",        // 2 distinct 3-grams
+      "a b c",          // exactly one
+      "a b",            // < n tokens -> empty
+      "",               // empty -> empty
+      "a  b \t c",      // consecutive separators collapse
+      "x y x y x y x y" // repeated -> distinct collapses to 2
+    ).toDF("text").select(Dedup.shingles(col("text"), 3).as("sh"))
+    val got = df.collect().map(_.getSeq[String](0).toSet)
+    assert(got(0) == Set("a b c", "b c d"))
+    assert(got(1) == Set("a b c"))
+    assert(got(2).isEmpty)
+    assert(got(3).isEmpty)
+    assert(got(4) == Set("a b c"))
+    assert(got(5) == Set("x y x", "y x y"))
+  }
+
+  test("exactGroups + dropExactDuplicates keep one per distinct text") {
+    val df = docs(1L -> "hello world", 2L -> "hello world", 3L -> "other", 7L -> "hello world")
+    val groups = Dedup.exactGroups(df, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("keeper"), r.getAs[Seq[Long]]("ids"), r.getAs[Long]("group_size")))
+      .sortBy(_._1)
+    assert(groups.toSeq == Seq((1L, Seq(1L, 2L, 7L), 3L), (3L, Seq(3L), 1L)))
+    val kept = Dedup.dropExactDuplicates(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("minHashSignature is deterministic with numHashes elements; empty-safe") {
+    val df = docs(1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "")
+      .select(col("doc_id"), Dedup.minHashSignature(Dedup.shingles(col("text"), 3), 16).as("sig"))
+    val rows = df.collect().sortBy(_.getLong(0)).map(_.getSeq[Long](1))
+    assert(rows.forall(_.length == 16))
+    assert(rows(0) == rows(1)) // same text -> identical signature
+    assert(rows(2).forall(_ == Long.MaxValue)) // no shingles -> sentinel fill
+  }
+
+  test("minHashEstimate: identical docs estimate 1.0, disjoint estimate ~0") {
+    val sig = (t: String) => Dedup.minHashSignature(Dedup.shingles(lit(t), 3), 128)
+    val row = spark.range(1).select(
+      Dedup.minHashEstimate(sig("a b c d e"), sig("a b c d e")).as("same"),
+      Dedup.minHashEstimate(sig("a b c d e"), sig("v w x y z")).as("diff")).head()
+    assert(row.getDouble(0) == 1.0)
+    assert(row.getDouble(1) < 0.15)
+  }
+
+  test("ngramJaccardPairs and minHashNearDups agree on clear near-dups") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 59).map(i => s"tok$i") :+ "CHANGED").mkString(" ")
+    val other = (1 to 60).map(i => s"zzz$i").mkString(" ")
+    val df = docs(1L -> base, 2L -> nearDup, 3L -> other, 4L -> base)
+    val exact = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    // 60 tokens -> 58 shingles; only the final shingle differs between 1 and
+    // 2, so j = 57/59; (1,4) identical; (2,4) mirrors (1,2)
+    assert(exact.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+    val exactMap = exact.map(p => (p._1, p._2) -> p._3).toMap
+    assert(exactMap((1L, 4L)) == 1.0)
+    assert(math.abs(exactMap((1L, 2L)) - 57.0 / 59.0) < 1e-12)
+    val lsh = Dedup.minHashNearDups(df, "doc_id", "text", n = 3,
+        numHashes = 128, bands = 32, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    // verify step computes EXACT jaccard on candidates -> values must match
+    assert(lsh.toSeq == exact.toSeq)
+  }
+
+  test("simHashNearDups: identical docs at hamming 0, unrelated docs absent") {
+    val base = (1 to 80).map(i => s"w$i").mkString(" ")
+    val df = docs(1L -> base, 2L -> base, 3L -> (1 to 80).map(i => s"q$i").mkString(" "))
+    val got = Dedup.simHashNearDups(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("jaccard column function handles empty arrays") {
+    val row = spark.range(1).select(
+      Dedup.jaccard(array(), array()).as("both_empty"),
+      Dedup.jaccard(array(lit("a")), array()).as("one_empty"),
+      Dedup.jaccard(array(lit("a"), lit("b")), array(lit("b"), lit("c"))).as("half")).head()
+    assert(row.getDouble(0) == 0.0)
+    assert(row.getDouble(1) == 0.0)
+    assert(math.abs(row.getDouble(2) - 1.0 / 3.0) < 1e-12)
+  }
+}
