@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.ingest.{CloneGraph, Corpus}
 import graft.metrics.IrMetrics
-import graft.search.Knn
+import graft.search.{Ann, Knn}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -216,6 +216,35 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ------------------------------------------------------------------
+    // Embedding-cosine near-duplicate pairs (exact all-pairs oracle path;
+    // Ann.nearDupPairsLsh is the scale path, certified by ann_recall).
+    // ------------------------------------------------------------------
+    "near_dup_cosine" -> ((s, dir) => {
+      Ann.nearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.45, roundScoreTo = Some(6))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ------------------------------------------------------------------
+    // ANN quality gate: recall@10 of the SRP-LSH join vs the exact kNN
+    // join, as a single scalar row. LSH signatures are xxhash-seeded →
+    // no SQL twin (rows-only driver check); AnnSpec pins a lower bound.
+    // ------------------------------------------------------------------
+    "ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = knnQueries(s, dir)
+      val exact = Knn.knnJoin(q, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"))
+      val approx = Ann.knnJoinLsh(q, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10, bits = 4, tables = 8)
+        .select(col("query_id"), col("vec_id").as("result_id"), lit(1).as("__found"))
+      exact.join(approx, Seq("query_id", "result_id"), "left")
+        .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
+          .as("recall_at_k"))
+    }),
+
     // SimHash near-dups: fingerprints depend on xxhash64 → no cross-engine
     // SQL twin (rows-only driver check); semantics pinned in DedupSpec.
     "simhash_pairs" -> ((s, dir) => {
@@ -365,6 +394,13 @@ object SparkEntry {
     "dedup_jaccard_pairs" -> jaccardPairsOracle,
 
     "dedup_minhash" -> jaccardPairsOracle,
+
+    "near_dup_cosine" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "line_slice" ->
       // python text.split(' ')[3:8] == DuckDB 1-based inclusive [4:8]

@@ -17,29 +17,36 @@ import graft.functions.{cosine_similarity, hyperplane_sig}
  * tune (bits, tables) to the recall/candidate-count target.
  *
  * Physical shape: signatures are computed map-side (8 bytes × tables per
- * row); the candidate join shuffles on (table, signature) — never all
- * pairs; cosine is verified only on candidates; per-query top-k is a rank
- * window on the (small) verified candidate set. At 100 TB the corpus-side
- * signature computation is embarrassingly parallel and the join fan-in per
- * bucket is controlled by the bit width.
+ * row); the candidate join and the multi-table dedup shuffle carry ONLY
+ * (id, bucket) / (id, id) rows — embedding vectors never ride a shuffle.
+ * Vectors are joined back onto the deduplicated candidate set: in
+ * [[knnJoinLsh]] the candidate set is broadcast (|Q| is small by contract)
+ * so the corpus streams with zero shuffle; in [[nearDupPairsLsh]] the
+ * rejoin shuffles vectors once per side, keyed by id — bounded by corpus
+ * size, not by candidate multiplicity.
  */
 object Ann {
 
-  /** (table, signature) bucket rows for a frame — the LSH index. */
-  private def bucketed(
+  /** (id, bucket) rows per table — the LSH index. Ids only: vectors are
+    * deliberately NOT carried here (they would multiply by `tables` and
+    * ride every downstream shuffle). */
+  private def bucketedIds(
       df: DataFrame, idCol: String, vecCol: String,
       bits: Int, tables: Int, seed: Long): DataFrame = {
     val bands = array((0 until tables).map { t =>
       struct(lit(t).as("t"),
         hyperplane_sig(col(vecCol), bits, seed + t * 1000003L).as("sig"))
     }: _*)
-    df.select(col(idCol), col(vecCol), explode(bands).as("bucket"))
+    df.select(col(idCol), explode(bands).as("bucket"))
   }
 
   /**
    * Approximate top-k cosine join: same contract as [[Knn.knnJoin]] but
    * candidates come from LSH buckets instead of the full corpus. Results
    * may miss true neighbors (recall < 1); ranks are over found candidates.
+   *
+   * Output: `query_id`, all corpus columns except the vector, `score`,
+   * `rank`.
    */
   def knnJoinLsh(
       queries: DataFrame, queryId: String, queryVec: String,
@@ -48,16 +55,25 @@ object Ann {
       bits: Int = 12, tables: Int = 8, seed: Long = 42L,
       excludeSelf: Boolean = true,
       roundScoreTo: Option[Int] = None): DataFrame = {
-    val q = bucketed(queries, queryId, queryVec, bits, tables, seed)
-      .select(col(queryId).as("query_id"), col(queryVec).as("__qv"), col("bucket"))
-    val c = bucketed(corpus, corpusId, corpusVec, bits, tables, seed)
-    val cand = q.join(c, Seq("bucket"))
-      .select(col("query_id"), col("__qv"), col(corpusId), col(corpusVec))
-      .distinct() // collapse multi-table collisions
-    val scored0 = cand.withColumn("score", {
-      val raw = cosine_similarity(col("__qv"), col(corpusVec))
-      roundScoreTo.fold(raw)(n => round(raw, n))
-    })
+    val qb = bucketedIds(queries, queryId, queryVec, bits, tables, seed)
+      .select(col(queryId).as("query_id"), col("bucket"))
+    val cb = bucketedIds(corpus, corpusId, corpusVec, bits, tables, seed)
+      .select(col(corpusId).as("__cand_id"), col("bucket"))
+    // Ids-only candidate generation: the (bucket) join and the distinct
+    // (multi-table collision collapse) move 16-byte rows.
+    val cand = qb.join(cb, Seq("bucket"))
+      .select(col("query_id"), col("__cand_id"))
+      .distinct()
+    val qv = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+    // Candidates are |Q|·avgCollisions — small by the query-set contract →
+    // broadcast them; the corpus streams and never shuffles.
+    val scored0 = corpus
+      .join(broadcast(cand), col(corpusId) === col("__cand_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("score", {
+        val raw = cosine_similarity(col("__qv"), col(corpusVec))
+        roundScoreTo.fold(raw)(n => round(raw, n))
+      })
     val scored =
       if (excludeSelf) scored0.filter(col("query_id") =!= col(corpusId))
       else scored0
@@ -65,7 +81,7 @@ object Ann {
       .orderBy(col("score").desc, col(corpusId).asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .drop("__qv", corpusVec)
+      .drop("__qv", "__cand_id", corpusVec)
   }
 
   /**
@@ -93,14 +109,20 @@ object Ann {
       threshold: Double,
       bits: Int = 12, tables: Int = 8, seed: Long = 42L,
       roundScoreTo: Option[Int] = None): DataFrame = {
-    val bk = bucketed(df, idCol, vecCol, bits, tables, seed)
+    val bk = bucketedIds(df, idCol, vecCol, bits, tables, seed)
+    // Ids-only candidate pairs, deduplicated across tables BEFORE any
+    // vector is touched.
     val cand = bk.as("l").join(bk.as("r"),
         col("l.bucket") === col("r.bucket") && col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
-        col(s"l.$vecCol").as("__va"), col(s"r.$vecCol").as("__vb"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
       .distinct()
+    // Vectors join back once per side, keyed by id — the shuffle carries
+    // each corpus vector at most once, not once per colliding pair.
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
     val raw = cosine_similarity(col("__va"), col("__vb"))
-    cand.withColumn("cosine", roundScoreTo.fold(raw)(n => round(raw, n)))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .withColumn("cosine", roundScoreTo.fold(raw)(n => round(raw, n)))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
