@@ -59,6 +59,14 @@ object SparkEntry {
         col("score"), (col("label") === col("query_label")).as("is_relevant"))
   }
 
+  /** Documents table spread across the session's cores. The test fixture is
+    * one small parquet file → one input split → CPU-heavy per-row kernels
+    * (shingling, minhash, simhash) would run single-threaded. At real scale
+    * the scan itself yields thousands of splits and this round-robin is a
+    * cheap rebalance of an already-parallel skinny scan. */
+  private def docsParallel(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------------------------
     // A-group: relational aggregation (SURVEY §2.4; partial+final hash agg)
@@ -196,21 +204,21 @@ object SparkEntry {
     // < 1e-14 — a green row here certifies LSH recall, not just shape.
     // ------------------------------------------------------------------
     "dedup_exact" -> ((s, dir) => {
-      Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.exactGroups(docsParallel(s, dir), "doc_id", "text")
         .select(col("text_hash"), col("keeper"),
           concat_ws(",", col("ids")).as("ids"), col("group_size"))
         .orderBy(col("text_hash"))
     }),
 
     "dedup_jaccard_pairs" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.ngramJaccardPairs(docsParallel(s, dir), "doc_id", "text",
           n = 3, threshold = 0.8)
         .withColumn("jaccard", r6(col("jaccard")))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     "dedup_minhash" -> ((s, dir) => {
-      Dedup.minHashNearDups(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.minHashNearDups(docsParallel(s, dir), "doc_id", "text",
           n = 3, numHashes = 128, bands = 32, threshold = 0.8)
         .withColumn("jaccard", r6(col("jaccard")))
         .orderBy(col("id_a"), col("id_b"))
@@ -248,7 +256,7 @@ object SparkEntry {
     // SimHash near-dups: fingerprints depend on xxhash64 → no cross-engine
     // SQL twin (rows-only driver check); semantics pinned in DedupSpec.
     "simhash_pairs" -> ((s, dir) => {
-      Dedup.simHashNearDups(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.simHashNearDups(docsParallel(s, dir), "doc_id", "text",
           maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),

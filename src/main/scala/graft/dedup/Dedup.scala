@@ -84,24 +84,24 @@ object Dedup {
   }
 
   /**
-   * MinHash signature: element j = min over shingles of a 64-bit hash salted
-   * by j (xxhash64 of (salt, shingle)). One map-side pass, no shuffle.
+   * MinHash signature: element j = min over shingles of g_j(s) = h1+j·h2
+   * (Kirsch-Mitzenmacher over xxhash64). One fused map-side kernel
+   * ([[graft.expr.MinHashSig]]): two byte passes per shingle total — a
+   * higher-order-function formulation would run numHashes interpreted
+   * passes and dominate the whole pipeline's CPU.
    */
   def minHashSignature(shingleArr: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      j => coalesce(array_min(transform(shingleArr, s => xxhash64(j, s))),
-        lit(Long.MaxValue)))
+    graft.functions.min_hash_sig(shingleArr, numHashes)
 
   /**
-   * LSH band keys: the signature split into `bands` bands of `rowsPerBand`
-   * rows; each band hashed to one long. Docs agreeing on ANY band are
-   * candidates. P(candidate) = 1 - (1 - j^r)^b — tune (b, r) to the target
-   * threshold j ≈ (1/b)^(1/r).
+   * LSH band keys straight from shingles: the MinHash signature split into
+   * `bands` bands, each mixed to one band-index-salted long
+   * ([[graft.expr.MinHashBandKeys]] — one fused kernel pass). Docs agreeing
+   * on ANY key are candidates. P(candidate) = 1 - (1 - j^r)^b — tune
+   * (b, r) to the target threshold j ≈ (1/b)^(1/r).
    */
-  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"),
-        xxhash64(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))).as("bh")))
+  def bandKeys(shingleArr: Column, numHashes: Int, bands: Int): Column =
+    graft.functions.min_hash_band_keys(shingleArr, numHashes, bands)
 
   /**
    * Near-duplicate pairs via MinHash+LSH, verified with exact shingle
@@ -114,13 +114,12 @@ object Dedup {
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
-    val r = numHashes / bands
     val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
     // Band-bucket join carries only (id, bandKey) — the shingle arrays do
     // NOT ride through the exploded shuffle; they're joined back onto the
     // (much smaller) distinct candidate set afterwards.
-    val sigBands = withSh.select(col("id"), explode(
-      bandKeys(minHashSignature(col("sh"), numHashes), bands, r)).as("band"))
+    val sigBands = withSh.select(col("id"),
+      explode(bandKeys(col("sh"), numHashes, bands)).as("band"))
     val candidates = sigBands.as("l")
       .join(sigBands.as("r"),
         col("l.band") === col("r.band") && col("l.id") < col("r.id"))

@@ -32,6 +32,16 @@ package object functions {
   /** 64-bit SimHash fingerprint of an array<string> token column. */
   def simhash64(a: Column): Column = col(SimHash64(ex(a)))
 
+  /** MinHash signature (array<long> of length numHashes) of an
+    * array<string> shingle column — fused single-pass kernel. */
+  def min_hash_sig(a: Column, numHashes: Int): Column =
+    col(MinHashSig(ex(a), numHashes))
+
+  /** Fused LSH band keys (array<long> of length bands) of an array<string>
+    * shingle column — see [[graft.expr.MinHashBandKeys]]. */
+  def min_hash_band_keys(a: Column, numHashes: Int, bands: Int): Column =
+    col(MinHashBandKeys(ex(a), numHashes, bands))
+
   /** SRP-LSH signature (≤64 bits) of an array<float> column. */
   def hyperplane_sig(a: Column, bits: Int, seed: Long): Column =
     col(HyperplaneSig(ex(a), bits, seed))
@@ -40,6 +50,12 @@ package object functions {
     * the xor — stays inside whole-stage codegen). */
   def hamming_dist(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b)).cast("int")
+
+  /** Bounded-heap per-group top-k aggregate (map-side partials): keeps the
+    * k best `payload` struct rows by (score desc, id asc) and returns them
+    * best-first as array<struct>. See [[graft.plans.TopKRows]]. */
+  def top_k_rows(payload: Column, score: Column, id: Column, k: Int): Column =
+    col(graft.plans.TopKRows(ex(payload), ex(score), ex(id), k).toAggregateExpression())
 
   /** Register every graft function in the session's FunctionRegistry. */
   def registerAll(spark: SparkSession): Unit = {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{cosine_similarity, dot_product}
+import graft.functions.{cosine_similarity, dot_product, top_k_rows}
 
 /**
  * Exact top-k similarity join — the reference's core query: for each query
@@ -18,10 +18,12 @@ import graft.functions.{cosine_similarity, dot_product}
  *    unbounded: no shuffle of the corpus, no skew sensitivity.
  *  - scoring runs inside whole-stage codegen (CosineSimilarity is a native
  *    Expression with doGenCode).
- *  - per-query top-k is a rank window over the scored pairs. |Q|·k rows of
- *    shuffle (not |Q|·|C|) would be ideal; the window shuffles |Q|·|C| —
- *    graft.plans.TopKAggregate (partial-aggregating bounded heap) is the
- *    scale path and is used when `useTopKAgg` is true.
+ *  - per-query top-k: by default [[graft.plans.TopKRows]], a
+ *    partial-aggregating bounded heap (ObjectHashAggregate) that keeps k
+ *    rows per query MAP-SIDE — the shuffle carries ≤ |Q|·k rows per map
+ *    partition instead of the |Q|·|C| a rank window would move. The window
+ *    path remains available (`useTopKAgg = false`) for corpus id types
+ *    that don't cast to long.
  */
 object Knn {
 
@@ -49,9 +51,13 @@ object Knn {
       k: Int,
       excludeSelf: Boolean = true,
       metric: String = "cosine",
-      roundScoreTo: Option[Int] = None): DataFrame = {
+      roundScoreTo: Option[Int] = None,
+      useTopKAgg: Boolean = true): DataFrame = {
     // Query payload columns ride along as query_<name> (the reference keeps
     // the query row's fields for relevance tagging, bcb_utils.py:182-189).
+    val payloadNames = queries.columns.toSeq
+      .filter(c => c != queryId && c != queryVec)
+      .map(c => s"query_$c")
     val payloadCols = queries.columns.toSeq
       .filter(c => c != queryId && c != queryVec)
       .map(c => col(c).as(s"query_$c"))
@@ -68,11 +74,27 @@ object Knn {
     val scored =
       if (excludeSelf) scored0.filter(col("query_id") =!= col(corpusId))
       else scored0
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col(corpusId).asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .drop("__query_vec")
+    val corpusCols = corpus.columns.toSeq
+    if (useTopKAgg) {
+      // Bounded-heap partial aggregation: ≤ k rows per query survive each
+      // map partition; the shuffle is |Q|·k-bounded regardless of |C|.
+      val entry = struct((corpusCols :+ "score").map(col): _*)
+      val keys = ("query_id" +: payloadNames).map(col)
+      scored
+        .groupBy(keys: _*)
+        .agg(top_k_rows(entry, col("score"), col(corpusId).cast("long"), k).as("__tk"))
+        .select(keys :+ posexplode(col("__tk")).as(Seq("__pos", "__entry")): _*)
+        .select(keys ++
+          corpusCols.map(n => col(s"__entry.$n")) :+
+          col("__entry.score").as("score") :+
+          (col("__pos") + 1).cast("int").as("rank"): _*)
+    } else {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col(corpusId).asc)
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .drop("__query_vec")
+    }
   }
 }
