@@ -253,6 +253,37 @@ object SparkEntry {
           .as("recall_at_k"))
     }),
 
+    // ------------------------------------------------------------------
+    // E1 (SURVEY §2.8): text→vector embedding — TF-IDF pipeline behind the
+    // Embedder trait (the reference's SentenceTransformer stand-in,
+    // bcb_utils.py:101). Feature hashing + IDF aren't SQL-expressible →
+    // rows-only driver checks; EmbedderSpec pins semantics.
+    // ------------------------------------------------------------------
+    "embed_corpus" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      val model = new graft.embed.TfIdfEmbedder(dim = 256).fit(docs, "text")
+      model.transform(docs, "text", "embedding")
+        .select(col("doc_id"), size(col("embedding")).as("dim"),
+          r6(graft.functions.l2_norm(col("embedding"))).as("norm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Full reference lifecycle on documents: fit → embed corpus → embed the
+    // (seeded-sample) queries with the SAME model → exact top-5 cosine.
+    "embed_knn" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      val model = new graft.embed.TfIdfEmbedder(dim = 256).fit(docs, "text")
+      val vecs = model.transform(docs, "text", "vec").select(col("doc_id"), col("vec"))
+      val queries = vecs
+        .orderBy(md5(concat(lit(knnSampleSeed), col("doc_id").cast("string"))), col("doc_id"))
+        .limit(100)
+      Knn.knnJoin(queries, "doc_id", "vec", vecs, "doc_id", "vec",
+          k = 5, roundScoreTo = Some(6))
+        .select(col("query_id"), col("doc_id").as("result_id"),
+          col("rank"), col("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // SimHash near-dups: fingerprints depend on xxhash64 → no cross-engine
     // SQL twin (rows-only driver check); semantics pinned in DedupSpec.
     "simhash_pairs" -> ((s, dir) => {
