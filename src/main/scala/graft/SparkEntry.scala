@@ -7,6 +7,7 @@ import graft.dedup.Dedup
 import graft.ingest.{CloneGraph, Corpus}
 import graft.metrics.IrMetrics
 import graft.search.{Ann, Knn}
+import graft.text.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -293,6 +294,35 @@ object SparkEntry {
     }),
 
     // ------------------------------------------------------------------
+    // Text-analysis suite (training-data curation): token counts, mean
+    // token length, punctuation ratio, reflow-stable fingerprint (F-group
+    // extensions), language id, and quality scoring — all builtin-only
+    // column expressions with exact DuckDB twins.
+    // ------------------------------------------------------------------
+    "text_stats" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.regexTokenCount(col("text")).as("n_lex_tokens"),
+        r6(TextAnalysis.avgTokenLen(col("text"))).as("avg_token_len"),
+        r6(TextAnalysis.punctRatio(col("text"))).as("punct_ratio"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "lang_id" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "doc_quality" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), r6(TextAnalysis.qualityScore(col("text"))).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ------------------------------------------------------------------
     // F1: deterministic UUIDv5 point identity over documents. Not
     // SQL-expressible in DuckDB (no uuid5) → rows-only driver check;
     // RFC 4122 vectors are pinned in ExpressionsSpec.
@@ -440,6 +470,59 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "text_stats" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_lex_tokens,
+        |  FLOOR((CASE WHEN len(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) = 0 THEN 0.0
+        |    ELSE CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / len(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) END) * 1000000.0 + 0.5) / 1000000.0 AS avg_token_len,
+        |  FLOOR((CASE WHEN len(text) = 0 THEN 0.0
+        |    ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9_\s]')) AS DOUBLE) / len(text) END) * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio,
+        |  substring(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, text,
+        |    len(list_intersect(toks, ['the','and','of','to','in','is','that','it','was','for'])) AS en,
+        |    len(list_intersect(toks, ['el','los','las','que','y','una','por','como','pero','con'])) AS es,
+        |    len(list_intersect(toks, ['der','die','das','und','ist','ein','eine','zu','den','von'])) AS de,
+        |    len(list_intersect(toks, ['le','les','et','est','une','des','du','dans','pour','sur'])) AS fr
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+        |       WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+        |       WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+        |       WHEN de >= fr AND de > 0 THEN 'de'
+        |       WHEN fr > 0 THEN 'fr'
+        |       ELSE 'und' END AS lang_pred
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "doc_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, text, len(toks) AS n_tok,
+        |    len(list_intersect(toks, ['the','and','of','to','in','is','that','it','was','for'])) +
+        |    len(list_intersect(toks, ['el','los','las','que','y','una','por','como','pero','con'])) +
+        |    len(list_intersect(toks, ['der','die','das','und','ist','ein','eine','zu','den','von'])) +
+        |    len(list_intersect(toks, ['le','les','et','est','une','des','du','dans','pour','sur'])) AS stop_hits
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  FLOOR((LEAST(1.0, CAST(n_tok AS DOUBLE) / 100.0) *
+        |    (1.0 - CASE WHEN len(text) = 0 THEN 0.0
+        |      ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9_\s]')) AS DOUBLE) / len(text) END) *
+        |    (0.5 + 0.5 * CAST(LEAST(stop_hits, 5) AS DOUBLE) / 5.0)) * 1000000.0 + 0.5) / 1000000.0 AS quality
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "line_slice" ->
       // python text.split(' ')[3:8] == DuckDB 1-based inclusive [4:8]

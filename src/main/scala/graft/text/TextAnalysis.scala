@@ -1,0 +1,87 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data curation: token counting,
+ * language identification, quality scoring, and document fingerprinting.
+ * Everything here is pure Spark builtins (codegen'd, no UDFs) and — by
+ * design — expressible in ANSI-ish SQL so every operator carries a DuckDB
+ * oracle twin. No transcendental functions: libm implementations differ
+ * between engines in the last ulp; all scoring is rational arithmetic.
+ */
+object TextAnalysis {
+
+  /** Lower-cased whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish lexer token count: word runs + each standalone non-word
+    * non-space char (the usual pre-tokenizer granularity). */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"))
+
+  /** Mean token length = non-whitespace chars / tokens (0 for empty docs). */
+  def avgTokenLen(text: Column): Column = {
+    val chars = length(regexp_replace(text, "\\s+", ""))
+    val n = tokenCount(text)
+    when(n === 0, 0.0).otherwise(chars.cast("double") / n)
+  }
+
+  /** Punctuation (non-word, non-space) chars / total chars; 0 for empty. */
+  def punctRatio(text: Column): Column = {
+    val punct = regexp_count(text, lit("[^A-Za-z0-9_\\s]"))
+    val total = length(text)
+    when(total === 0, 0.0).otherwise(punct.cast("double") / total)
+  }
+
+  // Small discriminative stopword sets. Overlapping words (de/la/en...)
+  // are fine: identification is argmax with a fixed priority tie-break.
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "es" -> Seq("el", "los", "las", "que", "y", "una", "por", "como", "pero", "con"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "des", "du", "dans", "pour", "sur"))
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(array_intersect(toks, array(words.map(lit): _*)))
+
+  /** Heuristic language id: CJK characters ⇒ zh; otherwise the language
+    * with the most (distinct) stopword hits, priority order en>es>de>fr on
+    * ties; 'und' when nothing matches. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val h = stopwords.map { case (lang, words) => lang -> hits(toks, words) }.toMap
+    val cjk = regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]"))
+    when(cjk > 0, "zh")
+      .when(h("en") >= h("es") && h("en") >= h("de") && h("en") >= h("fr") && h("en") > 0, "en")
+      .when(h("es") >= h("de") && h("es") >= h("fr") && h("es") > 0, "es")
+      .when(h("de") >= h("fr") && h("de") > 0, "de")
+      .when(h("fr") > 0, "fr")
+      .otherwise("und")
+  }
+
+  /** Quality score in [0,1]: length criterion × cleanliness × stopword
+    * signal — the standard cheap pre-filter shape (rational arithmetic
+    * only, so any engine computes it bit-identically):
+    * min(1, n_tok/100) · (1 − punct_ratio) · (0.5 + 0.5·min(stop_hits,5)/5).
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val lengthTerm = least(lit(1.0), tokenCount(text).cast("double") / 100.0)
+    val clean = lit(1.0) - punctRatio(text)
+    val stopHits = stopwords.map { case (_, w) => hits(toks, w) }
+      .reduce(_ + _)
+    val stopTerm = lit(0.5) + lit(0.5) * least(stopHits, lit(5)).cast("double") / 5.0
+    lengthTerm * clean * stopTerm
+  }
+
+  /** 64-bit document fingerprint: first 16 hex chars of md5 over the
+    * whitespace-normalized lower-cased text — stable under reflow. */
+  def fingerprint(text: Column): Column =
+    substring(md5(regexp_replace(lower(text), "\\s+", " ")), 1, 16)
+}

@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(text).toDF("text")
+
+  test("token counts: whitespace vs lexer granularity") {
+    val r = one("Hello, world! it's 42.")
+      .select(TextAnalysis.tokenCount($"text").as("ws"),
+        TextAnalysis.regexTokenCount($"text").as("lex")).head()
+    assert(r.getInt(0) == 4)
+    // hello , world ! it ' s 42 .  -> 9 lexer tokens
+    assert(r.getInt(1) == 9)
+    assert(one("").select(TextAnalysis.tokenCount($"text")).head().getInt(0) == 0)
+  }
+
+  test("avgTokenLen and punctRatio handle empty and clean docs") {
+    val r = one("ab cde").select(
+      TextAnalysis.avgTokenLen($"text").as("l"),
+      TextAnalysis.punctRatio($"text").as("p")).head()
+    assert(r.getDouble(0) == 2.5) // 5 chars / 2 tokens
+    assert(r.getDouble(1) == 0.0)
+    val e = one("").select(TextAnalysis.avgTokenLen($"text"), TextAnalysis.punctRatio($"text")).head()
+    assert(e.getDouble(0) == 0.0 && e.getDouble(1) == 0.0)
+  }
+
+  test("langId picks stopword-dominant language, CJK wins outright") {
+    val cases = Seq(
+      "the cat sat on the mat and it was good" -> "en",
+      "el gato que corre y las casas por la calle" -> "es",
+      "der hund und die katze ist ein tier zu hause" -> "de",
+      "le chien et les chats est une bete dans la rue" -> "fr",
+      "你好 world the and of" -> "zh",
+      "zzz qqq www" -> "und")
+    cases.foreach { case (text, expect) =>
+      val got = one(text).select(TextAnalysis.langId($"text")).head().getString(0)
+      assert(got == expect, s"'$text' -> $got, expected $expect")
+    }
+  }
+
+  test("qualityScore rewards long clean stopword-bearing text") {
+    def q(t: String): Double =
+      one(t).select(TextAnalysis.qualityScore($"text")).head().getDouble(0)
+    val good = q(("the quick brown fox and it was here for that " * 10).trim)
+    val short = q("the")
+    val noisy = q("$$$ ### !!! @@@ %%%")
+    assert(good > 0.8)
+    assert(short < 0.05)
+    assert(noisy < 0.05)
+    assert(q("") == 0.0)
+  }
+
+  test("fingerprint is reflow-stable and text-sensitive") {
+    val df = Seq(
+      "Hello   world\n next",
+      "hello world next",
+      "hello world other").toDF("text")
+      .select(TextAnalysis.fingerprint($"text").as("fp"))
+    val fps = df.collect().map(_.getString(0))
+    assert(fps(0) == fps(1)) // whitespace + case reflow collapses
+    assert(fps(1) != fps(2))
+    assert(fps.forall(_.length == 16))
+  }
+}
