@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.ingest.{CloneGraph, Corpus}
 import graft.metrics.IrMetrics
+import graft.multimodal.Multimodal
 import graft.search.{Ann, Knn}
 import graft.text.TextAnalysis
 
@@ -323,6 +324,33 @@ object SparkEntry {
     }),
 
     // ------------------------------------------------------------------
+    // Multimodal columns: media as opaque binary + typed metadata struct
+    // (graft.multimodal). media_meta is the oracle-checked schema slice;
+    // multimodal_knn runs the full binary→features→knn pipeline with the
+    // deterministic stub extractor (rows-only: byte kernel not in SQL).
+    // ------------------------------------------------------------------
+    "media_meta" -> ((s, dir) => {
+      Multimodal.packText(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("meta.kind").as("kind"),
+          col("meta.n_bytes").as("n_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "multimodal_knn" -> ((s, dir) => {
+      val media = Multimodal.packText(docsParallel(s, dir), "doc_id", "text")
+      val feats = Multimodal.extractFeatures(media, "media", "feat", buckets = 64)
+        .select(col("doc_id"), col("feat"))
+      val queries = feats
+        .orderBy(md5(concat(lit(knnSampleSeed), col("doc_id").cast("string"))), col("doc_id"))
+        .limit(50)
+      Knn.knnJoin(queries, "doc_id", "feat", feats, "doc_id", "feat",
+          k = 5, roundScoreTo = Some(6))
+        .select(col("query_id"), col("doc_id").as("result_id"),
+          col("rank"), col("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ------------------------------------------------------------------
     // F1: deterministic UUIDv5 point identity over documents. Not
     // SQL-expressible in DuckDB (no uuid5) → rows-only driver check;
     // RFC 4122 vectors are pinned in ExpressionsSpec.
@@ -470,6 +498,11 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "media_meta" ->
+      """SELECT doc_id, 'text/plain' AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_stats" ->
       """SELECT doc_id,

@@ -51,6 +51,11 @@ package object functions {
   def hamming_dist(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b)).cast("int")
 
+  /** L2-normalized byte-value histogram (array<float> of length buckets)
+    * of a binary column — the multimodal feature-extraction stub kernel. */
+  def byte_histogram(a: Column, buckets: Int): Column =
+    col(ByteHistogram(ex(a), buckets))
+
   /** Bounded-heap per-group top-k aggregate (map-side partials): keeps the
     * k best `payload` struct rows by (score desc, id asc) and returns them
     * best-first as array<struct>. See [[graft.plans.TopKRows]]. */
