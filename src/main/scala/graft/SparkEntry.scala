@@ -286,6 +286,24 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF quality gate: recall@10 of the inverted-file probe join vs exact
+    // kNN (KMeans cells aren't SQL-expressible → rows-only; IvfSpec proves
+    // full-probe ≡ exact bit-for-bit).
+    "ivf_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = knnQueries(s, dir)
+      val cents = graft.search.Ivf.trainCentroids(emb, "embedding", nList = 16, seed = 42L)
+      val exact = Knn.knnJoin(q, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"))
+      val approx = graft.search.Ivf.knnJoinIvf(q, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10, centroids = cents, nProbe = 4)
+        .select(col("query_id"), col("vec_id").as("result_id"), lit(1).as("__found"))
+      exact.join(approx, Seq("query_id", "result_id"), "left")
+        .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
+          .as("recall_at_k"))
+    }),
+
     // SimHash near-dups: fingerprints depend on xxhash64 → no cross-engine
     // SQL twin (rows-only driver check); semantics pinned in DedupSpec.
     "simhash_pairs" -> ((s, dir) => {

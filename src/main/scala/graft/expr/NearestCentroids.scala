@@ -1,0 +1,92 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+object NearestCentroidOps {
+  /** Indices of the `nProbe` centroids most cosine-similar to `vec`,
+    * best first. Centroids are pre-normalized at construction so the
+    * scan is a pure dot product per centroid — one fused pass, no joins,
+    * no per-centroid expression trees. */
+  def nearest(vec: ArrayData, centroids: Array[Array[Float]], nProbe: Int): ArrayData = {
+    val dim = vec.numElements()
+    var vn = 0.0
+    var i = 0
+    while (i < dim) { val x = vec.getFloat(i).toDouble; vn += x * x; i += 1 }
+    // vec norm only scales all scores equally -> ranking unaffected; skip it.
+    val n = centroids.length
+    val scores = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      val cent = centroids(c)
+      var s = 0.0
+      val d = math.min(dim, cent.length)
+      var j = 0
+      while (j < d) { s += vec.getFloat(j).toDouble * cent(j); j += 1 }
+      scores(c) = s
+      c += 1
+    }
+    val take = math.min(nProbe, n)
+    val out = new Array[Int](take)
+    val used = new Array[Boolean](n)
+    var t = 0
+    while (t < take) {
+      var best = -1
+      var bestS = Double.NegativeInfinity
+      c = 0
+      while (c < n) {
+        if (!used(c) && (scores(c) > bestS || (scores(c) == bestS && (best == -1 || c < best)))) {
+          best = c; bestS = scores(c)
+        }
+        c += 1
+      }
+      used(best) = true
+      out(t) = best
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** L2-normalize centroid rows once, driver-side. */
+  def normalize(centroids: Array[Array[Float]]): Array[Array[Float]] =
+    centroids.map { c =>
+      val n = math.sqrt(c.map(x => x.toDouble * x).sum)
+      if (n == 0.0) c else c.map(x => (x / n).toFloat)
+    }
+}
+
+/**
+ * nearest_centroids(array<float>) -> array<int>: the nProbe most
+ * cosine-similar centroid ids, best first. The centroid table is a plan
+ * constant (broadcast with the closure) — IVF cell assignment and probe
+ * selection are pure map work.
+ */
+case class NearestCentroids(
+    child: Expression,
+    centroids: Array[Array[Float]],
+    nProbe: Int) extends UnaryExpression {
+  require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+  require(centroids.nonEmpty, "centroid table must not be empty")
+
+  private val normalized = NearestCentroidOps.normalize(centroids)
+
+  override def prettyName: String = "nearest_centroids"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroids expects array<float>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    NearestCentroidOps.nearest(v.asInstanceOf[ArrayData], normalized, nProbe)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centRef = ctx.addReferenceObj("centroids", normalized, "float[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expr.NearestCentroidOps.nearest($c, $centRef, $nProbe)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

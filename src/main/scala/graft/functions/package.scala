@@ -51,6 +51,12 @@ package object functions {
   def hamming_dist(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b)).cast("int")
 
+  /** Indices (array<int>, best first) of the nProbe centroids most
+    * cosine-similar to an array<float> column — the IVF cell
+    * assignment/probe kernel. Centroids travel as a plan constant. */
+  def nearest_centroids(a: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
+    col(NearestCentroids(ex(a), centroids, nProbe))
+
   /** L2-normalized byte-value histogram (array<float> of length buckets)
     * of a binary column — the multimodal feature-extraction stub kernel. */
   def byte_histogram(a: Column, buckets: Int): Column =

@@ -1,0 +1,86 @@
+package graft.search
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{cosine_similarity, nearest_centroids, top_k_rows}
+
+/**
+ * IVF (inverted-file) approximate nearest-neighbor search — the
+ * partition-pruning scale path next to [[Ann]]'s LSH.
+ *
+ * Train: MLlib KMeans (seeded) over a corpus sample → nList centroids.
+ * Index: each corpus row assigned to its nearest centroid — pure map work
+ * ([[graft.expr.NearestCentroids]], centroids ride the plan as a
+ * constant). Query: probe the nProbe nearest cells only; ~nProbe/nList of
+ * the corpus is scored instead of all of it.
+ *
+ * Scale shape: cell assignment never shuffles the corpus; the probe join
+ * broadcasts (query_id, cell) pairs (≤ |Q|·nProbe rows) onto the assigned
+ * corpus, and the per-query top-k is the bounded-heap aggregate (|Q|·k
+ * shuffle). Persisting the assigned corpus partitioned BY CELL turns the
+ * probe into static partition pruning — the 100 TB plan reads only
+ * nProbe/nList of the data.
+ */
+object Ivf {
+
+  /** Seeded KMeans centroids over (a sample of) the corpus vectors. */
+  def trainCentroids(
+      corpus: DataFrame, vecCol: String,
+      nList: Int, seed: Long = 42L, sampleFraction: Double = 1.0): Array[Array[Float]] = {
+    val sampled =
+      if (sampleFraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, sampleFraction, seed)
+    val train = sampled.select(array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nList).setSeed(seed).setFeaturesCol("features")
+      .fit(train)
+    model.clusterCenters.map(_.toArray.map(_.toFloat))
+  }
+
+  /** Corpus with its IVF cell id appended (map-side only). */
+  def assign(corpus: DataFrame, vecCol: String,
+      centroids: Array[Array[Float]], cellCol: String = "ivf_cell"): DataFrame =
+    corpus.withColumn(cellCol,
+      element_at(nearest_centroids(col(vecCol), centroids, 1), 1))
+
+  /**
+   * Approximate top-k cosine join probing `nProbe` cells per query. Same
+   * contract as [[Knn.knnJoin]] minus missed-recall results.
+   * Output: query_id, corpus columns (minus vector), score, rank.
+   */
+  def knnJoinIvf(
+      queries: DataFrame, queryId: String, queryVec: String,
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      k: Int,
+      centroids: Array[Array[Float]],
+      nProbe: Int = 4,
+      excludeSelf: Boolean = true,
+      roundScoreTo: Option[Int] = None): DataFrame = {
+    val assigned = assign(corpus, corpusVec, centroids)
+    val probes = queries.select(
+        col(queryId).as("query_id"), col(queryVec).as("__qv"),
+        explode(nearest_centroids(col(queryVec), centroids, nProbe)).as("ivf_cell"))
+    val scored0 = assigned
+      .join(broadcast(probes), Seq("ivf_cell"))
+      .withColumn("score", {
+        val raw = cosine_similarity(col("__qv"), col(corpusVec))
+        roundScoreTo.fold(raw)(n => round(raw, n))
+      })
+    val scored =
+      if (excludeSelf) scored0.filter(col("query_id") =!= col(corpusId))
+      else scored0
+    val corpusCols = corpus.columns.toSeq
+    val entry = struct((corpusCols :+ "score").map(col): _*)
+    scored
+      .groupBy(col("query_id"))
+      .agg(top_k_rows(entry, col("score"), col(corpusId).cast("long"), k).as("__tk"))
+      .select(Seq(col("query_id"), posexplode(col("__tk")).as(Seq("__pos", "__entry"))): _*)
+      .select(col("query_id") +:
+        corpusCols.map(n => col(s"__entry.$n")) :+
+        col("__entry.score").as("score") :+
+        ((col("__pos") + 1).cast("int").as("rank")): _*)
+      .drop(corpusVec)
+  }
+}
