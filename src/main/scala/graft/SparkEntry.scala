@@ -8,6 +8,7 @@ import graft.ingest.{CloneGraph, Corpus}
 import graft.metrics.IrMetrics
 import graft.multimodal.Multimodal
 import graft.search.{Ann, Knn}
+import graft.streaming.Streaming
 import graft.text.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -369,6 +370,20 @@ object SparkEntry {
     }),
 
     // ------------------------------------------------------------------
+    // Streaming surface, batch-checked: the SAME windowed event-time
+    // aggregation graft.streaming drives through a real StreamingQuery
+    // (watermark + tumbling window), oracle-checked here in batch mode —
+    // Spark's unified Dataset API runs one plan for both. Window starts
+    // are emitted as formatted strings: timestamp wire formats differ
+    // between engines (LTZ vs naive), strings don't.
+    // ------------------------------------------------------------------
+    "events_windowed" -> ((s, dir) => {
+      Streaming.windowedEventStats(Streaming.eventsBatch(s, dir))
+        .withColumn("w_start", date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
+    // ------------------------------------------------------------------
     // F1: deterministic UUIDv5 point identity over documents. Not
     // SQL-expressible in DuckDB (no uuid5) → rows-only driver check;
     // RFC 4122 vectors are pinned in ExpressionsSpec.
@@ -516,6 +531,13 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "events_windowed" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
     "media_meta" ->
       """SELECT doc_id, 'text/plain' AS kind,

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
+
+import graft.embed.EmbedModel
+import graft.index.VectorCollection
+
+/**
+ * Structured Streaming surface. The reference is batch-only (its ingest
+ * loop `main.py:122-125` is eager chunking), so these are the engine's
+ * forward-looking stream equivalents, built on the standard primitives:
+ * event-time windows + watermarks, foreachBatch idempotent sinks, and
+ * mapGroupsWithState for custom state.
+ *
+ * The windowed aggregation is expressed identically for batch and stream
+ * frames — Spark's unified Dataset API means the SAME function is
+ * oracle-checked in batch mode (SparkEntry `events_windowed`) and driven
+ * through a real StreamingQuery in StreamingSpec.
+ */
+object Streaming {
+
+  /** Tumbling event-time window counts/sums per event type. On a streaming
+    * frame the watermark bounds state and drops data later than
+    * `lateness`; on a batch frame the watermark is a no-op and the result
+    * is the exact grouped aggregate. Money-style sums run on DECIMAL for
+    * cross-engine determinism. */
+  def windowedEventStats(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(
+        col("window.start").as("w_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /**
+   * Streaming ingest into a [[VectorCollection]]: embed each micro-batch
+   * with a pre-fitted model and upsert by deterministic id — the
+   * foreachBatch + keyed-idempotent-sink pattern that makes restarts and
+   * reprocessing exactly-once BY KEY (the streaming analogue of the
+   * reference's `collection_exists` skip + deterministic UUID points).
+   */
+  def ingestStream(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: EmbedModel,
+      collection: VectorCollection,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val embedded = model.transform(batch, textCol, "vec")
+        collection.upsert(embedded, idCol)
+      }
+      .start()
+
+  final case class SessionUpdate(userId: Long, nEvents: Long, totalValue: Double, closed: Boolean)
+
+  /**
+   * Per-user sessionization via mapGroupsWithState: accumulates event
+   * count/value per user; with `timeoutMs` set, emits the closed session
+   * when the user goes quiet that long (processing-time timeout — note
+   * the engine then schedules extra micro-batches to evaluate timeouts,
+   * so `processAllAvailable` never settles; production queries use a real
+   * trigger). `timeoutMs = None` keeps state open-ended. State is
+   * O(active users).
+   */
+  def sessionize(
+      events: Dataset[(Long, Double)], // (user_id, value)
+      timeoutMs: Option[Long] = Some(30000L)): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val conf = timeoutMs.fold(GroupStateTimeout.NoTimeout())(_ =>
+      GroupStateTimeout.ProcessingTimeTimeout())
+    events.groupByKey(_._1)
+      .mapGroupsWithState(conf) {
+        (userId: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          if (state.hasTimedOut) {
+            val (n, v) = state.get
+            state.remove()
+            SessionUpdate(userId, n, v, closed = true)
+          } else {
+            val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+            val batch = rows.toSeq
+            val updated = (n0 + batch.size, v0 + batch.map(_._2).sum)
+            state.update(updated)
+            timeoutMs.foreach(state.setTimeoutDuration)
+            SessionUpdate(userId, updated._1, updated._2, closed = false)
+          }
+      }
+  }
+
+  /** Convenience: batch-read the events fixture with streaming-compatible
+    * types. The fixture carries nanosecond parquet timestamps, which
+    * Spark 4 only reads via the nanosAsLong legacy conf — read the raw
+    * nanos and truncate to microsecond timestamps (Spark's native
+    * precision). */
+  def eventsBatch(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.events(spark, dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** A file-source stream over an events directory — the real streaming
+    * entry (schema pinned; parquet micro-batches). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.Tables.events(spark, dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
+  private implicit def timestampOrdering: Ordering[Timestamp] =
+    Ordering.by(_.getTime)
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.embed.TfIdfEmbedder
+import graft.index.{CollectionMeta, VectorCollection}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed event stats with watermark finalize windows in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streaming.windowedEventStats(
+      source.toDF().toDF("ts", "event_type", "value"),
+      windowLength = "1 hour", lateness = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_test")
+      .outputMode("append").start()
+    try {
+      source.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:40:00"), "click", 2.0),
+        (ts("2024-01-01 10:45:00"), "view", 5.0))
+      q.processAllAvailable()
+      // watermark hasn't passed 11:10 yet -> nothing finalized
+      assert(spark.table("win_test").count() == 0)
+      source.addData((ts("2024-01-01 12:00:00"), "click", 9.0))
+      q.processAllAvailable()
+      val out = spark.table("win_test")
+        .select($"w_start".cast("string"), $"event_type", $"n_events", $"total_value")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      assert(out.toSeq == Seq(
+        ("2024-01-01 10:00:00", "click", 2L, 3.0),
+        ("2024-01-01 10:00:00", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("streaming ingest embeds micro-batches and upserts idempotently by key") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_stream")
+    val fitDocs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+      (3L, "eta theta iota")).toDF("doc_id", "text")
+    val model = new TfIdfEmbedder(dim = 64).fit(fitDocs, "text")
+    val coll = VectorCollection(spark, tmp.toString, "stream_coll")
+    coll.create(CollectionMeta(64, "cosine", normalized = true))
+
+    val source = MemoryStream[(Long, String)]
+    val q = Streaming.ingestStream(
+      source.toDF().toDF("doc_id", "text"), "doc_id", "text", model, coll,
+      s"$tmp/ckpt1")
+    source.addData((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+    q.awaitTermination() // AvailableNow drains and stops
+    assert(coll.load().count() == 2)
+
+    // second run re-delivers an old key plus a new one -> only the new lands
+    val source2 = MemoryStream[(Long, String)]
+    val q2 = Streaming.ingestStream(
+      source2.toDF().toDF("doc_id", "text"), "doc_id", "text", model, coll,
+      s"$tmp/ckpt2")
+    source2.addData((2L, "delta epsilon zeta"), (3L, "eta theta iota"))
+    q2.awaitTermination()
+    val rows = coll.load()
+    assert(rows.count() == 3)
+    assert(rows.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(rows.schema("vec").dataType.typeName == "array")
+  }
+
+  test("sessionize accumulates per-user state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Double)]
+    val q = Streaming.sessionize(source.toDS(), timeoutMs = None)
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("update").start()
+    try {
+      source.addData((7L, 1.5), (7L, 2.5), (9L, 4.0))
+      q.processAllAvailable()
+      source.addData((7L, 6.0))
+      q.processAllAvailable()
+      val latest = spark.table("sess_test")
+        .groupBy($"userId").agg(max($"nEvents").as("n"), max($"totalValue").as("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      assert(latest.toSeq == Seq((7L, 3L, 10.0), (9L, 1L, 4.0)))
+    } finally q.stop()
+  }
+}
