@@ -71,7 +71,9 @@ object Ivf {
     val scored =
       if (excludeSelf) scored0.filter(col("query_id") =!= col(corpusId))
       else scored0
-    val corpusCols = corpus.columns.toSeq
+    // Vector excluded from the aggregate payload — scoring input only
+    // (same pruning rationale as Knn.knnJoin).
+    val corpusCols = corpus.columns.toSeq.filterNot(_ == corpusVec)
     val entry = struct((corpusCols :+ "score").map(col): _*)
     scored
       .groupBy(col("query_id"))
@@ -81,6 +83,5 @@ object Ivf {
         corpusCols.map(n => col(s"__entry.$n")) :+
         col("__entry.score").as("score") :+
         ((col("__pos") + 1).cast("int").as("rank")): _*)
-      .drop(corpusVec)
   }
 }

@@ -39,7 +39,8 @@ object Knn {
    * For each row of `queries`, the top-`k` rows of `corpus` by descending
    * similarity, deterministic tie-break on ascending corpus id.
    *
-   * Output columns: `query_id`, all corpus payload columns, `score`, `rank`.
+   * Output columns: `query_id`, query payload as `query_<name>`, all corpus
+   * columns except the vector, `score`, `rank`.
    */
   def knnJoin(
       queries: DataFrame,
@@ -74,10 +75,15 @@ object Knn {
     val scored =
       if (excludeSelf) scored0.filter(col("query_id") =!= col(corpusId))
       else scored0
-    val corpusCols = corpus.columns.toSeq
     if (useTopKAgg) {
       // Bounded-heap partial aggregation: ≤ k rows per query survive each
       // map partition; the shuffle is |Q|·k-bounded regardless of |C|.
+      // The corpus VECTOR is scoring input, not payload — excluding it
+      // keeps heap copies and shuffle rows at id+payload size instead of
+      // dragging the embedding through the aggregate (the agg is opaque
+      // to Catalyst, so this pruning must happen here, not in the
+      // optimizer).
+      val corpusCols = corpus.columns.toSeq.filterNot(_ == corpusVec)
       val entry = struct((corpusCols :+ "score").map(col): _*)
       val keys = ("query_id" +: payloadNames).map(col)
       scored
@@ -94,7 +100,7 @@ object Knn {
       scored
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
-        .drop("__query_vec")
+        .drop("__query_vec", corpusVec)
     }
   }
 }
