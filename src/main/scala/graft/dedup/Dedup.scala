@@ -112,7 +112,8 @@ object Dedup {
   def minHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
     val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
     // Band-bucket join carries only (id, bandKey) — the shingle arrays do
@@ -120,8 +121,16 @@ object Dedup {
     // (much smaller) distinct candidate set afterwards.
     val sigBands = withSh.select(col("id"),
       explode(bandKeys(col("sh"), numHashes, bands)).as("band"))
-    val candidates = sigBands.as("l")
-      .join(sigBands.as("r"),
+    // Skew guard: a band shared by B docs emits B² candidate pairs — at
+    // corpus scale a boilerplate band (empty docs, license headers) would
+    // quadratically explode the join. Buckets above maxBucketSize are
+    // dropped (documented recall tradeoff: members can still pair via
+    // their other bands). The sizing pass shuffles only (band, count).
+    val oversized = sigBands.groupBy(col("band")).count()
+      .filter(col("count") > maxBucketSize).select(col("band"))
+    val capped = sigBands.join(broadcast(oversized), Seq("band"), "left_anti")
+    val candidates = capped.as("l")
+      .join(capped.as("r"),
         col("l.band") === col("r.band") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct() // a pair can collide in several bands
@@ -148,14 +157,20 @@ object Dedup {
    */
   def simHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
     import graft.functions.{hamming_dist, simhash64}
     require(maxHamming <= 3, "quarter-banding guarantees recall only up to Hamming 3")
     val fp = df.select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("fp"))
     val quarters = array((0 until 4).map(q =>
       struct(lit(q).as("q"),
         shiftright(col("fp"), q * 16).bitwiseAND(0xffffL).as("qh"))): _*)
-    val banded = fp.select(col("id"), col("fp"), explode(quarters).as("band"))
+    val banded0 = fp.select(col("id"), col("fp"), explode(quarters).as("band"))
+    // Same skew guard as minHashNearDups: common quarter values (e.g. the
+    // all-zero quarter of short docs) would join quadratically.
+    val oversized = banded0.groupBy(col("band")).count()
+      .filter(col("count") > maxBucketSize).select(col("band"))
+    val banded = banded0.join(broadcast(oversized), Seq("band"), "left_anti")
     banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.id") < col("r.id"))

@@ -1,6 +1,6 @@
 package graft.ingest
 
-import java.nio.charset.StandardCharsets
+import java.nio.charset.{CodingErrorAction, StandardCharsets}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -21,11 +21,19 @@ import org.apache.spark.sql.functions._
  */
 object DirSource {
 
-  /** UTF-8 lossy decode kernel: invalid bytes are dropped, mirroring python
-    * `bytes.decode(enc, errors="ignore")`. */
+  /** UTF-8 lossy decode kernel: invalid byte sequences are dropped,
+    * mirroring python `bytes.decode(enc, errors="ignore")` exactly. A
+    * replace-then-strip-U+FFFD shortcut would also delete LEGITIMATE
+    * replacement chars present in the input; a CharsetDecoder with IGNORE
+    * actions only skips genuinely undecodable bytes. */
   def decodeLossy(bytes: Array[Byte]): String = {
     if (bytes == null) null
-    else new String(bytes, StandardCharsets.UTF_8).replace("�", "")
+    else {
+      val dec = StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(CodingErrorAction.IGNORE)
+        .onUnmappableCharacter(CodingErrorAction.IGNORE)
+      dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    }
   }
 
   /** (path, modificationTime, length, text) for every file under `dir`

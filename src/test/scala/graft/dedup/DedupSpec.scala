@@ -78,6 +78,17 @@ class DedupSpec extends SparkSpec {
     assert(lsh.toSeq == exact.toSeq)
   }
 
+  test("maxBucketSize drops boilerplate buckets (skew guard) but default keeps them") {
+    val boiler = (1 to 40).map(i => s"same$i").mkString(" ")
+    val df = docs((1L to 6L).map(_ -> boiler): _*)
+    // 6 identical docs share EVERY band -> all buckets have 6 members
+    val default = Dedup.minHashNearDups(df, "doc_id", "text", n = 3, threshold = 0.9)
+    assert(default.count() == 15) // all C(6,2) pairs
+    val capped = Dedup.minHashNearDups(df, "doc_id", "text", n = 3, threshold = 0.9,
+      maxBucketSize = 5)
+    assert(capped.count() == 0) // every bucket oversized -> candidacy lost
+  }
+
   test("simHashNearDups: identical docs at hamming 0, unrelated docs absent") {
     val base = (1 to 80).map(i => s"w$i").mkString(" ")
     val df = docs(1L -> base, 2L -> base, 3L -> (1 to 80).map(i => s"q$i").mkString(" "))

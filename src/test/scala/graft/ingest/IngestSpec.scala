@@ -82,5 +82,9 @@ class DirSourceSpec extends SparkSpec {
       .map(r => (r.getString(0).split("/").takeRight(2).mkString("/"), r.getString(1)))
       .toMap
     assert(got === Map("17/a.txt" -> "hello", "42/b.txt" -> "hi!"))
+    // a LITERAL U+FFFD in valid input must survive (python errors="ignore"
+    // only drops undecodable bytes, not decodable replacement chars)
+    assert(DirSource.decodeLossy("a�b".getBytes("UTF-8")) == "a�b")
+    assert(DirSource.decodeLossy(Array[Byte]('x', 0xC3.toByte)) == "x") // truncated seq dropped
   }
 }
