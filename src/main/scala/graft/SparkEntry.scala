@@ -131,6 +131,22 @@ object SparkEntry {
       g.select(g.columns.map(c => r6(col(c)).as(c)): _*)
     }),
 
+    // k=100 variant — the reference's default neighbor count
+    // (main.py:22); exercises the bounded-heap aggregate at its real k.
+    "ir_metrics_k100" -> ((s, dir) => {
+      val k = 100
+      val g = IrMetrics.global(IrMetrics.perQuery(detailedResults(s, dir, k)),
+        k = k, apDenominator = lit(k))
+      g.select(g.columns.map(c => r6(col(c)).as(c)): _*)
+    }),
+
+    // Exact-dup removal materialized (keep lowest id per distinct text).
+    "dedup_keep_one" -> ((s, dir) => {
+      Dedup.dropExactDuplicates(docsParallel(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------------------------------------------------------------
     // Output-schema parity with the reference's detailed_results sink
     // (POJ variant, poj_utils.py:196-222: query_id, result_id, result_type,
@@ -432,24 +448,14 @@ object SparkEntry {
         |  COUNT(CASE WHEN NOT is_relevant THEN 1 END) AS num_non_clones_found
         |FROM topk GROUP BY query_id ORDER BY query_id""".stripMargin),
 
-    "ir_metrics" -> (knnOracleCte +
-      """, perq AS (
-        |  SELECT query_id,
-        |    COUNT(CASE WHEN is_relevant THEN 1 END) AS hits,
-        |    MIN(CASE WHEN is_relevant THEN rank END) AS first_rel_rank,
-        |    SUM(CASE WHEN is_relevant THEN CAST(cum_rel AS DOUBLE) / rank ELSE 0.0 END) AS ap_numerator,
-        |    COALESCE(CAST(SUM(CAST(CASE WHEN is_relevant THEN score END AS DECIMAL(28,6))) AS DOUBLE) / COUNT(CASE WHEN is_relevant THEN score END), 0.0) AS avg_rel,
-        |    COALESCE(CAST(SUM(CAST(CASE WHEN NOT is_relevant THEN score END AS DECIMAL(28,6))) AS DOUBLE) / COUNT(CASE WHEN NOT is_relevant THEN score END), 0.0) AS avg_irrel
-        |  FROM topk GROUP BY query_id
-        |)
-        |SELECT
-        |  FLOOR(AVG(CASE WHEN hits > 0 THEN 1.0 ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS success_rate,
-        |  FLOOR(AVG(CAST(hits AS DOUBLE) / 10) * 1000000.0 + 0.5) / 1000000.0 AS mean_precision_at_k,
-        |  FLOOR(AVG(COALESCE(1.0 / first_rel_rank, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS mrr,
-        |  FLOOR(AVG(ap_numerator / 10) * 1000000.0 + 0.5) / 1000000.0 AS map_at_k,
-        |  FLOOR(AVG(avg_rel) * 1000000.0 + 0.5) / 1000000.0 AS avg_relevant_score,
-        |  FLOOR(AVG(avg_irrel) * 1000000.0 + 0.5) / 1000000.0 AS avg_irrelevant_score
-        |FROM perq""".stripMargin),
+    "ir_metrics" -> irMetricsOracleSql(10),
+
+    "ir_metrics_k100" -> irMetricsOracleSql(100),
+
+    "dedup_keep_one" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "detailed_results" -> (knnOracleCte +
       """SELECT query_id, result_id, rank, score AS similarity_score,
@@ -623,10 +629,10 @@ object SparkEntry {
       |SELECT id_a, id_b, FLOOR(j * 1000000.0 + 0.5) / 1000000.0 AS jaccard
       |FROM pairs WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin
 
-  /** Shared DuckDB CTE: deterministic query subset → exact cosine top-10 with
+  /** Shared DuckDB CTE: deterministic query subset → exact cosine top-k with
     * self-exclusion, POJ-style relevance, and the running relevant count (W2). */
-  private val knnOracleCte: String =
-    """WITH q AS (
+  private def knnOracleCteK(k: Int): String =
+    s"""WITH q AS (
       |  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
       |  FROM embeddings
       |  ORDER BY md5('graft42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 500
@@ -642,7 +648,29 @@ object SparkEntry {
       |), topk AS (
       |  SELECT *, SUM(CASE WHEN is_relevant THEN 1 ELSE 0 END)
       |      OVER (PARTITION BY query_id ORDER BY rank ROWS UNBOUNDED PRECEDING) AS cum_rel
-      |  FROM ranked WHERE rank <= 10
+      |  FROM ranked WHERE rank <= $k
       |)
       |""".stripMargin
+
+  private val knnOracleCte: String = knnOracleCteK(10)
+
+  /** POJ-variant global IR metrics SQL over the topk CTE at a given k. */
+  private def irMetricsOracleSql(k: Int): String = knnOracleCteK(k) +
+    s""", perq AS (
+      |  SELECT query_id,
+      |    COUNT(CASE WHEN is_relevant THEN 1 END) AS hits,
+      |    MIN(CASE WHEN is_relevant THEN rank END) AS first_rel_rank,
+      |    SUM(CASE WHEN is_relevant THEN CAST(cum_rel AS DOUBLE) / rank ELSE 0.0 END) AS ap_numerator,
+      |    COALESCE(CAST(SUM(CAST(CASE WHEN is_relevant THEN score END AS DECIMAL(28,6))) AS DOUBLE) / COUNT(CASE WHEN is_relevant THEN score END), 0.0) AS avg_rel,
+      |    COALESCE(CAST(SUM(CAST(CASE WHEN NOT is_relevant THEN score END AS DECIMAL(28,6))) AS DOUBLE) / COUNT(CASE WHEN NOT is_relevant THEN score END), 0.0) AS avg_irrel
+      |  FROM topk GROUP BY query_id
+      |)
+      |SELECT
+      |  FLOOR(AVG(CASE WHEN hits > 0 THEN 1.0 ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS success_rate,
+      |  FLOOR(AVG(CAST(hits AS DOUBLE) / $k) * 1000000.0 + 0.5) / 1000000.0 AS mean_precision_at_k,
+      |  FLOOR(AVG(COALESCE(1.0 / first_rel_rank, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS mrr,
+      |  FLOOR(AVG(ap_numerator / $k) * 1000000.0 + 0.5) / 1000000.0 AS map_at_k,
+      |  FLOOR(AVG(avg_rel) * 1000000.0 + 0.5) / 1000000.0 AS avg_relevant_score,
+      |  FLOOR(AVG(avg_irrel) * 1000000.0 + 0.5) / 1000000.0 AS avg_irrelevant_score
+      |FROM perq""".stripMargin
 }

@@ -75,7 +75,14 @@ object Knn {
     val scored =
       if (excludeSelf) scored0.filter(col("query_id") =!= col(corpusId))
       else scored0
-    if (useTopKAgg) {
+    // The bounded-heap tie-break id must be numeric; non-numeric corpus
+    // ids (uuid strings) silently fall back to the window path rather
+    // than null-casting every row out of the heap.
+    val idIsNumeric = corpus.schema(corpusId).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    }
+    if (useTopKAgg && idIsNumeric) {
       // Bounded-heap partial aggregation: ≤ k rows per query survive each
       // map partition; the shuffle is |Q|·k-bounded regardless of |C|.
       // The corpus VECTOR is scoring input, not payload — excluding it
