@@ -102,6 +102,10 @@ object ScalabilityBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // 500-query groups exceed the 128-key default at which
+      // ObjectHashAggregate falls back to sort-based aggregation - keep the
+      // bounded-heap top-k hashing instead of sorting scored rows.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
