@@ -1,0 +1,157 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.bench.Sinks
+import graft.embed.TfIdfEmbedder
+import graft.ingest.{CloneGraph, Corpus, CsvSource, DirSource}
+import graft.metrics.IrMetrics
+import graft.search.Knn
+
+/**
+ * The reference's CLI lifecycles as library calls — entry point A
+ * (`main.py:42-90`, BCB) and B (`main.py:92-148`, POJ), producing the
+ * same three outputs: detailed results, per-query stats, and the global
+ * metric row (`bcb_utils.py:191-277`, `poj_utils.py:196-288`).
+ */
+object Pipelines {
+
+  final case class BenchmarkOutput(
+      detailed: DataFrame, queryStats: DataFrame, metrics: DataFrame)
+
+  /** Seeded fixed-size query sample (T2, bcb_utils.py:150 — made
+    * deterministic; |Q| constant at any corpus size). */
+  private def sample(df: DataFrame, idCol: String, n: Int, seed: String): DataFrame =
+    df.orderBy(md5(concat(lit(seed), col(idCol).cast("string"))), col(idCol)).limit(n)
+
+  /**
+   * POJ benchmark: dir walk → corpus → TF-IDF embed → top-k search →
+   * same-label relevance (P6) → POJ-shaped outputs.
+   */
+  def runPoj(
+      spark: SparkSession, dataDir: String,
+      k: Int = 100, numSamples: Int = 500, dim: Int = 256,
+      normalized: Boolean = true, seed: String = "graft42:"): BenchmarkOutput = {
+    val corpus = Corpus.poj(DirSource.files(spark, dataDir))
+    val model = new TfIdfEmbedder(dim = dim, normalized = normalized)
+      .fit(corpus, "code_contents")
+    val vecs = model.transform(corpus, "code_contents", "vec")
+      .select(col("code_uuid"), col("clone_type"), col("vec"))
+    val queries = sample(vecs, "code_uuid", numSamples, seed)
+    val res = Knn.knnJoin(queries, "code_uuid", "vec", vecs, "code_uuid", "vec",
+        k = k, roundScoreTo = Some(6))
+      .withColumn("is_same_type", col("clone_type") === col("query_clone_type"))
+    // poj_utils.py:196-222 output shapes
+    val detailed = res.select(
+      col("query_id"), col("code_uuid").as("result_id"),
+      col("clone_type").as("result_type"),
+      col("score").as("similarity_score"), col("is_same_type"))
+    val queryStats = res.groupBy(col("query_id"), col("query_clone_type").as("query_type"))
+      .agg(
+        coalesce(avg(when(col("is_same_type"), col("score"))), lit(0.0)).as("avg_same_type_score"),
+        coalesce(avg(when(!col("is_same_type"), col("score"))), lit(0.0)).as("avg_diff_type_score"),
+        count(when(col("is_same_type"), 1)).as("num_same_type_found"),
+        count(when(!col("is_same_type"), 1)).as("num_diff_type_found"))
+    val metrics = IrMetrics.global(
+      IrMetrics.perQuery(res.withColumnRenamed("is_same_type", "is_relevant")),
+      k = k, apDenominator = lit(k)) // POJ MAP denominator = k (poj_utils.py:259)
+    BenchmarkOutput(detailed, queryStats, metrics)
+  }
+
+  /**
+   * BCB benchmark: clone/function CSVs + a source-file tree → corpus with
+   * line slicing → embed → top-k search → clone-set relevance (P5) →
+   * BCB-shaped outputs with the min(|clones|, k) MAP denominator.
+   */
+  def runBcb(
+      spark: SparkSession, clonesCsv: String, functionsCsv: String, srcDir: String,
+      k: Int = 100, numSamples: Int = 500, dim: Int = 256,
+      normalized: Boolean = true, seed: String = "graft42:"): BenchmarkOutput = {
+    val clones = CsvSource.readClones(spark, clonesCsv)
+    val functions = CsvSource.readFunctions(spark, functionsCsv)
+    val adjacency = CloneGraph.adjacencyWithCounts(
+        clones.select(col("FUNCTION_ID_ONE").as("a"), col("FUNCTION_ID_TWO").as("b")),
+        "a", "b")
+      .withColumnRenamed("id", "func_id")
+    val files = DirSource.wholeText(spark, srcDir)
+      .withColumn("file_name", element_at(split(col("path"), "/"), -1))
+    val corpus = Corpus.bcb(adjacency, functions,
+      "ID", "NAME", "STARTLINE", "ENDLINE", files, "file_name", "text")
+    val model = new TfIdfEmbedder(dim = dim, normalized = normalized)
+      .fit(corpus, "code_contents")
+    val vecs = model.transform(corpus, "code_contents", "vec")
+      .select(col("func_id"), col("clones"), col("vec"))
+    val queries = sample(vecs, "func_id", numSamples, seed)
+    val res = Knn.knnJoin(queries, "func_id", "vec", vecs, "func_id", "vec",
+        k = k, roundScoreTo = Some(6))
+      .withColumn("is_clone",
+        coalesce(array_contains(col("query_clones"), col("func_id")), lit(false)))
+    // bcb_utils.py:191-215 output shapes
+    val detailed = res.select(
+      col("query_id"), col("func_id").as("result_func_id"),
+      col("score").as("similarity_score"), col("is_clone"))
+    val queryStats = res.groupBy(col("query_id"))
+      .agg(
+        coalesce(avg(when(col("is_clone"), col("score"))), lit(0.0)).as("avg_clone_score"),
+        coalesce(avg(when(!col("is_clone"), col("score"))), lit(0.0)).as("avg_non_clone_score"),
+        count(when(col("is_clone"), 1)).as("num_clones_found"),
+        count(when(!col("is_clone"), 1)).as("num_non_clones_found"))
+    val pq = IrMetrics.perQuery(res.withColumnRenamed("is_clone", "is_relevant"))
+      .join(res.select(col("query_id"), size(col("query_clones")).as("nc")).distinct(),
+        Seq("query_id"), "left")
+      .na.fill(0, Seq("nc"))
+    val metrics = IrMetrics.global(pq, k = k,
+      apDenominator = least(col("nc"), lit(k))) // bcb_utils.py:250
+    BenchmarkOutput(detailed, queryStats, metrics)
+  }
+
+  /** Persist a benchmark's two CSVs (S7, main.py:85-90) and return the
+    * metric row (printed by the CLI like bcb_utils.py:270-277). */
+  def writeOutputs(out: BenchmarkOutput, outDir: String, label: String): Unit = {
+    Sinks.writeCsv(out.detailed, Sinks.timestampedPath(outDir, s"${label}_detailed_results"))
+    Sinks.writeCsv(out.queryStats, Sinks.timestampedPath(outDir, s"${label}_query_stats"))
+  }
+}
+
+/**
+ * CLI mirroring the reference's argparse surface (`main.py:15-23`):
+ * runMain graft.cli.Main --dataset poj --data_dir D --out_dir O
+ *   [--k 100] [--num_samples 500] [--dim 256] [--normalized true]
+ * runMain graft.cli.Main --dataset bcb --clones_csv C --functions_csv F
+ *   --src_dir S --out_dir O [...]
+ */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.registerAll(spark)
+    val k = opts.getOrElse("k", "100").toInt
+    val n = opts.getOrElse("num_samples", "500").toInt
+    val dim = opts.getOrElse("dim", "256").toInt
+    val normalized = opts.getOrElse("normalized", "true").toBoolean
+    val outDir = opts("out_dir")
+    val dataset = opts("dataset")
+    val out = dataset match {
+      case "poj" => Pipelines.runPoj(spark, opts("data_dir"), k, n, dim, normalized)
+      case "bcb" => Pipelines.runBcb(spark, opts("clones_csv"), opts("functions_csv"),
+        opts("src_dir"), k, n, dim, normalized)
+      case other => sys.error(s"unknown --dataset $other (poj|bcb)")
+    }
+    Pipelines.writeOutputs(out, outDir, dataset)
+    // stdout summary, bcb_utils.py:270-277 style
+    val m = out.metrics.head()
+    out.metrics.columns.zipWithIndex.foreach { case (c, i) =>
+      println(f"$c%-22s ${m.getDouble(i)}%.6f")
+    }
+    spark.stop()
+  }
+}

@@ -68,14 +68,24 @@ package object functions {
   def top_k_rows(payload: Column, score: Column, id: Column, k: Int): Column =
     col(graft.plans.TopKRows(ex(payload), ex(score), ex(id), k).toAggregateExpression())
 
-  /** Register every graft function in the session's FunctionRegistry. */
+  /** Register every graft function in the session's FunctionRegistry.
+    * Parameterized kernels take their sizes as literal int arguments in
+    * SQL (evaluated at registration-expansion time). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      e.eval().asInstanceOf[Number].intValue
     reg.createOrReplaceTempFunction("cosine_similarity", es => CosineSimilarity(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("l2_normalize", es => L2Normalize(es.head), "built-in")
     reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "built-in")
     reg.createOrReplaceTempFunction("uuid5", es => Uuid5(es.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("min_hash_sig",
+      es => MinHashSig(es(0), litInt(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("min_hash_band_keys",
+      es => MinHashBandKeys(es(0), litInt(es(1)), litInt(es(2))), "built-in")
+    reg.createOrReplaceTempFunction("byte_histogram",
+      es => ByteHistogram(es(0), litInt(es(1))), "built-in")
   }
 }

@@ -68,6 +68,15 @@ class ExpressionsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(mm.getDouble(0) > 1.0 - 1e-9 && mm.getDouble(1) < 1.0 + 1e-9)
   }
 
+  test("parameterized kernels are SQL-callable with literal sizes") {
+    val r = spark.sql(
+      """SELECT size(min_hash_sig(array('a b c'), 16)) AS s,
+        |  size(min_hash_band_keys(array('a b c'), 16, 4)) AS b,
+        |  size(byte_histogram(encode('hello', 'UTF-8'), 8)) AS h""".stripMargin)
+      .collect()(0)
+    assert(r.getInt(0) == 16 && r.getInt(1) == 4 && r.getInt(2) == 8)
+  }
+
   test("null propagation") {
     val r = spark.sql(
       "SELECT cosine_similarity(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT))), uuid5(CAST(NULL AS STRING))")
