@@ -34,4 +34,25 @@ object CloneGraph {
   def adjacencyWithCounts(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
     adjacency(pairs, aCol, bCol)
       .withColumn("num_clones", size(col("clones")))
+
+  /**
+   * Skew-resistant adjacency: two-level collect for corpora where one id
+   * participates in a huge clone family (a hub key would otherwise funnel
+   * its whole neighbor set through one reducer). Level 1 collects per
+   * (id, salt) — spreading a hub's neighbors over `saltBuckets` reducers —
+   * level 2 merges the (far fewer, pre-deduped) partial sets. Same output
+   * contract as [[adjacency]].
+   */
+  def adjacencySalted(pairs: DataFrame, aCol: String, bCol: String,
+      saltBuckets: Int = 16): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("id"), col(bCol).as("other"))
+    val bwd = pairs.select(col(bCol).as("id"), col(aCol).as("other"))
+    fwd.unionAll(bwd)
+      .withColumn("__salt", pmod(hash(col("other")), lit(saltBuckets)))
+      .groupBy(col("id"), col("__salt"))
+      .agg(collect_set(col("other")).as("__partial"))
+      .groupBy(col("id"))
+      .agg(sort_array(array_distinct(flatten(collect_list(col("__partial")))))
+        .as("clones"))
+  }
 }

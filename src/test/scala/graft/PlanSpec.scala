@@ -1,0 +1,39 @@
+package graft
+
+/**
+ * Plan-shape regression guards: the physical properties the 100 TB design
+ * depends on, asserted against the real optimizer output so a refactor
+ * can't silently regress them. (More plan checks live in TopKRowsSpec —
+ * partial ObjectHashAggregate, no Window — and IvfCollectionSpec —
+ * partition pruning.)
+ */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("q1_agg: filter reaches the parquet scan, aggregation is partial+final") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushdown in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final hash agg")
+  }
+
+  test("knn_topk: fixed-size sample via TakeOrderedAndProject, queries broadcast, corpus streams") {
+    val p = plan("knn_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"sample should not be a full sort:\n$p")
+    assert(p.contains("BroadcastExchange"), "query side must broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the join")
+  }
+
+  test("dedup_exact: digest computed before the exchange (text never shuffles)") {
+    val p = plan("dedup_exact")
+    // the md5 appears in a projection below the exchange: the aggregate's
+    // partial side groups by text_hash, so the string column stops at the
+    // map side
+    assert(p.contains("md5"), s"expected map-side digest in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2 ||
+      "ObjectHashAggregate".r.findAllIn(p).size >= 2)
+  }
+}

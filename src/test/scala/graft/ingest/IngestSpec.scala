@@ -17,6 +17,18 @@ class CloneGraphSpec extends SparkSpec {
     assert(adj(3L) === Seq(2L))
   }
 
+  test("adjacencySalted matches plain adjacency on a hub-skewed graph") {
+    // id 1 is a hub with 200 neighbors; others are sparse
+    val pairs = ((1 to 200).map(i => (1L, 100L + i)) ++ Seq((2L, 3L), (3L, 4L)))
+      .toDF("a", "b")
+    val plain = CloneGraph.adjacency(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val salted = CloneGraph.adjacencySalted(pairs, "a", "b", saltBuckets = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(salted == plain)
+    assert(salted(1L).length == 200)
+  }
+
   test("adjacencyWithCounts sizes the BCB MAP denominator input") {
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
     val m = CloneGraph.adjacencyWithCounts(pairs, "a", "b")
