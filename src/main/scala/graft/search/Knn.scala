@@ -110,4 +110,23 @@ object Knn {
         .drop("__query_vec", corpusVec)
     }
   }
+
+  /**
+   * Search a [[graft.index.VectorCollection]], picking the metric from its
+   * metadata: a collection built with `normalized = true` scores by raw
+   * dot product (cosine ≡ dot on unit vectors, one multiply-add per
+   * element cheaper) — the reference's `--normalized` intent
+   * (main.py:19,30-34) as an automatic rewrite instead of a CLI knob.
+   */
+  def searchCollection(
+      collection: graft.index.VectorCollection,
+      queries: DataFrame, queryId: String, queryVec: String,
+      corpusId: String, corpusVec: String,
+      k: Int,
+      excludeSelf: Boolean = true,
+      roundScoreTo: Option[Int] = None): DataFrame = {
+    val metric = if (collection.meta.normalized) "dot" else "cosine"
+    knnJoin(queries, queryId, queryVec, collection.load(), corpusId, corpusVec,
+      k, excludeSelf, metric, roundScoreTo)
+  }
 }

@@ -112,11 +112,15 @@ object Streaming {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** A file-source stream over an events directory — the real streaming
-    * entry (schema pinned; parquet micro-batches). */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = graft.Tables.events(spark, dir).schema
-    spark.readStream.schema(schema).parquet(dir)
+  /** A file-source stream over a DIRECTORY of event parquet files (file
+    * streams watch directories; new files become micro-batches). Schema is
+    * pinned from the existing files; same nanosecond handling as
+    * [[eventsBatch]]. */
+  def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   private implicit def timestampOrdering: Ordering[Timestamp] =

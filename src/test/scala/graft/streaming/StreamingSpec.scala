@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -71,6 +71,43 @@ class StreamingSpec extends SparkSpec {
     assert(rows.count() == 3)
     assert(rows.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
     assert(rows.schema("vec").dataType.typeName == "array")
+  }
+
+  test("file-source events stream: windowed agg over the fixture matches batch") {
+    val streamDir = Files.createTempDirectory("graft_events_stream")
+    Files.copy(Paths.get(s"${graft.TestSpark.sf0001}/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val agg = Streaming.windowedEventStats(
+      Streaming.eventsStream(spark, streamDir.toString))
+    val q = agg.writeStream.format("memory").queryName("file_win")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("file_win").count()
+    val batch = Streaming.windowedEventStats(
+      Streaming.eventsBatch(spark, graft.TestSpark.sf0001)).count()
+    // append mode withholds windows the watermark hasn't passed — the tail
+    // of the fixture stays open, everything earlier must be emitted
+    assert(streamed > 0 && streamed <= batch)
+    assert(batch - streamed <= 2, s"streamed=$streamed batch=$batch")
+  }
+
+  test("searchCollection picks dot metric for normalized collections") {
+    val tmp = Files.createTempDirectory("graft_search_coll")
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+      (3L, "alpha beta delta")).toDF("doc_id", "text")
+    val model = new TfIdfEmbedder(dim = 64).fit(docs, "text")
+    val vecs = model.transform(docs, "text", "vec").select($"doc_id", $"vec")
+    val coll = VectorCollection(spark, tmp.toString, "norm_coll")
+    coll.create(CollectionMeta(64, "cosine", normalized = true))
+    coll.upsert(vecs, "doc_id")
+    val res = graft.search.Knn.searchCollection(coll, vecs, "doc_id", "vec",
+      "doc_id", "vec", k = 2, roundScoreTo = Some(6))
+    // dot on unit vectors == cosine: self excluded, scores within [-1,1]
+    assert(res.count() == 6)
+    assert(res.filter($"query_id" === $"doc_id").count() == 0)
+    val scores = res.select($"score").collect().map(_.getDouble(0))
+    assert(scores.forall(s => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9))
   }
 
   test("sessionize accumulates per-user state across micro-batches") {
