@@ -399,6 +399,19 @@ object SparkEntry {
         .orderBy(col("w_start"), col("event_type"))
     }),
 
+    // JSON payload extraction over the events props column (the engine's
+    // semi-structured surface: typed scalar out of a JSON string, grouped
+    // aggregate over it).
+    "events_props" -> ((s, dir) => {
+      Streaming.eventsBatch(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
     // ------------------------------------------------------------------
     // F1: deterministic UUIDv5 point identity over documents. Not
     // SQL-expressible in DuckDB (no uuid5) → rows-only driver check;
@@ -544,6 +557,13 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "events_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "media_meta" ->
       """SELECT doc_id, 'text/plain' AS kind,
