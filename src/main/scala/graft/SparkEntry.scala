@@ -33,12 +33,9 @@ object SparkEntry {
   // |Q| with |C| and eventually OOM the query broadcast). Spark plans
   // orderBy+limit as TakeOrderedAndProject: no full sort shuffle, each
   // partition keeps its local top-500.
-  private val knnSampleSeed = "graft42:"
   private val knnSampleSize = 500
   private def knnQueries(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .orderBy(md5(concat(lit(knnSampleSeed), col("vec_id").cast("string"))), col("vec_id"))
-      .limit(knnSampleSize)
+    graft.bench.Sampling.seeded(Tables.embeddings(spark, dir), "vec_id", knnSampleSize)
 
   /** Cross-engine-stable 6-dp rounding: floor(x*1e6+0.5)/1e6 in plain IEEE
     * double arithmetic — bit-identical in any engine for identical inputs.
@@ -293,9 +290,7 @@ object SparkEntry {
       val docs = docsParallel(s, dir)
       val model = new graft.embed.TfIdfEmbedder(dim = 256).fit(docs, "text")
       val vecs = model.transform(docs, "text", "vec").select(col("doc_id"), col("vec"))
-      val queries = vecs
-        .orderBy(md5(concat(lit(knnSampleSeed), col("doc_id").cast("string"))), col("doc_id"))
-        .limit(100)
+      val queries = graft.bench.Sampling.seeded(vecs, "doc_id", 100)
       Knn.knnJoin(queries, "doc_id", "vec", vecs, "doc_id", "vec",
           k = 5, roundScoreTo = Some(6))
         .select(col("query_id"), col("doc_id").as("result_id"),
@@ -375,9 +370,7 @@ object SparkEntry {
       val media = Multimodal.packText(docsParallel(s, dir), "doc_id", "text")
       val feats = Multimodal.extractFeatures(media, "media", "feat", buckets = 64)
         .select(col("doc_id"), col("feat"))
-      val queries = feats
-        .orderBy(md5(concat(lit(knnSampleSeed), col("doc_id").cast("string"))), col("doc_id"))
-        .limit(50)
+      val queries = graft.bench.Sampling.seeded(feats, "doc_id", 50)
       Knn.knnJoin(queries, "doc_id", "feat", feats, "doc_id", "feat",
           k = 5, roundScoreTo = Some(6))
         .select(col("query_id"), col("doc_id").as("result_id"),

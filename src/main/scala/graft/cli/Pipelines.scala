@@ -20,10 +20,8 @@ object Pipelines {
   final case class BenchmarkOutput(
       detailed: DataFrame, queryStats: DataFrame, metrics: DataFrame)
 
-  /** Seeded fixed-size query sample (T2, bcb_utils.py:150 — made
-    * deterministic; |Q| constant at any corpus size). */
   private def sample(df: DataFrame, idCol: String, n: Int, seed: String): DataFrame =
-    df.orderBy(md5(concat(lit(seed), col(idCol).cast("string"))), col(idCol)).limit(n)
+    graft.bench.Sampling.seeded(df, idCol, n, seed)
 
   /**
    * POJ benchmark: dir walk → corpus → TF-IDF embed → top-k search →
@@ -68,8 +66,11 @@ object Pipelines {
       spark: SparkSession, clonesCsv: String, functionsCsv: String, srcDir: String,
       k: Int = 100, numSamples: Int = 500, dim: Int = 256,
       normalized: Boolean = true, seed: String = "graft42:"): BenchmarkOutput = {
+    // Quarantined (malformed) CSV rows are excluded from the truth tables.
     val clones = CsvSource.readClones(spark, clonesCsv)
+      .where(col("_corrupt_record").isNull)
     val functions = CsvSource.readFunctions(spark, functionsCsv)
+      .where(col("_corrupt_record").isNull)
     val adjacency = CloneGraph.adjacencyWithCounts(
         clones.select(col("FUNCTION_ID_ONE").as("a"), col("FUNCTION_ID_TWO").as("b")),
         "a", "b")
@@ -106,11 +107,15 @@ object Pipelines {
     BenchmarkOutput(detailed, queryStats, metrics)
   }
 
-  /** Persist a benchmark's two CSVs (S7, main.py:85-90) and return the
-    * metric row (printed by the CLI like bcb_utils.py:270-277). */
+  /** Persist a benchmark's two CSVs (S7, main.py:85-90). One shared
+    * timestamp: the pair must carry the same suffix so a run's outputs
+    * stay pairable even across a second boundary. */
   def writeOutputs(out: BenchmarkOutput, outDir: String, label: String): Unit = {
-    Sinks.writeCsv(out.detailed, Sinks.timestampedPath(outDir, s"${label}_detailed_results"))
-    Sinks.writeCsv(out.queryStats, Sinks.timestampedPath(outDir, s"${label}_query_stats"))
+    val now = java.time.LocalDateTime.now()
+    Sinks.writeCsv(out.detailed,
+      Sinks.timestampedPath(outDir, s"${label}_detailed_results", now))
+    Sinks.writeCsv(out.queryStats,
+      Sinks.timestampedPath(outDir, s"${label}_query_stats", now))
   }
 }
 

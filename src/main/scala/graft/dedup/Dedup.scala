@@ -25,9 +25,10 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Lower-cased whitespace tokens (empty tokens dropped — consecutive
-    * separators don't produce ghost shingles). */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    * separators don't produce ghost shingles). Delegates to the canonical
+    * [[graft.text.TextAnalysis.tokens]] so dedup and text analysis can
+    * never drift apart. */
+  def tokens(text: Column): Column = graft.text.TextAnalysis.tokens(text)
 
   /** Distinct word n-gram shingles of `text`. Documents shorter than n
     * tokens have no shingles (empty array — Spark's sequence(1,0) would

@@ -45,7 +45,7 @@ final class TfIdfEmbedder(
   override def fit(corpus: DataFrame, textCol: String): EmbedModel = {
     val stages = pipeline(textCol)
     val model = new Pipeline().setStages(stages).fit(corpus)
-    new TfIdfModel(model, dim, normalized)
+    new TfIdfModel(model, dim, normalized, fitTextCol = textCol)
   }
 
   private def pipeline(textCol: String) = {
@@ -64,11 +64,17 @@ final class TfIdfEmbedder(
 }
 
 private final class TfIdfModel(
-    model: PipelineModel, val dim: Int, normalized: Boolean) extends EmbedModel {
+    model: PipelineModel, val dim: Int, normalized: Boolean,
+    fitTextCol: String) extends EmbedModel {
   override def transform(df: DataFrame, textCol: String, vecCol: String): DataFrame = {
     val outCol = if (normalized) "__vec" else "__tfidf"
+    // The fitted tokenizer reads its fit-time input column no matter what
+    // is passed here — a mismatched name would silently embed the wrong
+    // column, so reject it loudly.
+    require(textCol == fitTextCol,
+      s"model was fit on column '$fitTextCol' but transform was asked for '$textCol'")
     require(df.columns.contains(textCol),
-      s"missing text column $textCol (model was fit on that name)")
+      s"missing text column $textCol")
     model.transform(df)
       .withColumn(vecCol, vector_to_array(col(outCol), "float32"))
       .drop("__tokens", "__tf", "__tfidf", "__vec")

@@ -26,7 +26,10 @@ object NearestCentroidOps {
       val d = math.min(dim, cent.length)
       var j = 0
       while (j < d) { s += vec.getFloat(j).toDouble * cent(j); j += 1 }
-      scores(c) = s
+      // NaN scores (a NaN vector component) compare false on both > and ==
+      // and would leave the selection loop with no pick — map to -inf so
+      // bad rows rank last instead of aborting the job.
+      scores(c) = if (java.lang.Double.isNaN(s)) Double.NegativeInfinity else s
       c += 1
     }
     val take = math.min(nProbe, n)

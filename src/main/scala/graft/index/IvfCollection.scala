@@ -21,12 +21,14 @@ class IvfCollection(spark: SparkSession, root: String, val name: String) {
   private val dataPath = s"$base/cells"
   private val centroidsPath = s"$base/centroids"
 
-  /** Train centroids, assign every row, write cell-partitioned parquet. */
+  /** Train centroids, assign every row, write cell-partitioned parquet.
+    * Rows are deduplicated by `idCol` (last-writer-indifferent) so a
+    * rebuilt collection stays keyed like [[VectorCollection.upsert]]. */
   def build(
       corpus: DataFrame, idCol: String, vecCol: String,
       nList: Int, seed: Long = 42L): this.type = {
     val centroids = Ivf.trainCentroids(corpus, vecCol, nList, seed)
-    Ivf.assign(corpus, vecCol, centroids)
+    Ivf.assign(corpus.dropDuplicates(idCol), vecCol, centroids)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("ivf_cell")
       .parquet(dataPath)
@@ -71,8 +73,10 @@ class IvfCollection(spark: SparkSession, root: String, val name: String) {
       .select(explode(graft.functions.nearest_centroids(col(queryVec), cents, nProbe))
         .as("cell"))
       .distinct().collect().map(_.getInt(0)).toSeq
+    // The persisted ivf_cell column rides through: Ivf.assign sees it and
+    // skips recomputing every row's nearest centroid.
     Ivf.knnJoinIvf(queries, queryId, queryVec,
-      loadCells(probeCells).drop("ivf_cell"), corpusId, corpusVec,
+      loadCells(probeCells), corpusId, corpusVec,
       k, cents, nProbe, excludeSelf, roundScoreTo)
   }
 }

@@ -30,11 +30,15 @@ object CsvSource {
     .add("STARTLINE", IntegerType)
     .add("ENDLINE", IntegerType)
 
+  /** Data schema + the PERMISSIVE quarantine column: Spark only captures a
+    * malformed line's raw text if `_corrupt_record` is declared in the
+    * schema — without it, bad rows silently become all-null rows. */
   private def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read
       .option("header", "true")
       .option("mode", "PERMISSIVE")
-      .schema(schema)
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", StringType))
       .csv(path)
 
   /** S1: clone-pair table scan. */

@@ -39,10 +39,13 @@ object Ivf {
     model.clusterCenters.map(_.toArray.map(_.toFloat))
   }
 
-  /** Corpus with its IVF cell id appended (map-side only). */
+  /** Corpus with its IVF cell id appended (map-side only). A corpus that
+    * already carries `cellCol` (e.g. loaded from an [[graft.index.IvfCollection]])
+    * is passed through unchanged — no re-assignment. */
   def assign(corpus: DataFrame, vecCol: String,
       centroids: Array[Array[Float]], cellCol: String = "ivf_cell"): DataFrame =
-    corpus.withColumn(cellCol,
+    if (corpus.columns.contains(cellCol)) corpus
+    else corpus.withColumn(cellCol,
       element_at(nearest_centroids(col(vecCol), centroids, 1), 1))
 
   /**
@@ -71,9 +74,10 @@ object Ivf {
     val scored =
       if (excludeSelf) scored0.filter(col("query_id") =!= col(corpusId))
       else scored0
-    // Vector excluded from the aggregate payload — scoring input only
-    // (same pruning rationale as Knn.knnJoin).
-    val corpusCols = corpus.columns.toSeq.filterNot(_ == corpusVec)
+    // Vector and cell id excluded from the aggregate payload — scoring /
+    // routing inputs, not payload (same pruning rationale as Knn.knnJoin).
+    val corpusCols = corpus.columns.toSeq
+      .filterNot(c => c == corpusVec || c == "ivf_cell")
     val entry = struct((corpusCols :+ "score").map(col): _*)
     scored
       .groupBy(col("query_id"))

@@ -125,8 +125,16 @@ object Knn {
       k: Int,
       excludeSelf: Boolean = true,
       roundScoreTo: Option[Int] = None): DataFrame = {
-    val metric = if (collection.meta.normalized) "dot" else "cosine"
-    knnJoin(queries, queryId, queryVec, collection.load(), corpusId, corpusVec,
+    val normalized = collection.meta.normalized
+    // dot ≡ cosine only on unit vectors: the collection side is unit by
+    // its metadata contract, the query side is normalized here so callers
+    // can't silently feed unnormalized vectors into a dot-metric search
+    // (idempotent for already-unit queries).
+    val q = if (normalized)
+      queries.withColumn(queryVec, graft.functions.l2_normalize(col(queryVec)))
+    else queries
+    val metric = if (normalized) "dot" else "cosine"
+    knnJoin(q, queryId, queryVec, collection.load(), corpusId, corpusVec,
       k, excludeSelf, metric, roundScoreTo)
   }
 }

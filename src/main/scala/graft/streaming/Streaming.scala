@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.sql.Timestamp
-
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
@@ -122,7 +120,4 @@ object Streaming {
     spark.readStream.schema(schema).parquet(eventsDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
-
-  private implicit def timestampOrdering: Ordering[Timestamp] =
-    Ordering.by(_.getTime)
 }

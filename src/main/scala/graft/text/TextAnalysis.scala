@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
  */
 object TextAnalysis {
 
-  /** Lower-cased whitespace tokens, empties dropped. */
+  /** Lower-cased whitespace tokens, empties dropped — THE canonical
+    * tokenizer shared with the dedup pipelines ([[graft.dedup.Dedup.tokens]]
+    * delegates here): shingles, simhash, langId and quality scoring must
+    * all agree with the DuckDB oracles on one definition. */
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 

@@ -17,7 +17,8 @@ class CsvSourceSpec extends SparkSpec {
     val p = writeTemp("clones.csv",
       "FUNCTION_ID_ONE,FUNCTION_ID_TWO\n10,20\n20,30\n")
     val df = CsvSource.readClones(spark, p)
-    assert(df.schema == CsvSource.clonesSchema)
+    assert(df.schema.fields.take(2).toSeq == CsvSource.clonesSchema.fields.toSeq)
+    assert(df.columns.last == "_corrupt_record")
     val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(rows.toSeq == Seq((10L, 20L), (20L, 30L)))
   }
@@ -32,11 +33,15 @@ class CsvSourceSpec extends SparkSpec {
     assert(r.getInt(2) == 5 && r.getInt(3) == 12)
   }
 
-  test("malformed rows null out instead of failing the scan (PERMISSIVE)") {
+  test("malformed rows are quarantined into _corrupt_record (PERMISSIVE)") {
     val p = writeTemp("bad.csv",
       "FUNCTION_ID_ONE,FUNCTION_ID_TWO\n1,2\nnot_a_number,7\n")
-    val df = CsvSource.readClones(spark, p)
+    val df = CsvSource.readClones(spark, p).cache()
     assert(df.count() == 2) // scan survives
-    assert(df.where("FUNCTION_ID_ONE IS NULL").count() == 1)
+    val bad = df.where("_corrupt_record IS NOT NULL").collect()
+    assert(bad.length == 1)
+    assert(bad(0).getAs[String]("_corrupt_record") == "not_a_number,7")
+    assert(bad(0).isNullAt(0)) // quarantined rows don't fabricate ids
+    assert(df.where("_corrupt_record IS NULL").count() == 1)
   }
 }
