@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
  * better = higher score, ties broken by LOWER id (matches the rank window
  * `orderBy(score.desc, id.asc)` the aggregate replaces).
  */
-private[plans] final class TopKEntry(val score: Double, val id: Long, val payload: InternalRow)
+private[graft] final class TopKEntry(val score: Double, val id: Long, val payload: InternalRow)
 
 /**
  * Per-group bounded top-k buffer: a min-heap of size ≤ k keyed worst-first,

