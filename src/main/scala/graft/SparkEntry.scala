@@ -52,7 +52,7 @@ object SparkEntry {
   /** Detailed results (one row per query×retrieved) with POJ-style relevance:
     * same `label` ⇒ relevant (poj_utils.py:188). Shared by the metric queries. */
   private def detailedResults(s: SparkSession, dir: String, k: Int): DataFrame = {
-    val corpus = Tables.embeddings(s, dir)
+    val corpus = embParallel(s, dir)
     Knn.knnJoin(knnQueries(s, dir), "vec_id", "embedding",
         corpus, "vec_id", "embedding", k = k, roundScoreTo = Some(6))
       .select(col("query_id"), col("vec_id").as("result_id"), col("rank"),
@@ -66,6 +66,12 @@ object SparkEntry {
     * cheap rebalance of an already-parallel skinny scan. */
   private def docsParallel(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism)
+
+  /** Same single-split fix for the embeddings corpus: cosine scoring of
+    * |Q|·|C| pairs parallelizes per CORPUS partition (queries are
+    * broadcast), so a one-file corpus would score on one core. */
+  private def embParallel(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).repartition(s.sparkContext.defaultParallelism)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------------------------
@@ -94,7 +100,7 @@ object SparkEntry {
     // cosine search with self-exclusion (bcb_utils.py:168-176).
     // ------------------------------------------------------------------
     "knn_topk" -> ((s, dir) => {
-      val corpus = Tables.embeddings(s, dir)
+      val corpus = embParallel(s, dir)
       Knn.knnJoin(knnQueries(s, dir), "vec_id", "embedding",
           corpus, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
         .select(col("query_id"), col("vec_id").as("result_id"),
@@ -256,7 +262,7 @@ object SparkEntry {
     // no SQL twin (rows-only driver check); AnnSpec pins a lower bound.
     // ------------------------------------------------------------------
     "ann_recall" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
+      val emb = embParallel(s, dir)
       val q = knnQueries(s, dir)
       val exact = Knn.knnJoin(q, "vec_id", "embedding",
           emb, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
@@ -302,7 +308,7 @@ object SparkEntry {
     // kNN (KMeans cells aren't SQL-expressible → rows-only; IvfSpec proves
     // full-probe ≡ exact bit-for-bit).
     "ivf_recall" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
+      val emb = embParallel(s, dir)
       val q = knnQueries(s, dir)
       val cents = graft.search.Ivf.trainCentroids(emb, "embedding", nList = 16, seed = 42L)
       val exact = Knn.knnJoin(q, "vec_id", "embedding",
