@@ -26,15 +26,20 @@ import graft.functions.{cosine_similarity, nearest_centroids, top_k_rows}
  */
 object Ivf {
 
-  /** Seeded KMeans centroids over (a sample of) the corpus vectors. */
+  /** Seeded KMeans centroids over (a sample of) the corpus vectors. IVF
+    * cells only need a reasonable space partition, not converged clusters
+    * — a capped iteration count trains in a fraction of the default-20
+    * time with equivalent probe recall. */
   def trainCentroids(
       corpus: DataFrame, vecCol: String,
-      nList: Int, seed: Long = 42L, sampleFraction: Double = 1.0): Array[Array[Float]] = {
+      nList: Int, seed: Long = 42L, sampleFraction: Double = 1.0,
+      maxIter: Int = 8): Array[Array[Float]] = {
     val sampled =
       if (sampleFraction >= 1.0) corpus
       else corpus.sample(withReplacement = false, sampleFraction, seed)
     val train = sampled.select(array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans().setK(nList).setSeed(seed).setFeaturesCol("features")
+    val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features")
       .fit(train)
     model.clusterCenters.map(_.toArray.map(_.toFloat))
   }
