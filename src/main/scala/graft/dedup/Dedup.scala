@@ -108,6 +108,14 @@ object Dedup {
    * Near-duplicate pairs via MinHash+LSH, verified with exact shingle
    * Jaccard on the candidate set only.
    *
+   * The (id, band) table is referenced by the sizing pass and both join
+   * sides, so Spark recomputes the map-side signature kernel per
+   * reference — deliberate: within one query the kernel is CPU-cheap next
+   * to I/O, and lineage-based recompute keeps fault tolerance intact. A
+   * pipeline that runs MANY near-dup queries over one corpus should
+   * materialize the band table once (a parquet build artifact, like a
+   * collection index) and join against that.
+   *
    * @return (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold
    */
   def minHashNearDups(
