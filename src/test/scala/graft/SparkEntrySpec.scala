@@ -1,0 +1,33 @@
+package graft
+
+/**
+ * Driver-contract guards: a dangling oracleSql key (typo, renamed query)
+ * would surface as a silent "no spark output" FAIL in the round's
+ * correctness report — catch it at test time instead.
+ */
+class SparkEntrySpec extends SparkSpec {
+
+  test("every oracleSql key has a queries twin") {
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracle SQL without a query: $dangling")
+  }
+
+  test("rows-only queries are the documented hash-dependent set") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val expected = Set("corpus_uuid", "simhash_pairs", "ann_recall", "ivf_recall",
+      "embed_corpus", "embed_knn", "multimodal_knn")
+    assert(rowsOnly == expected,
+      s"rows-only set changed: extra=${rowsOnly -- expected} missing=${expected -- rowsOnly}")
+  }
+
+  test("flagship entry returns rows on the smoke fixture (driver contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs at sf0.001 (smoke breadth: no fixture-size assumptions)") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, TestSpark.sf0001).count()
+      assert(n >= 0, s"$name failed at sf0.001")
+    }
+  }
+}
