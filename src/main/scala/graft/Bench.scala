@@ -16,6 +16,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       // 500-query groups exceed the 128-key default at which
       // ObjectHashAggregate falls back to sort-based aggregation - keep the
       // bounded-heap top-k hashing instead of sorting scored rows.

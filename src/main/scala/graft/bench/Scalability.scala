@@ -78,8 +78,11 @@ object Scalability {
       spark: SparkSession, points: Seq[SizePoint], outDir: String,
       label: String): (String, String) = {
     import spark.implicits._
-    val memPath = Sinks.timestampedPath(outDir, s"${label}_memory_usage")
-    val timePath = Sinks.timestampedPath(outDir, s"${label}_query_time")
+    // one shared timestamp so the pair stays pairable across a second
+    // boundary (same rationale as Pipelines.writeOutputs)
+    val now = java.time.LocalDateTime.now()
+    val memPath = Sinks.timestampedPath(outDir, s"${label}_memory_usage", now)
+    val timePath = Sinks.timestampedPath(outDir, s"${label}_query_time", now)
     Sinks.writeCsv(
       points.map(p => (p.size, p.memoryUsageMb)).toDF("size", "memory_usage_mb"),
       memPath)
@@ -102,6 +105,7 @@ object ScalabilityBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       // 500-query groups exceed the 128-key default at which
       // ObjectHashAggregate falls back to sort-based aggregation - keep the
       // bounded-heap top-k hashing instead of sorting scored rows.

@@ -3,7 +3,7 @@ package graft.cli
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.bench.Sinks
+import graft.bench.{Sampling, Sinks}
 import graft.embed.TfIdfEmbedder
 import graft.ingest.{CloneGraph, Corpus, CsvSource, DirSource}
 import graft.metrics.IrMetrics
@@ -30,7 +30,8 @@ object Pipelines {
   def runPoj(
       spark: SparkSession, dataDir: String,
       k: Int = 100, numSamples: Int = 500, dim: Int = 256,
-      normalized: Boolean = true, seed: String = "graft42:"): BenchmarkOutput = {
+      normalized: Boolean = true,
+      seed: String = Sampling.defaultSeed): BenchmarkOutput = {
     val corpus = Corpus.poj(DirSource.files(spark, dataDir))
     val model = new TfIdfEmbedder(dim = dim, normalized = normalized)
       .fit(corpus, "code_contents")
@@ -65,7 +66,8 @@ object Pipelines {
   def runBcb(
       spark: SparkSession, clonesCsv: String, functionsCsv: String, srcDir: String,
       k: Int = 100, numSamples: Int = 500, dim: Int = 256,
-      normalized: Boolean = true, seed: String = "graft42:"): BenchmarkOutput = {
+      normalized: Boolean = true,
+      seed: String = Sampling.defaultSeed): BenchmarkOutput = {
     // Quarantined (malformed) CSV rows are excluded from the truth tables.
     val clones = CsvSource.readClones(spark, clonesCsv)
       .where(col("_corrupt_record").isNull)
@@ -134,6 +136,7 @@ object Main {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

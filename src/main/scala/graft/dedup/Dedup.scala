@@ -143,18 +143,16 @@ object Dedup {
         col("l.band") === col("r.band") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct() // a pair can collide in several bands
-    // Exact-Jaccard verify on candidates only. Shingles are recomputed for
-    // the (small) candidate id set rather than re-deriving them for every
-    // document a second and third time — the full corpus pays the shingle
-    // kernel exactly once (in the banding pass above).
-    val candIds = candidates.select(col("id_a").as("id"))
-      .union(candidates.select(col("id_b").as("id")))
-      .distinct()
-    val candSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .join(candIds, Seq("id"))
+    // Exact-Jaccard verify on candidates only. The two rejoins reference
+    // withSh, so the shingle kernel is re-evaluated over the corpus twice
+    // more (lineage recompute, map-only). That is deliberately preferred
+    // over deriving a candidate-id table first: any frame built FROM
+    // `candidates` re-derives the whole LSH candidate JOIN per reference —
+    // far costlier than extra map passes. (Pipelines running many near-dup
+    // queries should materialize withSh/bands once as a build artifact.)
     candidates
-      .join(candSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(candSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

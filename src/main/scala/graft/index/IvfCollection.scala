@@ -73,11 +73,12 @@ class IvfCollection(spark: SparkSession, root: String, val name: String) {
       .select(explode(graft.functions.nearest_centroids(col(queryVec), cents, nProbe))
         .as("cell"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    // The persisted ivf_cell column rides through: Ivf.assign sees it and
-    // skips recomputing every row's nearest centroid.
+    // The persisted ivf_cell column was assigned from exactly these
+    // centroids at build() time — safe to reuse, skipping the per-row
+    // nearest-centroid recompute.
     Ivf.knnJoinIvf(queries, queryId, queryVec,
       loadCells(probeCells), corpusId, corpusVec,
-      k, cents, nProbe, excludeSelf, roundScoreTo)
+      k, cents, nProbe, excludeSelf, roundScoreTo, reuseCellCol = true)
   }
 }
 

@@ -44,13 +44,13 @@ object Ivf {
     model.clusterCenters.map(_.toArray.map(_.toFloat))
   }
 
-  /** Corpus with its IVF cell id appended (map-side only). A corpus that
-    * already carries `cellCol` (e.g. loaded from an [[graft.index.IvfCollection]])
-    * is passed through unchanged — no re-assignment. */
+  /** Corpus with its IVF cell id appended (map-side only). Always computes
+    * from THESE centroids — a pre-existing `cellCol` (possibly from other
+    * centroids) is discarded, never trusted; cell reuse is an explicit
+    * caller decision via [[knnJoinIvf]]'s `reuseCellCol`. */
   def assign(corpus: DataFrame, vecCol: String,
       centroids: Array[Array[Float]], cellCol: String = "ivf_cell"): DataFrame =
-    if (corpus.columns.contains(cellCol)) corpus
-    else corpus.withColumn(cellCol,
+    corpus.drop(cellCol).withColumn(cellCol,
       element_at(nearest_centroids(col(vecCol), centroids, 1), 1))
 
   /**
@@ -65,8 +65,16 @@ object Ivf {
       centroids: Array[Array[Float]],
       nProbe: Int = 4,
       excludeSelf: Boolean = true,
-      roundScoreTo: Option[Int] = None): DataFrame = {
-    val assigned = assign(corpus, corpusVec, centroids)
+      roundScoreTo: Option[Int] = None,
+      reuseCellCol: Boolean = false): DataFrame = {
+    // reuseCellCol: the caller vouches that corpus.ivf_cell was assigned
+    // from EXACTLY these centroids (e.g. IvfCollection persists both
+    // together) — skipping the per-row recompute. Never inferred from
+    // column presence: a stale/foreign ivf_cell would silently mis-route
+    // probes.
+    val assigned =
+      if (reuseCellCol && corpus.columns.contains("ivf_cell")) corpus
+      else assign(corpus, corpusVec, centroids)
     val probes = queries.select(
         col(queryId).as("query_id"), col(queryVec).as("__qv"),
         explode(nearest_centroids(col(queryVec), centroids, nProbe)).as("ivf_cell"))

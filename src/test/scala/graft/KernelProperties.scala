@@ -52,16 +52,23 @@ object KernelProperties extends Properties("graft.kernels") {
   private val shinglesGen: Gen[Array[String]] =
     Gen.listOf(Gen.alphaNumStr.suchThat(_.nonEmpty)).map(_.distinct.toArray)
 
-  property("minhash estimate is within [0,1]; identical arrays estimate 1") =
+  property("minhash estimate is within [0,1]; identical arrays estimate exactly 1") =
     forAll(shinglesGen, shinglesGen) { (a, b) =>
       def sig(s: Array[String]) = MinHashOps.signature(
         new GenericArrayData(s.map(UTF8String.fromString): Array[AnyRef]), 64)
       val sa = sig(a)
       val sb = sig(b)
       val agree = (0 until 64).count(i => sa.getLong(i) == sb.getLong(i)) / 64.0
-      val self = (0 until 64).forall(i => sa.getLong(i) == sig(a).getLong(i))
-      agree >= 0.0 && agree <= 1.0 && self &&
-        (a.sameElements(b) || !a.sameElements(b))
+      // determinism AND the duplicate-detection core property: a doc
+      // compared against itself must agree on EVERY slot
+      val selfAgree = {
+        val s2 = sig(a)
+        (0 until 64).forall(i => sa.getLong(i) == s2.getLong(i))
+      }
+      // shuffled duplicates (same shingle SET) also estimate exactly 1
+      val permuted = sig(new scala.util.Random(42).shuffle(a.toList).toArray)
+      val dupAgree = (0 until 64).forall(i => sa.getLong(i) == permuted.getLong(i))
+      agree >= 0.0 && agree <= 1.0 && selfAgree && dupAgree
     }
 
   property("simhash of identical token arrays is identical (hamming 0)") =
