@@ -34,6 +34,12 @@ object SparkEntry {
   // orderBy+limit as TakeOrderedAndProject: no full sort shuffle, each
   // partition keeps its local top-500.
   private val knnSampleSize = 500
+
+  /** `ann_recall` SRP-LSH config — shared with AnnSpec, which pins both the
+    * recall floor and a candidate-set-size ceiling at exactly this config so
+    * it can't silently regress toward the broadcast-degenerate regime. */
+  private[graft] val annRecallBits = 8
+  private[graft] val annRecallTables = 64
   private def knnQueries(spark: SparkSession, dir: String): DataFrame =
     graft.bench.Sampling.seeded(Tables.embeddings(spark, dir), "vec_id", knnSampleSize)
 
@@ -59,19 +65,26 @@ object SparkEntry {
         col("score"), (col("label") === col("query_label")).as("is_relevant"))
   }
 
-  /** Documents table spread across the session's cores. The test fixture is
-    * one small parquet file → one input split → CPU-heavy per-row kernels
-    * (shingling, minhash, simhash) would run single-threaded. At real scale
-    * the scan itself yields thousands of splits and this round-robin is a
-    * cheap rebalance of an already-parallel skinny scan. */
-  private def docsParallel(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism)
+  /** Round-robin rebalance ONLY when the scan yields fewer splits than the
+    * session has cores: the one-file test fixture reads as a single
+    * partition, which would run CPU-heavy per-row kernels (shingling,
+    * minhash, cosine scoring) single-threaded. A real-scale scan already
+    * has thousands of splits and must NOT pay an extra full-corpus
+    * exchange — this guard keeps the 100 TB plan shuffle-free (asserted in
+    * PlanSpec: no RoundRobinPartitioning when splits ≥ parallelism). */
+  private[graft] def rebalanced(df: DataFrame, s: SparkSession): DataFrame = {
+    val p = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 
-  /** Same single-split fix for the embeddings corpus: cosine scoring of
-    * |Q|·|C| pairs parallelizes per CORPUS partition (queries are
-    * broadcast), so a one-file corpus would score on one core. */
+  private def docsParallel(s: SparkSession, dir: String): DataFrame =
+    rebalanced(Tables.documents(s, dir), s)
+
+  /** Embeddings corpus: cosine scoring of |Q|·|C| pairs parallelizes per
+    * CORPUS partition (queries are broadcast), so a one-file corpus would
+    * score on one core without the rebalance guard. */
   private def embParallel(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir).repartition(s.sparkContext.defaultParallelism)
+    rebalanced(Tables.embeddings(s, dir), s)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------------------------
@@ -282,6 +295,14 @@ object SparkEntry {
     // ANN quality gate: recall@10 of the SRP-LSH join vs the exact kNN
     // join, as a single scalar row. LSH signatures are xxhash-seeded →
     // no SQL twin (rows-only driver check); AnnSpec pins a lower bound.
+    // Config note: the fixture embeddings are near-isotropic (top-10
+    // neighbor cosines ≈ 0.22–0.47), so signature selectivity is bought
+    // with recall. bits=8/tables=64 measures recall ≈ 0.73 with a
+    // candidate set ≈ 25% of the corpus per query — vs the earlier
+    // bits=4/tables=8 whose 16 buckets/table collapsed toward broadcasting
+    // |Q|·|C|. On production corpora (clustered, high neighbor cosine)
+    // bits should rise toward the API default 12+; AnnSpec pins both the
+    // recall floor and a candidate-set ceiling at this config.
     // ------------------------------------------------------------------
     "ann_recall" -> ((s, dir) => {
       val emb = embParallel(s, dir)
@@ -290,7 +311,7 @@ object SparkEntry {
           emb, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
         .select(col("query_id"), col("vec_id").as("result_id"))
       val approx = Ann.knnJoinLsh(q, "vec_id", "embedding",
-          emb, "vec_id", "embedding", k = 10, bits = 4, tables = 8)
+          emb, "vec_id", "embedding", k = 10, bits = annRecallBits, tables = annRecallTables)
         .select(col("query_id"), col("vec_id").as("result_id"), lit(1).as("__found"))
       exact.join(approx, Seq("query_id", "result_id"), "left")
         .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
@@ -592,8 +613,10 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
     "events_props" ->
+      // DuckDB's SUM(INT) widens to HUGEINT (int128); Spark's sum(int) is
+      // BIGINT — cast the oracle sum so the hashed output types agree.
       """SELECT event_type, count(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
         |  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -84,17 +84,22 @@ object Pipelines {
     val model = new TfIdfEmbedder(dim = dim, normalized = normalized)
       .fit(corpus, "code_contents")
     val vecs = model.transform(corpus, "code_contents", "vec")
-      .select(col("func_id"), col("clones"), col("vec"))
+      .select(col("code_uuid"), col("func_id"), col("clones"), col("vec"))
     val queries = sample(vecs, "func_id", numSamples, seed)
     val res = Knn.knnJoin(queries, "func_id", "vec", vecs, "func_id", "vec",
         k = k, roundScoreTo = Some(6))
       .withColumn("is_clone",
         coalesce(array_contains(col("query_clones"), col("func_id")), lit(false)))
-    // bcb_utils.py:191-215 output shapes
+    // bcb_utils.py:191-199 column set: query/result identity is the uuid5
+    // POINT id (code_uuid), with the raw func_id carried alongside. The
+    // search itself keys on func_id (integral → bounded-heap agg path);
+    // uuids are 1:1 with func ids so the rename is pure projection.
     val detailed = res.select(
-      col("query_id"), col("func_id").as("result_func_id"),
+      col("query_code_uuid").as("query_id"),
+      col("code_uuid").as("result_id"),
+      col("func_id").as("result_func_id"),
       col("score").as("similarity_score"), col("is_clone"))
-    val queryStats = res.groupBy(col("query_id"))
+    val queryStats = res.groupBy(col("query_code_uuid").as("query_id"))
       .agg(
         coalesce(avg(when(col("is_clone"), col("score"))), lit(0.0)).as("avg_clone_score"),
         coalesce(avg(when(!col("is_clone"), col("score"))), lit(0.0)).as("avg_non_clone_score"),

@@ -1,8 +1,8 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Document deduplication for large-scale corpus curation: exact, n-gram
@@ -50,14 +50,18 @@ object Dedup {
         sort_array(collect_list(col(idCol))).as("ids"),
         count(lit(1)).as("group_size"))
 
-  /** Exact dedup: keep one row (lowest id) per distinct text. Implemented as
-    * a rank window over the digest — the text itself never shuffles. */
+  /** Exact dedup: keep one row (lowest id) per distinct text. Implemented
+    * as a `min_by(row, id)` hash aggregate over the digest: the partial
+    * (map-side) aggregate already collapses duplicates within each input
+    * partition, so the single exchange carries at most one full row per
+    * distinct digest per map partition — a rank window would shuffle every
+    * input row. Requires unique ids (the corpus contract). */
   def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(col("__text_hash")).orderBy(col(idCol))
-    df.withColumn("__text_hash", md5(col(textCol)))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__text_hash", "__rn")
+    val all = struct(df.columns.map(col): _*)
+    df.select(md5(col(textCol)).as("__text_hash"), all.as("__row"), col(idCol).as("__id"))
+      .groupBy(col("__text_hash"))
+      .agg(min_by(col("__row"), col("__id")).as("__row"))
+      .select(col("__row.*"))
   }
 
   /** Jaccard similarity of two (distinct-element) arrays. */
@@ -108,13 +112,15 @@ object Dedup {
    * Near-duplicate pairs via MinHash+LSH, verified with exact shingle
    * Jaccard on the candidate set only.
    *
-   * The (id, band) table is referenced by the sizing pass and both join
-   * sides, so Spark recomputes the map-side signature kernel per
-   * reference — deliberate: within one query the kernel is CPU-cheap next
-   * to I/O, and lineage-based recompute keeps fault tolerance intact. A
-   * pipeline that runs MANY near-dup queries over one corpus should
-   * materialize the band table once (a parquet build artifact, like a
-   * collection index) and join against that.
+   * The shingle frame is referenced by both verify rejoins and the band
+   * frame by the sizing pass and both candidate-join sides; without
+   * caching, lineage recompute would run the shingle/MinHash kernels ~5×
+   * over the corpus. Both frames are persisted (MEMORY_AND_DISK) for the
+   * lifetime of this call, the pair result — candidate-bounded, tiny next
+   * to the corpus — is materialized eagerly, and the caches are released
+   * before returning. The returned frame is therefore computed (backed by
+   * local blocks), not a lazy plan; callers compose over a result set, not
+   * a re-derivable relation.
    *
    * @return (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold
    */
@@ -125,37 +131,40 @@ object Dedup {
       maxBucketSize: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
     val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Band-bucket join carries only (id, bandKey) — the shingle arrays do
     // NOT ride through the exploded shuffle; they're joined back onto the
     // (much smaller) distinct candidate set afterwards.
     val sigBands = withSh.select(col("id"),
-      explode(bandKeys(col("sh"), numHashes, bands)).as("band"))
-    // Skew guard: a band shared by B docs emits B² candidate pairs — at
-    // corpus scale a boilerplate band (empty docs, license headers) would
-    // quadratically explode the join. Buckets above maxBucketSize are
-    // dropped (documented recall tradeoff: members can still pair via
-    // their other bands). The sizing pass shuffles only (band, count).
-    val oversized = sigBands.groupBy(col("band")).count()
-      .filter(col("count") > maxBucketSize).select(col("band"))
-    val capped = sigBands.join(broadcast(oversized), Seq("band"), "left_anti")
-    val candidates = capped.as("l")
-      .join(capped.as("r"),
-        col("l.band") === col("r.band") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct() // a pair can collide in several bands
-    // Exact-Jaccard verify on candidates only. The two rejoins reference
-    // withSh, so the shingle kernel is re-evaluated over the corpus twice
-    // more (lineage recompute, map-only). That is deliberately preferred
-    // over deriving a candidate-id table first: any frame built FROM
-    // `candidates` re-derives the whole LSH candidate JOIN per reference —
-    // far costlier than extra map passes. (Pipelines running many near-dup
-    // queries should materialize withSh/bands once as a build artifact.)
-    candidates
-      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+        explode(bandKeys(col("sh"), numHashes, bands)).as("band"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Skew guard: a band shared by B docs emits B² candidate pairs — at
+      // corpus scale a boilerplate band (empty docs, license headers) would
+      // quadratically explode the join. Buckets above maxBucketSize are
+      // dropped (documented recall tradeoff: members can still pair via
+      // their other bands). The sizing pass shuffles only (band, count).
+      val oversized = sigBands.groupBy(col("band")).count()
+        .filter(col("count") > maxBucketSize).select(col("band"))
+      val capped = sigBands.join(broadcast(oversized), Seq("band"), "left_anti")
+      val candidates = capped.as("l")
+        .join(capped.as("r"),
+          col("l.band") === col("r.band") && col("l.id") < col("r.id"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        .distinct() // a pair can collide in several bands
+      // Exact-Jaccard verify on candidates only: shingles come from the
+      // cached frame, keyed rejoin once per side.
+      candidates
+        .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .localCheckpoint(true)
+    } finally {
+      sigBands.unpersist(false)
+      withSh.unpersist(false)
+    }
   }
 
   /** MinHash Jaccard ESTIMATE (signature agreement rate) — used when even
@@ -181,20 +190,29 @@ object Dedup {
     val quarters = array((0 until 4).map(q =>
       struct(lit(q).as("q"),
         shiftright(col("fp"), q * 16).bitwiseAND(0xffffL).as("qh"))): _*)
+    // The banded frame feeds the sizing pass and both join sides — persist
+    // it so the tokenize+fingerprint kernel runs once over the corpus (same
+    // scoped persist + eager-result shape as minHashNearDups).
     val banded0 = fp.select(col("id"), col("fp"), explode(quarters).as("band"))
-    // Same skew guard as minHashNearDups: common quarter values (e.g. the
-    // all-zero quarter of short docs) would join quadratically.
-    val oversized = banded0.groupBy(col("band")).count()
-      .filter(col("count") > maxBucketSize).select(col("band"))
-    val banded = banded0.join(broadcast(oversized), Seq("band"), "left_anti")
-    banded.as("l")
-      .join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.fp").as("fp_a"), col("r.fp").as("fp_b"))
-      .distinct()
-      .withColumn("hamming", hamming_dist(col("fp_a"), col("fp_b")))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Same skew guard as minHashNearDups: common quarter values (e.g. the
+      // all-zero quarter of short docs) would join quadratically.
+      val oversized = banded0.groupBy(col("band")).count()
+        .filter(col("count") > maxBucketSize).select(col("band"))
+      val banded = banded0.join(broadcast(oversized), Seq("band"), "left_anti")
+      banded.as("l")
+        .join(banded.as("r"),
+          col("l.band") === col("r.band") && col("l.id") < col("r.id"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+          col("l.fp").as("fp_a"), col("r.fp").as("fp_b"))
+        .distinct()
+        .withColumn("hamming", hamming_dist(col("fp_a"), col("fp_b")))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .localCheckpoint(true)
+    } finally {
+      banded0.unpersist(false)
+    }
   }
 }

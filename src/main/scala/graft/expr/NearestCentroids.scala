@@ -92,4 +92,20 @@ case class NearestCentroids(
       c => s"graft.expr.NearestCentroidOps.nearest($c, $centRef, $nProbe)")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+
+  // Case-class equality over Array[Array[Float]] is reference equality, so
+  // two structurally identical probe expressions would never compare equal
+  // or canonicalize — defeating subexpression elimination and plan caching.
+  // Compare centroid CONTENT instead.
+  override def equals(other: Any): Boolean = other match {
+    case that: NearestCentroids =>
+      nProbe == that.nProbe && child == that.child &&
+        java.util.Arrays.deepEquals(
+          centroids.asInstanceOf[Array[AnyRef]],
+          that.centroids.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(nProbe),
+      Integer.valueOf(java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])))
 }

@@ -60,8 +60,10 @@ final class TopKBuffer(val k: Int) {
  * partition no matter how large the corpus is — the difference between a
  * dead plan and a constant-size shuffle at 100 TB.
  *
- * Input: (payload: any struct, score: double, id: long). Null scores/ids
- * are ignored (a null score can never be in a top-k by similarity).
+ * Input: (payload: any struct, score: double, id: long). Rows with a null
+ * score, id, or payload are ignored (a null score can never be in a top-k
+ * by similarity; a null payload has no legal slot in the containsNull=false
+ * output array and would NPE mid-shuffle in serialize/deserialize).
  * Output: array<payloadType> ordered best-first (score desc, id asc) —
  * posexplode to recover ranks.
  */
@@ -108,7 +110,7 @@ case class TopKRows(
       }
       if (heapOk) {
         val p = payload.eval(input).asInstanceOf[InternalRow]
-        buffer.insert(sv, idv, if (p == null) null else p.copy())
+        if (p != null) buffer.insert(sv, idv, p.copy())
       }
     }
     buffer

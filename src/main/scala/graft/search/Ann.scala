@@ -54,11 +54,21 @@ object Ann {
       k: Int,
       bits: Int = 12, tables: Int = 8, seed: Long = 42L,
       excludeSelf: Boolean = true,
-      roundScoreTo: Option[Int] = None): DataFrame = {
+      roundScoreTo: Option[Int] = None,
+      maxBucketSize: Int = 10000): DataFrame = {
     val qb = bucketedIds(queries, queryId, queryVec, bits, tables, seed)
       .select(col(queryId).as("query_id"), col("bucket"))
-    val cb = bucketedIds(corpus, corpusId, corpusVec, bits, tables, seed)
+    val cb0 = bucketedIds(corpus, corpusId, corpusVec, bits, tables, seed)
       .select(col(corpusId).as("__cand_id"), col("bucket"))
+    // Skew guard (same shape as Dedup.minHashNearDups): a degenerate bucket
+    // — many identical or all-zero vectors sharing a signature — would
+    // multiply candidates past the broadcast budget. Corpus rows in buckets
+    // above maxBucketSize lose candidacy via those buckets only (they can
+    // still collide with a query in their other tables). The sizing pass
+    // shuffles (bucket, count) rows only.
+    val oversized = cb0.groupBy(col("bucket")).count()
+      .filter(col("count") > maxBucketSize).select(col("bucket"))
+    val cb = cb0.join(broadcast(oversized), Seq("bucket"), "left_anti")
     // Ids-only candidate generation: the (bucket) join and the distinct
     // (multi-table collision collapse) move 16-byte rows.
     val cand = qb.join(cb, Seq("bucket"))

@@ -75,14 +75,18 @@ object Knn {
     val scored =
       if (excludeSelf) scored0.filter(col("query_id") =!= col(corpusId))
       else scored0
-    // The bounded-heap tie-break id must be numeric; non-numeric corpus
-    // ids (uuid strings) silently fall back to the window path rather
-    // than null-casting every row out of the heap.
-    val idIsNumeric = corpus.schema(corpusId).dataType match {
-      case _: org.apache.spark.sql.types.NumericType => true
+    // The bounded-heap tie-break id is cast to long, so only integral id
+    // types take the agg path: non-numeric ids (uuid strings) would
+    // null-cast every row out of the heap, and fractional ids
+    // (double/decimal) would truncate — two distinct ids could collide and
+    // make tie order diverge from the window path. Both fall back to the
+    // window instead.
+    val idIsIntegral = corpus.schema(corpusId).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
       case _ => false
     }
-    if (useTopKAgg && idIsNumeric) {
+    if (useTopKAgg && idIsIntegral) {
       // Bounded-heap partial aggregation: ≤ k rows per query survive each
       // map partition; the shuffle is |Q|·k-bounded regardless of |C|.
       // The corpus VECTOR is scoring input, not payload — excluding it

@@ -103,7 +103,14 @@ object Streaming {
     * types. The fixture carries nanosecond parquet timestamps, which
     * Spark 4 only reads via the nanosAsLong legacy conf — read the raw
     * nanos and truncate to microsecond timestamps (Spark's native
-    * precision). */
+    * precision).
+    *
+    * NOTE: sets `spark.sql.legacy.parquet.nanosAsLong` SESSION-WIDE, and
+    * deliberately does not restore it: the conf is consulted when the lazy
+    * scan plans/executes, so a set/restore scoped to this call would break
+    * the returned frame. Side effect on the session: every later
+    * int64-nanos parquet read is also typed LONG (which is the only way
+    * Spark 4 can read such files at all). */
   def eventsBatch(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.Tables.events(spark, dir)
@@ -112,8 +119,8 @@ object Streaming {
 
   /** A file-source stream over a DIRECTORY of event parquet files (file
     * streams watch directories; new files become micro-batches). Schema is
-    * pinned from the existing files; same nanosecond handling as
-    * [[eventsBatch]]. */
+    * pinned from the existing files; same nanosecond handling — and the
+    * same session-wide nanosAsLong side effect — as [[eventsBatch]]. */
   def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema

@@ -36,4 +36,26 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2 ||
       "ObjectHashAggregate".r.findAllIn(p).size >= 2)
   }
+
+  test("dedup_keep_one: min_by partial aggregate, no rank window") {
+    val p = plan("dedup_keep_one")
+    assert(!p.contains("Window"), s"keeper derivation must not use a window:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2 ||
+      "SortAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final min_by aggregate in:\n$p")
+  }
+
+  test("rebalanced: extra exchange ONLY when the scan has fewer splits than cores") {
+    val par = spark.sparkContext.defaultParallelism
+    // already-wide input: must come back untouched (the 100 TB path)
+    val wide = spark.range(0, 1000).repartition(par + 4).toDF("id")
+    assert(SparkEntry.rebalanced(wide, spark) eq wide,
+      "rebalanced must be identity when splits >= parallelism")
+    // one-file fixture: single split -> round-robin up to the core count
+    val narrow = Tables.documents(spark, TestSpark.sf0001)
+    assume(narrow.rdd.getNumPartitions < par)
+    val out = SparkEntry.rebalanced(narrow, spark)
+    assert(out.rdd.getNumPartitions == par)
+    assert(out.queryExecution.executedPlan.toString.contains("RoundRobinPartitioning"))
+  }
 }

@@ -51,9 +51,16 @@ class PipelinesSpec extends SparkSpec {
     val out = Pipelines.runBcb(spark,
       root.resolve("clones.csv").toString, root.resolve("functions.csv").toString,
       root.resolve("src").toString, k = 2, numSamples = 4, dim = 256)
+    // bcb_utils.py:191-199 exact column set, uuid point ids included
     assert(out.detailed.columns.toSeq ==
-      Seq("query_id", "result_func_id", "similarity_score", "is_clone"))
+      Seq("query_id", "result_id", "result_func_id", "similarity_score", "is_clone"))
     assert(out.detailed.count() == 8) // 4 queries x k=2
+    // result_id is the uuid5 point identity of result_func_id
+    import org.apache.spark.sql.functions.col
+    val mismatched = out.detailed.filter(
+      col("result_id") =!= graft.functions.uuid5(col("result_func_id").cast("string")) ||
+      !col("query_id").rlike("^[0-9a-f]{8}-")).count()
+    assert(mismatched == 0)
     assert(out.queryStats.count() == 4)
     assert(out.metrics.columns.contains("map_at_k"))
     assert(out.metrics.head().getAs[Double]("success_rate") >= 0.0)
