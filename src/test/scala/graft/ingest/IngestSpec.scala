@@ -80,23 +80,50 @@ class CorpusSpec extends SparkSpec {
 
 class DirSourceSpec extends SparkSpec {
 
-  test("recursive *.txt scan with lossy decode (poj_utils.py:15-28,64-70)") {
+  test("recursive *.txt scan with charset-detected decode (poj_utils.py:15-28,64-70)") {
     val dir = Files.createTempDirectory("graft_dirsource")
     Files.createDirectories(Paths.get(s"$dir/17"))
     Files.createDirectories(Paths.get(s"$dir/42"))
     Files.write(Paths.get(s"$dir/17/a.txt"), "hello".getBytes("UTF-8"))
-    // invalid UTF-8 byte in the middle — must be dropped, not replaced
+    // 0xFF is invalid UTF-8 -> detection falls back to windows-1252, where
+    // 0xFF = 'ÿ' (the chardet+decode path would keep it too — a UTF-8-lossy
+    // pass would have dropped the byte)
     Files.write(Paths.get(s"$dir/42/b.txt"), Array[Byte]('h', 'i', 0xFF.toByte, '!'))
     Files.write(Paths.get(s"$dir/42/skip.csv"), "nope".getBytes("UTF-8"))
 
     val got = DirSource.files(spark, dir.toString)
-      .select("path", "text").collect()
-      .map(r => (r.getString(0).split("/").takeRight(2).mkString("/"), r.getString(1)))
+      .select("path", "charset", "text").collect()
+      .map(r => (r.getString(0).split("/").takeRight(2).mkString("/"),
+        (r.getString(1), r.getString(2))))
       .toMap
-    assert(got === Map("17/a.txt" -> "hello", "42/b.txt" -> "hi!"))
+    assert(got === Map(
+      "17/a.txt" -> ("utf-8", "hello"),
+      "42/b.txt" -> ("Windows-1252", "hiÿ!")))
     // a LITERAL U+FFFD in valid input must survive (python errors="ignore"
     // only drops undecodable bytes, not decodable replacement chars)
     assert(DirSource.decodeLossy("a�b".getBytes("UTF-8")) == "a�b")
     assert(DirSource.decodeLossy(Array[Byte]('x', 0xC3.toByte)) == "x") // truncated seq dropped
+  }
+
+  test("detectAndDecode: BOM sniff, UTF-16 round trips, windows-1252 holes drop") {
+    // UTF-8 BOM stripped, charset labeled UTF-8-SIG (python utf-8-sig)
+    val bomUtf8 = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ "héllo".getBytes("UTF-8")
+    assert(DirSource.detectAndDecode(bomUtf8) == ("UTF-8-SIG", "héllo"))
+    // UTF-16 LE/BE with BOM decode and strip the BOM (python utf-16)
+    val le = Array[Byte](0xFF.toByte, 0xFE.toByte) ++ "hi é".getBytes("UTF-16LE")
+    val be = Array[Byte](0xFE.toByte, 0xFF.toByte) ++ "hi é".getBytes("UTF-16BE")
+    assert(DirSource.detectAndDecode(le) == ("UTF-16", "hi é"))
+    assert(DirSource.detectAndDecode(be) == ("UTF-16", "hi é"))
+    // plain ASCII/UTF-8 detects as utf-8
+    assert(DirSource.detectAndDecode("plain".getBytes("UTF-8")) == ("utf-8", "plain"))
+    val utf8Acc = "naïve café".getBytes("UTF-8")
+    assert(DirSource.detectAndDecode(utf8Acc) == ("utf-8", "naïve café"))
+    // latin-1/windows-1252 bytes keep their accents instead of being dropped
+    val latin = "café".getBytes("windows-1252")
+    assert(DirSource.detectAndDecode(latin) == ("Windows-1252", "café"))
+    // the five undefined windows-1252 bytes vanish (errors="ignore")
+    val holes = Array[Byte]('a', 0x81.toByte, 'b', 0x8D.toByte, 'c')
+    assert(DirSource.detectAndDecode(holes) == ("Windows-1252", "abc"))
+    assert(DirSource.detectAndDecode(null) == ((null, null)))
   }
 }
