@@ -281,6 +281,39 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Near-dup pairs → transitive dedup CLUSTERS: min-label propagation
+    // with pointer jumping over the LSH pair output (the keeper-selection
+    // step of a corpus dedup pipeline). Oracle: recursive-CTE transitive
+    // closure over the same exact-Jaccard pair set (LSH recall is 1 on
+    // this corpus — see dedup_minhash).
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
+        n = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id",
+          pairs, "id_a", "id_b")
+        .orderBy(col("id"))
+    }),
+
+    // T2 extension: per-class balanced sample — constant quota per lang
+    // under the same salted-md5 order as the global seeded sample.
+    "stratified_sample" -> ((s, dir) => {
+      graft.bench.Sampling.stratified(Tables.documents(s, dir), "doc_id", "lang", 20)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Pattern surface for filtering/PII-screening: URL and email counts,
+    // digit ratio — cheap codegen'd regex passes with exact SQL twins.
+    "doc_patterns" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.urlCount(col("text")).as("n_urls"),
+        TextAnalysis.emailCount(col("text")).as("n_emails"),
+        r6(TextAnalysis.digitRatio(col("text"))).as("digit_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------------------------------------------------------------
     // Embedding-cosine near-duplicate pairs (exact all-pairs oracle path;
     // Ann.nearDupPairsLsh is the scale path, certified by ann_recall).
@@ -335,16 +368,24 @@ object SparkEntry {
 
     // Full reference lifecycle on documents: fit → embed corpus → embed the
     // (seeded-sample) queries with the SAME model → exact top-5 cosine.
+    // The embedded corpus feeds the query sample, the broadcast side, and
+    // the streamed corpus side — persisted for the query's lifetime so the
+    // TF-IDF transform runs once (same scoped-persist shape as the dedup
+    // operators), with the small top-k result materialized eagerly.
     "embed_knn" -> ((s, dir) => {
       val docs = docsParallel(s, dir)
       val model = new graft.embed.TfIdfEmbedder(dim = 256).fit(docs, "text")
       val vecs = model.transform(docs, "text", "vec").select(col("doc_id"), col("vec"))
-      val queries = graft.bench.Sampling.seeded(vecs, "doc_id", 100)
-      Knn.knnJoin(queries, "doc_id", "vec", vecs, "doc_id", "vec",
-          k = 5, roundScoreTo = Some(6))
-        .select(col("query_id"), col("doc_id").as("result_id"),
-          col("rank"), col("score"))
-        .orderBy(col("query_id"), col("rank"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val queries = graft.bench.Sampling.seeded(vecs, "doc_id", 100)
+        Knn.knnJoin(queries, "doc_id", "vec", vecs, "doc_id", "vec",
+            k = 5, roundScoreTo = Some(6))
+          .select(col("query_id"), col("doc_id").as("result_id"),
+            col("rank"), col("score"))
+          .orderBy(col("query_id"), col("rank"))
+          .localCheckpoint(true)
+      } finally vecs.unpersist(false)
     }),
 
     // IVF quality gate: recall@10 of the inverted-file probe join vs exact
@@ -598,6 +639,22 @@ object SparkEntry {
 
     "dedup_minhash" -> jaccardPairsOracle,
 
+    "dedup_clusters" -> dedupClustersOracle,
+
+    "stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY md5('graft42:' || CAST(doc_id AS VARCHAR)), doc_id) <= 20
+        |ORDER BY doc_id""".stripMargin,
+
+    "doc_patterns" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  FLOOR((CASE WHEN len(text) = 0 THEN 0.0
+        |    ELSE CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / len(text) END) * 1000000.0 + 0.5) / 1000000.0 AS digit_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "near_dup_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
@@ -686,11 +743,10 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 
-  /** Exact all-pairs 3-gram Jaccard ≥ 0.8 — oracle for both the brute-force
-    * and the MinHash+LSH near-dup queries (LSH recall is 1 on this corpus,
-    * see the `queries` comment). */
-  private val jaccardPairsOracle: String =
-    """WITH toks AS (
+  /** Shared CTE list: distinct 3-gram shingles per doc → all-pairs exact
+    * Jaccard (`pairs` with raw similarity `j`). */
+  private val jaccardShinglesCte: String =
+    """toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS t
       |  FROM documents
       |), sh AS (
@@ -701,9 +757,30 @@ object SparkEntry {
       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS j
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |  WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
-      |)
-      |SELECT id_a, id_b, FLOOR(j * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+      |)""".stripMargin
+
+  /** Exact all-pairs 3-gram Jaccard ≥ 0.8 — oracle for both the brute-force
+    * and the MinHash+LSH near-dup queries (LSH recall is 1 on this corpus,
+    * see the `queries` comment). */
+  private val jaccardPairsOracle: String =
+    "WITH " + jaccardShinglesCte + "\n" +
+    """SELECT id_a, id_b, FLOOR(j * 1000000.0 + 0.5) / 1000000.0 AS jaccard
       |FROM pairs WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin
+
+  /** Transitive closure of the ≥0.8 near-dup pairs: every doc labeled with
+    * the min doc_id reachable through the pair graph (singletons label
+    * themselves) — the oracle for [[graft.dedup.Dedup.connectedComponents]]. */
+  private val dedupClustersOracle: String =
+    "WITH RECURSIVE " + jaccardShinglesCte + ",\n" +
+    """dup AS (SELECT id_a, id_b FROM pairs WHERE j >= 0.8),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM dup
+      |          UNION ALL SELECT id_b AS a, id_a AS b FROM dup),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+      |)
+      |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
 
   /** Shared DuckDB CTE: deterministic query subset → exact cosine top-k with
     * self-exclusion, POJ-style relevance, and the running relevant count (W2). */

@@ -22,4 +22,20 @@ object Sampling {
       seed: String = defaultSeed): DataFrame =
     df.orderBy(md5(concat(lit(seed), col(idCol).cast("string"))), col(idCol))
       .limit(n)
+
+  /** Stratified deterministic sample: the first `nPerStratum` rows of each
+    * stratum under the SAME salted-md5 order as [[seeded]] — a constant
+    * per-class quota for balanced eval/training subsets (class-skewed
+    * corpora would otherwise drown rare strata). One rank window
+    * partitioned by the stratum: a single shuffle keyed on the stratum
+    * column; rows past the quota are discarded right after ranking. Strata
+    * with fewer than `nPerStratum` rows keep everything. */
+  def stratified(df: DataFrame, idCol: String, strataCol: String, nPerStratum: Int,
+      seed: String = defaultSeed): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
+      .orderBy(md5(concat(lit(seed), col(idCol).cast("string"))), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nPerStratum)
+      .drop("__rn")
+  }
 }

@@ -167,6 +167,65 @@ object Dedup {
     }
   }
 
+  /**
+   * Connected components over a near-duplicate pair table: every vertex is
+   * assigned the smallest id reachable through the pairs — turning pairwise
+   * near-dup output into dedup CLUSTERS (the keeper-selection step of a
+   * corpus dedup pipeline: keep rows where `component == id`, or pick one
+   * representative per component by any policy).
+   *
+   * Algorithm: min-label propagation with pointer jumping. Each round every
+   * vertex takes the min label among itself and its neighbors, then labels
+   * are re-pointed through their own label (`comp ← comp(comp)`), which
+   * halves chain lengths — convergence in O(log diameter) rounds instead of
+   * O(diameter). All frames in the loop are skinny (id, comp) pairs; the
+   * document payload never enters. Per-round results are eagerly
+   * localCheckpoint'ed: iterative lineage otherwise grows exponentially and
+   * re-executes the whole history each round.
+   *
+   * Contract: `vertices` must cover every id appearing in `edges`
+   * (endpoints outside it would be materialized into the result).
+   *
+   * @return (id, component) — eager, like [[minHashNearDups]]
+   */
+  def connectedComponents(
+      vertices: DataFrame, idCol: String,
+      edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("comp"))
+      .localCheckpoint(true)
+    try {
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        // gather: min label among self + neighbors
+        val msgs = sym.join(
+            labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
+          .select(col("src").as("id"), col("comp"))
+        val gathered = labels.union(msgs).groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        // pointer jump: comp <- comp(comp). Every label IS a vertex id, so
+        // the lookup always hits; left+coalesce guards the contract anyway.
+        val parents = gathered.select(col("id").as("__pid"), col("comp").as("__pcomp"))
+        val next = gathered.join(parents, gathered("comp") === col("__pid"), "left")
+          .select(gathered("id"), coalesce(col("__pcomp"), gathered("comp")).as("comp"))
+          .localCheckpoint(true)
+        converged = next.join(labels.withColumnRenamed("comp", "__prev"), Seq("id"))
+          .filter(col("comp") =!= col("__prev")).isEmpty
+        labels = next
+        iter += 1
+      }
+      require(converged, s"connectedComponents did not converge in $maxIter rounds " +
+        "(pointer jumping needs ~log2(diameter) rounds; raise maxIter)")
+      labels.select(col("id"), col("comp").as("component"))
+    } finally {
+      sym.unpersist(false)
+    }
+  }
+
   /** MinHash Jaccard ESTIMATE (signature agreement rate) — used when even
     * candidate-verify must avoid touching shingles. */
   def minHashEstimate(sigA: Column, sigB: Column): Column =

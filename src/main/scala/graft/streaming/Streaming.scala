@@ -64,6 +64,28 @@ object Streaming {
       }
       .start()
 
+  /**
+   * Streaming exact-dedup: drop rows whose key was already seen, keeping
+   * state only within the watermark horizon — the streaming twin of
+   * [[graft.dedup.Dedup.dropExactDuplicates]]. Unbounded dedup state is the
+   * classic streaming-pipeline OOM (at corpus-ingest rates the seen-keys
+   * set grows forever); `dropDuplicatesWithinWatermark` expires keys once
+   * the watermark passes them, so state is O(keys per horizon) and a
+   * duplicate arriving outside the horizon is a documented re-admit.
+   * Batch frames take the exact, horizon-free `dropDuplicates`.
+   *
+   * Key on a content digest (e.g. `md5(text)`) computed upstream to dedup
+   * by content rather than by id without carrying document text in state.
+   */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      lateness: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, lateness).dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
+
   final case class SessionUpdate(userId: Long, nEvents: Long, totalValue: Double, closed: Boolean)
 
   /**

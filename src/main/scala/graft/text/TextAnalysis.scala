@@ -87,4 +87,24 @@ object TextAnalysis {
     * whitespace-normalized lower-cased text — stable under reflow. */
   def fingerprint(text: Column): Column =
     substring(md5(regexp_replace(lower(text), "\\s+", " ")), 1, 16)
+
+  // --- pattern surface for filtering/PII-screening pipelines ------------
+  // Deliberately simple regexes that mean the same thing in Java regex and
+  // RE2 (DuckDB) so the oracles stay cross-engine exact.
+
+  /** `http://` / `https://` URL occurrences. */
+  def urlCount(text: Column): Column =
+    regexp_count(text, lit("https?://[^\\s]+"))
+
+  /** Email-address occurrences (pragmatic pattern, not RFC 5322). */
+  def emailCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
+
+  /** Decimal digits / total chars; 0 for empty docs. Numeric-table dumps
+    * and log spew score high — a standard quality-filter input. */
+  def digitRatio(text: Column): Column = {
+    val digits = regexp_count(text, lit("[0-9]"))
+    val total = length(text)
+    when(total === 0, 0.0).otherwise(digits.cast("double") / total)
+  }
 }

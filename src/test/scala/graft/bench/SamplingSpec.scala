@@ -1,0 +1,39 @@
+package graft.bench
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = (1L to 100L).map(i => (i, if (i <= 90) "big" else "small"))
+    .toDF("id", "stratum")
+
+  test("seeded sample is deterministic and order-stable") {
+    val a = Sampling.seeded(df, "id", 10).select("id").as[Long].collect()
+    val b = Sampling.seeded(df, "id", 10).select("id").as[Long].collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 10 && a.distinct.length == 10)
+  }
+
+  test("stratified: constant quota per stratum, small strata keep everything") {
+    val got = Sampling.stratified(df, "id", "stratum", 8)
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("big" -> 8L, "small" -> 8L))
+    val tiny = Sampling.stratified(df, "id", "stratum", 50)
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tiny == Map("big" -> 50L, "small" -> 10L)) // only 10 small rows exist
+  }
+
+  test("stratified picks the same rows as seeded within a single stratum") {
+    val one = df.filter($"stratum" === "big")
+    val viaStrat = Sampling.stratified(one, "id", "stratum", 7)
+      .select("id").as[Long].collect().sorted.toSeq
+    val viaSeed = Sampling.seeded(one, "id", 7)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(viaStrat == viaSeed) // same salted-md5 order on both paths
+  }
+}

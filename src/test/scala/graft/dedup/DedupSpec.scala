@@ -97,6 +97,32 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 0)))
   }
 
+  test("connectedComponents: chains collapse transitively, singletons self-label") {
+    import spark.implicits._
+    // path graph 1-2-3-4-5-6-7-8 (diameter 7 forces >1 pointer-jump round),
+    // a separate pair (20,21), and singletons 30, 31
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L, 6L -> 7L,
+      7L -> 8L, 21L -> 20L).toDF("id_a", "id_b")
+    val vertices = ((1L to 8L) ++ Seq(20L, 21L, 30L, 31L)).toDF("doc_id")
+    val got = Dedup.connectedComponents(vertices, "doc_id", edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 8L).foreach(i => assert(got(i) == 1L, s"vertex $i"))
+    assert(got(20L) == 20L && got(21L) == 20L)
+    assert(got(30L) == 30L && got(31L) == 31L)
+    assert(got.size == 12)
+  }
+
+  test("connectedComponents converges within the pointer-jump bound on a long chain") {
+    import spark.implicits._
+    val n = 40L // diameter 39: plain propagation would need 39 rounds
+    val edges = (1L until n).map(i => i -> (i + 1)).toDF("id_a", "id_b")
+    val vertices = (1L to n).toDF("doc_id")
+    val got = Dedup.connectedComponents(vertices, "doc_id", edges, "id_a", "id_b",
+        maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.forall(_._2 == 1L))
+  }
+
   test("jaccard column function handles empty arrays") {
     val row = spark.range(1).select(
       Dedup.jaccard(array(), array()).as("both_empty"),

@@ -110,6 +110,34 @@ class StreamingSpec extends SparkSpec {
     assert(scores.forall(s => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9))
   }
 
+  test("dedupStream drops within-horizon duplicate keys, batch twin is exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, Long, String)]
+    val dedup = Streaming.dedupStream(
+      source.toDF().toDF("ts", "doc_id", "text"), Seq("doc_id"),
+      tsCol = "ts", lateness = "10 minutes")
+    val q = dedup.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      source.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "a"),
+        (ts("2024-01-01 10:01:00"), 1L, "a"), // dup in same batch
+        (ts("2024-01-01 10:02:00"), 2L, "b"))
+      q.processAllAvailable()
+      source.addData((ts("2024-01-01 10:03:00"), 2L, "b")) // dup across batches
+      source.addData((ts("2024-01-01 10:04:00"), 3L, "c"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select($"doc_id").as[Long]
+        .collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+    // batch frame: plain exact dedup, no watermark required
+    val batch = Streaming.dedupStream(
+      Seq((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 11:00:00"), 1L))
+        .toDF("ts", "doc_id"), Seq("doc_id"))
+    assert(batch.count() == 1)
+  }
+
   test("sessionize accumulates per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, Double)]

@@ -66,4 +66,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1) != fps(2))
     assert(fps.forall(_.length == 16))
   }
+
+  test("url/email counts and digit ratio flag pattern-heavy docs") {
+    val row = Seq(
+      "see https://example.com/x and http://a.b/c?d=1 or mail bob@corp.example.org",
+      "digits 0123456789",
+      "").toDF("text")
+      .select(TextAnalysis.urlCount($"text").as("u"),
+        TextAnalysis.emailCount($"text").as("e"),
+        TextAnalysis.digitRatio($"text").as("d"))
+      .collect()
+    assert(row(0).getInt(0) == 2)
+    assert(row(0).getInt(1) == 1)
+    assert(row(1).getInt(0) == 0 && row(1).getInt(1) == 0)
+    assert(math.abs(row(1).getDouble(2) - 10.0 / 17.0) < 1e-12)
+    assert(row(2).getDouble(2) == 0.0) // empty doc guard
+  }
 }
