@@ -304,14 +304,39 @@ object SparkEntry {
     }),
 
     // Pattern surface for filtering/PII-screening: URL and email counts,
-    // digit ratio — cheap codegen'd regex passes with exact SQL twins.
+    // digit ratio, repeated-token fraction — cheap codegen'd passes with
+    // exact SQL twins.
     "doc_patterns" -> ((s, dir) => {
       Tables.documents(s, dir).select(
         col("doc_id"),
         TextAnalysis.urlCount(col("text")).as("n_urls"),
         TextAnalysis.emailCount(col("text")).as("n_emails"),
-        r6(TextAnalysis.digitRatio(col("text"))).as("digit_ratio"))
+        r6(TextAnalysis.digitRatio(col("text"))).as("digit_ratio"),
+        r6(TextAnalysis.repetitionRatio(col("text"))).as("rep_ratio"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Corpus-wide vocabulary: top-50 tokens by frequency. Explode →
+    // partial+final count agg (map-side combine collapses each token to
+    // one row per partition) → TakeOrderedAndProject: the shuffle carries
+    // |vocab| rows, the sort keeps 50 per partition — both independent of
+    // corpus row count.
+    "vocab_topk" -> ((s, dir) => {
+      docsParallel(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
+    }),
+
+    // Token-length histogram: fixed arithmetic buckets of 50 tokens capped
+    // at bucket 9 — one hash-agg pass, constant output size at any scale.
+    "doc_len_hist" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(least(floor(TextAnalysis.tokenCount(col("text")) / 50), lit(9))
+          .cast("int").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("bucket"))
     }),
 
     // ------------------------------------------------------------------
@@ -648,12 +673,30 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "doc_patterns" ->
-      """SELECT doc_id,
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id,
         |  len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
         |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
         |  FLOOR((CASE WHEN len(text) = 0 THEN 0.0
-        |    ELSE CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / len(text) END) * 1000000.0 + 0.5) / 1000000.0 AS digit_ratio
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |    ELSE CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / len(text) END) * 1000000.0 + 0.5) / 1000000.0 AS digit_ratio,
+        |  FLOOR((CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END) * 1000000.0 + 0.5) / 1000000.0 AS rep_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "vocab_topk" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents
+        |) GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    "doc_len_hist" ->
+      """SELECT CAST(LEAST(FLOOR(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) / 50), 9) AS INT) AS bucket,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "near_dup_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

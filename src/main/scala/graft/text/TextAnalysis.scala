@@ -107,4 +107,15 @@ object TextAnalysis {
     val total = length(text)
     when(total === 0, 0.0).otherwise(digits.cast("double") / total)
   }
+
+  /** Repeated-token fraction: 1 − distinct/total tokens (0 for empty docs).
+    * The cheap repetition signal of the Gopher-style quality filters —
+    * boilerplate and degenerate generations score high. Rational arithmetic
+    * only, like every score here. */
+  def repetitionRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    when(n === 0, 0.0)
+      .otherwise(lit(1.0) - size(array_distinct(toks)).cast("double") / n)
+  }
 }

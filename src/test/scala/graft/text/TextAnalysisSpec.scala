@@ -82,4 +82,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(row(1).getDouble(2) - 10.0 / 17.0) < 1e-12)
     assert(row(2).getDouble(2) == 0.0) // empty doc guard
   }
+
+  test("repetitionRatio: 0 for all-distinct and empty, high for degenerate loops") {
+    val r = Seq("a b c d", "spam spam spam spam", "", "x x y")
+      .toDF("text").select(TextAnalysis.repetitionRatio($"text").as("r"))
+      .collect().map(_.getDouble(0))
+    assert(r(0) == 0.0)
+    assert(r(1) == 0.75) // 1 distinct of 4
+    assert(r(2) == 0.0)
+    assert(math.abs(r(3) - (1.0 - 2.0 / 3.0)) < 1e-12)
+  }
 }
