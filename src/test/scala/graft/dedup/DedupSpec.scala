@@ -112,6 +112,32 @@ class DedupSpec extends SparkSpec {
     assert(got.size == 12)
   }
 
+  test("connectedComponents matches driver-side union-find on random graphs") {
+    import spark.implicits._
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // path-compress to canonical min labels
+      (1 to n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    for (seed <- Seq(1, 7, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = Seq.fill(40)((rnd.nextInt(n) + 1).toLong -> (rnd.nextInt(n) + 1).toLong)
+        .filter { case (a, b) => a != b }
+      val want = unionFind(n, edges)
+      val got = Dedup.connectedComponents(
+          (1L to n.toLong).toDF("doc_id"), "doc_id",
+          edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed $seed")
+    }
+  }
+
   test("connectedComponents converges within the pointer-jump bound on a long chain") {
     import spark.implicits._
     val n = 40L // diameter 39: plain propagation would need 39 rounds
