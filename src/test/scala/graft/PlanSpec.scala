@@ -45,6 +45,13 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final min_by aggregate in:\n$p")
   }
 
+  test("vocab_topk: partial count agg below the exchange, top-50 via TakeOrderedAndProject") {
+    val p = plan("vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"limit must not be a full sort:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected map-side combine of token counts in:\n$p")
+  }
+
   test("rebalanced: extra exchange ONLY when the scan has fewer splits than cores") {
     val par = spark.sparkContext.defaultParallelism
     // already-wide input: must come back untouched (the 100 TB path)
