@@ -295,6 +295,15 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // End-to-end near-dup removal: pairs → clusters → keep min-id
+    // representative per cluster + all unclustered docs.
+    "dedup_near_keep" -> ((s, dir) => {
+      Dedup.dropNearDuplicates(docsParallel(s, dir), "doc_id", "text",
+          n = 3, numHashes = 128, bands = 32, threshold = 0.8)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // T2 extension: per-class balanced sample — constant quota per lang
     // under the same salted-md5 order as the global seeded sample.
     "stratified_sample" -> ((s, dir) => {
@@ -665,6 +674,22 @@ object SparkEntry {
     "dedup_minhash" -> jaccardPairsOracle,
 
     "dedup_clusters" -> dedupClustersOracle,
+
+    "dedup_near_keep" ->
+      ("WITH RECURSIVE " + jaccardShinglesCte + ",\n" +
+      """dup AS (SELECT id_a, id_b FROM pairs WHERE j >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM dup
+        |          UNION ALL SELECT id_b AS a, id_a AS b FROM dup),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+        |), comp AS (
+        |  SELECT id, min(r) AS component FROM reach GROUP BY id
+        |)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN comp c ON d.doc_id = c.id
+        |WHERE c.id = c.component ORDER BY d.doc_id""".stripMargin),
 
     "stratified_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -226,6 +226,29 @@ object Dedup {
     }
   }
 
+  /**
+   * End-to-end near-duplicate removal: LSH pair mining →
+   * [[connectedComponents]] → keep each cluster's representative (the min
+   * id) plus every unclustered row. The one-call corpus-curation API; the
+   * pieces stay public for pipelines that need the pairs or clusters
+   * themselves.
+   *
+   * The full row set only participates in one id-keyed semi-join at the
+   * end; everything before it moves ids, signatures, and candidate pairs.
+   */
+  def dropNearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val pairs = minHashNearDups(df, idCol, textCol, n, numHashes, bands,
+      threshold, maxBucketSize)
+    val comps = connectedComponents(df.select(col(idCol)), idCol,
+      pairs, "id_a", "id_b")
+    val keepers = comps.filter(col("id") === col("component")).select(col("id"))
+    df.join(keepers, df(idCol) === keepers("id"), "left_semi")
+  }
+
   /** MinHash Jaccard ESTIMATE (signature agreement rate) — used when even
     * candidate-verify must avoid touching shingles. */
   def minHashEstimate(sigA: Column, sigB: Column): Column =

@@ -78,6 +78,17 @@ class DedupSpec extends SparkSpec {
     assert(lsh.toSeq == exact.toSeq)
   }
 
+  test("dropNearDuplicates keeps one representative per cluster + unclustered docs") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 59).map(i => s"tok$i") :+ "CHANGED").mkString(" ")
+    val other = (1 to 60).map(i => s"zzz$i").mkString(" ")
+    val df = docs(1L -> base, 2L -> nearDup, 3L -> other, 4L -> base)
+    // cluster {1,2,4} -> representative 1; 3 is unclustered
+    val kept = Dedup.dropNearDuplicates(df, "doc_id", "text", n = 3, threshold = 0.7)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
   test("maxBucketSize drops boilerplate buckets (skew guard) but default keeps them") {
     val boiler = (1 to 40).map(i => s"same$i").mkString(" ")
     val df = docs((1L to 6L).map(_ -> boiler): _*)
