@@ -378,7 +378,8 @@ object SparkEntry {
           emb, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
         .select(col("query_id"), col("vec_id").as("result_id"))
       val approx = Ann.knnJoinLsh(q, "vec_id", "embedding",
-          emb, "vec_id", "embedding", k = 10, bits = annRecallBits, tables = annRecallTables)
+          emb, "vec_id", "embedding", k = 10, bits = annRecallBits, tables = annRecallTables,
+          maxBucketSize = 10000)
         .select(col("query_id"), col("vec_id").as("result_id"), lit(1).as("__found"))
       exact.join(approx, Seq("query_id", "result_id"), "left")
         .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
@@ -676,18 +677,8 @@ object SparkEntry {
     "dedup_clusters" -> dedupClustersOracle,
 
     "dedup_near_keep" ->
-      ("WITH RECURSIVE " + jaccardShinglesCte + ",\n" +
-      """dup AS (SELECT id_a, id_b FROM pairs WHERE j >= 0.8),
-        |edges AS (SELECT id_a AS a, id_b AS b FROM dup
-        |          UNION ALL SELECT id_b AS a, id_a AS b FROM dup),
-        |reach(id, r) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
-        |), comp AS (
-        |  SELECT id, min(r) AS component FROM reach GROUP BY id
-        |)
-        |SELECT d.doc_id, d.lang, d.source
+      ("WITH RECURSIVE " + componentClosureCte + "\n" +
+      """SELECT d.doc_id, d.lang, d.source
         |FROM documents d JOIN comp c ON d.doc_id = c.id
         |WHERE c.id = c.component ORDER BY d.doc_id""".stripMargin),
 
@@ -704,8 +695,8 @@ object SparkEntry {
         |  FROM documents
         |)
         |SELECT doc_id,
-        |  len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
-        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
         |  FLOOR((CASE WHEN len(text) = 0 THEN 0.0
         |    ELSE CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / len(text) END) * 1000000.0 + 0.5) / 1000000.0 AS digit_ratio,
         |  FLOOR((CASE WHEN len(toks) = 0 THEN 0.0
@@ -835,11 +826,13 @@ object SparkEntry {
     """SELECT id_a, id_b, FLOOR(j * 1000000.0 + 0.5) / 1000000.0 AS jaccard
       |FROM pairs WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin
 
-  /** Transitive closure of the ≥0.8 near-dup pairs: every doc labeled with
-    * the min doc_id reachable through the pair graph (singletons label
-    * themselves) — the oracle for [[graft.dedup.Dedup.connectedComponents]]. */
-  private val dedupClustersOracle: String =
-    "WITH RECURSIVE " + jaccardShinglesCte + ",\n" +
+  /** Transitive closure of the ≥0.8 near-dup pairs as a CTE list ending in
+    * `comp(id, component)`: every doc labeled with the min doc_id reachable
+    * through the pair graph (singletons label themselves). Shared by the
+    * `dedup_clusters` and `dedup_near_keep` oracles so the closure can
+    * never drift between them. */
+  private val componentClosureCte: String =
+    jaccardShinglesCte + ",\n" +
     """dup AS (SELECT id_a, id_b FROM pairs WHERE j >= 0.8),
       |edges AS (SELECT id_a AS a, id_b AS b FROM dup
       |          UNION ALL SELECT id_b AS a, id_a AS b FROM dup),
@@ -847,8 +840,14 @@ object SparkEntry {
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
       |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
-      |)
-      |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
+      |), comp AS (
+      |  SELECT id, min(r) AS component FROM reach GROUP BY id
+      |)""".stripMargin
+
+  /** Oracle for [[graft.dedup.Dedup.connectedComponents]]. */
+  private val dedupClustersOracle: String =
+    "WITH RECURSIVE " + componentClosureCte + "\n" +
+    "SELECT id, component FROM comp ORDER BY id"
 
   /** Shared DuckDB CTE: deterministic query subset → exact cosine top-k with
     * self-exclusion, POJ-style relevance, and the running relevant count (W2). */

@@ -29,7 +29,14 @@ object Sampling {
     * corpora would otherwise drown rare strata). One rank window
     * partitioned by the stratum: a single shuffle keyed on the stratum
     * column; rows past the quota are discarded right after ranking. Strata
-    * with fewer than `nPerStratum` rows keep everything. */
+    * with fewer than `nPerStratum` rows keep everything.
+    *
+    * Scale note: the window funnels each stratum through one reducer
+    * (sort-based, spilling). Right for many-strata layouts (language ×
+    * source at corpus scale); for a FEW huge strata a bounded per-stratum
+    * heap (TopKRows over a numeric rank key) would cap the shuffle at
+    * |strata|·n rows — not implemented because its 60-bit md5-prefix rank
+    * key would order ties differently than the full-digest oracle sort. */
   def stratified(df: DataFrame, idCol: String, strataCol: String, nPerStratum: Int,
       seed: String = defaultSeed): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))

@@ -215,6 +215,9 @@ object Dedup {
           .localCheckpoint(true)
         converged = next.join(labels.withColumnRenamed("comp", "__prev"), Seq("id"))
           .filter(col("comp") =!= col("__prev")).isEmpty
+        // release the superseded round's checkpoint blocks (GC would get
+        // them eventually; iterative operators should not rely on that)
+        org.apache.spark.sql.GraftInternal.unpersistLocalCheckpoint(labels)
         labels = next
         iter += 1
       }

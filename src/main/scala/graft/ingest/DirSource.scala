@@ -41,14 +41,15 @@ object DirSource {
   def decodeLossy(bytes: Array[Byte]): String =
     if (bytes == null) null else lossy(bytes, 0, StandardCharsets.UTF_8)
 
-  private def isValidUtf8(bytes: Array[Byte]): Boolean =
+  /** Strict UTF-8 decode, null when any byte sequence is invalid — doubles
+    * as the validity test, so the dominant all-UTF-8 case decodes ONCE. */
+  private def strictUtf8(bytes: Array[Byte]): String =
     try {
       StandardCharsets.UTF_8.newDecoder()
         .onMalformedInput(CodingErrorAction.REPORT)
         .onUnmappableCharacter(CodingErrorAction.REPORT)
-        .decode(java.nio.ByteBuffer.wrap(bytes))
-      true
-    } catch { case _: java.nio.charset.CharacterCodingException => false }
+        .decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    } catch { case _: java.nio.charset.CharacterCodingException => null }
 
   /**
    * Chardet stand-in (`poj_utils.py:64-70`), deterministic: BOM sniff
@@ -69,8 +70,11 @@ object DirSource {
       ("UTF-16", lossy(bytes, 2, StandardCharsets.UTF_16LE))
     else if (bytes.length >= 2 && bytes(0) == 0xFE.toByte && bytes(1) == 0xFF.toByte)
       ("UTF-16", lossy(bytes, 2, StandardCharsets.UTF_16BE))
-    else if (isValidUtf8(bytes)) ("utf-8", lossy(bytes, 0, StandardCharsets.UTF_8))
-    else ("Windows-1252", lossy(bytes, 0, Charset.forName("windows-1252")))
+    else {
+      val utf8 = strictUtf8(bytes)
+      if (utf8 != null) ("utf-8", utf8)
+      else ("Windows-1252", lossy(bytes, 0, Charset.forName("windows-1252")))
+    }
   }
 
   /** (path, modificationTime, length, charset, text) for every file under

@@ -20,10 +20,11 @@ import graft.functions.{cosine_similarity, hyperplane_sig}
  * row); the candidate join and the multi-table dedup shuffle carry ONLY
  * (id, bucket) / (id, id) rows — embedding vectors never ride a shuffle.
  * Vectors are joined back onto the deduplicated candidate set: in
- * [[knnJoinLsh]] the candidate set is broadcast (|Q| is small by contract)
- * so the corpus streams with zero shuffle; in [[nearDupPairsLsh]] the
- * rejoin shuffles vectors once per side, keyed by id — bounded by corpus
- * size, not by candidate multiplicity.
+ * [[knnJoinLsh]] AQE sizes the candidate join at runtime (broadcast when
+ * the set is small — the common case — shuffle join when buckets
+ * degenerate, instead of an OOM); in [[nearDupPairsLsh]] the rejoin
+ * shuffles vectors once per side, keyed by id — bounded by corpus size,
+ * not by candidate multiplicity.
  */
 object Ann {
 
@@ -55,30 +56,40 @@ object Ann {
       bits: Int = 12, tables: Int = 8, seed: Long = 42L,
       excludeSelf: Boolean = true,
       roundScoreTo: Option[Int] = None,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val qb = bucketedIds(queries, queryId, queryVec, bits, tables, seed)
       .select(col(queryId).as("query_id"), col("bucket"))
     val cb0 = bucketedIds(corpus, corpusId, corpusVec, bits, tables, seed)
       .select(col(corpusId).as("__cand_id"), col("bucket"))
-    // Skew guard (same shape as Dedup.minHashNearDups): a degenerate bucket
-    // — many identical or all-zero vectors sharing a signature — would
-    // multiply candidates past the broadcast budget. Corpus rows in buckets
-    // above maxBucketSize lose candidacy via those buckets only (they can
-    // still collide with a query in their other tables). The sizing pass
-    // shuffles (bucket, count) rows only.
-    val oversized = cb0.groupBy(col("bucket")).count()
-      .filter(col("count") > maxBucketSize).select(col("bucket"))
-    val cb = cb0.join(broadcast(oversized), Seq("bucket"), "left_anti")
+    // Optional skew guard (same shape as Dedup.minHashNearDups): a
+    // degenerate bucket — many identical or all-zero vectors sharing a
+    // signature — multiplies candidates quadratically. Corpus rows in
+    // buckets above maxBucketSize lose candidacy via those buckets only
+    // (they can still collide with a query in their other tables). OPT-IN
+    // (default no cap) because a region denser than the cap in EVERY table
+    // would return zero neighbors for its queries — for pair MINING that
+    // is a documented recall trade, for top-k SEARCH it is silent result
+    // loss; callers choose. The sizing pass shuffles (bucket, count) only.
+    val cb =
+      if (maxBucketSize == Int.MaxValue) cb0
+      else {
+        val oversized = cb0.groupBy(col("bucket")).count()
+          .filter(col("count") > maxBucketSize).select(col("bucket"))
+        cb0.join(broadcast(oversized), Seq("bucket"), "left_anti")
+      }
     // Ids-only candidate generation: the (bucket) join and the distinct
     // (multi-table collision collapse) move 16-byte rows.
     val cand = qb.join(cb, Seq("bucket"))
       .select(col("query_id"), col("__cand_id"))
       .distinct()
     val qv = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
-    // Candidates are |Q|·avgCollisions — small by the query-set contract →
-    // broadcast them; the corpus streams and never shuffles.
+    // Candidates are |Q|·avgCollisions — small in the common case, so AQE
+    // picks a broadcast join from the RUNTIME size; deliberately NOT a
+    // broadcast() hint, so a degenerate candidate set (dense buckets, low
+    // bits) degrades to a shuffle join instead of OOMing the driver. The
+    // query-vector side is |Q|-bounded by contract and keeps the hint.
     val scored0 = corpus
-      .join(broadcast(cand), col(corpusId) === col("__cand_id"))
+      .join(cand, col(corpusId) === col("__cand_id"))
       .join(broadcast(qv), Seq("query_id"))
       .withColumn("score", {
         val raw = cosine_similarity(col("__qv"), col(corpusVec))
