@@ -304,6 +304,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Benchmark decontamination: corpus docs sharing ≥1 distinct 5-gram
+    // with any doc of a (seeded-sample stand-in) eval set. Eval shingles
+    // broadcast; the corpus streams.
+    "contamination" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      val evalSet = graft.bench.Sampling.seeded(Tables.documents(s, dir), "doc_id", 50)
+      Dedup.contaminationScan(docs, "doc_id", "text", evalSet, "doc_id", "text",
+          n = 5, minOverlap = 1, excludeSameId = true)
+        .orderBy(col("doc_id"), col("eval_id"))
+    }),
+
     // T2 extension: per-class balanced sample — constant quota per lang
     // under the same salted-md5 order as the global seeded sample.
     "stratified_sample" -> ((s, dir) => {
@@ -681,6 +692,23 @@ object SparkEntry {
       """SELECT d.doc_id, d.lang, d.source
         |FROM documents d JOIN comp c ON d.doc_id = c.id
         |WHERE c.id = c.component ORDER BY d.doc_id""".stripMargin),
+
+    "contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, greatest(len(t) - 4, 0) + 1)]) AS sh
+        |  FROM toks
+        |), ev AS (
+        |  SELECT doc_id AS eval_id, sh AS esh FROM sh
+        |  WHERE doc_id IN (SELECT doc_id FROM documents
+        |    ORDER BY md5('graft42:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 50)
+        |)
+        |SELECT c.doc_id, e.eval_id, CAST(len(list_intersect(c.sh, e.esh)) AS BIGINT) AS n_shared
+        |FROM sh c CROSS JOIN ev e
+        |WHERE c.doc_id <> e.eval_id AND len(list_intersect(c.sh, e.esh)) >= 1
+        |ORDER BY doc_id, eval_id""".stripMargin,
 
     "stratified_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -252,6 +252,34 @@ object Dedup {
     df.join(keepers, df(idCol) === keepers("id"), "left_semi")
   }
 
+  /**
+   * Training-vs-eval contamination scan: every (corpus doc, eval doc) pair
+   * sharing at least `minOverlap` distinct word n-grams — the standard
+   * n-gram-overlap benchmark-decontamination check. The eval side is
+   * benchmark-sized by contract, so its exploded shingle table broadcasts
+   * and the corpus streams map-side: no corpus shuffle until the
+   * (doc, eval, shingle)-hit aggregate, which carries only matching ids.
+   *
+   * @param excludeSameId drop pairs with equal ids (for the self-test
+   *                      shape where eval ⊆ corpus in one id space)
+   * @return (doc_id, eval_id, n_shared) — distinct shared-shingle count
+   */
+  def contaminationScan(
+      corpus: DataFrame, corpusId: String, corpusText: String,
+      evalSet: DataFrame, evalId: String, evalText: String,
+      n: Int = 8, minOverlap: Int = 1,
+      excludeSameId: Boolean = false): DataFrame = {
+    val cs = corpus.select(col(corpusId).as("doc_id"),
+      explode(shingles(col(corpusText), n)).as("sh"))
+    val es = evalSet.select(col(evalId).as("eval_id"),
+      explode(shingles(col(evalText), n)).as("sh"))
+    val hits0 = cs.join(broadcast(es), Seq("sh"))
+    val hits = if (excludeSameId) hits0.filter(col("doc_id") =!= col("eval_id")) else hits0
+    hits.groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+  }
+
   /** MinHash Jaccard ESTIMATE (signature agreement rate) — used when even
     * candidate-verify must avoid touching shingles. */
   def minHashEstimate(sigA: Column, sigB: Column): Column =

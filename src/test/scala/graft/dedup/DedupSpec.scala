@@ -89,6 +89,27 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L))
   }
 
+  test("contaminationScan finds n-gram overlap pairs, counts distinct shingles") {
+    import spark.implicits._
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "completely unrelated words here nothing shared at all",
+      3L -> "quick brown fox jumps over the lazy dog again")
+    val evalSet = Seq((100L, "a quick brown fox jumps over the lazy dog end"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationScan(corpus, "doc_id", "text",
+        evalSet, "doc_id", "text", n = 5, minOverlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // docs 1 and 3 share 5-gram spans with the eval doc; doc 2 shares none
+    assert(got.map(_._1).toSeq == Seq(1L, 3L))
+    assert(got.forall(_._2 == 100L))
+    assert(got.forall(_._3 >= 1L))
+    // minOverlap filters pairs below the bar
+    val strict = Dedup.contaminationScan(corpus, "doc_id", "text",
+      evalSet, "doc_id", "text", n = 5, minOverlap = 100)
+    assert(strict.count() == 0)
+  }
+
   test("maxBucketSize drops boilerplate buckets (skew guard) but default keeps them") {
     val boiler = (1 to 40).map(i => s"same$i").mkString(" ")
     val df = docs((1L to 6L).map(_ -> boiler): _*)
