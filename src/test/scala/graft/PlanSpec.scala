@@ -45,6 +45,12 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final min_by aggregate in:\n$p")
   }
 
+  test("contamination: eval shingles broadcast, corpus side never sort-merge joins") {
+    val p = plan("contamination")
+    assert(p.contains("BroadcastExchange"), s"eval side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must stream through the hit join:\n$p")
+  }
+
   test("vocab_topk: partial count agg below the exchange, top-50 via TakeOrderedAndProject") {
     val p = plan("vocab_topk")
     assert(p.contains("TakeOrderedAndProject"), s"limit must not be a full sort:\n$p")
