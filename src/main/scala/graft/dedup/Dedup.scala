@@ -21,6 +21,13 @@ import org.apache.spark.storage.StorageLevel
  *    docs) is handled by AQE skew-join or dropping oversized buckets.
  *  - all-pairs n-gram Jaccard is provided for oracle-checking and small
  *    sets only; the LSH path is the production path.
+ *
+ * Eager results: the near-dup/cluster operators return frames materialized
+ * via `localCheckpoint` (executor-local blocks). Caveat for clusters with
+ * dynamic allocation or preemption: local checkpoint blocks die with their
+ * executor and are NOT recomputable (lineage is cut) — pipelines on such
+ * clusters should write these (small) results straight to a table and read
+ * back, which is also the natural next step of a curation pipeline.
  */
 object Dedup {
 
