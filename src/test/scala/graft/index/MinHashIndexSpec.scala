@@ -1,0 +1,62 @@
+package graft.index
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+
+class MinHashIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 59).map(i => s"tok$i") :+ "CHANGED").mkString(" ")
+    val other = (1 to 60).map(i => s"zzz$i").mkString(" ")
+    Seq(1L -> base, 2L -> nearDup, 3L -> other, 4L -> base, 5L -> "a b")
+      .toDF("doc_id", "text") // doc 5 has < n tokens -> no shingles
+  }
+
+  test("build -> query matches the direct operator's pair set; short docs excluded") {
+    val root = Files.createTempDirectory("graft_mh_idx").toString
+    val idx = MinHashIndex(spark, root, "docs")
+    assert(!idx.exists)
+    idx.build(fixture, "doc_id", "text", n = 3, numHashes = 128, bands = 32)
+    assert(idx.exists)
+    assert(idx.meta == MinHashIndexMeta(3, 128, 32))
+    assert(idx.signatures().count() == 4) // doc 5 excluded
+
+    // exact pairs at 0.7 are (1,2) j=57/59, (1,4) j=1, (2,4): the estimate
+    // with 128 hashes sits within a few percent -> same id set at 0.7
+    val direct = Dedup.minHashNearDups(fixture, "doc_id", "text",
+        n = 3, numHashes = 128, bands = 32, threshold = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaIndex = idx.nearDupPairs(threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex == direct)
+    // estimates are honest: identical docs estimate exactly 1.0
+    val est = idx.nearDupPairs(threshold = 0.7)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(est((1L, 4L)) == 1.0)
+
+    // rebuilding overwrites deterministically; a second query agrees
+    idx.build(fixture, "doc_id", "text", n = 3, numHashes = 128, bands = 32)
+    assert(idx.nearDupPairs(threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == direct)
+    idx.drop()
+    assert(!idx.exists)
+  }
+
+  test("band table derives bands-per-doc from stored signatures only") {
+    val root = Files.createTempDirectory("graft_mh_idx2").toString
+    val idx = MinHashIndex(spark, root, "docs")
+      .build(fixture, "doc_id", "text", n = 3, numHashes = 128, bands = 32)
+    val counts = idx.bandTable().groupBy("id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.values.toSet == Set(32L))
+    // identical docs share every band; unrelated docs share none
+    val bands = idx.bandTable().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(bands(1L) == bands(4L))
+    assert(bands(1L).intersect(bands(3L)).isEmpty)
+  }
+}
