@@ -146,19 +146,7 @@ object Dedup {
         explode(bandKeys(col("sh"), numHashes, bands)).as("band"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // Skew guard: a band shared by B docs emits B² candidate pairs — at
-      // corpus scale a boilerplate band (empty docs, license headers) would
-      // quadratically explode the join. Buckets above maxBucketSize are
-      // dropped (documented recall tradeoff: members can still pair via
-      // their other bands). The sizing pass shuffles only (band, count).
-      val oversized = sigBands.groupBy(col("band")).count()
-        .filter(col("count") > maxBucketSize).select(col("band"))
-      val capped = sigBands.join(broadcast(oversized), Seq("band"), "left_anti")
-      val candidates = capped.as("l")
-        .join(capped.as("r"),
-          col("l.band") === col("r.band") && col("l.id") < col("r.id"))
-        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-        .distinct() // a pair can collide in several bands
+      val candidates = lshCandidatePairs(sigBands, maxBucketSize)
       // Exact-Jaccard verify on candidates only: shingles come from the
       // cached frame, keyed rejoin once per side.
       candidates
@@ -172,6 +160,30 @@ object Dedup {
       sigBands.unpersist(false)
       withSh.unpersist(false)
     }
+  }
+
+  /**
+   * LSH candidate pairs from an `(id, band)` table: skew-capped bucket
+   * self-join, `id_a < id_b`, deduplicated across bands. THE single
+   * definition of the guard + candidate semantics — shared by
+   * [[minHashNearDups]] and [[graft.index.MinHashIndex.nearDupPairs]] so
+   * the persisted index can never drift from the in-query operator.
+   *
+   * Skew guard: a band shared by B docs emits B² candidate pairs — at
+   * corpus scale a boilerplate band would quadratically explode the join.
+   * Buckets above `maxBucketSize` are dropped (documented recall tradeoff:
+   * members can still pair via their other bands). The sizing pass
+   * shuffles only (band, count) rows.
+   */
+  private[graft] def lshCandidatePairs(bands: DataFrame, maxBucketSize: Int): DataFrame = {
+    val oversized = bands.groupBy(col("band")).count()
+      .filter(col("count") > maxBucketSize).select(col("band"))
+    val capped = bands.join(broadcast(oversized), Seq("band"), "left_anti")
+    capped.as("l")
+      .join(capped.as("r"),
+        col("l.band") === col("r.band") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct() // a pair can collide in several bands
   }
 
   /**

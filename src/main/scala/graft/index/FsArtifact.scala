@@ -1,0 +1,61 @@
+package graft.index
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Shared filesystem plumbing for persisted artifacts (vector collections,
+ * signature indexes): `<root>/<name>` layout, Hadoop `FileSystem`
+ * resolution from the session conf (same code on local disk, HDFS, S3A),
+ * and the `_meta.json` lifecycle.
+ *
+ * Build protocol: implementations call [[invalidateMeta]] BEFORE
+ * overwriting data files and [[writeMetaJson]] AFTER — so `exists` is
+ * false for the whole rebuild window and a crash mid-build can't leave an
+ * artifact that looks readable but pairs old metadata with new data.
+ */
+private[index] trait FsArtifact {
+  protected def spark: SparkSession
+  protected def root: String
+  def name: String
+
+  protected final lazy val base = new Path(s"$root/$name")
+  private lazy val metaPath = new Path(base, "_meta.json")
+
+  protected final def fs: FileSystem =
+    base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  final def exists: Boolean = fs.exists(metaPath)
+
+  /** Drop the meta marker before touching data files (rebuild window). */
+  protected final def invalidateMeta(): Unit = {
+    fs.delete(metaPath, false)
+    ()
+  }
+
+  protected final def writeMetaJson(json: String): Unit = {
+    fs.mkdirs(base)
+    val out = fs.create(metaPath, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  protected final def readMetaJson(): String = {
+    val in = fs.open(metaPath)
+    try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Field extractor for the flat one-object meta JSON artifacts write. */
+  protected final def metaField(json: String, k: String): String =
+    json.split(s""""$k":""")(1).split("[,}]")(0).trim
+      .stripPrefix("\"").stripSuffix("\"")
+
+  def drop(): Unit = {
+    fs.delete(base, true)
+    ()
+  }
+}

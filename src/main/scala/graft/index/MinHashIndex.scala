@@ -1,8 +1,6 @@
 package graft.index
 
-import java.nio.charset.StandardCharsets
-
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -36,42 +34,47 @@ import graft.dedup.Dedup
  */
 final case class MinHashIndexMeta(n: Int, numHashes: Int, bands: Int)
 
-class MinHashIndex(spark: SparkSession, root: String, val name: String) {
-  private val base = new Path(s"$root/$name")
-  private val sigPath = new Path(base, "sig")
-  private val metaPath = new Path(base, "_meta.json")
-
-  private def fs: FileSystem =
-    base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  def exists: Boolean = fs.exists(metaPath)
+class MinHashIndex(
+    protected val spark: SparkSession,
+    protected val root: String,
+    val name: String) extends FsArtifact {
+  private lazy val sigPath = new Path(base, "sig")
 
   def build(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32): this.type = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
-    val sh = Dedup.shingles(col(textCol), n)
-    df.select(col(idCol).as("id"), Dedup.minHashSignature(sh, numHashes).as("sig"))
-      .where(size(sh) > 0)
+    // meta invalidated first / written last: `exists` stays false for the
+    // whole rebuild window (FsArtifact build protocol), so a crashed
+    // rebuild can't pair stale parameters with fresh signatures.
+    invalidateMeta()
+    // ONE kernel pass, no build-time filter: a shingle-based filter would
+    // re-derive the tokenize+shingle kernel (predicate pushdown
+    // substitutes the alias into the predicate — no CSE across the
+    // Filter/Project operators). Shingle-less docs write their sentinel
+    // signature and are excluded cheaply at READ time on the stored
+    // column ([[signatures]]).
+    df.select(col(idCol).as("id"),
+        Dedup.minHashSignature(Dedup.shingles(col(textCol), n), numHashes).as("sig"))
       .write.mode(SaveMode.Overwrite).parquet(sigPath.toString)
-    val json = s"""{"n":$n,"numHashes":$numHashes,"bands":$bands}"""
-    val out = fs.create(metaPath, true)
-    try out.write(json.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    writeMetaJson(s"""{"n":$n,"numHashes":$numHashes,"bands":$bands}""")
     this
   }
 
   def meta: MinHashIndexMeta = {
-    val in = fs.open(metaPath)
-    val s =
-      try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
-      finally in.close()
-    def field(k: String): String = s.split(s""""$k":""")(1).split("[,}]")(0).trim
-    MinHashIndexMeta(field("n").toInt, field("numHashes").toInt, field("bands").toInt)
+    val s = readMetaJson()
+    MinHashIndexMeta(metaField(s, "n").toInt, metaField(s, "numHashes").toInt,
+      metaField(s, "bands").toInt)
   }
 
-  /** (id, sig) as stored. */
-  def signatures(): DataFrame = spark.read.parquet(sigPath.toString)
+  /** (id, sig), shingle-less docs excluded: a doc with no shingles stores
+    * the all-sentinel signature (every slot Long.MaxValue — a real doc's
+    * slot-1 minimum hits the sentinel only if every one of its shingle
+    * hashes equals MaxValue, i.e. never), and such docs can never pass an
+    * exact-Jaccard verify, so they are filtered on the STORED column —
+    * a cheap columnar predicate, no text kernel. */
+  def signatures(): DataFrame =
+    spark.read.parquet(sigPath.toString)
+      .where(element_at(col("sig"), 1) =!= Long.MaxValue)
 
   /** (id, band) — one salted 64-bit key per band, derived from the stored
     * signature (slice + xxhash64; band index salts the key so bands can't
@@ -88,30 +91,27 @@ class MinHashIndex(spark: SparkSession, root: String, val name: String) {
 
   /**
    * Near-duplicate pairs from the artifact alone: LSH band candidates
-   * (skew-capped like [[Dedup.minHashNearDups]]) verified by signature
-   * estimate. @return (id_a, id_b, jaccard_est) with id_a < id_b.
+   * (THE shared guard+candidate definition, [[Dedup.lshCandidatePairs]])
+   * verified by signature estimate. The band frame feeds the sizing pass
+   * and both self-join sides — persisted for the call's lifetime (same
+   * scoped-persist + eager-result shape as the direct operator) so the
+   * signature parquet is scanned once, not ~5 times.
+   *
+   * @return (id_a, id_b, jaccard_est) with id_a < id_b — eager
    */
   def nearDupPairs(threshold: Double, maxBucketSize: Int = 10000): DataFrame = {
     val bands = bandTable()
-    val oversized = bands.groupBy(col("band")).count()
-      .filter(col("count") > maxBucketSize).select(col("band"))
-    val capped = bands.join(broadcast(oversized), Seq("band"), "left_anti")
-    val cand = capped.as("l")
-      .join(capped.as("r"),
-        col("l.band") === col("r.band") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
-    val sa = signatures().select(col("id").as("id_a"), col("sig").as("__sa"))
-    val sb = signatures().select(col("id").as("id_b"), col("sig").as("__sb"))
-    cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
-      .withColumn("jaccard_est", Dedup.minHashEstimate(col("__sa"), col("__sb")))
-      .filter(col("jaccard_est") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard_est"))
-  }
-
-  def drop(): Unit = {
-    fs.delete(base, true)
-    ()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cand = Dedup.lshCandidatePairs(bands, maxBucketSize)
+      val sa = signatures().select(col("id").as("id_a"), col("sig").as("__sa"))
+      val sb = signatures().select(col("id").as("id_b"), col("sig").as("__sb"))
+      cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+        .withColumn("jaccard_est", Dedup.minHashEstimate(col("__sa"), col("__sb")))
+        .filter(col("jaccard_est") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard_est"))
+        .localCheckpoint(true)
+    } finally bands.unpersist(false)
   }
 }
 

@@ -1,8 +1,6 @@
 package graft.index
 
-import java.nio.charset.StandardCharsets
-
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -34,37 +32,22 @@ import org.apache.spark.sql.functions._
  */
 final case class CollectionMeta(dim: Int, metric: String, normalized: Boolean)
 
-class VectorCollection(spark: SparkSession, root: String, val name: String) {
-  private val base = new Path(s"$root/$name")
-  private val dataPath = new Path(base, "data")
-  private val metaPath = new Path(base, "_meta.json")
-
-  /** FileSystem for this collection's scheme (local/HDFS/S3A), from the
-    * session's Hadoop configuration. */
-  private def fs: FileSystem =
-    base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  def exists: Boolean = fs.exists(metaPath)
+class VectorCollection(
+    protected val spark: SparkSession,
+    protected val root: String,
+    val name: String) extends FsArtifact {
+  private lazy val dataPath = new Path(base, "data")
 
   def create(meta: CollectionMeta): this.type = {
-    fs.mkdirs(base)
-    val json =
-      s"""{"dim":${meta.dim},"metric":"${meta.metric}","normalized":${meta.normalized}}"""
-    val out = fs.create(metaPath, true)
-    try out.write(json.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    writeMetaJson(
+      s"""{"dim":${meta.dim},"metric":"${meta.metric}","normalized":${meta.normalized}}""")
     this
   }
 
   def meta: CollectionMeta = {
-    val in = fs.open(metaPath)
-    val s =
-      try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
-      finally in.close()
-    def field(k: String): String =
-      s.split(s""""$k":""")(1).split("[,}]")(0).trim.stripPrefix("\"").stripSuffix("\"")
-    CollectionMeta(field("dim").toInt, field("metric"), field("normalized").toBoolean)
+    val s = readMetaJson()
+    CollectionMeta(metaField(s, "dim").toInt, metaField(s, "metric"),
+      metaField(s, "normalized").toBoolean)
   }
 
   /** Append rows whose `idCol` is not already present (idempotent by key).
@@ -78,11 +61,6 @@ class VectorCollection(spark: SparkSession, root: String, val name: String) {
   }
 
   def load(): DataFrame = spark.read.parquet(dataPath.toString)
-
-  def drop(): Unit = {
-    fs.delete(base, true)
-    ()
-  }
 }
 
 object VectorCollection {

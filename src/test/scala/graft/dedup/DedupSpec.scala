@@ -100,10 +100,11 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.contaminationScan(corpus, "doc_id", "text",
         evalSet, "doc_id", "text", n = 5, minOverlap = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
-    // docs 1 and 3 share 5-gram spans with the eval doc; doc 2 shares none
-    assert(got.map(_._1).toSeq == Seq(1L, 3L))
-    assert(got.forall(_._2 == 100L))
-    assert(got.forall(_._3 >= 1L))
+    // docs 1 and 3 each share exactly the four 5-grams spanning
+    // "quick brown fox jumps over the lazy dog" with the eval doc; doc 2
+    // shares none. Exact counts pin DISTINCT-shingle semantics — a
+    // multiplicity-counting regression would overcount.
+    assert(got.toSeq == Seq((1L, 100L, 4L), (3L, 100L, 4L)))
     // minOverlap filters pairs below the bar
     val strict = Dedup.contaminationScan(corpus, "doc_id", "text",
       evalSet, "doc_id", "text", n = 5, minOverlap = 100)
