@@ -64,17 +64,24 @@ package object functions {
 
   /** Bounded-heap per-group top-k aggregate (map-side partials): keeps the
     * k best `payload` struct rows by (score desc, id asc) and returns them
-    * best-first as array<struct>. See [[graft.plans.TopKRows]]. */
+    * best-first as array<struct>. Score/id are cast to double/long here —
+    * the aggregate itself requires exact types (see
+    * [[graft.plans.TopKRows.checkInputDataTypes]]). */
   def top_k_rows(payload: Column, score: Column, id: Column, k: Int): Column =
-    col(graft.plans.TopKRows(ex(payload), ex(score), ex(id), k).toAggregateExpression())
+    col(graft.plans.TopKRows(ex(payload), ex(score.cast("double")),
+      ex(id.cast("long")), k).toAggregateExpression())
 
   /** Register every graft function in the session's FunctionRegistry.
-    * Parameterized kernels take their sizes as literal int arguments in
-    * SQL (evaluated at registration-expansion time). */
+    * Parameterized kernels take their sizes/seeds as literal arguments in
+    * SQL (evaluated at registration-expansion time). `top_k_rows` is an
+    * aggregate: the analyzer wraps the registered AggregateFunction when
+    * it appears in an aggregation context. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
       e.eval().asInstanceOf[Number].intValue
+    def litLong(e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
+      e.eval().asInstanceOf[Number].longValue
     reg.createOrReplaceTempFunction("cosine_similarity", es => CosineSimilarity(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("l2_normalize", es => L2Normalize(es.head), "built-in")
@@ -87,5 +94,14 @@ package object functions {
       es => MinHashBandKeys(es(0), litInt(es(1)), litInt(es(2))), "built-in")
     reg.createOrReplaceTempFunction("byte_histogram",
       es => ByteHistogram(es(0), litInt(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("hyperplane_sig",
+      es => HyperplaneSig(es(0), litInt(es(1)), litLong(es(2))), "built-in")
+    reg.createOrReplaceTempFunction("top_k_rows",
+      es => graft.plans.TopKRows(es(0),
+        org.apache.spark.sql.catalyst.expressions.Cast(es(1),
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.catalyst.expressions.Cast(es(2),
+          org.apache.spark.sql.types.LongType),
+        litInt(es(3))), "built-in")
   }
 }

@@ -3,6 +3,7 @@ package graft.plans
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.TernaryLike
@@ -81,6 +82,22 @@ case class TopKRows(
   override def first: Expression = payload
   override def second: Expression = score
   override def third: Expression = tieId
+
+  // update() unboxes score as Double and id as Long: reject anything else
+  // at ANALYSIS time (a SQL decimal-literal score would otherwise
+  // ClassCastException mid-job). Callers cast — the Column wrapper and the
+  // SQL registration in graft.functions do it automatically. A non-struct
+  // payload has no legal serialization, so it is rejected here too.
+  // (Spark's ImplicitCastInputTypes would coerce instead, but
+  // AbstractDataType is private[sql] — not implementable from library
+  // code.)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (payload.dataType, score.dataType, tieId.dataType) match {
+      case (_: StructType, DoubleType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (p, s, t) => TypeCheckResult.TypeCheckFailure(
+        s"top_k_rows expects (struct payload, double score, long id), got " +
+          s"(${p.catalogString}, ${s.catalogString}, ${t.catalogString})")
+    }
 
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(payload.dataType, containsNull = false)

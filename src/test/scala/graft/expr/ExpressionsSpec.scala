@@ -77,6 +77,26 @@ class ExpressionsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(r.getInt(0) == 16 && r.getInt(1) == 4 && r.getInt(2) == 8)
   }
 
+  test("hyperplane_sig and top_k_rows are SQL-callable") {
+    val sig = spark.sql(
+      "SELECT hyperplane_sig(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 12, 42) AS s")
+      .collect()(0).getLong(0)
+    assert(sig >= 0L && sig < (1L << 12)) // 12-bit signature range
+    // aggregate registration: per-group top-2 by score, best first. The
+    // registration casts the decimal-literal score arg to double itself;
+    // the struct payload keeps whatever type the caller puts in it, so the
+    // test casts there for a double read-back.
+    val rows = spark.sql(
+      """SELECT g, top_k_rows(struct(id, CAST(score AS DOUBLE) AS score), score, id, 2) AS tk
+        |FROM VALUES
+        |  (1, 10L, 0.5), (1, 11L, 0.9), (1, 12L, 0.7), (2, 20L, 0.1)
+        |  AS t(g, id, score)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    val g1 = rows(0).getSeq[org.apache.spark.sql.Row](1).map(r => (r.getLong(0), r.getDouble(1)))
+    assert(g1 == Seq((11L, 0.9), (12L, 0.7)))
+    assert(rows(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)) == Seq(20L))
+  }
+
   test("null propagation") {
     val r = spark.sql(
       "SELECT cosine_similarity(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT))), uuid5(CAST(NULL AS STRING))")
