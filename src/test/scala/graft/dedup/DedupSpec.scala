@@ -182,6 +182,33 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_._2 == 1L))
   }
 
+  test("operators tolerate empty corpora") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.minHashNearDups(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.simHashNearDups(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.dropExactDuplicates(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.dropNearDuplicates(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.connectedComponents(empty.select($"doc_id"), "doc_id",
+      noPairs, "id_a", "id_b").count() == 0)
+    assert(Dedup.contaminationScan(empty, "doc_id", "text",
+      empty, "doc_id", "text").count() == 0)
+  }
+
+  test("null text rows are tolerated and never pair") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, null.asInstanceOf[String]), (4L, base))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashNearDups(df, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 4L))) // null doc participates in nothing
+    val kept = Dedup.dropNearDuplicates(df, "doc_id", "text", threshold = 0.7)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L)) // null doc survives as its own row
+  }
+
   test("jaccard column function handles empty arrays") {
     val row = spark.range(1).select(
       Dedup.jaccard(array(), array()).as("both_empty"),
