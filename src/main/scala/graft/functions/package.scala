@@ -64,24 +64,56 @@ package object functions {
 
   /** Bounded-heap per-group top-k aggregate (map-side partials): keeps the
     * k best `payload` struct rows by (score desc, id asc) and returns them
-    * best-first as array<struct>. Score/id are cast to double/long here —
-    * the aggregate itself requires exact types (see
-    * [[graft.plans.TopKRows.checkInputDataTypes]]). */
+    * best-first as array<struct>. The aggregate requires exact
+    * (struct, double, long) input types and rejects anything else at
+    * analysis time ([[graft.plans.TopKRows.checkInputDataTypes]]) —
+    * callers own any coercion, deliberately: a blind cast here would turn
+    * a string-typed score into a mid-job ANSI cast failure instead of an
+    * analysis error. */
   def top_k_rows(payload: Column, score: Column, id: Column, k: Int): Column =
-    col(graft.plans.TopKRows(ex(payload), ex(score.cast("double")),
-      ex(id.cast("long")), k).toAggregateExpression())
+    col(graft.plans.TopKRows(ex(payload), ex(score), ex(id), k).toAggregateExpression())
 
   /** Register every graft function in the session's FunctionRegistry.
     * Parameterized kernels take their sizes/seeds as literal arguments in
-    * SQL (evaluated at registration-expansion time). `top_k_rows` is an
-    * aggregate: the analyzer wraps the registered AggregateFunction when
-    * it appears in an aggregation context. */
+    * SQL (evaluated at registration-expansion time, with named errors for
+    * null / non-literal / non-numeric / out-of-range args). `top_k_rows`
+    * is an aggregate: the analyzer wraps the registered AggregateFunction
+    * when it appears in an aggregation context. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
-      e.eval().asInstanceOf[Number].intValue
-    def litLong(e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
-      e.eval().asInstanceOf[Number].longValue
+    def litNum(fn: String, arg: String,
+        e: org.apache.spark.sql.catalyst.expressions.Expression): Number = {
+      if (!e.foldable)
+        throw new IllegalArgumentException(s"$fn: $arg must be a literal, got ${e.sql}")
+      e.eval() match {
+        case n: Number => n
+        case null => throw new IllegalArgumentException(s"$fn: $arg must not be null")
+        case _ => throw new IllegalArgumentException(
+          s"$fn: $arg must be a numeric literal, got ${e.sql}")
+      }
+    }
+    def litInt(fn: String, arg: String)(
+        e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+      val n = litNum(fn, arg, e)
+      if (n.longValue != n.intValue)
+        throw new IllegalArgumentException(
+          s"$fn: $arg out of int range: ${n.longValue}")
+      n.intValue
+    }
+    def litLong(fn: String, arg: String)(
+        e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
+      litNum(fn, arg, e).longValue
+    // Coerce a RESOLVED numeric input (children are always resolved when
+    // the analyzer invokes a function builder); non-numeric types pass
+    // through uncast so the aggregate's own analysis-time check rejects
+    // them with its message instead of a mid-job ANSI cast failure.
+    def castIfNumeric(e: org.apache.spark.sql.catalyst.expressions.Expression,
+        to: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.catalyst.expressions.Expression =
+      if (e.resolved && e.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+          && e.dataType != to)
+        org.apache.spark.sql.catalyst.expressions.Cast(e, to)
+      else e
     reg.createOrReplaceTempFunction("cosine_similarity", es => CosineSimilarity(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("l2_normalize", es => L2Normalize(es.head), "built-in")
@@ -89,19 +121,19 @@ package object functions {
     reg.createOrReplaceTempFunction("uuid5", es => Uuid5(es.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("min_hash_sig",
-      es => MinHashSig(es(0), litInt(es(1))), "built-in")
+      es => MinHashSig(es(0), litInt("min_hash_sig", "numHashes")(es(1))), "built-in")
     reg.createOrReplaceTempFunction("min_hash_band_keys",
-      es => MinHashBandKeys(es(0), litInt(es(1)), litInt(es(2))), "built-in")
+      es => MinHashBandKeys(es(0), litInt("min_hash_band_keys", "numHashes")(es(1)),
+        litInt("min_hash_band_keys", "bands")(es(2))), "built-in")
     reg.createOrReplaceTempFunction("byte_histogram",
-      es => ByteHistogram(es(0), litInt(es(1))), "built-in")
+      es => ByteHistogram(es(0), litInt("byte_histogram", "buckets")(es(1))), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_sig",
-      es => HyperplaneSig(es(0), litInt(es(1)), litLong(es(2))), "built-in")
+      es => HyperplaneSig(es(0), litInt("hyperplane_sig", "bits")(es(1)),
+        litLong("hyperplane_sig", "seed")(es(2))), "built-in")
     reg.createOrReplaceTempFunction("top_k_rows",
       es => graft.plans.TopKRows(es(0),
-        org.apache.spark.sql.catalyst.expressions.Cast(es(1),
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.catalyst.expressions.Cast(es(2),
-          org.apache.spark.sql.types.LongType),
-        litInt(es(3))), "built-in")
+        castIfNumeric(es(1), org.apache.spark.sql.types.DoubleType),
+        castIfNumeric(es(2), org.apache.spark.sql.types.LongType),
+        litInt("top_k_rows", "k")(es(3))), "built-in")
   }
 }
