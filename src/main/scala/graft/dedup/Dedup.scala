@@ -267,8 +267,14 @@ object Dedup {
       threshold, maxBucketSize)
     val comps = connectedComponents(df.select(col(idCol)), idCol,
       pairs, "id_a", "id_b")
-    val keepers = comps.filter(col("id") === col("component")).select(col("id"))
-    df.join(keepers, df(idCol) === keepers("id"), "left_semi")
+    // Drop the DUPLICATES (clustered non-representatives), not keep the
+    // keepers: keepers ≈ corpus-sized (every unclustered doc), so a
+    // semi-join on them would shuffle the full corpus by id; the duplicate
+    // set is only the docs actually removed — typically a small fraction —
+    // and AQE broadcasts the anti-join side when it is, leaving the corpus
+    // scan shuffle-free.
+    val dupes = comps.filter(col("id") =!= col("component")).select(col("id"))
+    df.join(dupes, df(idCol) === dupes("id"), "left_anti")
   }
 
   /**
