@@ -285,7 +285,10 @@ object SparkEntry {
     // with pointer jumping over the LSH pair output (the keeper-selection
     // step of a corpus dedup pipeline). Oracle: recursive-CTE transitive
     // closure over the same exact-Jaccard pair set (LSH recall is 1 on
-    // this corpus — see dedup_minhash).
+    // this corpus — see dedup_minhash). Driver queries are deliberately
+    // self-contained, so this re-mines pairs; pipelines running the dedup
+    // family together amortize the kernel through the persisted
+    // graft.index.MinHashIndex artifact instead.
     "dedup_clusters" -> ((s, dir) => {
       val docs = docsParallel(s, dir)
       val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
@@ -436,7 +439,9 @@ object SparkEntry {
 
     // IVF quality gate: recall@10 of the inverted-file probe join vs exact
     // kNN (KMeans cells aren't SQL-expressible → rows-only; IvfSpec proves
-    // full-probe ≡ exact bit-for-bit).
+    // full-probe ≡ exact bit-for-bit). Bench cost is dominated by the
+    // exact comparator + capped KMeans training — both intrinsic to a
+    // recall measurement, not the probe path being measured.
     "ivf_recall" -> ((s, dir) => {
       val emb = embParallel(s, dir)
       val q = knnQueries(s, dir)
