@@ -66,6 +66,28 @@ class MinHashIndex(
       metaField(s, "bands").toInt)
   }
 
+  /** Incremental ingest: append signatures for rows whose id is not
+    * already indexed (idempotent by key, like
+    * [[VectorCollection.upsert]]) — the daily-batch workflow: one kernel
+    * pass over the NEW docs only, then near-dup queries over the whole
+    * artifact. Parameters come from the pinned meta, so a batch can never
+    * be signed with mismatched settings. Single-writer contract. */
+  def upsert(df: DataFrame, idCol: String, textCol: String): Unit = {
+    require(exists, s"index $name does not exist - build() it first")
+    val m = meta
+    val fresh = df
+      .join(signaturesRaw().select(col("id")),
+        df(idCol) === col("id"), "left_anti")
+      .select(df(idCol).as("id"),
+        Dedup.minHashSignature(Dedup.shingles(col(textCol), m.n), m.numHashes).as("sig"))
+    fresh.write.mode(SaveMode.Append).parquet(sigPath.toString)
+  }
+
+  /** All stored (id, sig) rows, sentinel rows included — the id universe
+    * for the upsert anti-join (a shingle-less doc IS indexed; dropping it
+    * from the id set would re-sign it on every upsert). */
+  private def signaturesRaw(): DataFrame = spark.read.parquet(sigPath.toString)
+
   /** (id, sig), shingle-less docs excluded: a doc with no shingles stores
     * the all-sentinel signature (every slot Long.MaxValue — a real doc's
     * slot-1 minimum hits the sentinel only if every one of its shingle
@@ -73,8 +95,7 @@ class MinHashIndex(
     * exact-Jaccard verify, so they are filtered on the STORED column —
     * a cheap columnar predicate, no text kernel. */
   def signatures(): DataFrame =
-    spark.read.parquet(sigPath.toString)
-      .where(element_at(col("sig"), 1) =!= Long.MaxValue)
+    signaturesRaw().where(element_at(col("sig"), 1) =!= Long.MaxValue)
 
   /** (id, band) — one salted 64-bit key per band, derived from the stored
     * signature (slice + xxhash64; band index salts the key so bands can't
@@ -112,6 +133,20 @@ class MinHashIndex(
         .select(col("id_a"), col("id_b"), col("jaccard_est"))
         .localCheckpoint(true)
     } finally bands.unpersist(false)
+  }
+
+  /** Index-backed one-call near-dup removal: [[nearDupPairs]] →
+    * [[graft.dedup.Dedup.connectedComponents]] → anti-join the duplicate
+    * set (same shape as [[Dedup.dropNearDuplicates]], minus the text
+    * kernel — the artifact already paid it). `df` must be the corpus the
+    * index was built from (ids are the join key). */
+  def dropNearDuplicates(df: DataFrame, idCol: String,
+      threshold: Double, maxBucketSize: Int = 10000): DataFrame = {
+    val pairs = nearDupPairs(threshold, maxBucketSize)
+    val comps = Dedup.connectedComponents(df.select(col(idCol)), idCol,
+      pairs, "id_a", "id_b")
+    val dupes = comps.filter(col("id") =!= col("component")).select(col("id"))
+    df.join(dupes, df(idCol) === dupes("id"), "left_anti")
   }
 }
 

@@ -2,6 +2,8 @@ package graft.index
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 import graft.dedup.Dedup
 
@@ -44,6 +46,29 @@ class MinHashIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == direct)
     idx.drop()
     assert(!idx.exists)
+  }
+
+  test("upsert appends only unseen ids; index-backed dedup keeps representatives") {
+    val root = Files.createTempDirectory("graft_mh_idx3").toString
+    val idx = MinHashIndex(spark, root, "docs")
+      .build(fixture, "doc_id", "text", n = 3, numHashes = 128, bands = 32)
+    // re-delivering old ids + one new doc: only the new one is signed
+    val batch = Seq(
+      1L -> (1 to 60).map(i => s"tok$i").mkString(" "), // already indexed
+      9L -> (1 to 60).map(i => s"new$i").mkString(" ")).toDF("doc_id", "text")
+    idx.upsert(batch, "doc_id", "text")
+    assert(idx.signatures().count() == 5) // 4 from build + doc 9
+    idx.upsert(batch, "doc_id", "text") // idempotent re-delivery
+    assert(idx.signatures().count() == 5)
+    // the shingle-less doc 5 stays indexed (raw id universe) so it is not
+    // re-signed, and still never appears in pairs
+    assert(idx.nearDupPairs(0.7).filter(col("id_a") === 5L || col("id_b") === 5L).count() == 0)
+
+    // index-backed dedup: cluster {1,2,4} -> keep 1; 3, 5, 9 unclustered
+    val all = fixture.union(batch.filter(col("doc_id") === 9L))
+    val kept = idx.dropNearDuplicates(all, "doc_id", threshold = 0.7)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 5L, 9L))
   }
 
   test("band table derives bands-per-doc from stored signatures only") {
