@@ -533,6 +533,19 @@ object SparkEntry {
         .orderBy(col("w_start"), col("event_type"))
     }),
 
+    // Gap-based batch sessionization (30-min gap): the exact twin of the
+    // streaming mapGroupsWithState sessionizer, as lag + running-sum
+    // windows. Session starts/ends emitted as strings (cross-engine
+    // timestamp wire formats differ); gap compared in whole-second
+    // boundary counts on both engines.
+    "events_sessions" -> ((s, dir) => {
+      Streaming.sessionizeBatch(Streaming.eventsBatch(s, dir))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          date_format(col("t_start"), "yyyy-MM-dd HH:mm:ss").as("t_start"),
+          date_format(col("t_end"), "yyyy-MM-dd HH:mm:ss").as("t_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     // JSON payload extraction over the events props column (the engine's
     // semi-structured surface: typed scalar out of a JSON string, grouped
     // aggregate over it).
@@ -760,6 +773,23 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "events_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) > 1800
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(b) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS t_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS t_end
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
 
     "events_props" ->
       // DuckDB's SUM(INT) widens to HUGEINT (int128); Spark's sum(int) is

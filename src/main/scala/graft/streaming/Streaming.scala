@@ -86,6 +86,40 @@ object Streaming {
       events.withWatermark(tsCol, lateness).dropDuplicatesWithinWatermark(keyCols)
     else events.dropDuplicates(keyCols)
 
+  /**
+   * Batch sessionization — the exact, replayable twin of the streaming
+   * [[sessionize]]: events more than `gapSeconds` apart start a new
+   * session per user. Standard two-window shape: a lag over
+   * (user, event-time) marks boundaries, a running sum numbers sessions —
+   * one shuffle keyed by user, state never leaves the window operator.
+   * Gaps are compared in whole SECONDS-BOUNDARY counts (unix_timestamp
+   * truncation), which is sub-second-precision-agnostic and therefore
+   * cross-engine exact.
+   *
+   * @return one row per (user, session): user id, 1-based session_id,
+   *         n_events, session start/end timestamps
+   */
+  def sessionizeBatch(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      gapSeconds: Long = 1800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    val prev = lag(col(tsCol), 1).over(w)
+    val boundary = when(prev.isNull ||
+      unix_timestamp(col(tsCol)) - unix_timestamp(prev) > gapSeconds, 1).otherwise(0)
+    events
+      .withColumn("__b", boundary)
+      .withColumn("session_id",
+        sum(col("__b")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("int"))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("t_start"),
+        max(col(tsCol)).as("t_end"))
+  }
+
   final case class SessionUpdate(userId: Long, nEvents: Long, totalValue: Double, closed: Boolean)
 
   /**

@@ -138,6 +138,22 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() == 1)
   }
 
+  test("sessionizeBatch splits on gaps > threshold, numbers sessions per user") {
+    val df = Seq(
+      (7L, ts("2024-01-01 10:00:00")),
+      (7L, ts("2024-01-01 10:10:00")), // same session (10 min gap)
+      (7L, ts("2024-01-01 11:00:00")), // 50 min gap -> new session
+      (7L, ts("2024-01-01 11:30:00")), // exactly 30 min -> NOT > gap, same session
+      (9L, ts("2024-01-01 09:00:00"))).toDF("user_id", "ts")
+    val got = Streaming.sessionizeBatch(df, gapSeconds = 1800L)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)),
+        (r.getLong(2), r.getTimestamp(3), r.getTimestamp(4)))).toMap
+    assert(got.keySet == Set((7L, 1), (7L, 2), (9L, 1)))
+    assert(got((7L, 1))._1 == 2L)
+    assert(got((7L, 2)) == ((2L, ts("2024-01-01 11:00:00"), ts("2024-01-01 11:30:00"))))
+    assert(got((9L, 1))._1 == 1L)
+  }
+
   test("sessionize accumulates per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, Double)]
