@@ -352,6 +352,21 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // Exact corpus length quantiles (linear interpolation at p·(n−1) —
+    // the same formula in Spark's percentile and DuckDB's quantile_cont).
+    // Exact percentile sorts per group; for a single global group that is
+    // one TakeOrdered-ish agg — at 100 TB use approx_percentile and drop
+    // the oracle instead, documented here as the scale escape hatch.
+    "doc_len_quantiles" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(TextAnalysis.tokenCount(col("text")).as("n"))
+        .agg(
+          r6(expr("percentile(n, 0.25)")).as("p25"),
+          r6(expr("percentile(n, 0.5)")).as("p50"),
+          r6(expr("percentile(n, 0.75)")).as("p75"),
+          r6(expr("percentile(n, 0.95)")).as("p95"))
+    }),
+
     // Token-length histogram: fixed arithmetic buckets of 50 tokens capped
     // at bucket 9 — one hash-agg pass, constant output size at any scale.
     "doc_len_hist" -> ((s, dir) => {
@@ -754,6 +769,18 @@ object SparkEntry {
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
         |  FROM documents
         |) GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    "doc_len_quantiles" ->
+      """WITH t AS (
+        |  SELECT len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS n
+        |  FROM documents
+        |)
+        |SELECT
+        |  FLOOR(quantile_cont(n, 0.25) * 1000000.0 + 0.5) / 1000000.0 AS p25,
+        |  FLOOR(quantile_cont(n, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+        |  FLOOR(quantile_cont(n, 0.75) * 1000000.0 + 0.5) / 1000000.0 AS p75,
+        |  FLOOR(quantile_cont(n, 0.95) * 1000000.0 + 0.5) / 1000000.0 AS p95
+        |FROM t""".stripMargin,
 
     "doc_len_hist" ->
       """SELECT CAST(LEAST(FLOOR(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) / 50), 9) AS INT) AS bucket,
