@@ -58,6 +58,13 @@ class PlanSpec extends SparkSpec {
       s"expected map-side combine of token counts in:\n$p")
   }
 
+  test("events_sessions: both windows and the session agg reuse ONE user-keyed exchange") {
+    val p = plan("events_sessions")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"lag, running-sum, and groupBy all key on user_id and must share one shuffle, got $exchanges:\n$p")
+  }
+
   test("rebalanced: extra exchange ONLY when the scan has fewer splits than cores") {
     val par = spark.sparkContext.defaultParallelism
     // already-wide input: must come back untouched (the 100 TB path)
