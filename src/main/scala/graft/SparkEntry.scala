@@ -561,6 +561,58 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // Backward as-of join: each click enriched with the user's most recent
+    // prior (or same-instant) view — the union+window operator, one
+    // key-hash exchange per side, no range fan-out. Gap compared in
+    // whole-second boundary counts (cross-engine exact); timestamps as
+    // strings.
+    "events_asof" -> ((s, dir) => {
+      val ev = Streaming.eventsBatch(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      graft.ops.AsOfJoin.backward(clicks, views, Seq("user_id"),
+          leftTime = "ts", rightTime = "ts", rightPayload = Seq("event_id"),
+          leftTie = "event_id", rightTie = "event_id")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("asof_event_id").as("view_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("asof_ts"))).as("gap_s"))
+        .orderBy(col("user_id"), col("click_id"))
+    }),
+
+    // Point-in-interval range join: every event matched into its
+    // containing session interval via bin-bucketed equi-join (no
+    // BroadcastNestedLoop), then counted per session. Self-validating:
+    // n_points must equal the sessionization's own n_events. Bin width =
+    // 1 day of epoch seconds ≈ typical session span fan-out of ~1-2 bins.
+    "events_range_join" -> ((s, dir) => {
+      val ev = Streaming.eventsBatch(s, dir)
+        .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("t"))
+      val sessions = Streaming.sessionizeBatch(Streaming.eventsBatch(s, dir))
+        .select(col("user_id"), col("session_id"),
+          unix_timestamp(col("t_start")).as("lo"),
+          unix_timestamp(col("t_end")).as("hi"))
+      graft.ops.RangeJoin.pointInInterval(ev, "t", sessions, "lo", "hi",
+          binWidth = 86400L, equiKeys = Seq("user_id"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_points"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // Corpus vocabulary cardinality: exact distinct-token count (the
+    // shuffling distinct agg) + total tokens in one pass. The 100 TB path
+    // swaps countDistinct for approx_count_distinct (HLL) — same plan
+    // minus the distinct exchange; TextAnalysisSpec pins the HLL estimate
+    // within 5% of this exact value.
+    "vocab_size" -> ((s, dir) => {
+      docsParallel(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .agg(countDistinct(col("token")).as("n_distinct"),
+          count(lit(1)).as("n_total"))
+    }),
+
     // JSON payload extraction over the events props column (the engine's
     // semi-structured surface: typed scalar out of a JSON string, grouped
     // aggregate over it).
@@ -817,6 +869,64 @@ object SparkEntry {
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS t_start,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS t_end
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+
+    "events_asof" ->
+      // Same union+window form as the Spark operator (not DuckDB's ASOF
+      // JOIN syntax): identical tie semantics by construction — right rows
+      // sort before left at equal ts, greatest event_id among equal-ts
+      // rights wins. date_diff('second', ...) counts second boundaries,
+      // matching Spark's unix_timestamp subtraction.
+      """WITH u AS (
+        |  SELECT user_id, ts, 0 AS side, event_id,
+        |    struct_pack(r_ts := ts, r_event := event_id) AS p
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, ts, 1 AS side, event_id, NULL AS p
+        |  FROM events WHERE event_type = 'click'
+        |), w AS (
+        |  SELECT user_id, ts, side, event_id,
+        |    last_value(p IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, side, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS m
+        |  FROM u
+        |)
+        |SELECT user_id, event_id AS click_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  m.r_event AS view_id,
+        |  date_diff('second', m.r_ts, ts) AS gap_s
+        |FROM w WHERE side = 1
+        |ORDER BY user_id, click_id""".stripMargin,
+
+    "events_range_join" ->
+      // Sessions rebuilt with the events_sessions CTE, then a plain
+      // inequality containment join: flooring to epoch seconds on the
+      // Spark side cannot move an event across a >1800 s session gap, so
+      // membership is identical to this full-precision BETWEEN.
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) > 1800
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(b) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+        |  FROM g
+        |), sess AS (
+        |  SELECT user_id, session_id, min(ts) AS t0, max(ts) AS t1
+        |  FROM s GROUP BY 1, 2
+        |)
+        |SELECT e.user_id, sess.session_id, count(*) AS n_points
+        |FROM events e JOIN sess
+        |  ON e.user_id = sess.user_id AND e.ts BETWEEN sess.t0 AND sess.t1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "vocab_size" ->
+      """SELECT count(DISTINCT token) AS n_distinct, count(*) AS n_total
+        |FROM (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents
+        |)""".stripMargin,
 
     "events_props" ->
       // DuckDB's SUM(INT) widens to HUGEINT (int128); Spark's sum(int) is

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Backward as-of join: for each left row, attach the single most recent
+ * right row whose time is <= the left row's time, matched within equi-key
+ * groups — the standard event-enrichment primitive (trades↔quotes,
+ * click↔last-view, label↔latest-feature-snapshot) that Spark has no
+ * built-in operator for.
+ *
+ * Implementation is the union+window form rather than a range join: both
+ * sides are tagged and unioned, then ONE window over
+ * (keys | time, side, tie) carries the last non-null right payload onto
+ * each left row. Physical cost is a single hash exchange per side on the
+ * equi-keys plus a per-partition sort — the same class as the sort-merge
+ * equi-join a range-join rewrite would still need, with no interval
+ * fan-out, no broadcast of either side, and no BNL risk. At 100 TB the
+ * shuffle carries only the key/time/tie columns plus the requested payload
+ * struct. A pathologically hot key serializes its group through one task —
+ * inherent to per-key time ordering (same bound as any windowed operator);
+ * salt upstream if a single key exceeds a task.
+ *
+ * Determinism: ties are broken by (time, side, tieBreak) with right rows
+ * sorting BEFORE left rows at equal time — a right row at exactly the left
+ * row's time matches (<= semantics); among right rows with equal time the
+ * greatest tieBreak wins.
+ */
+object AsOfJoin {
+
+  /**
+   * @param on            equi-key columns present on both sides
+   * @param leftTime      left event-time column (TimestampType or numeric)
+   * @param rightTime     right event-time column
+   * @param rightPayload  right columns to attach, emitted as
+   *                      `prefix + name` (always includes the matched right
+   *                      time as `prefix + rightTime`)
+   * @param leftTie       left deterministic tie-break column
+   * @param rightTie      right deterministic tie-break column
+   * @param toleranceSeconds if set, matches older than this many whole
+   *                      seconds before the left time are nulled out
+   *                      (timestamp columns only)
+   */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      leftTie: String,
+      rightTie: String,
+      prefix: String = "asof_",
+      toleranceSeconds: Option[Long] = None): DataFrame = {
+    require(on.nonEmpty, "as-of join requires at least one equi-key column")
+    val payloadCols = (rightTime +: rightPayload.filterNot(_ == rightTime)).distinct
+    val payloadStruct = struct(payloadCols.map(col): _*)
+    val payloadType = right.select(payloadStruct.as("__p")).schema("__p").dataType
+
+    val leftCols = left.columns
+    val r = right.select(
+      on.map(col) ++ Seq(
+        col(rightTime).as("__t"),
+        lit(0).as("__side"),
+        col(rightTie).cast("long").as("__tie"),
+        payloadStruct.as("__p"),
+        lit(null).cast(left.select(struct(leftCols.map(col): _*).as("__l"))
+          .schema("__l").dataType).as("__l")): _*)
+    val l = left.select(
+      on.map(col) ++ Seq(
+        col(leftTime).as("__t"),
+        lit(1).as("__side"),
+        col(leftTie).cast("long").as("__tie"),
+        lit(null).cast(payloadType).as("__p"),
+        struct(leftCols.map(col): _*).as("__l")): _*)
+
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__t"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matchedRaw = last(col("__p"), ignoreNulls = true).over(w)
+    val matched = toleranceSeconds match {
+      case Some(tol) => when(
+        unix_timestamp(col("__t")) -
+          unix_timestamp(matchedRaw.getField(rightTime)) <= tol, matchedRaw)
+      case None => matchedRaw
+    }
+
+    val joined = r.unionByName(l)
+      .withColumn("__m", matched)
+      .filter(col("__side") === 1)
+    val outLeft = leftCols.map(c => col("__l").getField(c).as(c))
+    val outPayload = payloadCols.map(c => col("__m").getField(c).as(prefix + c))
+    joined.select(outLeft ++ outPayload: _*)
+  }
+}

@@ -92,4 +92,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(2) == 0.0)
     assert(math.abs(r(3) - (1.0 - 2.0 / 3.0)) < 1e-12)
   }
+
+  test("HLL distinct-token estimate within 5% of exact (the 100 TB vocab path)") {
+    val toks = graft.Tables.documents(spark, graft.TestSpark.sf0001)
+      .select(explode(TextAnalysis.tokens($"text")).as("token"))
+    val Array(exact, approx) = toks
+      .agg(countDistinct($"token").cast("double"),
+        approx_count_distinct($"token", rsd = 0.02).cast("double"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(exact > 0)
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"HLL estimate $approx vs exact $exact drifted past 5%")
+  }
 }
