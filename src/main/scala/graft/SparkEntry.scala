@@ -415,6 +415,30 @@ object SparkEntry {
           .as("recall_at_k"))
     }),
 
+    // Int8 scalar quantization quality gate: recall@10 of exact search
+    // over the 4x-compressed int8 codes vs full-float exact search. The
+    // quantized corpus is a pure map off the scan (no fit pass); scoring
+    // runs integer dot/norms on the codes. Rounding-dependent → rows-only
+    // (QuantizeSpec pins recall ≥ 0.9); the compression is the point: at
+    // 100 TB the code corpus is a quarter the bytes through scan, cache,
+    // and scoring.
+    "quant_recall" -> ((s, dir) => {
+      import graft.functions.quantize_int8
+      val emb = embParallel(s, dir)
+      val q = knnQueries(s, dir)
+      val exact = Knn.knnJoin(q, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"))
+      val codes = emb.select(col("vec_id"), quantize_int8(col("embedding")).as("code"))
+      val qCodes = q.select(col("vec_id"), quantize_int8(col("embedding")).as("code"))
+      val quant = Knn.knnJoin(qCodes, "vec_id", "code",
+          codes, "vec_id", "code", k = 10, metric = "int8", roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"), lit(1).as("__found"))
+      exact.join(quant, Seq("query_id", "result_id"), "left")
+        .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
+          .as("recall_at_k"))
+    }),
+
     // ------------------------------------------------------------------
     // E1 (SURVEY §2.8): text→vector embedding — TF-IDF pipeline behind the
     // Embedder trait (the reference's SentenceTransformer stand-in,

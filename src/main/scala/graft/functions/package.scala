@@ -62,6 +62,17 @@ package object functions {
   def byte_histogram(a: Column, buckets: Int): Column =
     col(ByteHistogram(ex(a), buckets))
 
+  /** Int8-quantize an array<float> column to binary codes (4x smaller;
+    * symmetric per-vector scale, which cancels under cosine). */
+  def quantize_int8(a: Column): Column = col(QuantizeInt8(ex(a)))
+
+  /** Per-vector dequantization scale (float): v_i ≈ code_i * scale. */
+  def int8_scale(a: Column): Column = col(Int8Scale(ex(a)))
+
+  /** Cosine similarity of two int8 code (binary) columns, as double —
+    * integer dot/norms on the codes, no dequantization. */
+  def int8_cosine(a: Column, b: Column): Column = col(Int8Cosine(ex(a), ex(b)))
+
   /** Bounded-heap per-group top-k aggregate (map-side partials): keeps the
     * k best `payload` struct rows by (score desc, id asc) and returns them
     * best-first as array<struct>. The aggregate requires exact
@@ -120,6 +131,9 @@ package object functions {
     reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "built-in")
     reg.createOrReplaceTempFunction("uuid5", es => Uuid5(es.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("quantize_int8", es => QuantizeInt8(es.head), "built-in")
+    reg.createOrReplaceTempFunction("int8_scale", es => Int8Scale(es.head), "built-in")
+    reg.createOrReplaceTempFunction("int8_cosine", es => Int8Cosine(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("min_hash_sig",
       es => MinHashSig(es(0), litInt("min_hash_sig", "numHashes")(es(1))), "built-in")
     reg.createOrReplaceTempFunction("min_hash_band_keys",

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{cosine_similarity, dot_product, top_k_rows}
+import graft.functions.{cosine_similarity, dot_product, int8_cosine, top_k_rows}
 
 /**
  * Exact top-k similarity join — the reference's core query: for each query
@@ -27,11 +27,15 @@ import graft.functions.{cosine_similarity, dot_product, top_k_rows}
  */
 object Knn {
 
-  /** Score metric: "cosine" or "dot" (use dot when vectors are pre-normalized
-    * — the reference's `--normalized` intent, main.py:19,30-34). */
+  /** Score metric: "cosine" or "dot" over array<float> vectors (use dot
+    * when vectors are pre-normalized — the reference's `--normalized`
+    * intent, main.py:19,30-34), or "int8" over binary int8-quantized code
+    * columns ([[graft.functions.quantize_int8]]) — the 4x-compressed
+    * corpus representation for 100 TB search. */
   def score(metric: String)(a: Column, b: Column): Column = metric match {
     case "cosine" => cosine_similarity(a, b)
     case "dot"    => dot_product(a, b)
+    case "int8"   => int8_cosine(a, b)
     case other    => throw new IllegalArgumentException(s"unknown metric: $other")
   }
 
