@@ -533,6 +533,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-group top-k OUTSIDE the knn context: best-3 docs by quality per
+    // language through the same bounded-heap aggregate (top_k_rows) that
+    // powers knn — certifying the aggregate against a SQL rank-window
+    // oracle on a second, unrelated grouping. Shuffle carries ≤ 3 rows per
+    // (partition, lang) partial, corpus-size independent.
+    "top_docs_per_lang" -> ((s, dir) => {
+      import graft.functions.top_k_rows
+      val scored = docsParallel(s, dir).select(col("lang"), col("doc_id"),
+        r6(TextAnalysis.qualityScore(col("text"))).as("quality"))
+      scored.groupBy(col("lang"))
+        .agg(top_k_rows(struct(col("doc_id"), col("quality")),
+          col("quality"), col("doc_id").cast("long"), 3).as("__tk"))
+        .select(col("lang"), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+        .select(col("lang"), col("__e.doc_id").as("doc_id"),
+          col("__e.quality").as("quality"),
+          (col("__pos") + 1).cast("int").as("rank"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // ------------------------------------------------------------------
     // Multimodal columns: media as opaque binary + typed metadata struct
     // (graft.multimodal). media_meta is the oracle-checked schema slice;
@@ -1000,24 +1019,13 @@ object SparkEntry {
         |FROM h ORDER BY doc_id""".stripMargin,
 
     "doc_quality" ->
-      """WITH t AS (
-        |  SELECT doc_id, text,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |  FROM documents
-        |), h AS (
-        |  SELECT doc_id, text, len(toks) AS n_tok,
-        |    len(list_intersect(toks, ['the','and','of','to','in','is','that','it','was','for'])) +
-        |    len(list_intersect(toks, ['el','los','las','que','y','una','por','como','pero','con'])) +
-        |    len(list_intersect(toks, ['der','die','das','und','ist','ein','eine','zu','den','von'])) +
-        |    len(list_intersect(toks, ['le','les','et','est','une','des','du','dans','pour','sur'])) AS stop_hits
-        |  FROM t
-        |)
-        |SELECT doc_id,
-        |  FLOOR((LEAST(1.0, CAST(n_tok AS DOUBLE) / 100.0) *
-        |    (1.0 - CASE WHEN len(text) = 0 THEN 0.0
-        |      ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9_\s]')) AS DOUBLE) / len(text) END) *
-        |    (0.5 + 0.5 * CAST(LEAST(stop_hits, 5) AS DOUBLE) / 5.0)) * 1000000.0 + 0.5) / 1000000.0 AS quality
-        |FROM h ORDER BY doc_id""".stripMargin,
+      ("WITH " + qualityCte + "\nSELECT doc_id, quality FROM q ORDER BY doc_id"),
+
+    "top_docs_per_lang" ->
+      ("WITH " + qualityCte + """
+        |SELECT lang, doc_id, quality,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS INT) AS rank
+        |FROM q QUALIFY rank <= 3 ORDER BY lang, rank""".stripMargin),
 
     "line_slice" ->
       // python text.split(' ')[3:8] == DuckDB 1-based inclusive [4:8]
@@ -1025,6 +1033,31 @@ object SparkEntry {
         |  array_to_string(string_split(text, ' ')[4:8], ' ') AS sliced
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
+
+  /** Shared CTE chain `t → h → q`: tokenized documents → stopword hits →
+    * rounded quality score per doc (the SQL twin of
+    * [[TextAnalysis.qualityScore]], rational arithmetic only), with `lang`
+    * carried for per-group consumers. */
+  private val qualityCte: String =
+    """t AS (
+      |  SELECT doc_id, lang, text,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id, lang, text, len(toks) AS n_tok,
+      |    len(list_intersect(toks, ['the','and','of','to','in','is','that','it','was','for'])) +
+      |    len(list_intersect(toks, ['el','los','las','que','y','una','por','como','pero','con'])) +
+      |    len(list_intersect(toks, ['der','die','das','und','ist','ein','eine','zu','den','von'])) +
+      |    len(list_intersect(toks, ['le','les','et','est','une','des','du','dans','pour','sur'])) AS stop_hits
+      |  FROM t
+      |), q AS (
+      |  SELECT doc_id, lang,
+      |    FLOOR((LEAST(1.0, CAST(n_tok AS DOUBLE) / 100.0) *
+      |      (1.0 - CASE WHEN len(text) = 0 THEN 0.0
+      |        ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9_\s]')) AS DOUBLE) / len(text) END) *
+      |      (0.5 + 0.5 * CAST(LEAST(stop_hits, 5) AS DOUBLE) / 5.0)) * 1000000.0 + 0.5) / 1000000.0 AS quality
+      |  FROM h
+      |)""".stripMargin
 
   /** Shared CTE list: distinct 3-gram shingles per doc → all-pairs exact
     * Jaccard (`pairs` with raw similarity `j`). */

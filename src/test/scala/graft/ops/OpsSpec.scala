@@ -53,12 +53,15 @@ class OpsSpec extends SparkSpec {
     assert(got == Set((10L, 102L), (11L, null), (12L, null), (20L, null)))
   }
 
-  test("asof plan: key-hash exchanges only, no BNL/cartesian") {
+  test("asof plan: ONE key-hash exchange over the union, no BNL/cartesian") {
     val plan = AsOfJoin.backward(left, right, Seq("k"),
       leftTime = "t", rightTime = "rt", rightPayload = Seq("rid"),
       leftTie = "lid", rightTie = "rid")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    // Both sides ride a single exchange: the union shuffles once on the
+    // equi-key for the window — there is no join operator to re-shuffle.
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
 
   private val points = Seq(
