@@ -130,6 +130,78 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // Six-table join breadth (TPC-H Q5 shape): fact table streams through
+    // one big-big shuffle join (lineitem x orders); region/nation are
+    // explicit broadcasts; supplier/customer are left to AQE, which
+    // broadcasts them at fixture scale and shuffles them at 100 TB — the
+    // decision belongs to the runtime stats, not the query. Revenue on
+    // DECIMAL for cross-engine exactness.
+    "q5_join" -> ((s, dir) => {
+      val asia = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+      Tables.lineitem(s, dir)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(r6(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double")).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Corpus mixture surface: per-source doc/token counts, token share,
+    // and the uniform-target sampling weight (total/(n_sources*tokens)) —
+    // the mixture-balancing step of a training-data pipeline. The window
+    // runs over the GROUPED frame (|sources| rows), not the corpus.
+    "source_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = docsParallel(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      val w = Window.partitionBy()
+      per
+        .withColumn("token_share",
+          r6(col("n_tokens").cast("double") / sum(col("n_tokens")).over(w).cast("double")))
+        .withColumn("sample_weight",
+          r6(sum(col("n_tokens")).over(w).cast("double") /
+            (count(lit(1)).over(w).cast("double") * col("n_tokens").cast("double"))))
+        .orderBy(col("source"))
+    }),
+
+    // Multi-level aggregation: ROLLUP over (event_type, day) — per-day
+    // cells, per-type subtotals, grand total in ONE pass (Spark expands
+    // grouping sets map-side; no extra scan per level).
+    "events_rollup" -> ((s, dir) => {
+      Streaming.eventsBatch(s, dir)
+        .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("value"))
+        .rollup(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+    }),
+
+    // Grouped exact quantiles: token-length p25/p50/p75 per language
+    // (percentile ≡ quantile_cont interpolation; approx_percentile is the
+    // documented 100 TB path, as in doc_len_quantiles).
+    "lang_len_quantiles" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n"))
+        .groupBy(col("lang"))
+        .agg(
+          r6(expr("percentile(n, 0.25)")).as("p25"),
+          r6(expr("percentile(n, 0.5)")).as("p50"),
+          r6(expr("percentile(n, 0.75)")).as("p75"))
+        .orderBy(col("lang"))
+    }),
+
     // ------------------------------------------------------------------
     // J2/T1/W3: the reference's core operator — exact per-query top-k
     // cosine search with self-exclusion (bcb_utils.py:168-176).
@@ -705,6 +777,47 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_join" ->
+      """SELECT n_name,
+        |  FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "source_mix" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(SUM(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source
+        |)
+        |SELECT source, n_docs, n_tokens,
+        |  FLOOR(CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS token_share,
+        |  FLOOR(CAST(SUM(n_tokens) OVER () AS DOUBLE) / (CAST(COUNT(*) OVER () AS DOUBLE) * CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS sample_weight
+        |FROM per ORDER BY source""".stripMargin,
+
+    "events_rollup" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+
+    "lang_len_quantiles" ->
+      """WITH t AS (
+        |  SELECT lang, len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS n
+        |  FROM documents
+        |)
+        |SELECT lang,
+        |  FLOOR(quantile_cont(n, 0.25) * 1000000.0 + 0.5) / 1000000.0 AS p25,
+        |  FLOOR(quantile_cont(n, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+        |  FLOOR(quantile_cont(n, 0.75) * 1000000.0 + 0.5) / 1000000.0 AS p75
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
     "knn_topk" ->
       """WITH q AS (
