@@ -65,6 +65,32 @@ class PlanSpec extends SparkSpec {
       s"lag, running-sum, and groupBy all key on user_id and must share one shuffle, got $exchanges:\n$p")
   }
 
+  test("q5_join: date filter pushed to the orders scan, no cartesian, dims broadcast") {
+    val p = plan("q5_join")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"orders date filter must reach the scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"six-table join must stay equi-join only:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"small dims must broadcast:\n$p")
+  }
+
+  test("source_mix: window runs over the grouped frame, not the corpus") {
+    val p = plan("source_mix")
+    // the corpus-side agg is partial+final; the single-partition window
+    // sits ABOVE the final agg so only |sources| rows pass through it
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"per-source token counts must map-side combine:\n$p")
+    assert(p.indexOf("Window") < p.indexOf("Scan parquet") && p.contains("Window"),
+      s"window must be above the aggregate (grouped rows only):\n$p")
+  }
+
+  test("events_rollup: one scan expands all grouping sets (no per-level rescan)") {
+    val p = plan("events_rollup")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"rollup must not rescan per level:\n$p")
+    assert(p.contains("Expand"), s"expected grouping-set Expand operator:\n$p")
+  }
+
   test("rebalanced: extra exchange ONLY when the scan has fewer splits than cores") {
     val par = spark.sparkContext.defaultParallelism
     // already-wide input: must come back untouched (the 100 TB path)
