@@ -188,6 +188,18 @@ object SparkEntry {
         .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
     }),
 
+    // Overlapping token-window chunking (32-token windows, stride 16) —
+    // the pre-embedding step of a training/RAG pipeline. Chunk text rides
+    // as md5 so the compare stays cell-sized; per-row compute only, no
+    // shuffle below the output sort.
+    "doc_chunks" -> ((s, dir) => {
+      graft.text.Chunker.chunk(docsParallel(s, dir), Seq("doc_id"), "text",
+          chunkSize = 32, stride = 16)
+        .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // Grouped exact quantiles: token-length p25/p50/p75 per language
     // (percentile ≡ quantile_cont interpolation; approx_percentile is the
     // documented 100 TB path, as in doc_len_quantiles).
@@ -807,6 +819,21 @@ object SparkEntry {
         |FROM events
         |GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
         |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+
+    "doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) <= 32 THEN 1 ELSE CAST(ceil((len(toks) - 32) / 16.0) AS INT) + 1 END AS nc
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(u.i AS INT) AS chunk_id,
+        |  CAST(len(toks[u.i*16+1 : u.i*16+32]) AS INT) AS n_chunk_tokens,
+        |  md5(array_to_string(toks[u.i*16+1 : u.i*16+32], ' ')) AS chunk_md5
+        |FROM c, unnest(range(0, nc)) AS u(i)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "lang_len_quantiles" ->
       """WITH t AS (
