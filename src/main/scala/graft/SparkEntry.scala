@@ -709,6 +709,27 @@ object SparkEntry {
         .orderBy(col("user_id"), col("click_id"))
     }),
 
+    // Interval join (batch twin of the stream-stream join): views within
+    // the hour before each click, per user — key-anchored hash join +
+    // range filter, the same function that runs watermark-bounded on
+    // streams (StreamingSpec drives it live). Timestamps truncated to
+    // whole seconds BEFORE the join: ns-vs-µs engine precision must not
+    // decide boundary pairs.
+    "events_interval_join" -> ((s, dir) => {
+      val ev = Streaming.eventsBatch(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          date_trunc("second", col("ts")).as("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+          date_trunc("second", col("ts")).as("v_ts"))
+      Streaming.intervalJoin(clicks, views, "user_id", "v_user_id",
+          "ts", "v_ts", horizonSeconds = 3600L)
+        .groupBy(col("user_id"), col("click_id"))
+        .agg(count(lit(1)).as("n_views"), max(col("view_id")).as("last_view_id"))
+        .orderBy(col("user_id"), col("click_id"))
+    }),
+
     // Point-in-interval range join: every event matched into its
     // containing session interval via bin-bucketed equi-join (no
     // BroadcastNestedLoop), then counted per session. Self-validating:
@@ -1079,6 +1100,19 @@ object SparkEntry {
         |  date_diff('second', m.r_ts, ts) AS gap_s
         |FROM w WHERE side = 1
         |ORDER BY user_id, click_id""".stripMargin,
+
+    "events_interval_join" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, date_trunc('second', ts) AS ts
+        |  FROM events WHERE event_type = 'click'
+        |), v AS (
+        |  SELECT user_id, event_id AS view_id, date_trunc('second', ts) AS v_ts
+        |  FROM events WHERE event_type = 'view'
+        |)
+        |SELECT c.user_id, c.click_id, count(*) AS n_views, max(v.view_id) AS last_view_id
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND v.v_ts >= c.ts - INTERVAL 3600 SECOND AND v.v_ts <= c.ts
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "events_range_join" ->
       // Sessions rebuilt with the events_sessions CTE, then a plain

@@ -120,6 +120,44 @@ object Streaming {
         max(col(tsCol)).as("t_end"))
   }
 
+  /**
+   * Interval join, batch AND stream: left rows joined to right rows of the
+   * same key whose time falls in `[leftTime - horizonSeconds, leftTime]` —
+   * the streaming counterpart of [[graft.ops.AsOfJoin]]'s tolerance form
+   * (stream-stream joins cannot express "latest match only", so this
+   * yields ALL matches in the horizon; reduce downstream if one is
+   * needed).
+   *
+   * On streaming frames both sides carry watermarks and the time-range
+   * condition bounds join state: each side buffers only `horizon +
+   * lateness` of events per key, the exact requirement for Spark to GC
+   * stream-stream join state. On batch frames the watermark is a no-op
+   * and the plan is a key-hash equi-join + range filter (no BNL — the
+   * equi-key anchors the join), which is the oracle-checked twin
+   * (`events_interval_join`).
+   *
+   * Column names must be disjoint across sides (rename upstream).
+   */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      on: String,
+      rightOn: String,
+      leftTime: String,
+      rightTime: String,
+      horizonSeconds: Long,
+      lateness: String = "10 minutes"): DataFrame = {
+    val (l, r) =
+      if (left.isStreaming || right.isStreaming)
+        (left.withWatermark(leftTime, lateness),
+          right.withWatermark(rightTime, lateness))
+      else (left, right)
+    l.join(r,
+      col(on) === col(rightOn) &&
+        col(rightTime) >= col(leftTime) - expr(s"INTERVAL $horizonSeconds SECONDS") &&
+        col(rightTime) <= col(leftTime))
+  }
+
   final case class SessionUpdate(userId: Long, nEvents: Long, totalValue: Double, closed: Boolean)
 
   /**

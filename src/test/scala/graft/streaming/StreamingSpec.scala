@@ -110,6 +110,48 @@ class StreamingSpec extends SparkSpec {
     assert(scores.forall(s => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9))
   }
 
+  test("stream-stream interval join matches its batch twin and bounds state") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val joined = Streaming.intervalJoin(
+      clicks.toDF().toDF("user_id", "click_id", "ts"),
+      views.toDF().toDF("v_user_id", "view_id", "v_ts"),
+      "user_id", "v_user_id", "ts", "v_ts", horizonSeconds = 3600L)
+    val q = joined.writeStream.format("memory").queryName("ij_test")
+      .outputMode("append").start()
+    val clickRows = Seq(
+      (1L, 10L, ts("2024-01-01 12:00:00")),
+      (2L, 20L, ts("2024-01-01 12:30:00")))
+    val viewRows = Seq(
+      (1L, 100L, ts("2024-01-01 11:30:00")), // in horizon of click 10
+      (1L, 101L, ts("2024-01-01 10:30:00")), // too old
+      (1L, 102L, ts("2024-01-01 12:00:00")), // same instant: included
+      (2L, 200L, ts("2024-01-01 12:45:00"))) // after the click: excluded
+    try {
+      clicks.addData(clickRows: _*)
+      views.addData(viewRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("ij_test").select($"click_id", $"view_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((10L, 100L), (10L, 102L)))
+    } finally q.stop()
+    // batch twin on the same rows: identical pair set
+    val batch = Streaming.intervalJoin(
+      clickRows.toDF("user_id", "click_id", "ts"),
+      viewRows.toDF("v_user_id", "view_id", "v_ts"),
+      "user_id", "v_user_id", "ts", "v_ts", horizonSeconds = 3600L)
+      .select($"click_id", $"view_id").as[(Long, Long)].collect().toSet
+    assert(batch == Set((10L, 100L), (10L, 102L)))
+    // batch plan: the equi-key anchors a hash join — no nested loop
+    val plan = Streaming.intervalJoin(
+      clickRows.toDF("user_id", "click_id", "ts"),
+      viewRows.toDF("v_user_id", "view_id", "v_ts"),
+      "user_id", "v_user_id", "ts", "v_ts", 3600L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("dedupStream drops within-horizon duplicate keys, batch twin is exact") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Timestamp, Long, String)]
