@@ -775,6 +775,175 @@ object SparkEntry {
     }),
 
     // ------------------------------------------------------------------
+    // Round-4 breadth: conditional-aggregation join (TPC-H Q14 shape),
+    // event-transition windows, per-group tiering, set operations,
+    // sequence packing, deterministic weighted sampling,
+    // normalization-aware dedup, and bigram statistics.
+    // ------------------------------------------------------------------
+
+    // Conditional aggregation over a fact⋈dim join (TPC-H Q14 shape):
+    // the date filter pushes to the lineitem scan, part joins on the key,
+    // and the CASE lives inside the aggregate — one pass, no second scan
+    // for the numerator. DECIMAL sums for cross-engine exactness.
+    "q14_promo" -> ((s, dir) => {
+      val one = lit(java.math.BigDecimal.ONE).cast("decimal(18,2)")
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (one - col("l_discount").cast("decimal(18,2)"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-02-01"))
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .agg(r6(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)"))).cast("double") /
+          sum(rev).cast("double")).as("promo_revenue"))
+    }),
+
+    // Event-transition (funnel) statistics: lag window per user → count of
+    // each (prev_type → type) edge. The window and the ordering are keyed
+    // on (ts, event_id) so ties can't flip cross-engine. One user-keyed
+    // exchange; the transition-count aggregate is map-side partial.
+    "user_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Streaming.eventsBatch(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("prev_type"), col("event_type"))
+    }),
+
+    // Curriculum tiering: quartile assignment (ntile) per language over the
+    // 6-dp quality score (deterministic order: rounded score + doc_id), then
+    // per-tier stats — the "sort corpus into quality buckets" step of a
+    // curriculum/annealing data schedule. One lang-keyed exchange for the
+    // window; the tier aggregate is partial map-side.
+    "quality_tiers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("quality"), col("doc_id"))
+      docsParallel(s, dir)
+        .select(col("lang"), col("doc_id"),
+          r6(TextAnalysis.qualityScore(col("text"))).as("quality"))
+        .withColumn("tier", ntile(4).over(w))
+        .groupBy(col("lang"), col("tier"))
+        .agg(count(lit(1)).as("n_docs"),
+          r6(min(col("quality"))).as("min_q"),
+          r6(max(col("quality"))).as("max_q"),
+          r6(stableMean(col("quality"))).as("mean_q"))
+        .orderBy(col("lang"), col("tier"))
+    }),
+
+    // Set operations (§2.7 INTERSECT/EXCEPT as real operators, not
+    // rewrites): bigram vocabulary shared between two languages and
+    // exclusive to each. Spark plans INTERSECT/EXCEPT as hash
+    // left-semi/anti joins over the distinct sets — the exchange carries
+    // distinct bigrams only, never the corpus.
+    "vocab_overlap" -> ((s, dir) => {
+      def vocab(lang: String) = docsParallel(s, dir)
+        .filter(col("lang") === lang)
+        .select(explode(TextAnalysis.bigrams(col("text"))).as("bigram"))
+        .distinct()
+      val en = vocab("en"); val es = vocab("es")
+      en.intersect(es).withColumn("status", lit("both"))
+        .unionAll(en.except(es).withColumn("status", lit("en_only")))
+        .unionAll(es.except(en).withColumn("status", lit("es_only")))
+        .orderBy(col("status"), col("bigram"))
+    }),
+
+    // Sequence packing: documents → fixed-token-budget training batches
+    // (per-language; exclusive-prefix-sum rule, see graft.text.Packing).
+    // Emits the batch manifest a shard writer consumes.
+    "pack_batches" -> ((s, dir) => {
+      graft.text.Packing.batches(docsParallel(s, dir), Seq("lang"), "doc_id",
+          TextAnalysis.tokenCount(col("text")), budget = 512L)
+        .orderBy(col("lang"), col("batch_id"))
+    }),
+
+    // Deterministic quality-weighted Bernoulli sample: keep probability =
+    // 6-dp quality score, uniform = salted-md5(id) — bit-reproducible in
+    // any engine with md5, layout-independent (unlike df.sample), pure
+    // map-side filter (no shuffle at any scale).
+    "weighted_sample" -> ((s, dir) => {
+      graft.bench.Sampling.weighted(Tables.documents(s, dir), "doc_id",
+          r6(TextAnalysis.qualityScore(col("text"))))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Normalization-aware exact dedup: group on md5 of the canonical
+    // normal form (case/punctuation/reflow-insensitive) — catches the
+    // trivial-variant duplicates raw-text hashing misses. Same map-side
+    // digest + single hash-agg shuffle shape as dedup_exact.
+    "normalize_dedup" -> ((s, dir) => {
+      docsParallel(s, dir)
+        .select(md5(TextAnalysis.normalize(col("text"))).as("norm_hash"), col("doc_id"))
+        .groupBy(col("norm_hash"))
+        .agg(min(col("doc_id")).as("keeper"),
+          concat_ws(",", sort_array(collect_list(col("doc_id")))).as("ids"),
+          count(lit(1)).as("group_size"))
+        .orderBy(col("norm_hash"))
+    }),
+
+    // Corpus bigram top-k (collocation/n-gram-LM statistics): explode →
+    // partial count agg → TakeOrderedAndProject. The exchange carries one
+    // (bigram, partial_count) row per distinct bigram per map partition;
+    // the global sort is top-20-bounded.
+    "bigram_topk" -> ((s, dir) => {
+      docsParallel(s, dir)
+        .select(explode(TextAnalysis.bigrams(col("text"))).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
+    }),
+
+    // Incremental corpus merge (upsert, latest-version-wins): base ∪
+    // updates → one `max_by(row, version)` hash aggregate — the partial
+    // agg collapses superseded versions map-side, so the single exchange
+    // carries ≤ one row per doc per map partition (same shape as
+    // dropExactDuplicates). The update batch is derived deterministically
+    // from the fixture (docs with id % 5 = 0 get a v2 edit).
+    "corpus_merge" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = docs.select(col("doc_id"), col("text"), lit(1L).as("version"))
+      val updates = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" [v2]")).as("text"),
+          lit(2L).as("version"))
+      base.unionAll(updates)
+        .groupBy(col("doc_id"))
+        .agg(max_by(struct(col("version"), col("text")), col("version")).as("__r"))
+        .select(col("doc_id"), col("__r.version").as("version"),
+          md5(col("__r.text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Snapshot diff: added/removed/changed docs between two corpus
+    // versions via a full-outer join of (id, digest) frames — digests are
+    // computed map-side, so the join shuffles 16-byte hashes + ids, never
+    // text. Snapshots are derived deterministically from the fixture
+    // (A drops id % 7 = 0; B drops id % 5 = 0 and edits id % 3 = 0).
+    "snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val a = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("h_a"))
+      val b = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 3 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text"))).as("h_b"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h_a").isNull, "added")
+            .when(col("h_b").isNull, "removed")
+            .when(col("h_a") =!= col("h_b"), "changed")
+            .otherwise("same"))
+        .filter(col("status") =!= "same")
+        .select(col("doc_id"), col("status"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ------------------------------------------------------------------
     // F1: deterministic UUIDv5 point identity over documents. Not
     // SQL-expressible in DuckDB (no uuid5) → rows-only driver check;
     // RFC 4122 vectors are pinned in ExpressionsSpec.
@@ -1206,6 +1375,121 @@ object SparkEntry {
       """SELECT doc_id,
         |  array_to_string(string_split(text, ' ')[4:8], ' ') AS sliced
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q14_promo" ->
+      """SELECT FLOOR(100.0 *
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |  * 1000000.0 + 0.5) / 1000000.0 AS promo_revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""".stripMargin,
+
+    "user_funnel" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |)
+        |SELECT prev_type, event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM t WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type ORDER BY prev_type, event_type""".stripMargin,
+
+    "quality_tiers" ->
+      ("WITH " + qualityCte + """
+        |, tiered AS (
+        |  SELECT lang, doc_id, quality,
+        |    CAST(ntile(4) OVER (PARTITION BY lang ORDER BY quality, doc_id) AS INT) AS tier
+        |  FROM q
+        |)
+        |SELECT lang, tier, count(*) AS n_docs,
+        |  FLOOR(MIN(quality) * 1000000.0 + 0.5) / 1000000.0 AS min_q,
+        |  FLOOR(MAX(quality) * 1000000.0 + 0.5) / 1000000.0 AS max_q,
+        |  FLOOR(CAST(SUM(CAST(quality AS DECIMAL(28,6))) AS DOUBLE) / COUNT(quality) * 1000000.0 + 0.5) / 1000000.0 AS mean_q
+        |FROM tiered GROUP BY lang, tier ORDER BY lang, tier""".stripMargin),
+
+    "vocab_overlap" ->
+      (bigramCte + """
+        |, en AS (SELECT DISTINCT bigram FROM bg WHERE lang = 'en')
+        |, es AS (SELECT DISTINCT bigram FROM bg WHERE lang = 'es')
+        |SELECT bigram, status FROM (
+        |  SELECT bigram, 'both' AS status FROM (SELECT bigram FROM en INTERSECT SELECT bigram FROM es)
+        |  UNION ALL
+        |  SELECT bigram, 'en_only' AS status FROM (SELECT bigram FROM en EXCEPT SELECT bigram FROM es)
+        |  UNION ALL
+        |  SELECT bigram, 'es_only' AS status FROM (SELECT bigram FROM es EXCEPT SELECT bigram FROM en)
+        |) ORDER BY status, bigram""".stripMargin),
+
+    "pack_batches" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), a AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |    CAST(FLOOR(CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS DOUBLE) / 512) AS BIGINT) AS batch_id
+        |  FROM t
+        |)
+        |SELECT lang, batch_id, count(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM a GROUP BY lang, batch_id ORDER BY lang, batch_id""".stripMargin,
+
+    "weighted_sample" ->
+      ("WITH " + qualityCte + """
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN q ON d.doc_id = q.doc_id
+        |WHERE CAST(CAST(('0x' || substr(md5('graft42:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+        |  / 4294967296.0 < q.quality
+        |ORDER BY d.doc_id""".stripMargin),
+
+    "normalize_dedup" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_hash,
+        |  min(doc_id) AS keeper,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS ids,
+        |  count(*) AS group_size
+        |FROM documents GROUP BY norm_hash ORDER BY norm_hash""".stripMargin,
+
+    "bigram_topk" ->
+      (bigramCte + """
+        |SELECT bigram, count(*) AS n FROM bg
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin),
+
+    "corpus_merge" ->
+      """WITH all_rows AS (
+        |  SELECT doc_id, text, 1 AS version FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text || ' [v2]' AS text, 2 AS version FROM documents
+        |  WHERE doc_id % 5 = 0
+        |)
+        |SELECT doc_id, CAST(max(version) AS BIGINT) AS version,
+        |  md5(arg_max(text, version)) AS text_md5
+        |FROM all_rows GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT doc_id, md5(text) AS h_a FROM documents WHERE doc_id % 7 <> 0
+        |), b AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 3 = 0 THEN text || ' edited' ELSE text END) AS h_b
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |)
+        |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN h_a <> h_b THEN 'changed'
+        |       ELSE 'same' END AS status
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |WHERE (CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN h_a <> h_b THEN 'changed'
+        |       ELSE 'same' END) <> 'same'
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared CTE chain `t → h → q`: tokenized documents → stopword hits →
@@ -1231,6 +1515,18 @@ object SparkEntry {
       |        ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9_\s]')) AS DOUBLE) / len(text) END) *
       |      (0.5 + 0.5 * CAST(LEAST(stop_hits, 5) AS DOUBLE) / 5.0)) * 1000000.0 + 0.5) / 1000000.0 AS quality
       |  FROM h
+      |)""".stripMargin
+
+  /** Shared DuckDB CTE: adjacent-token bigrams per doc with `lang` carried
+    * (twin of [[TextAnalysis.bigrams]]; `range(1, len)` is empty below two
+    * tokens, matching the Spark guard). */
+  private val bigramCte: String =
+    """WITH t AS (
+      |  SELECT lang, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents
+      |), bg AS (
+      |  SELECT lang, array_to_string(toks[i:i+1], ' ') AS bigram
+      |  FROM t, unnest(range(1, len(toks))) AS u(i)
       |)""".stripMargin
 
   /** Shared CTE list: distinct 3-gram shingles per doc → all-pairs exact

@@ -1,6 +1,6 @@
 package graft.bench
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -22,6 +22,26 @@ object Sampling {
       seed: String = defaultSeed): DataFrame =
     df.orderBy(md5(concat(lit(seed), col(idCol).cast("string"))), col(idCol))
       .limit(n)
+
+  /** Deterministic weighted (Bernoulli) sample: keep a row iff its salted
+    * md5 uniform falls below `prob` (a per-row probability column in
+    * [0,1]). The uniform is the first 8 hex digits of md5(seed‖id) scaled
+    * by 2⁻³² — identical in any engine with md5 (the DuckDB twin uses the
+    * same expression), so the kept set is bit-reproducible, unlike
+    * `df.sample()` whose kept set depends on Spark's partition-seeded RNG
+    * and therefore on the physical split layout.
+    *
+    * Pure map-side filter: no shuffle, no state — at 100 TB this is a scan
+    * with a pushable-ish predicate (the md5 itself isn't pushable, but no
+    * exchange is ever introduced). Standard use: quality-proportional
+    * downsampling, e.g. `prob = quality_score` keeps good documents with
+    * high probability while never fully zeroing a stratum. */
+  def weighted(df: DataFrame, idCol: String, prob: Column,
+      seed: String = defaultSeed): DataFrame = {
+    val uniform = conv(substring(md5(concat(lit(seed),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("double") / 4294967296.0
+    df.filter(uniform < prob)
+  }
 
   /** Stratified deterministic sample: the first `nPerStratum` rows of each
     * stratum under the SAME salted-md5 order as [[seeded]] — a constant

@@ -158,6 +158,22 @@ object Streaming {
         col(rightTime) <= col(leftTime))
   }
 
+  /**
+   * Stream-static enrichment join: each streaming row joined (left) to a
+   * static dimension — the standard "attach user/doc metadata to an event
+   * stream" step. The dimension is broadcast explicitly: stream-static
+   * joins re-plan the static side per micro-batch, and a broadcast keeps
+   * that per-batch cost a map-side lookup with NO shuffle of the stream
+   * (stateless — nothing to watermark, unlike stream-stream joins). For a
+   * dimension too large to broadcast, pre-bucket both sides instead
+   * ([[graft.index.BucketedCorpus]]).
+   *
+   * Works identically on batch frames (same unified plan), which is how
+   * the spec cross-checks it.
+   */
+  def enrichStream(stream: DataFrame, dim: DataFrame, on: String): DataFrame =
+    stream.join(broadcast(dim), Seq(on), "left")
+
   final case class SessionUpdate(userId: Long, nEvents: Long, totalValue: Double, closed: Boolean)
 
   /**

@@ -88,6 +88,26 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     substring(md5(regexp_replace(lower(text), "\\s+", " ")), 1, 16)
 
+  /** Canonical normal form for normalization-aware dedup: lower-case,
+    * drop everything but `[a-z0-9 ]` (an ASCII-explicit class — Java and
+    * RE2 agree on it, unlike `\p{Punct}`), collapse whitespace runs, trim.
+    * Casing/punctuation/reflow variants of a document normalize to one
+    * string; exact dedup on `md5(normalize(text))` then catches what raw
+    * `md5(text)` misses. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""),
+      "\\s+", " "))
+
+  /** Adjacent-token bigrams ("a b") of the canonical tokens — n-gram LM /
+    * collocation statistics input. Empty array below 2 tokens. */
+  def bigrams(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    when(n < 2, array().cast("array<string>"))
+      .otherwise(zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+        (a, b) => concat_ws(" ", a, b)))
+  }
+
   // --- pattern surface for filtering/PII-screening pipelines ------------
   // Deliberately simple regexes that mean the same thing in Java regex and
   // RE2 (DuckDB) so the oracles stay cross-engine exact.

@@ -28,6 +28,19 @@ class SamplingSpec extends SparkSpec {
     assert(tiny == Map("big" -> 50L, "small" -> 10L)) // only 10 small rows exist
   }
 
+  test("weighted: prob 0 keeps nothing, prob 1 keeps all, kept sets nest monotonically") {
+    assert(Sampling.weighted(df, "id", lit(0.0)).count() == 0)
+    assert(Sampling.weighted(df, "id", lit(1.0)).count() == df.count())
+    val at3 = Sampling.weighted(df, "id", lit(0.3)).select("id").as[Long].collect().toSet
+    val at6 = Sampling.weighted(df, "id", lit(0.6)).select("id").as[Long].collect().toSet
+    assert(at3.subsetOf(at6)) // same uniform per id — raising p only adds rows
+    assert(at3.nonEmpty && at6.size < df.count())
+    // deterministic across layouts: the kept set ignores partitioning
+    val re = Sampling.weighted(df.repartition(13), "id", lit(0.6))
+      .select("id").as[Long].collect().toSet
+    assert(re == at6)
+  }
+
   test("stratified picks the same rows as seeded within a single stratum") {
     val one = df.filter($"stratum" === "big")
     val viaStrat = Sampling.stratified(one, "id", "stratum", 7)

@@ -152,6 +152,29 @@ class StreamingSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("stream-static enrichment join attaches dimension rows, keeps unmatched") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[(Long, String)]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = Streaming.enrichStream(events.toDF().toDF("user_id", "event"), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try {
+      events.addData((1L, "click"), (3L, "view"))
+      q.processAllAvailable()
+      val got = spark.table("enrich_test")
+        .select($"user_id", $"event", $"tier").as[(Long, String, Option[String])]
+        .collect().toSet
+      assert(got == Set((1L, "click", Some("gold")), (3L, "view", None)))
+    } finally q.stop()
+    // batch twin: identical rows through the same function
+    val batch = Streaming.enrichStream(
+        Seq((1L, "click"), (3L, "view")).toDF("user_id", "event"), dim, "user_id")
+      .select($"user_id", $"event", $"tier").as[(Long, String, Option[String])]
+      .collect().toSet
+    assert(batch == Set((1L, "click", Some("gold")), (3L, "view", None)))
+  }
+
   test("dedupStream drops within-horizon duplicate keys, batch twin is exact") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Timestamp, Long, String)]

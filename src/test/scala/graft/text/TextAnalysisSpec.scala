@@ -93,6 +93,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(r(3) - (1.0 - 2.0 / 3.0)) < 1e-12)
   }
 
+  test("normalize: case/punctuation/reflow variants collapse to one form; idempotent") {
+    val forms = Seq("Hello,  World!", "hello world", "  HELLO\n\tworld. ")
+    val norm = forms.toDF("text").select(TextAnalysis.normalize($"text").as("n"))
+      .collect().map(_.getString(0)).toSet
+    assert(norm == Set("hello world"))
+    val twice = one("A--b  C!").select(
+      TextAnalysis.normalize(TextAnalysis.normalize($"text")).as("n2"),
+      TextAnalysis.normalize($"text").as("n1")).head()
+    assert(twice.getString(0) == twice.getString(1))
+    assert(one("?!").select(TextAnalysis.normalize($"text")).head().getString(0) == "")
+  }
+
+  test("bigrams: adjacent pairs of canonical tokens; empty below two tokens") {
+    val r = one("The  quick brown\nfox").select(TextAnalysis.bigrams($"text").as("b"))
+      .head().getSeq[String](0)
+    assert(r == Seq("the quick", "quick brown", "brown fox"))
+    assert(one("solo").select(TextAnalysis.bigrams($"text")).head().getSeq[String](0).isEmpty)
+    assert(one("").select(TextAnalysis.bigrams($"text")).head().getSeq[String](0).isEmpty)
+  }
+
   test("HLL distinct-token estimate within 5% of exact (the 100 TB vocab path)") {
     val toks = graft.Tables.documents(spark, graft.TestSpark.sf0001)
       .select(explode(TextAnalysis.tokens($"text")).as("token"))
