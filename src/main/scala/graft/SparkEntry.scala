@@ -899,6 +899,65 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // PIVOT: per-day event-type counts as columns. The value list is
+    // EXPLICIT — an unlisted pivot first runs a whole extra
+    // collect-distinct job over the corpus to discover the columns; at
+    // 100 TB the schema must come from the query, not a data scan. One
+    // pass, map-side partial agg.
+    "events_pivot" -> ((s, dir) => {
+      Streaming.eventsBatch(s, dir)
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+        .groupBy(col("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("day"))
+    }),
+
+    // Sliding event-time windows (1 h length, 30 min slide): each event
+    // lands in exactly 2 windows via Spark's Expand — the cost is 2 rows
+    // per event into a partial agg, not a range join. Same unified
+    // batch/stream plan family as events_windowed.
+    "events_sliding" -> ((s, dir) => {
+      Streaming.eventsBatch(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("event_type"), col("n"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
+    // Per-user trailing moving average (last 5 events): rows-frame window
+    // on the user-keyed exchange; DECIMAL sums so partial-order summation
+    // can't drift cross-engine. Deterministic frame: (ts, event_id) order.
+    "events_moving_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, 0)
+      Streaming.eventsBatch(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("mov_avg",
+          r6(sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
+            count(lit(1)).over(w)))
+        .select(col("user_id"), col("event_id"), col("mov_avg"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Validation profile (expectations pass): null/empty/constraint
+    // violations + key uniqueness in ONE aggregate scan — the pre-ingest
+    // data-quality gate of a pipeline. All conditional counts ride the
+    // same partial agg; no per-check rescan.
+    "corpus_profile" -> ((s, dir) => {
+      Tables.documents(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("text").isNull, 1)).as("n_null_text"),
+        count(when(length(col("text")) === 0, 1)).as("n_empty_text"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        count(when(col("n_chars") =!= length(col("text")), 1)).as("n_chars_mismatch"),
+        countDistinct(col("doc_id")).as("n_distinct_ids"))
+    }),
+
     // Incremental corpus merge (upsert, latest-version-wins): base ∪
     // updates → one `max_by(row, version)` hash aggregate — the partial
     // agg collapses superseded versions map-side, so the single exchange
@@ -1459,6 +1518,45 @@ object SparkEntry {
       (bigramCte + """
         |SELECT bigram, count(*) AS n FROM bg
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin),
+
+    "events_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
+    "events_sliding" ->
+      // two shifted 30-min-aligned starts per event == Spark's sliding
+      // window expansion (1h length / 30min slide, epoch-aligned)
+      """WITH w AS (
+        |  SELECT event_type,
+        |    make_timestamp(CAST((floor(epoch(ts) / 1800) * 1800 - u.o * 1800) * 1000000 AS BIGINT)) AS ws
+        |  FROM events, unnest([0, 1]) AS u(o)
+        |)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+        |  count(*) AS n
+        |FROM w GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin,
+
+    "events_moving_avg" ->
+      """SELECT user_id, event_id,
+        |  FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) /
+        |    COUNT(*) OVER w * 1000000.0 + 0.5) / 1000000.0 AS mov_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "corpus_profile" ->
+      """SELECT count(*) AS n_rows,
+        |  count(CASE WHEN text IS NULL THEN 1 END) AS n_null_text,
+        |  count(CASE WHEN len(text) = 0 THEN 1 END) AS n_empty_text,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  count(CASE WHEN n_chars <> len(text) THEN 1 END) AS n_chars_mismatch,
+        |  count(DISTINCT doc_id) AS n_distinct_ids
+        |FROM documents""".stripMargin,
 
     "corpus_merge" ->
       """WITH all_rows AS (

@@ -91,6 +91,47 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Expand"), s"expected grouping-set Expand operator:\n$p")
   }
 
+  test("q14_promo: date filter pushed to the lineitem scan, CASE inside one agg pass") {
+    val p = plan("q14_promo")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"shipdate filter must reach the scan:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 2,
+      s"numerator must not trigger a second scan of either table:\n$p")
+  }
+
+  test("bigram_topk: partial count agg, top-20 via TakeOrderedAndProject") {
+    val p = plan("bigram_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"limit must not be a full sort:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"bigram counts must map-side combine:\n$p")
+  }
+
+  test("weighted_sample: pure map-side filter — no exchange of any kind") {
+    val p = plan("weighted_sample")
+    // the output orderBy is fixture-compare plumbing; the FILTER itself
+    // must sit directly on the scan with nothing between
+    assert(p.indexOf("Filter") > p.indexOf("Sort"),
+      s"filter must be below the (output-only) sort:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"weighted sampling must not shuffle:\n$p")
+  }
+
+  test("snapshot_diff: digests computed below the join (text never shuffles)") {
+    val p = plan("snapshot_diff")
+    val joinAt = math.max(p.indexOf("SortMergeJoin"), p.indexOf("ShuffledHashJoin"))
+    assert(joinAt >= 0, s"expected a shuffled full-outer join:\n$p")
+    assert(p.indexOf("md5", joinAt) > 0,
+      s"md5 digests must be computed on the scan side, below the join:\n$p")
+  }
+
+  test("corpus_merge: max_by collapses versions in a partial aggregate, no window") {
+    val p = plan("corpus_merge")
+    assert(!p.contains("Window"), s"latest-version-wins must not rank with a window:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2 ||
+      "SortAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final max_by aggregate in:\n$p")
+  }
+
   test("rebalanced: extra exchange ONLY when the scan has fewer splits than cores") {
     val par = spark.sparkContext.defaultParallelism
     // already-wide input: must come back untouched (the 100 TB path)
