@@ -919,11 +919,10 @@ object SparkEntry {
     // per event into a partial agg, not a range join. Same unified
     // batch/stream plan family as events_windowed.
     "events_sliding" -> ((s, dir) => {
-      Streaming.eventsBatch(s, dir)
-        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
-          col("event_type"), col("n"))
+      Streaming.windowedEventStats(Streaming.eventsBatch(s, dir),
+          slide = Some("30 minutes"))
+        .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("event_type"), col("n_events").as("n"))
         .orderBy(col("w_start"), col("event_type"))
     }),
 

@@ -29,10 +29,12 @@ object Streaming {
   def windowedEventStats(
       events: DataFrame,
       windowLength: String = "1 hour",
-      lateness: String = "10 minutes"): DataFrame =
+      lateness: String = "10 minutes",
+      slide: Option[String] = None): DataFrame =
     events
       .withWatermark("ts", lateness)
-      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .groupBy(window(col("ts"), windowLength, slide.getOrElse(windowLength)),
+        col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))

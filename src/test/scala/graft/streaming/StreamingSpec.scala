@@ -43,6 +43,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows on a stream: each event in two windows, matches batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String, Double)]
+    val rows = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),  // windows 09:30 and 10:00
+      (ts("2024-01-01 10:40:00"), "click", 2.0))  // windows 10:00 and 10:30
+    val agg = Streaming.windowedEventStats(
+      source.toDF().toDF("ts", "event_type", "value"), slide = Some("30 minutes"))
+    val q = agg.writeStream.format("memory").queryName("slide_test")
+      .outputMode("append").start()
+    try {
+      source.addData(rows: _*)
+      source.addData((ts("2024-01-01 13:00:00"), "view", 0.0)) // advance watermark
+      q.processAllAvailable()
+      val got = spark.table("slide_test").filter($"event_type" === "click")
+        .select($"w_start".cast("string"), $"n_events").as[(String, Long)]
+        .collect().toSet
+      assert(got == Set(
+        ("2024-01-01 09:30:00", 1L), ("2024-01-01 10:00:00", 2L),
+        ("2024-01-01 10:30:00", 1L)))
+      // batch twin over the same rows yields the identical window set
+      val batch = Streaming.windowedEventStats(
+          rows.toDF("ts", "event_type", "value"), slide = Some("30 minutes"))
+        .select($"w_start".cast("string"), $"n_events").as[(String, Long)]
+        .collect().toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("streaming ingest embeds micro-batches and upserts idempotently by key") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = Files.createTempDirectory("graft_stream")
