@@ -942,6 +942,21 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // The 100 TB quantile path made concrete (not just documented): the
+    // mergeable single-pass GK sketch behind approx_percentile. Sketch
+    // internals aren't SQL-portable → rows-only driver check;
+    // TextAnalysisSpec pins the estimates against exact percentile_disc
+    // on the fixture.
+    "doc_len_quantiles_approx" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(TextAnalysis.tokenCount(col("text")).as("n"))
+        .agg(percentile_approx(col("n"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("qs"))
+        .select(col("qs")(0).cast("double").as("p25"),
+          col("qs")(1).cast("double").as("p50"),
+          col("qs")(2).cast("double").as("p75"))
+    }),
+
     // Validation profile (expectations pass): null/empty/constraint
     // violations + key uniqueness in ONE aggregate scan — the pre-ingest
     // data-quality gate of a pipeline. All conditional counts ride the
@@ -984,17 +999,20 @@ object SparkEntry {
     // (A drops id % 7 = 0; B drops id % 5 = 0 and edits id % 3 = 0).
     "snapshot_diff" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // presence is tracked with explicit markers, NOT digest nullness —
+      // a NULL-text doc has a NULL digest yet still exists in its
+      // snapshot; `<=>` keeps two NULL digests comparing as unchanged
       val a = docs.filter(col("doc_id") % 7 =!= 0)
-        .select(col("doc_id"), md5(col("text")).as("h_a"))
+        .select(col("doc_id"), md5(col("text")).as("h_a"), lit(1).as("in_a"))
       val b = docs.filter(col("doc_id") % 5 =!= 0)
         .select(col("doc_id"),
           md5(when(col("doc_id") % 3 === 0, concat(col("text"), lit(" edited")))
-            .otherwise(col("text"))).as("h_b"))
+            .otherwise(col("text"))).as("h_b"), lit(1).as("in_b"))
       a.join(b, Seq("doc_id"), "full_outer")
         .withColumn("status",
-          when(col("h_a").isNull, "added")
-            .when(col("h_b").isNull, "removed")
-            .when(col("h_a") =!= col("h_b"), "changed")
+          when(col("in_a").isNull, "added")
+            .when(col("in_b").isNull, "removed")
+            .when(!(col("h_a") <=> col("h_b")), "changed")
             .otherwise("same"))
         .filter(col("status") =!= "same")
         .select(col("doc_id"), col("status"))
@@ -1507,7 +1525,9 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin),
 
     "normalize_dedup" ->
-      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_hash,
+      // whitespace spelled out, not \s: Java's \s and RE2's \s disagree
+      // on vertical tab (TextAnalysis.normalize does the same)
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n\r\f]', '', 'g'), '[ \t\n\r\f]+', ' ', 'g'))) AS norm_hash,
         |  min(doc_id) AS keeper,
         |  array_to_string(list_sort(list(doc_id)), ',') AS ids,
         |  count(*) AS group_size
@@ -1579,12 +1599,12 @@ object SparkEntry {
         |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
         |  CASE WHEN a.doc_id IS NULL THEN 'added'
         |       WHEN b.doc_id IS NULL THEN 'removed'
-        |       WHEN h_a <> h_b THEN 'changed'
+        |       WHEN h_a IS DISTINCT FROM h_b THEN 'changed'
         |       ELSE 'same' END AS status
         |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
         |WHERE (CASE WHEN a.doc_id IS NULL THEN 'added'
         |       WHEN b.doc_id IS NULL THEN 'removed'
-        |       WHEN h_a <> h_b THEN 'changed'
+        |       WHEN h_a IS DISTINCT FROM h_b THEN 'changed'
         |       ELSE 'same' END) <> 'same'
         |ORDER BY doc_id""".stripMargin,
   )

@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
  * batch whenever the tokens accumulated BEFORE it fill a whole budget —
  * i.e. `batch_id = floor(exclusive_prefix_sum(tokens) / budget)`. A
  * document longer than the budget occupies (at least) its own batch; the
- * exclusive prefix sum keeps the rule a single running-sum window, which
- * both Spark and any ANSI engine compute identically (integer arithmetic
- * only — no float drift).
+ * exclusive prefix sum keeps the rule a single running-sum window. The
+ * division runs in double precision on both engines (bit-identical
+ * cross-engine; exact while a group's cumulative token count stays below
+ * 2⁵³ — nine petatokens per group, far past any real shard).
  *
  * Scale design: ONE window partitioned by the group columns = one shuffle
  * keyed on the group — each group packs independently in parallel. Packing

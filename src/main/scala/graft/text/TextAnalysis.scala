@@ -89,14 +89,15 @@ object TextAnalysis {
     substring(md5(regexp_replace(lower(text), "\\s+", " ")), 1, 16)
 
   /** Canonical normal form for normalization-aware dedup: lower-case,
-    * drop everything but `[a-z0-9 ]` (an ASCII-explicit class — Java and
-    * RE2 agree on it, unlike `\p{Punct}`), collapse whitespace runs, trim.
-    * Casing/punctuation/reflow variants of a document normalize to one
-    * string; exact dedup on `md5(normalize(text))` then catches what raw
-    * `md5(text)` misses. */
+    * drop everything but `[a-z0-9 ]` plus whitespace, collapse whitespace
+    * runs, trim. Every class is ASCII-EXPLICIT — `\s` itself is NOT
+    * engine-portable (Java's includes vertical tab `\x0B`, RE2's does
+    * not), so the whitespace set is spelled out. Casing/punctuation/
+    * reflow variants of a document normalize to one string; exact dedup
+    * on `md5(normalize(text))` then catches what raw `md5(text)` misses. */
   def normalize(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""),
-      "\\s+", " "))
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 \\t\\n\\r\\f]", ""),
+      "[ \\t\\n\\r\\f]+", " "))
 
   /** Adjacent-token bigrams ("a b") of the canonical tokens — n-gram LM /
     * collocation statistics input. Empty array below 2 tokens. */

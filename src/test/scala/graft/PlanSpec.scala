@@ -109,9 +109,10 @@ class PlanSpec extends SparkSpec {
   test("weighted_sample: pure map-side filter — no exchange of any kind") {
     val p = plan("weighted_sample")
     // the output orderBy is fixture-compare plumbing; the FILTER itself
-    // must sit directly on the scan with nothing between
-    assert(p.indexOf("Filter") > p.indexOf("Sort"),
-      s"filter must be below the (output-only) sort:\n$p")
+    // must sit below it, directly over the scan
+    val (f, s0) = (p.indexOf("Filter"), p.indexOf("Sort"))
+    assert(f >= 0 && s0 >= 0 && f > s0,
+      s"filter must exist below the (output-only) sort:\n$p")
     assert(!p.contains("Exchange hashpartitioning"),
       s"weighted sampling must not shuffle:\n$p")
   }

@@ -7,16 +7,6 @@ import graft.SparkSpec
 class BucketedCorpusSpec extends SparkSpec {
   import spark.implicits._
 
-  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
-    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   test("joins and aggregates over co-bucketed tables run with zero Exchange") {
     val docs = (1L to 200L).map(i => (i, s"text $i")).toDF("doc_id", "text")
     val meta = (1L to 200L).map(i => (i, i % 5)).toDF("doc_id", "tier")

@@ -113,6 +113,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one("").select(TextAnalysis.bigrams($"text")).head().getSeq[String](0).isEmpty)
   }
 
+  test("approx quantiles land within 5% of exact (the 100 TB quantile path)") {
+    val n = graft.Tables.documents(spark, graft.TestSpark.sf0001)
+      .select(TextAnalysis.tokenCount($"text").as("n"))
+    val row = n.agg(
+      expr("percentile(n, array(0.25, 0.5, 0.75))"),
+      expr("approx_percentile(n, array(0.25, 0.5, 0.75), 10000)")).head()
+    val exact = row.getSeq[Double](0)
+    val approx = row.getSeq[Int](1).map(_.toDouble)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(a - e) / e < 0.05, s"approx $a vs exact $e drifted past 5%")
+    }
+  }
+
   test("HLL distinct-token estimate within 5% of exact (the 100 TB vocab path)") {
     val toks = graft.Tables.documents(spark, graft.TestSpark.sf0001)
       .select(explode(TextAnalysis.tokens($"text")).as("token"))
