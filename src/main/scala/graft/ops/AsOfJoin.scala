@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /**
  * Backward as-of join: for each left row, attach the single most recent
@@ -26,9 +27,25 @@ import org.apache.spark.sql.functions._
  * Determinism: ties are broken by (time, side, tieBreak) with right rows
  * sorting BEFORE left rows at equal time — a right row at exactly the left
  * row's time matches (<= semantics); among right rows with equal time the
- * greatest tieBreak wins.
+ * greatest tieBreak wins. Tie columns must be integral (cast to long) or
+ * string (hashed to long via xxhash64) — any other type fails fast rather
+ * than silently casting to NULL and destroying the deterministic order.
+ *
+ * NULL keys follow SQL join semantics: a left row with a NULL equi-key
+ * matches nothing (payload NULL), and NULL-keyed right rows match no one.
  */
 object AsOfJoin {
+
+  /** Tie-break column as a long sort key; fails fast on unsupported types. */
+  private def tieExpr(df: DataFrame, name: String, side: String): Column =
+    df.schema(name).dataType match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+        col(name).cast("long")
+      case _: StringType => xxhash64(col(name))
+      case other => throw new IllegalArgumentException(
+        s"as-of join $side tie column '$name' has unsupported type $other: " +
+          "use an integral column, or a string (hashed to long)")
+    }
 
   /**
    * @param on            equi-key columns present on both sides
@@ -60,11 +77,14 @@ object AsOfJoin {
     val payloadType = right.select(payloadStruct.as("__p")).schema("__p").dataType
 
     val leftCols = left.columns
-    val r = right.select(
+    // SQL join semantics for NULL keys: drop NULL-keyed right rows up front,
+    // so the window (whose partitionBy groups NULLs together) can never hand
+    // a NULL-keyed left row a NULL-keyed right payload — it gets NULL.
+    val r = right.filter(on.map(col(_).isNotNull).reduce(_ && _)).select(
       on.map(col) ++ Seq(
         col(rightTime).as("__t"),
         lit(0).as("__side"),
-        col(rightTie).cast("long").as("__tie"),
+        tieExpr(right, rightTie, "right").as("__tie"),
         payloadStruct.as("__p"),
         lit(null).cast(left.select(struct(leftCols.map(col): _*).as("__l"))
           .schema("__l").dataType).as("__l")): _*)
@@ -72,7 +92,7 @@ object AsOfJoin {
       on.map(col) ++ Seq(
         col(leftTime).as("__t"),
         lit(1).as("__side"),
-        col(leftTie).cast("long").as("__tie"),
+        tieExpr(left, leftTie, "left").as("__tie"),
         lit(null).cast(payloadType).as("__p"),
         struct(leftCols.map(col): _*).as("__l")): _*)
 

@@ -24,11 +24,22 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /**
+   * Inverted intervals (lo > hi) contain no point by definition and are
+   * dropped before the bin fan-out (they would otherwise explode a
+   * *descending* bin sequence — wasted rows that the containment filter
+   * then discards). An interval spanning more than `maxFanOut` bins fails
+   * the job with an error naming the offending interval instead of
+   * silently amplifying (or tripping Spark's sequence length limit deep in
+   * an executor): such intervals belong on a broadcast side or split
+   * upstream, and a loud failure at the source beats an OOM three stages
+   * later.
+   *
    * @param points    side with a point column
    * @param pointCol  numeric point (e.g. epoch seconds)
    * @param intervals side with [loCol, hiCol] inclusive bounds (same units)
    * @param binWidth  bin width in point units
    * @param equiKeys  additional equi-key columns present on both sides
+   * @param maxFanOut hard cap on bins covered by one interval
    * @return one row per (point row × containing interval), with all
    *         columns of both sides (equiKeys appear once)
    */
@@ -39,12 +50,25 @@ object RangeJoin {
       loCol: String,
       hiCol: String,
       binWidth: Long,
-      equiKeys: Seq[String] = Nil): DataFrame = {
+      equiKeys: Seq[String] = Nil,
+      maxFanOut: Long = 100000L): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(maxFanOut > 0, "maxFanOut must be positive")
     def bin(c: Column): Column = floor(c / binWidth).cast("long")
     val p = points.withColumn("__bin", bin(col(pointCol)))
-    val iv = intervals.withColumn("__bin",
-      explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
+    // The guard lives inside the sequence's start bound so column pruning
+    // can never optimize it away; when/otherwise coerces raise_error's
+    // NULL type to long.
+    val guardedLo = when(
+      bin(col(hiCol)) - bin(col(loCol)) >= maxFanOut,
+      raise_error(concat(
+        lit(s"range join fan-out exceeds $maxFanOut bins (binWidth=$binWidth) for interval ["),
+        col(loCol).cast("string"), lit(", "), col(hiCol).cast("string"),
+        lit("]: raise binWidth, or split/broadcast degenerate intervals upstream"))))
+      .otherwise(bin(col(loCol)))
+    val iv = intervals
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("__bin", explode(sequence(guardedLo, bin(col(hiCol)))))
     p.join(iv, equiKeys :+ "__bin")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bin")

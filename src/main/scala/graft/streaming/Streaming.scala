@@ -149,6 +149,12 @@ object Streaming {
       rightTime: String,
       horizonSeconds: Long,
       lateness: String = "10 minutes"): DataFrame = {
+    val overlap = left.columns.intersect(right.columns)
+    require(overlap.isEmpty,
+      s"intervalJoin requires disjoint column names across sides; rename upstream: " +
+        overlap.mkString("[", ", ", "]") +
+        " appear on both (an overlapping name would make the join condition " +
+        "ambiguous or silently self-compare)")
     val (l, r) =
       if (left.isStreaming || right.isStreaming)
         (left.withWatermark(leftTime, lateness),

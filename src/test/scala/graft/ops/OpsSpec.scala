@@ -64,6 +64,47 @@ class OpsSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("asof string tie columns hash to long (no silent NULL cast)") {
+    val l2 = left.withColumn("lid_s", concat(lit("L"), $"lid"))
+    val r2 = right.withColumn("rid_s", concat(lit("R"), $"rid"))
+    val got = AsOfJoin.backward(l2, r2, Seq("k"),
+        leftTime = "t", rightTime = "rt", rightPayload = Seq("rid", "v"),
+        leftTie = "lid_s", rightTie = "rid_s")
+      .select($"lid", $"asof_rid")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1))).toSet
+    // Same matches as the integral-tie test except the equal-ts tie between
+    // rid 101/102 is now broken by xxhash64("R101") vs xxhash64("R102") —
+    // deterministic, one of the two.
+    assert(got.contains((11L, 103L)) && got.contains((12L, null)) && got.contains((20L, null)))
+    assert(got.exists(p => p._1 == 10L && (p._2 == 101L || p._2 == 102L)))
+  }
+
+  test("asof rejects unsupported tie column types fast") {
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(left, right, Seq("k"),
+        leftTime = "t", rightTime = "rt", rightPayload = Seq("rid"),
+        leftTie = "t", rightTie = "rid") // timestamp tie: unsupported
+    }
+    assert(e.getMessage.contains("tie column 't'"))
+  }
+
+  test("asof NULL equi-keys never match (SQL join semantics)") {
+    val l2 = Seq((Option.empty[Long], 50L, ts("2024-01-01 10:00:00")))
+      .toDF("k", "lid", "t").unionByName(left.select($"k".as("k"), $"lid", $"t")
+        .withColumn("k", $"k".cast("long")))
+    val r2 = Seq((Option.empty[Long], 500L, ts("2024-01-01 09:00:00"), 7.0))
+      .toDF("k", "rid", "rt", "v").unionByName(right)
+    val got = AsOfJoin.backward(l2, r2, Seq("k"),
+        leftTime = "t", rightTime = "rt", rightPayload = Seq("rid"),
+        leftTie = "lid", rightTie = "rid")
+      .select($"lid", $"asof_rid")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(got(50L) == null)   // NULL key matches nothing, not the NULL-key right row
+    assert(got(10L) == 102L)   // non-null keys unaffected
+  }
+
   private val points = Seq(
     (1L, 1000L, 5L), (1L, 1001L, 15L), (1L, 1002L, 250L), (2L, 2000L, 5L)
   ).toDF("k", "pid", "x")
@@ -90,6 +131,26 @@ class OpsSpec extends SparkSpec {
         binWidth = 7L, equiKeys = Seq("k")) // width deliberately unaligned
       .select($"pid", $"iid").as[(Long, Long)].collect().toSeq.sorted
     assert(binned == naive)
+  }
+
+  test("range join drops inverted intervals instead of exploding descending bins") {
+    val inv = intervals.unionByName(
+      Seq((1L, 904L, 300L, 100L)).toDF("k", "iid", "lo", "hi")) // lo > hi
+    val got = RangeJoin.pointInInterval(points, "x", inv, "lo", "hi",
+        binWidth = 100L, equiKeys = Seq("k"))
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSeq
+    assert(got.sorted == Seq((1000L, 900L), (1001L, 900L), (1002L, 901L)))
+  }
+
+  test("range join fails loudly on degenerate giant intervals") {
+    val giant = Seq((1L, 905L, 0L, 10000000L)).toDF("k", "iid", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "x", giant, "lo", "hi",
+        binWidth = 10L, equiKeys = Seq("k"), maxFanOut = 1000L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("fan-out exceeds 1000")), e.getMessage)
   }
 
   test("range join plan: equi hash join on (keys, bin), no BNL") {

@@ -181,6 +181,15 @@ class StreamingSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("interval join rejects overlapping column names with a pointed message") {
+    val l = Seq((1L, ts("2024-01-01 12:00:00"))).toDF("user_id", "ts")
+    val r = Seq((1L, ts("2024-01-01 11:30:00"))).toDF("user_id", "v_ts")
+    val e = intercept[IllegalArgumentException] {
+      Streaming.intervalJoin(l, r, "user_id", "user_id", "ts", "v_ts", 3600L)
+    }
+    assert(e.getMessage.contains("user_id") && e.getMessage.contains("rename upstream"))
+  }
+
   test("stream-static enrichment join attaches dimension rows, keeps unmatched") {
     implicit val sqlCtx = spark.sqlContext
     val events = MemoryStream[(Long, String)]
