@@ -10,11 +10,15 @@ import org.apache.spark.sql.SparkSession
   *
   * Timing protocol: one untimed warmup pass (JIT + codegen caches dominate
   * cold numbers on a fresh JVM), then TWO timed passes reporting the
-  * per-query MINIMUM. The bench host is shared — BENCH_r03 measured every
-  * query uniformly ~10x slower than an idle run of the same commit — and
-  * min-of-N is the standard way to measure engine cost rather than
-  * co-tenant load. The 1-minute system load average is emitted alongside
-  * so environment skew stays visible in the recorded JSON.
+  * per-query MINIMUM; any query whose two passes disagree by more than 3x
+  * gets a third adjudication pass. The bench host is shared — BENCH_r03 and
+  * BENCH_r05 both recorded phantom 8-13x "regressions" that idle re-runs of
+  * the same commit disproved — so the artifact must be self-adjudicating:
+  * it records every per-query per-pass time (`passes`) and the 1-minute
+  * system load average sampled before and after each pass
+  * (`pass_load_avg_1m`), letting a reader distinguish sustained co-tenant
+  * load (all passes slow, load high) from a genuine engine regression
+  * (slow at low load, reproducible across passes) without re-running.
   */
 object Bench {
   private val skipAtBenchScale = Set("dedup_jaccard_pairs", "near_dup_cosine")
@@ -36,26 +40,50 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val headline = SparkEntry.queries
       .filterNot { case (name, _) => skipAtBenchScale(name) }
     headline.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    def timedPass(): Map[String, Double] = headline.map { case (name, fn) =>
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val passes = Seq(timedPass(), timedPass())
-    val results = headline.keys.map { name =>
-      name -> passes.map(_(name)).min
+    def timedPass(): Map[String, Double] =
+      headline.map { case (name, fn) => name -> timeOne(fn) }
+    val passLoads = scala.collection.mutable.ArrayBuffer[Double](loadAvg)
+    val pass1 = timedPass(); passLoads += loadAvg
+    val pass2 = timedPass(); passLoads += loadAvg
+    // Adjudication pass: a >3x disagreement between the two passes means at
+    // least one was load-polluted; a third sample makes min-of-N robust and
+    // flags the query in the artifact for the reader.
+    val disputed = headline.keys.filter { name =>
+      val (a, b) = (pass1(name), pass2(name))
+      math.max(a, b) > 3.0 * math.min(a, b)
+    }.toSet
+    val pass3: Map[String, Double] =
+      if (disputed.nonEmpty) {
+        val p = disputed.map(n => n -> timeOne(headline(n))).toMap
+        passLoads += loadAvg
+        p
+      } else Map.empty
+    val perQueryPasses = headline.keys.map { name =>
+      name -> (Seq(pass1(name), pass2(name)) ++ pass3.get(name))
     }.toSeq
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = perQueryPasses.map { case (name, ps) => name -> ps.min }
+    def jNum(d: Double): String = "%.4f".format(d)
+    val qs = results.map { case (k, v) => s"\"$k\":${jNum(v)}" }
       .mkString("{", ",", "}")
+    val passesJson = perQueryPasses
+      .map { case (k, ps) => s"\"$k\":" + ps.map(jNum).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val disputedJson = disputed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val loadsJson = passLoads.map(jNum).mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val load = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cores":$cpus,"load_avg_1m":$load}""")
+    println(s"""{"metric":"total","value":${jNum(total)},"unit":"sec","queries":$qs,"passes":$passesJson,"pass_load_avg_1m":$loadsJson,"disputed":$disputedJson,"sf":"$sfDir","cores":$cpus,"load_avg_1m":${jNum(loadAvg)}}""")
     spark.stop()
   }
 }

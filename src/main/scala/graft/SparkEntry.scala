@@ -423,6 +423,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // PII/pattern redaction: the removing transform behind the doc_patterns
+    // screen — URLs/emails/long digit runs replaced with sentinels in a
+    // single codegen'd regexp_replace cascade. `changed` pins that the
+    // cascade actually fires on the fixture (an all-false column would mean
+    // the patterns silently stopped matching).
+    "doc_redact" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.redact(col("text")).as("redacted"),
+        (TextAnalysis.redact(col("text")) =!= col("text")).as("changed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus-wide vocabulary: top-50 tokens by frequency. Explode →
     // partial+final count agg (map-side combine collapses each token to
     // one row per partition) → TakeOrderedAndProject: the shuffle carries
@@ -1264,6 +1277,19 @@ object SparkEntry {
         |  FLOOR((CASE WHEN len(toks) = 0 THEN 0.0
         |    ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END) * 1000000.0 + 0.5) / 1000000.0 AS rep_ratio
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "doc_redact" ->
+      """WITH r AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{8,}', '<NUM>', 'g') AS redacted
+        |  FROM documents
+        |)
+        |SELECT doc_id, redacted, redacted <> text AS changed
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "vocab_topk" ->
       """SELECT token, count(*) AS n FROM (

@@ -121,6 +121,23 @@ object TextAnalysis {
   def emailCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
 
+  /** PII/pattern redaction: replace every URL, email address, and long
+    * digit run (8+ digits — phone/account/card-number shaped) with sentinel
+    * tokens. Counting patterns ([[urlCount]]/[[emailCount]]) screens; this
+    * is the removing transform a curation pipeline actually ships. Cascade
+    * order is URL → email → digits: a URL containing `user@host` path
+    * segments is redacted whole before the email pass can split it, and the
+    * digit pass runs last so it can't corrupt either pattern. Pure
+    * `regexp_replace` cascade — codegen'd, map-side, no UDF — and each
+    * pattern means the same thing in Java regex and RE2, so the DuckDB
+    * oracle twin is exact. */
+  def redact(text: Column): Column = {
+    val noUrl = regexp_replace(text, "https?://[^\\s]+", "<URL>")
+    val noEmail = regexp_replace(noUrl,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(noEmail, "[0-9]{8,}", "<NUM>")
+  }
+
   /** Decimal digits / total chars; 0 for empty docs. Numeric-table dumps
     * and log spew score high — a standard quality-filter input. */
   def digitRatio(text: Column): Column = {

@@ -113,6 +113,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one("").select(TextAnalysis.bigrams($"text")).head().getSeq[String](0).isEmpty)
   }
 
+  test("redact replaces URLs, emails, long digit runs; cascade order holds") {
+    val r = one("see https://a.io/u@x?q=1 mail bob@ex.com or call 12345678 not 1234567")
+      .select(TextAnalysis.redact($"text")).head().getString(0)
+    assert(r == "see <URL> mail <EMAIL> or call <NUM> not 1234567")
+    // URL pass runs first: an email-shaped URL path segment must redact as
+    // one <URL>, not split into a partial URL plus <EMAIL>.
+    assert(!r.contains("@"))
+    val clean = one("no pii here").select(TextAnalysis.redact($"text")).head().getString(0)
+    assert(clean == "no pii here")
+    assert(one("").select(TextAnalysis.redact($"text")).head().getString(0) == "")
+  }
+
   test("approx quantiles land within 5% of exact (the 100 TB quantile path)") {
     val n = graft.Tables.documents(spark, graft.TestSpark.sf0001)
       .select(TextAnalysis.tokenCount($"text").as("n"))
@@ -123,6 +135,20 @@ class TextAnalysisSpec extends SparkSpec {
     val approx = row.getSeq[Int](1).map(_.toDouble)
     exact.zip(approx).foreach { case (e, a) =>
       assert(math.abs(a - e) / e < 0.05, s"approx $a vs exact $e drifted past 5%")
+    }
+  }
+
+  test("doc_len_quantiles_approx query pinned against the exact query's p25/p50/p75") {
+    // The rows-only driver check verifies nothing beyond rows>0; this is the
+    // correctness backing for that query — run BOTH actual query entries
+    // (not re-derived expressions) and compare.
+    val exact = graft.SparkEntry.queries("doc_len_quantiles")(spark, graft.TestSpark.sf001).head()
+    val approx = graft.SparkEntry.queries("doc_len_quantiles_approx")(spark, graft.TestSpark.sf001).head()
+    Seq("p25", "p50", "p75").foreach { q =>
+      val e = exact.getAs[Double](q)
+      val a = approx.getAs[Double](q)
+      assert(e > 0, s"exact $q is $e — fixture degenerate, pin meaningless")
+      assert(math.abs(a - e) / e < 0.05, s"$q: approx $a vs exact $e drifted past 5%")
     }
   }
 
