@@ -27,9 +27,15 @@ import org.apache.spark.sql.types._
  * Determinism: ties are broken by (time, side, tieBreak) with right rows
  * sorting BEFORE left rows at equal time — a right row at exactly the left
  * row's time matches (<= semantics); among right rows with equal time the
- * greatest tieBreak wins. Tie columns must be integral (cast to long) or
- * string (hashed to long via xxhash64) — any other type fails fast rather
- * than silently casting to NULL and destroying the deterministic order.
+ * greatest tieBreak wins. Tie columns may be integral (cast to long),
+ * timestamp (epoch microseconds via unix_micros — precision-faithful,
+ * unlike a seconds cast), date (epoch days via unix_date), or string.
+ * String ties order by xxhash64 of the value — "greatest wins" means
+ * greatest HASH, not lexicographic order — with the raw string as a
+ * secondary sort key so even a 64-bit hash collision between distinct
+ * values leaves the winner deterministic (then lexicographic-greatest).
+ * Any other type fails fast rather than being coerced through a lossy
+ * cast that would destroy the deterministic order.
  *
  * NULL keys follow SQL join semantics: a left row with a NULL equi-key
  * matches nothing (payload NULL), and NULL-keyed right rows match no one.
@@ -41,11 +47,19 @@ object AsOfJoin {
     df.schema(name).dataType match {
       case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
         col(name).cast("long")
+      case _: TimestampType => unix_micros(col(name))
+      case _: DateType => unix_date(col(name)).cast("long")
       case _: StringType => xxhash64(col(name))
       case other => throw new IllegalArgumentException(
         s"as-of join $side tie column '$name' has unsupported type $other: " +
-          "use an integral column, or a string (hashed to long)")
+          "use an integral, timestamp, date, or string column")
     }
+
+  /** Secondary tie key: the raw value as a string. Only consulted when the
+    * primary long keys are EQUAL — for integral/timestamp/date ties equal
+    * primaries mean equal values (secondary is moot); for string ties it
+    * resolves xxhash64 collisions between distinct values. */
+  private def tieExpr2(name: String): Column = col(name).cast("string")
 
   /**
    * @param on            equi-key columns present on both sides
@@ -85,6 +99,7 @@ object AsOfJoin {
         col(rightTime).as("__t"),
         lit(0).as("__side"),
         tieExpr(right, rightTie, "right").as("__tie"),
+        tieExpr2(rightTie).as("__tie2"),
         payloadStruct.as("__p"),
         lit(null).cast(left.select(struct(leftCols.map(col): _*).as("__l"))
           .schema("__l").dataType).as("__l")): _*)
@@ -93,11 +108,12 @@ object AsOfJoin {
         col(leftTime).as("__t"),
         lit(1).as("__side"),
         tieExpr(left, leftTie, "left").as("__tie"),
+        tieExpr2(leftTie).as("__tie2"),
         lit(null).cast(payloadType).as("__p"),
         struct(leftCols.map(col): _*).as("__l")): _*)
 
     val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(col("__t"), col("__side"), col("__tie"))
+      .orderBy(col("__t"), col("__side"), col("__tie"), col("__tie2"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matchedRaw = last(col("__p"), ignoreNulls = true).over(w)
     val matched = toleranceSeconds match {

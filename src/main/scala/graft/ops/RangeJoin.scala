@@ -58,9 +58,15 @@ object RangeJoin {
     val p = points.withColumn("__bin", bin(col(pointCol)))
     // The guard lives inside the sequence's start bound so column pruning
     // can never optimize it away; when/otherwise coerces raise_error's
-    // NULL type to long.
+    // NULL type to long. try_subtract keeps the guard sound for extreme
+    // bounds: a plain subtraction can overflow long and go NEGATIVE,
+    // silently bypassing the check (Spark's internal sequence-length limit
+    // would still fail the job, but deep in an executor with a far less
+    // actionable message). NULL bounds never reach here (the lo <= hi
+    // filter below rejects them), so a NULL diff means overflow → raise.
+    val fanOut = try_subtract(bin(col(hiCol)), bin(col(loCol)))
     val guardedLo = when(
-      bin(col(hiCol)) - bin(col(loCol)) >= maxFanOut,
+      fanOut.isNull || fanOut >= maxFanOut,
       raise_error(concat(
         lit(s"range join fan-out exceeds $maxFanOut bins (binWidth=$binWidth) for interval ["),
         col(loCol).cast("string"), lit(", "), col(hiCol).cast("string"),

@@ -80,13 +80,31 @@ class OpsSpec extends SparkSpec {
     assert(got.exists(p => p._1 == 10L && (p._2 == 101L || p._2 == 102L)))
   }
 
-  test("asof rejects unsupported tie column types fast") {
-    val e = intercept[IllegalArgumentException] {
-      AsOfJoin.backward(left, right, Seq("k"),
+  test("asof timestamp tie columns keep sub-second precision (unix_micros)") {
+    // Two right rows in the SAME second, 1ms apart: a seconds-granularity
+    // tie key would see them as equal; unix_micros orders them and the
+    // later one (greater micros) wins the equal-event-time tie.
+    val r2 = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00"), Timestamp.valueOf("2024-01-01 00:00:00.001"), 1.0),
+      (1L, 101L, ts("2024-01-01 10:00:00"), Timestamp.valueOf("2024-01-01 00:00:00.002"), 2.0)
+    ).toDF("k", "rid", "rt", "ingest", "v")
+    val got = AsOfJoin.backward(left, r2, Seq("k"),
         leftTime = "t", rightTime = "rt", rightPayload = Seq("rid"),
-        leftTie = "t", rightTie = "rid") // timestamp tie: unsupported
+        leftTie = "lid", rightTie = "ingest")
+      .select($"lid", $"asof_rid")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(got(10L) == 101L) // .002 > .001 — lost under a seconds cast
+  }
+
+  test("asof rejects unsupported tie column types fast") {
+    val l2 = left.withColumn("score", $"lid" / 3.0)
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(l2, right, Seq("k"),
+        leftTime = "t", rightTime = "rt", rightPayload = Seq("rid"),
+        leftTie = "score", rightTie = "rid") // double tie: unsupported
     }
-    assert(e.getMessage.contains("tie column 't'"))
+    assert(e.getMessage.contains("tie column 'score'"))
   }
 
   test("asof NULL equi-keys never match (SQL join semantics)") {
@@ -147,6 +165,22 @@ class OpsSpec extends SparkSpec {
     val e = intercept[Exception] {
       RangeJoin.pointInInterval(points, "x", giant, "lo", "hi",
         binWidth = 10L, equiKeys = Seq("k"), maxFanOut = 1000L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("fan-out exceeds 1000")), e.getMessage)
+  }
+
+  test("range join fan-out guard survives long overflow in the bin diff") {
+    // bin(hi) - bin(lo) overflows long and goes negative for these bounds;
+    // a plain subtraction would sail past the guard and die later inside
+    // Spark's sequence-length check. try_subtract turns the overflow into
+    // NULL, which the guard treats as over-limit and raises its own error.
+    val extreme = Seq((1L, 906L, Long.MinValue + 1, Long.MaxValue - 1))
+      .toDF("k", "iid", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "x", extreme, "lo", "hi",
+        binWidth = 1L, equiKeys = Seq("k"), maxFanOut = 1000L).collect()
     }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
