@@ -202,6 +202,14 @@ object Dedup {
    * localCheckpoint'ed: iterative lineage otherwise grows exponentially and
    * re-executes the whole history each round.
    *
+   * Convergence costs ZERO extra passes: each vertex's previous label rides
+   * the gather aggregate as one extra column, and the changed-vertex count
+   * is an `observe` metric (CollectMetrics) accumulated DURING the action
+   * that materializes the round's checkpoint — one Spark action per round,
+   * where a separate probe (a join or count against the previous labels)
+   * would re-scan the label table once more per round, a real cost at
+   * corpus scale.
+   *
    * Contract: `vertices` must cover every id appearing in `edges`
    * (endpoints outside it would be materialized into the result).
    *
@@ -210,30 +218,55 @@ object Dedup {
   def connectedComponents(
       vertices: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25): DataFrame =
+    connectedComponentsWithRounds(vertices, idCol, edges, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of rounds it ran — exposed for
+    * tests that pin the action-per-round contract. */
+  private[graft] def connectedComponentsWithRounds(
+      vertices: DataFrame, idCol: String,
+      edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): (DataFrame, Int) = {
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = vertices.select(col(idCol).as("id"), col(idCol).as("comp"))
       .localCheckpoint(true)
+    val compType = labels.schema("comp").dataType
     try {
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
-        // gather: min label among self + neighbors
+        // gather: min label among self + neighbors. The self row also
+        // carries the vertex's current label as __prev (exactly one
+        // non-null per id), so the convergence check needs no re-join
+        // against the previous round.
         val msgs = sym.join(
             labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
-          .select(col("src").as("id"), col("comp"))
-        val gathered = labels.union(msgs).groupBy(col("id")).agg(min(col("comp")).as("comp"))
+          .select(col("src").as("id"), col("comp"),
+            lit(null).cast(compType).as("__prev"))
+        val gathered = labels
+          .select(col("id"), col("comp"), col("comp").as("__prev"))
+          .union(msgs)
+          .groupBy(col("id"))
+          .agg(min(col("comp")).as("comp"), max(col("__prev")).as("__prev"))
         // pointer jump: comp <- comp(comp). Every label IS a vertex id, so
         // the lookup always hits; left+coalesce guards the contract anyway.
         val parents = gathered.select(col("id").as("__pid"), col("comp").as("__pcomp"))
-        val next = gathered.join(parents, gathered("comp") === col("__pid"), "left")
-          .select(gathered("id"), coalesce(col("__pcomp"), gathered("comp")).as("comp"))
-          .localCheckpoint(true)
-        converged = next.join(labels.withColumnRenamed("comp", "__prev"), Seq("id"))
-          .filter(col("comp") =!= col("__prev")).isEmpty
+        val jumped = gathered.join(parents, gathered("comp") === col("__pid"), "left")
+          .select(gathered("id"),
+            coalesce(col("__pcomp"), gathered("comp")).as("comp"),
+            gathered("__prev"))
+        // The changed count accumulates inside the checkpoint job itself;
+        // __prev is consumed by the metric and pruned from the checkpoint.
+        val obsName = s"__cc_changed_$iter"
+        val flagged = jumped.observe(obsName,
+          count(when(col("comp") =!= col("__prev"), 1)).as("changed"))
+        val projected = flagged.select(col("id"), col("comp"))
+        val next = projected.localCheckpoint(true)
+        converged =
+          projected.queryExecution.observedMetrics(obsName).getLong(0) == 0L
         // release the superseded round's checkpoint blocks (GC would get
         // them eventually; iterative operators should not rely on that)
         org.apache.spark.sql.GraftInternal.unpersistLocalCheckpoint(labels)
@@ -242,7 +275,7 @@ object Dedup {
       }
       require(converged, s"connectedComponents did not converge in $maxIter rounds " +
         "(pointer jumping needs ~log2(diameter) rounds; raise maxIter)")
-      labels.select(col("id"), col("comp").as("component"))
+      (labels.select(col("id"), col("comp").as("component")), iter)
     } finally {
       sym.unpersist(false)
     }

@@ -148,6 +148,58 @@ class MinHashIndex(
     val dupes = comps.filter(col("id") =!= col("component")).select(col("id"))
     df.join(dupes, df(idCol) === dupes("id"), "left_anti")
   }
+
+  /**
+   * Candidate pairs from the artifact verified by EXACT shingle Jaccard
+   * against the corpus text — bit-identical to
+   * [[Dedup.minHashNearDups]]'s output for the same parameters: the
+   * candidates come from THE shared band/guard definition
+   * ([[Dedup.lshCandidatePairs]]), and the verify recomputes the same
+   * exact Jaccard. The difference is cost shape: the corpus-wide
+   * tokenize+shingle+MinHash kernel was paid once at build time; here the
+   * shingle kernel runs only over the docs that appear in a candidate
+   * pair (semi-join first, so it runs once per candidate DOC, not once
+   * per pair). `df` must be the corpus the index was built from.
+   *
+   * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold — eager
+   */
+  def nearDupPairsExact(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxBucketSize: Int = 10000): DataFrame = {
+    val m = meta
+    val bands = bandTable()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cand = Dedup.lshCandidatePairs(bands, maxBucketSize)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val candIds = cand.select(col("id_a").as("id"))
+          .union(cand.select(col("id_b").as("id"))).distinct()
+        val withSh = df.join(candIds, df(idCol) === candIds("id"), "left_semi")
+          .select(col(idCol).as("id"),
+            Dedup.shingles(col(textCol), m.n).as("sh"))
+        cand
+          .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+          .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+          .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+          .filter(col("jaccard") >= threshold)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+          .localCheckpoint(true)
+      } finally cand.unpersist(false)
+    } finally bands.unpersist(false)
+  }
+
+  /** [[dropNearDuplicates]] with the exact-Jaccard verify of
+    * [[nearDupPairsExact]] — output-identical to
+    * [[Dedup.dropNearDuplicates]] at the same parameters, at the
+    * amortized index cost. */
+  def dropNearDuplicatesExact(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxBucketSize: Int = 10000): DataFrame = {
+    val pairs = nearDupPairsExact(df, idCol, textCol, threshold, maxBucketSize)
+    val comps = Dedup.connectedComponents(df.select(col(idCol)), idCol,
+      pairs, "id_a", "id_b")
+    val dupes = comps.filter(col("id") =!= col("component")).select(col("id"))
+    df.join(dupes, df(idCol) === dupes("id"), "left_anti")
+  }
 }
 
 object MinHashIndex {

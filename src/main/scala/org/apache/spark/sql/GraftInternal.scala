@@ -23,4 +23,11 @@ object GraftInternal {
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Drain the shared listener bus so asynchronously-delivered events
+    * (QueryExecutionListener callbacks ride it) have all been handled.
+    * Test-only helper — `listenerBus` is `private[spark]`, which this
+    * bridge's package placement can reach. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

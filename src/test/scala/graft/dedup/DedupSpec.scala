@@ -182,6 +182,38 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_._2 == 1L))
   }
 
+  test("connectedComponents runs ONE action per round (convergence rides the checkpoint)") {
+    import spark.implicits._
+    // Convergence must not cost a separate probe action (a join/isEmpty per
+    // round re-scans the label table — real money at corpus scale): the
+    // changed-count is an observe metric accumulated during the checkpoint
+    // job, so the only actions are the initial label checkpoint plus one
+    // localCheckpoint per round.
+    val names = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        names.add(funcName)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
+        names.add(s"FAILED:$funcName")
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L).toDF("id_a", "id_b")
+      val vertices = (1L to 6L).toDF("doc_id")
+      val (labels, rounds) = Dedup.connectedComponentsWithRounds(
+        vertices, "doc_id", edges, "id_a", "id_b")
+      assert(labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+        Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 6L))
+      org.apache.spark.sql.GraftInternal.drainListenerBus(spark)
+      val during = names.toArray(Array.empty[String])
+        .filterNot(_ == "collect") // the assertion's own collect above
+      assert(during.forall(_ == "localCheckpoint"), during.mkString(","))
+      assert(during.length == rounds + 1, s"${during.length} actions for $rounds rounds")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("operators tolerate empty corpora") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")

@@ -71,6 +71,27 @@ class MinHashIndexSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L, 5L, 9L))
   }
 
+  test("exact-verify path is output-identical to the direct operator") {
+    val root = Files.createTempDirectory("graft_mh_idx4").toString
+    val idx = MinHashIndex(spark, root, "docs")
+      .build(fixture, "doc_id", "text", n = 3, numHashes = 128, bands = 32)
+    // pairs: same ids AND the same exact-Jaccard values as the direct
+    // operator (the estimate path only guarantees the id set)
+    val direct = Dedup.minHashNearDups(fixture, "doc_id", "text",
+        n = 3, numHashes = 128, bands = 32, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaIndex = idx.nearDupPairsExact(fixture, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIndex == direct)
+    // one-call removal agrees with the self-contained operator row-for-row
+    val directKept = Dedup.dropNearDuplicates(fixture, "doc_id", "text",
+        n = 3, numHashes = 128, bands = 32, threshold = 0.7)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val indexKept = idx.dropNearDuplicatesExact(fixture, "doc_id", "text", threshold = 0.7)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(indexKept == directKept && indexKept == Seq(1L, 3L, 5L))
+  }
+
   test("band table derives bands-per-doc from stored signatures only") {
     val root = Files.createTempDirectory("graft_mh_idx2").toString
     val idx = MinHashIndex(spark, root, "docs")
