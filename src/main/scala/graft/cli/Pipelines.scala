@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.bench.{Sampling, Sinks}
-import graft.embed.TfIdfEmbedder
+import graft.embed.{Embedder, EmbedderRegistry, TfIdfEmbedder}
 import graft.ingest.{CloneGraph, Corpus, CsvSource, DirSource}
 import graft.metrics.IrMetrics
 import graft.search.Knn
@@ -23,6 +23,15 @@ object Pipelines {
   private def sample(df: DataFrame, idCol: String, n: Int, seed: String): DataFrame =
     graft.bench.Sampling.seeded(df, idCol, n, seed)
 
+  /** Embedder selection mirroring the reference's `--embedding_model`
+    * surface (`main.py:20,36`): a registry model name wins (its dim comes
+    * from [[EmbedderRegistry]], never hand-passed — `draft.py:1-2`);
+    * without one, the explicit `dim` builds the plain TF-IDF stand-in. */
+  private def resolveEmbedder(
+      model: Option[String], dim: Int, normalized: Boolean): Embedder =
+    model.map(EmbedderRegistry(_).embedder(normalized))
+      .getOrElse(new TfIdfEmbedder(dim = dim, normalized = normalized))
+
   /**
    * POJ benchmark: dir walk → corpus → TF-IDF embed → top-k search →
    * same-label relevance (P6) → POJ-shaped outputs.
@@ -31,9 +40,10 @@ object Pipelines {
       spark: SparkSession, dataDir: String,
       k: Int = 100, numSamples: Int = 500, dim: Int = 256,
       normalized: Boolean = true,
-      seed: String = Sampling.defaultSeed): BenchmarkOutput = {
+      seed: String = Sampling.defaultSeed,
+      embeddingModel: Option[String] = None): BenchmarkOutput = {
     val corpus = Corpus.poj(DirSource.files(spark, dataDir))
-    val model = new TfIdfEmbedder(dim = dim, normalized = normalized)
+    val model = resolveEmbedder(embeddingModel, dim, normalized)
       .fit(corpus, "code_contents")
     val vecs = model.transform(corpus, "code_contents", "vec")
       .select(col("code_uuid"), col("clone_type"), col("vec"))
@@ -67,7 +77,8 @@ object Pipelines {
       spark: SparkSession, clonesCsv: String, functionsCsv: String, srcDir: String,
       k: Int = 100, numSamples: Int = 500, dim: Int = 256,
       normalized: Boolean = true,
-      seed: String = Sampling.defaultSeed): BenchmarkOutput = {
+      seed: String = Sampling.defaultSeed,
+      embeddingModel: Option[String] = None): BenchmarkOutput = {
     // Quarantined (malformed) CSV rows are excluded from the truth tables.
     val clones = CsvSource.readClones(spark, clonesCsv)
       .where(col("_corrupt_record").isNull)
@@ -81,7 +92,7 @@ object Pipelines {
       .withColumn("file_name", element_at(split(col("path"), "/"), -1))
     val corpus = Corpus.bcb(adjacency, functions,
       "ID", "NAME", "STARTLINE", "ENDLINE", files, "file_name", "text")
-    val model = new TfIdfEmbedder(dim = dim, normalized = normalized)
+    val model = resolveEmbedder(embeddingModel, dim, normalized)
       .fit(corpus, "code_contents")
     val vecs = model.transform(corpus, "code_contents", "vec")
       .select(col("code_uuid"), col("func_id"), col("clones"), col("vec"))
@@ -130,8 +141,11 @@ object Pipelines {
  * CLI mirroring the reference's argparse surface (`main.py:15-23`):
  * runMain graft.cli.Main --dataset poj --data_dir D --out_dir O
  *   [--k 100] [--num_samples 500] [--dim 256] [--normalized true]
+ *   [--embedding_model all-MiniLM-L6-v2]
  * runMain graft.cli.Main --dataset bcb --clones_csv C --functions_csv F
  *   --src_dir S --out_dir O [...]
+ * `--embedding_model` resolves dim through the model registry (the
+ * reference's surface, `main.py:20`); `--dim` applies only without it.
  */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -151,12 +165,15 @@ object Main {
     val n = opts.getOrElse("num_samples", "500").toInt
     val dim = opts.getOrElse("dim", "256").toInt
     val normalized = opts.getOrElse("normalized", "true").toBoolean
+    val model = opts.get("embedding_model")
+    val seed = graft.bench.Sampling.defaultSeed
     val outDir = opts("out_dir")
     val dataset = opts("dataset")
     val out = dataset match {
-      case "poj" => Pipelines.runPoj(spark, opts("data_dir"), k, n, dim, normalized)
+      case "poj" => Pipelines.runPoj(spark, opts("data_dir"), k, n, dim, normalized,
+        seed, model)
       case "bcb" => Pipelines.runBcb(spark, opts("clones_csv"), opts("functions_csv"),
-        opts("src_dir"), k, n, dim, normalized)
+        opts("src_dir"), k, n, dim, normalized, seed, model)
       case other => sys.error(s"unknown --dataset $other (poj|bcb)")
     }
     Pipelines.writeOutputs(out, outDir, dataset)

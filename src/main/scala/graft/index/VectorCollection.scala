@@ -66,4 +66,24 @@ class VectorCollection(
 object VectorCollection {
   def apply(spark: SparkSession, root: String, name: String): VectorCollection =
     new VectorCollection(spark, root, name)
+
+  /** Create (or open) a collection for `(dataset, model)` with the dim
+    * DERIVED from the model registry — the reference's `setup_qdrant`
+    * shape (`main.py:59-65` + `draft.py:1-2`: name from
+    * dataset/model/normalized, size from the encoder), so callers never
+    * hand-pass a dim that can drift from the embedder actually used.
+    * Idempotent: an existing collection is returned as-is after a
+    * dim check (a registry/meta mismatch is a corrupt pairing — fail). */
+  def createFor(spark: SparkSession, root: String, dataset: String,
+      model: String, normalized: Boolean,
+      metric: String = "cosine"): VectorCollection = {
+    val spec = graft.embed.EmbedderRegistry(model)
+    val c = new VectorCollection(spark, root,
+      CollectionNaming.collectionName(dataset, model, normalized))
+    if (!c.exists) c.create(CollectionMeta(spec.dim, metric, normalized))
+    else require(c.meta.dim == spec.dim,
+      s"collection ${c.name} has dim ${c.meta.dim} but model $model embeds " +
+        s"at ${spec.dim} — refusing to mix")
+    c
+  }
 }

@@ -30,6 +30,12 @@ class PipelinesSpec extends SparkSpec {
     val m = out.metrics.head()
     assert(m.getAs[Double]("success_rate") > 0.8)
 
+    // registry-name path (the reference's --embedding_model surface):
+    // the embedder comes from the registry; the dim arg is ignored
+    val out2 = Pipelines.runPoj(spark, root.toString, k = 2, numSamples = 2,
+      dim = 7, embeddingModel = Some("mmlw-e5-small"))
+    assert(out2.detailed.count() == 4)
+
     val outDir = Files.createTempDirectory("graft_cli_out").toString
     Pipelines.writeOutputs(out, outDir, "poj")
     val written = new java.io.File(outDir).list()
@@ -64,5 +70,41 @@ class PipelinesSpec extends SparkSpec {
     assert(out.queryStats.count() == 4)
     assert(out.metrics.columns.contains("map_at_k"))
     assert(out.metrics.head().getAs[Double]("success_rate") >= 0.0)
+  }
+
+  test("collection + embedder by model NAME: dim derives from the registry") {
+    import org.apache.spark.sql.functions.{col, size => asize}
+    import graft.embed.EmbedderRegistry
+    import graft.index.{CollectionMeta, VectorCollection}
+    val root = Files.createTempDirectory("graft_cli_reg").toString
+    // the reference's setup_qdrant shape: no hand-passed dim anywhere —
+    // the model name alone sizes the collection AND the embedder
+    val model = "jinaai/jina-embeddings-v2-base-code"
+    val c = VectorCollection.createFor(spark, root, "poj", model, normalized = true)
+    assert(c.name == "poj_jina-embeddings-v2-base-code_normalized")
+    assert(c.meta == CollectionMeta(768, "cosine", normalized = true))
+    // idempotent re-open
+    assert(VectorCollection.createFor(spark, root, "poj", model,
+      normalized = true).meta.dim == 768)
+    // embedded vectors actually land at the registry dim and upsert clean
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta")).toDF("id", "text")
+    val fitted = EmbedderRegistry(model).embedder(normalized = true).fit(docs, "text")
+    assert(fitted.dim == c.meta.dim)
+    val vecs = fitted.transform(docs, "text", "vec")
+    c.upsert(vecs, "id")
+    assert(c.load().filter(asize(col("vec")) =!= c.meta.dim).count() == 0)
+    // unknown names fail with the known list, and config lines extend it
+    intercept[IllegalArgumentException](EmbedderRegistry("no-such-model"))
+    EmbedderRegistry.registerAll("# custom models\nmy-model 64 code\n")
+    assert(EmbedderRegistry.dimOf("my-model") == 64)
+    assert(EmbedderRegistry("my-model").kind == "code")
+    // a collection whose stored dim no longer matches the registry's is a
+    // corrupt pairing: re-opening by model name fails loudly
+    VectorCollection(spark, root, c.name).create(CollectionMeta(32, "cosine", true))
+    val e = intercept[IllegalArgumentException] {
+      VectorCollection.createFor(spark, root, "poj", model, normalized = true)
+    }
+    assert(e.getMessage.contains("refusing to mix"))
   }
 }
