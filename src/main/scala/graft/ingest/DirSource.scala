@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
  * the content arrives as one binary column. Decode is a small deterministic
  * kernel; charset detection is a dependency-free chardet stand-in
  * ([[detectAndDecode]]) covering the encodings that actually occur in code
- * corpora: BOM-marked UTF-8/UTF-16, plain UTF-8, and legacy single-byte
- * text (windows-1252 — chardet's usual verdict for non-UTF-8 Latin bytes).
- * Statistical multi-byte CJK detection (GB18030, Shift-JIS, …) is out of
- * scope; such files decode via the windows-1252 fallback, byte-preserving.
+ * corpora: BOM-marked UTF-8/UTF-16, plain UTF-8, statistically-detected
+ * GBK / Shift-JIS (structural pair scan + common-plane scoring — the
+ * chardet capability that matters for CJK code files), and legacy
+ * single-byte text (windows-1252 — chardet's usual verdict for non-UTF-8
+ * Latin bytes).
  */
 object DirSource {
 
@@ -51,10 +52,78 @@ object DirSource {
         .decode(java.nio.ByteBuffer.wrap(bytes)).toString
     } catch { case _: java.nio.charset.CharacterCodingException => null }
 
+  /** GBK structural scan: (pairs, commonPlanePairs), or null when any high
+    * byte violates GBK pair structure. "Common plane" = GB2312 hanzi rows
+    * (lead 0xB0–0xF7, trail 0xA1–0xFE) — real Chinese text concentrates
+    * there, while cp1252 accents that happen to pair (é + ASCII letter)
+    * never do. */
+  private def gbkScan(bytes: Array[Byte]): Array[Int] = {
+    var i = 0; var pairs = 0; var common = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      if (b < 0x80) i += 1
+      else if (b >= 0x81 && b <= 0xFE && i + 1 < bytes.length) {
+        val t = bytes(i + 1) & 0xFF
+        if (t >= 0x40 && t <= 0xFE && t != 0x7F) {
+          pairs += 1
+          if (b >= 0xB0 && b <= 0xF7 && t >= 0xA1) common += 1
+          i += 2
+        } else return null
+      } else return null
+    }
+    Array(pairs, common)
+  }
+
+  /** Shift-JIS structural scan: (pairs, strongPairs), or null on violation.
+    * "Strong" = a pair whose trail is itself a high byte, or whose lead
+    * sits in the kana/level-1-kanji rows 0x82–0x8F — shapes CJK text hits
+    * constantly but cp1252 text (accents and smart quotes followed by
+    * ASCII) essentially never does. Single bytes 0xA1–0xDF are valid
+    * half-width katakana but score nothing: a GB2312 file reads entirely
+    * as kana singles, and kana-only Japanese text is rare (chardet weighs
+    * it the same way). */
+  private def sjisScan(bytes: Array[Byte]): Array[Int] = {
+    var i = 0; var pairs = 0; var strong = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      if (b < 0x80) i += 1
+      else if (b >= 0xA1 && b <= 0xDF) i += 1 // half-width katakana
+      else if (((b >= 0x81 && b <= 0x9F) || (b >= 0xE0 && b <= 0xFC)) &&
+          i + 1 < bytes.length) {
+        val t = bytes(i + 1) & 0xFF
+        if (t >= 0x40 && t <= 0xFC && t != 0x7F) {
+          pairs += 1
+          if (t >= 0x80 || (b >= 0x82 && b <= 0x8F)) strong += 1
+          i += 2
+        } else return null
+      } else return null
+    }
+    Array(pairs, strong)
+  }
+
+  /** Statistical CJK detection (`poj_utils.py:64-70` uses chardet, whose
+    * value over a plain fallback is exactly this case): claim GBK or
+    * Shift-JIS only when the whole stream parses structurally AND at
+    * least 4 pairs land in the encoding's characteristic ranges making up
+    * ≥ half of all pairs — isolated cp1252 accents/smart-quotes that
+    * happen to form valid pairs score zero on both. Ties (both claims,
+    * equal score) go to GBK, chardet's own prior for ambiguous
+    * all-high-byte text. */
+  private def cjkDetect(bytes: Array[Byte]): String = {
+    val g = gbkScan(bytes)
+    val s = sjisScan(bytes)
+    val gScore = if (g != null && g(1) >= 4 && g(1) * 2 >= g(0)) g(1) else 0
+    val sScore = if (s != null && s(1) >= 4 && s(1) * 2 >= s(0)) s(1) else 0
+    if (gScore == 0 && sScore == 0) null
+    else if (gScore >= sScore) "GBK"
+    else "Shift_JIS"
+  }
+
   /**
    * Chardet stand-in (`poj_utils.py:64-70`), deterministic: BOM sniff
    * (UTF-8-SIG / UTF-16 LE / UTF-16 BE, BOM stripped like python's
    * `utf-8-sig`/`utf-16` codecs), then strict UTF-8 validation, then
+   * statistical GBK/Shift-JIS detection ([[cjkDetect]]), then
    * windows-1252 — which decodes EVERY byte (its five undefined bytes are
    * dropped, `errors="ignore"`), so legacy single-byte files keep their
    * accented characters instead of losing them to a UTF-8-lossy pass.
@@ -73,7 +142,11 @@ object DirSource {
     else {
       val utf8 = strictUtf8(bytes)
       if (utf8 != null) ("utf-8", utf8)
-      else ("Windows-1252", lossy(bytes, 0, Charset.forName("windows-1252")))
+      else {
+        val cjk = cjkDetect(bytes)
+        if (cjk != null) (cjk, lossy(bytes, 0, Charset.forName(cjk)))
+        else ("Windows-1252", lossy(bytes, 0, Charset.forName("windows-1252")))
+      }
     }
   }
 

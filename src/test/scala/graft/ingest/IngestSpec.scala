@@ -126,4 +126,28 @@ class DirSourceSpec extends SparkSpec {
     assert(DirSource.detectAndDecode(holes) == ("Windows-1252", "abc"))
     assert(DirSource.detectAndDecode(null) == ((null, null)))
   }
+
+  test("detectAndDecode: statistical GBK / Shift-JIS detection (poj_utils.py:64-70)") {
+    import java.nio.charset.Charset
+    // a GBK-encoded C file with a Chinese comment: real bytes via the JDK
+    // codec, detected and decoded back losslessly
+    val zh = "int main() { return 0; } // 你好世界这是中文注释"
+    val zhBytes = zh.getBytes(Charset.forName("GBK"))
+    assert(DirSource.detectAndDecode(zhBytes) == (("GBK", zh)))
+    // Shift-JIS with hiragana + kanji: the kana/level-1 rows are strong
+    // evidence SJIS-ward even though the byte stream also parses as GBK
+    val ja = "// こんにちは世界\nint y = 1;"
+    val jaBytes = ja.getBytes(Charset.forName("Shift_JIS"))
+    assert(DirSource.detectAndDecode(jaBytes) == (("Shift_JIS", ja)))
+    // cp1252 text whose accents happen to form structurally-valid CJK
+    // pairs must NOT be claimed: isolated high bytes followed by ASCII
+    // never hit the common planes
+    val fr = "résumés déjà créés à côté"
+    val frBytes = fr.getBytes(Charset.forName("windows-1252"))
+    assert(DirSource.detectAndDecode(frBytes)._1 == "Windows-1252")
+    // smart-quote cp1252 (lead bytes 0x93/0x94 are valid SJIS leads) stays cp1252
+    val sq = "he said “hello” and “bye” and “more” then left"
+    val sqBytes = sq.getBytes(Charset.forName("windows-1252"))
+    assert(DirSource.detectAndDecode(sqBytes)._1 == "Windows-1252")
+  }
 }
