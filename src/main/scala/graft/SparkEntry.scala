@@ -401,8 +401,17 @@ object SparkEntry {
     // self-contained dedup_near_keep.
     "index_near_keep" -> ((s, dir) => {
       val docs = docsParallel(s, dir)
+      // The artifact root is keyed by a corpus CONTENT fingerprint (one
+      // cheap hash pass — ~10× lighter than the shingle+MinHash kernel it
+      // amortizes), so a changed corpus can never silently reuse a stale
+      // index; an unchanged corpus reuses it across calls.
+      // bit_xor: order-independent and overflow-free (a sum trips the
+      // ANSI long-overflow check); ids are unique so nothing cancels.
+      val fp = java.lang.Long.toHexString(Tables.documents(s, dir)
+        .agg(coalesce(bit_xor(xxhash64(col("doc_id"), col("text"))), lit(0L)))
+        .head().getLong(0))
       val root = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_mh_idx_" + Integer.toHexString(dir.hashCode)).toString
+        s"graft_mh_idx_$fp").toString
       val idx = graft.index.MinHashIndex(s, root, "documents")
       if (!idx.exists) idx.build(docs, "doc_id", "text",
         n = 3, numHashes = 128, bands = 32)

@@ -210,23 +210,85 @@ object Dedup {
    * would re-scan the label table once more per round, a real cost at
    * corpus scale.
    *
+   * Small-graph fast path: a near-dup pair set is typically MINISCULE next
+   * to the corpus (it lists only the docs that actually duplicate), and
+   * the iterative loop's per-round scheduling floor dwarfs such graphs —
+   * so when the edge count is at most `smallEdgeThreshold` the components
+   * are solved driver-side (union-find with min-root invariant, the same
+   * labels the distributed loop converges to) and applied as ONE broadcast
+   * join onto the vertex frame, which never iterates at all. The threshold
+   * bounds driver memory (two ids per edge); above it the distributed
+   * pointer-jumping loop runs. The probe costs one `limit(threshold+1)`
+   * count over the edge frame — it never counts past the threshold.
+   *
    * Contract: `vertices` must cover every id appearing in `edges`
    * (endpoints outside it would be materialized into the result).
    *
-   * @return (id, component) — eager, like [[minHashNearDups]]
+   * @return (id, component) — eager (distributed path) or a cheap lazy
+   *         broadcast join over the vertex ids (driver path)
    */
   def connectedComponents(
       vertices: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame =
-    connectedComponentsWithRounds(vertices, idCol, edges, aCol, bCol, maxIter)._1
+      maxIter: Int = 25,
+      smallEdgeThreshold: Long = 1L << 20): DataFrame =
+    connectedComponentsWithRounds(vertices, idCol, edges, aCol, bCol, maxIter,
+      smallEdgeThreshold)._1
 
-  /** [[connectedComponents]] plus the number of rounds it ran — exposed for
-    * tests that pin the action-per-round contract. */
+  /** Driver-side union-find over a collected edge list: path compression +
+    * "smaller root wins" linking, so every tree's root IS its component's
+    * minimum id — identical labels to the distributed loop. Ids compare
+    * via their natural ordering (Long, String, …). */
+  private def driverComponents(pairs: Array[(Any, Any)]): Map[Any, Any] = {
+    val parent = new java.util.HashMap[Any, Any]() // entries only for non-roots
+    def find(x0: Any): Any = {
+      var root = x0
+      while (parent.containsKey(root)) root = parent.get(root)
+      var x = x0
+      while (x != root) { val nxt = parent.get(x); parent.put(x, root); x = nxt }
+      root
+    }
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    pairs.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    val out = Map.newBuilder[Any, Any]
+    pairs.foreach { case (a, b) =>
+      val fa = find(a); if (fa != a) out += a -> fa
+      val fb = find(b); if (fb != b) out += b -> fb
+    }
+    out.result()
+  }
+
+  /** [[connectedComponents]] plus the number of distributed rounds it ran
+    * (0 on the driver fast path) — exposed for tests that pin the
+    * action-per-round contract. */
   private[graft] def connectedComponentsWithRounds(
       vertices: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): (DataFrame, Int) = {
+      maxIter: Int = 25,
+      smallEdgeThreshold: Long = 1L << 20): (DataFrame, Int) = {
+    val lim = math.max(0L, math.min(smallEdgeThreshold + 1, Int.MaxValue - 1L)).toInt
+    if (smallEdgeThreshold >= 0 &&
+        edges.limit(lim).count() <= smallEdgeThreshold) {
+      val pairs = edges.select(col(aCol), col(bCol)).distinct().collect()
+        .map(r => (r.get(0), r.get(1)))
+      val comp = driverComponents(pairs)
+      val idType = vertices.schema(idCol).dataType
+      val spark = vertices.sparkSession
+      val mapRows = comp.toSeq.map { case (id, c) => org.apache.spark.sql.Row(id, c) }
+      val mapDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(mapRows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__cid", idType),
+          org.apache.spark.sql.types.StructField("__ccomp", idType))))
+      val labels = vertices.select(col(idCol).as("id"))
+        .join(broadcast(mapDf), col("id") === col("__cid"), "left")
+        .select(col("id"), coalesce(col("__ccomp"), col("id")).as("component"))
+      return (labels, 0)
+    }
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()

@@ -54,18 +54,29 @@ object SemDedup {
       .select(col("cell"), col(idCol), col(vecCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val oversized = assigned.groupBy(col("cell")).count()
-        .filter(col("count") > maxCellSize).select(col("cell"))
-      val capped = assigned.join(broadcast(oversized), Seq("cell"), "left_anti")
-      val a = capped.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("__va"))
-      val b = capped.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
-      val raw = cosine_similarity(col("__va"), col("__vb"))
-      a.join(b, a("cell") === b("cell") && col("id_a") < col("id_b"))
-        .select(a("cell"), col("id_a"), col("id_b"),
-          roundScoreTo.fold(raw)(n => round(raw, n)).as("cosine"))
-        .filter(col("cosine") >= threshold)
+      pairsPlan(assigned, idCol, vecCol, threshold, maxCellSize, roundScoreTo)
         .localCheckpoint(true)
     } finally assigned.unpersist(false)
+  }
+
+  /** The lazy mining plan over an already-cell-assigned frame — split out
+    * so plan-shape tests can assert the physical join (a cell-keyed
+    * equi-join, never a nested-loop/cartesian) before the eager
+    * checkpoint hides it behind a LogicalRDD. */
+  private[graft] def pairsPlan(
+      assigned: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, maxCellSize: Int,
+      roundScoreTo: Option[Int]): DataFrame = {
+    val oversized = assigned.groupBy(col("cell")).count()
+      .filter(col("count") > maxCellSize).select(col("cell"))
+    val capped = assigned.join(broadcast(oversized), Seq("cell"), "left_anti")
+    val a = capped.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = capped.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    val raw = cosine_similarity(col("__va"), col("__vb"))
+    a.join(b, a("cell") === b("cell") && col("id_a") < col("id_b"))
+      .select(a("cell"), col("id_a"), col("id_b"),
+        roundScoreTo.fold(raw)(n => round(raw, n)).as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 
   /** One-call semantic dedup: [[cellNearDupPairs]] →

@@ -137,12 +137,18 @@ class DedupSpec extends SparkSpec {
     val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L, 6L -> 7L,
       7L -> 8L, 21L -> 20L).toDF("id_a", "id_b")
     val vertices = ((1L to 8L) ++ Seq(20L, 21L, 30L, 31L)).toDF("doc_id")
+    // default: the driver union-find fast path (4 edges << threshold)
     val got = Dedup.connectedComponents(vertices, "doc_id", edges, "id_a", "id_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     (1L to 8L).foreach(i => assert(got(i) == 1L, s"vertex $i"))
     assert(got(20L) == 20L && got(21L) == 20L)
     assert(got(30L) == 30L && got(31L) == 31L)
     assert(got.size == 12)
+    // the distributed pointer-jumping path yields IDENTICAL labels
+    val dist = Dedup.connectedComponents(vertices, "doc_id", edges, "id_a", "id_b",
+        smallEdgeThreshold = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == got)
   }
 
   test("connectedComponents matches driver-side union-find on random graphs") {
@@ -163,11 +169,15 @@ class DedupSpec extends SparkSpec {
       val edges = Seq.fill(40)((rnd.nextInt(n) + 1).toLong -> (rnd.nextInt(n) + 1).toLong)
         .filter { case (a, b) => a != b }
       val want = unionFind(n, edges)
-      val got = Dedup.connectedComponents(
-          (1L to n.toLong).toDF("doc_id"), "doc_id",
-          edges.toDF("id_a", "id_b"), "id_a", "id_b")
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == want, s"seed $seed")
+      // both execution paths against the same driver-side reference
+      for (threshold <- Seq(-1L, 1000000L)) {
+        val got = Dedup.connectedComponents(
+            (1L to n.toLong).toDF("doc_id"), "doc_id",
+            edges.toDF("id_a", "id_b"), "id_a", "id_b",
+            smallEdgeThreshold = threshold)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"seed $seed threshold $threshold")
+      }
     }
   }
 
@@ -177,7 +187,7 @@ class DedupSpec extends SparkSpec {
     val edges = (1L until n).map(i => i -> (i + 1)).toDF("id_a", "id_b")
     val vertices = (1L to n).toDF("doc_id")
     val got = Dedup.connectedComponents(vertices, "doc_id", edges, "id_a", "id_b",
-        maxIter = 10)
+        maxIter = 10, smallEdgeThreshold = -1L) // force the distributed loop
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(got.forall(_._2 == 1L))
   }
@@ -203,7 +213,8 @@ class DedupSpec extends SparkSpec {
       val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L).toDF("id_a", "id_b")
       val vertices = (1L to 6L).toDF("doc_id")
       val (labels, rounds) = Dedup.connectedComponentsWithRounds(
-        vertices, "doc_id", edges, "id_a", "id_b")
+        vertices, "doc_id", edges, "id_a", "id_b",
+        smallEdgeThreshold = -1L) // the distributed loop is under test
       assert(labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
         Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 6L))
       org.apache.spark.sql.GraftInternal.drainListenerBus(spark)

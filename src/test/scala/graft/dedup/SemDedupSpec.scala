@@ -71,6 +71,20 @@ class SemDedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 3L))
   }
 
+  test("plan: cell-keyed equi-join, never a nested-loop or cartesian") {
+    val assigned = Ivf.assign(fixture, "vec", centroids, "cell")
+      .select(col("cell"), col("id"), col("vec"))
+    val p = SemDedup.pairsPlan(assigned, "id", "vec",
+        threshold = 0.7, maxCellSize = 100000, roundScoreTo = None)
+      .queryExecution.executedPlan.toString
+    // the id_a < id_b predicate must ride the cell equi-join as a post
+    // condition, not force a nested-loop plan; the skew sizing pass must
+    // broadcast its (tiny) oversized-cell list
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNL in:\n$p")
+    assert(p.contains("BroadcastExchange"), s"oversized-cell list must broadcast:\n$p")
+  }
+
   test("works with trained KMeans centroids (the production path)") {
     val trained = Ivf.trainCentroids(fixture, "vec", nList = 2, seed = 7L)
     val pairs = SemDedup.cellNearDupPairs(fixture, "id", "vec", trained,
