@@ -650,6 +650,21 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // MOSS-winnowing near-dups (rolling-hash fingerprints): the POSITIONAL
+    // dedup scheme — any shared ≥ w+k-1-char run guarantees a shared
+    // fingerprint, catching lifted blocks that bag-of-shingles similarity
+    // dilutes. Rolling-hash values → no cross-engine SQL twin (rows-only);
+    // the winnowing guarantee, locality, and skew cap are pinned in
+    // WinnowingSpec/DedupSpec.
+    // minShared=10: on this corpus shared-fingerprint counts are cleanly
+    // bimodal — incidental short runs share 3-5, true near-dups 10+ (the
+    // pair set then matches the jaccard-0.8 dedup_minhash family).
+    "winnow_pairs" -> ((s, dir) => {
+      Dedup.winnowNearDups(docsParallel(s, dir), "doc_id", "text",
+          k = 12, w = 8, minShared = 10)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ------------------------------------------------------------------
     // Text-analysis suite (training-data curation): token counts, mean
     // token length, punctuation ratio, reflow-stable fingerprint (F-group

@@ -400,6 +400,46 @@ object Dedup {
       .filter(col("n_shared") >= minOverlap)
   }
 
+  /**
+   * Winnowing near-dup pairs (MOSS, Schleimer et al. 2003): documents
+   * sharing at least `minShared` winnowed rolling-hash fingerprints
+   * ([[graft.expr.WinnowOps]]). The POSITIONAL complement to MinHash:
+   * any shared run of ≥ w+k-1 characters guarantees a shared fingerprint,
+   * so short exact matches (a lifted function, a boilerplate block) hit
+   * even when global bag-of-shingles similarity is low.
+   *
+   * Shape: one kernel pass per doc, explode to an (id, fp) inverted
+   * index, skew-capped fingerprint-bucket self-join (same guard + shape
+   * as [[lshCandidatePairs]], but counting shared fingerprints instead of
+   * collapsing to candidates), then per-pair count — ids-only shuffles
+   * throughout, never all-pairs.
+   *
+   * @return (id_a, id_b, n_shared) with id_a < id_b, n_shared ≥ minShared — eager
+   */
+  def winnowNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, w: Int = 8, minShared: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+      explode(graft.functions.winnow_fingerprints(col(textCol), k, w)).as("fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ubiquitous fingerprints (license headers, generated boilerplate)
+      // would join quadratically — drop buckets over the cap, same
+      // documented recall trade as every LSH guard here.
+      val oversized = fps.groupBy(col("fp")).count()
+        .filter(col("count") > maxBucketSize).select(col("fp"))
+      val capped = fps.join(broadcast(oversized), Seq("fp"), "left_anti")
+      capped.as("l")
+        .join(capped.as("r"),
+          col("l.fp") === col("r.fp") && col("l.id") < col("r.id"))
+        .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+        .localCheckpoint(true)
+    } finally fps.unpersist(false)
+  }
+
   /** MinHash Jaccard ESTIMATE (signature agreement rate) — used when even
     * candidate-verify must avoid touching shingles. */
   def minHashEstimate(sigA: Column, sigB: Column): Column =

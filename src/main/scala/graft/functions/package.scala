@@ -46,6 +46,11 @@ package object functions {
   def hyperplane_sig(a: Column, bits: Int, seed: Long): Column =
     col(HyperplaneSig(ex(a), bits, seed))
 
+  /** MOSS-winnowed rolling-hash fingerprints (array<long>, distinct,
+    * ascending) of a string column — see [[graft.expr.WinnowOps]]. */
+  def winnow_fingerprints(a: Column, k: Int, w: Int): Column =
+    col(WinnowFingerprints(ex(a), k, w))
+
   /** Hamming distance between two long fingerprints (builtin bit_count of
     * the xor — stays inside whole-stage codegen). */
   def hamming_dist(a: Column, b: Column): Column =
@@ -144,6 +149,9 @@ package object functions {
     reg.createOrReplaceTempFunction("hyperplane_sig",
       es => HyperplaneSig(es(0), litInt("hyperplane_sig", "bits")(es(1)),
         litLong("hyperplane_sig", "seed")(es(2))), "built-in")
+    reg.createOrReplaceTempFunction("winnow_fingerprints",
+      es => WinnowFingerprints(es(0), litInt("winnow_fingerprints", "k")(es(1)),
+        litInt("winnow_fingerprints", "w")(es(2))), "built-in")
     reg.createOrReplaceTempFunction("top_k_rows",
       es => graft.plans.TopKRows(es(0),
         castIfNumeric(es(1), org.apache.spark.sql.types.DoubleType),

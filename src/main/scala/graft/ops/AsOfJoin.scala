@@ -55,11 +55,16 @@ object AsOfJoin {
           "use an integral, timestamp, date, or string column")
     }
 
-  /** Secondary tie key: the raw value as a string. Only consulted when the
-    * primary long keys are EQUAL — for integral/timestamp/date ties equal
-    * primaries mean equal values (secondary is moot); for string ties it
-    * resolves xxhash64 collisions between distinct values. */
-  private def tieExpr2(name: String): Column = col(name).cast("string")
+  /** Secondary tie key: the raw string value, consulted only when the
+    * primary long keys are EQUAL — it resolves xxhash64 collisions between
+    * distinct strings. For integral/timestamp/date ties equal primaries
+    * mean equal values, so the secondary is moot and emitted as a constant
+    * (constant-folded; no per-row payload rides the shuffle for it). */
+  private def tieExpr2(df: DataFrame, name: String): Column =
+    df.schema(name).dataType match {
+      case _: StringType => col(name)
+      case _ => lit("")
+    }
 
   /**
    * @param on            equi-key columns present on both sides
@@ -99,7 +104,7 @@ object AsOfJoin {
         col(rightTime).as("__t"),
         lit(0).as("__side"),
         tieExpr(right, rightTie, "right").as("__tie"),
-        tieExpr2(rightTie).as("__tie2"),
+        tieExpr2(right, rightTie).as("__tie2"),
         payloadStruct.as("__p"),
         lit(null).cast(left.select(struct(leftCols.map(col): _*).as("__l"))
           .schema("__l").dataType).as("__l")): _*)
@@ -108,7 +113,7 @@ object AsOfJoin {
         col(leftTime).as("__t"),
         lit(1).as("__side"),
         tieExpr(left, leftTie, "left").as("__tie"),
-        tieExpr2(leftTie).as("__tie2"),
+        tieExpr2(left, leftTie).as("__tie2"),
         lit(null).cast(payloadType).as("__p"),
         struct(leftCols.map(col): _*).as("__l")): _*)
 

@@ -130,6 +130,30 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 0)))
   }
 
+  test("winnowNearDups: shared runs pair, unrelated docs don't, boilerplate capped") {
+    import spark.implicits._
+    val boiler = "LICENSE HEADER APACHE TWO POINT OH " * 3
+    val docs = Seq(
+      1L -> ("def quicksort(arr): pivot = arr[0]; " + "unique tail one"),
+      2L -> ("def quicksort(arr): pivot = arr[0]; " + "other ending two"),
+      3L -> "completely different content about matrices and graphs",
+      4L -> (boiler + "alpha body"),
+      5L -> (boiler + "beta payload")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowNearDups(docs, "doc_id", "text",
+        k = 8, w = 4, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // long shared prefix
+    assert(pairs.contains((4L, 5L))) // shared boilerplate
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // maxBucketSize=1 drops every fingerprint shared by 2+ docs — the
+    // skew guard wired through: no shared buckets, no pairs
+    val capped = Dedup.winnowNearDups(docs, "doc_id", "text",
+        k = 8, w = 4, minShared = 3, maxBucketSize = 1)
+    assert(capped.count() == 0)
+    assert(Dedup.winnowNearDups(docs.limit(0), "doc_id", "text").count() == 0)
+  }
+
   test("connectedComponents: chains collapse transitively, singletons self-label") {
     import spark.implicits._
     // path graph 1-2-3-4-5-6-7-8 (diameter 7 forces >1 pointer-jump round),
