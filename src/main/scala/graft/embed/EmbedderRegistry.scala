@@ -82,7 +82,7 @@ object EmbedderRegistry {
         "(EmbedderRegistry.register adds custom entries)"))
 
   def known: Seq[String] =
-    (builtin.keySet ++ synchronized(extra.keySet)).toSeq.sorted
+    (builtin.keySet ++ synchronized(extra.keys.toSet)).toSeq.sorted
 
   /** The `draft.py:1-2` capability: dim lookup by model name. */
   def dimOf(name: String): Int = apply(name).dim
