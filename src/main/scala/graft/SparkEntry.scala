@@ -642,6 +642,35 @@ object SparkEntry {
           .as("recall_at_k"))
     }),
 
+    // The PERSISTED pruning path at the driver surface: the same recall@10
+    // measurement as ivf_recall, but the probe runs against the
+    // cell-partitioned IvfCollection layout, so the scan reads only the
+    // probed cell directories (static partition pruning — the 100 TB scan
+    // shape, plan-asserted in IvfCollectionSpec). The artifact is keyed by
+    // a corpus fingerprint and reused across calls (build-once/query-many,
+    // like index_near_keep); KMeans cells aren't SQL-expressible →
+    // rows-only.
+    "ivf_partitioned_recall" -> ((s, dir) => {
+      val emb = embParallel(s, dir)
+      val q = knnQueries(s, dir)
+      val fp = java.lang.Long.toHexString(Tables.embeddings(s, dir)
+        .agg(coalesce(bit_xor(xxhash64(col("vec_id"), col("embedding"))), lit(0L)))
+        .head().getLong(0))
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ivfcol_$fp").toString
+      val ivfc = graft.index.IvfCollection(s, root, "embeddings")
+      if (!ivfc.exists) ivfc.build(emb, "vec_id", "embedding", nList = 16, seed = 42L)
+      val exact = Knn.knnJoin(q, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"))
+      val approx = ivfc.query(q, "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, nProbe = 4, roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"), lit(1).as("__found"))
+      exact.join(approx, Seq("query_id", "result_id"), "left")
+        .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
+          .as("recall_at_k"))
+    }),
+
     // SimHash near-dups: fingerprints depend on xxhash64 → no cross-engine
     // SQL twin (rows-only driver check); semantics pinned in DedupSpec.
     "simhash_pairs" -> ((s, dir) => {

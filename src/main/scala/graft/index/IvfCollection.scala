@@ -40,6 +40,14 @@ class IvfCollection(spark: SparkSession, root: String, val name: String) {
     this
   }
 
+  /** Built-and-complete marker: [[build]] writes the cell data FIRST and
+    * the centroid table last, so centroid presence implies a whole
+    * artifact (a crashed build leaves this false). */
+  def exists: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(centroidsPath)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   def centroids(): Array[Array[Float]] =
     spark.read.parquet(centroidsPath)
       .orderBy(col("cell"))
