@@ -83,7 +83,19 @@ object Bench {
     val disputedJson = disputed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadsJson = passLoads.map(jNum).mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${jNum(total)},"unit":"sec","queries":$qs,"passes":$passesJson,"pass_load_avg_1m":$loadsJson,"disputed":$disputedJson,"sf":"$sfDir","cores":$cpus,"load_avg_1m":${jNum(loadAvg)}}""")
+    val line = s"""{"metric":"total","value":${jNum(total)},"unit":"sec","queries":$qs,"passes":$passesJson,"pass_load_avg_1m":$loadsJson,"disputed":$disputedJson,"sf":"$sfDir","cores":$cpus,"load_avg_1m":${jNum(loadAvg)}}"""
+    println(line)
+    // Durable copy: the driver snapshots only the tail of stdout (~2000
+    // chars), which the full self-adjudicating line can overflow (BENCH_r06
+    // lost its `total` + 10 queries that way). The tracked repo file is the
+    // artifact of record; stdout stays the driver contract.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out/latest.json"))
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // best-effort: never fail the bench over the copy
     spark.stop()
   }
 }

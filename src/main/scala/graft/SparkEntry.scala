@@ -410,8 +410,11 @@ object SparkEntry {
       val fp = java.lang.Long.toHexString(Tables.documents(s, dir)
         .agg(coalesce(bit_xor(xxhash64(col("doc_id"), col("text"))), lit(0L)))
         .head().getLong(0))
+      // Build params are part of the cache key: a stale artifact built with
+      // OLD n/numHashes/bands must never be silently reused after a config
+      // change — its pinned meta would override the new parameters.
       val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_mh_idx_$fp").toString
+        s"graft_mh_idx_${fp}_n3_h128_b32").toString
       val idx = graft.index.MinHashIndex(s, root, "documents")
       if (!idx.exists) idx.build(docs, "doc_id", "text",
         n = 3, numHashes = 128, bands = 32)
@@ -656,8 +659,10 @@ object SparkEntry {
       val fp = java.lang.Long.toHexString(Tables.embeddings(s, dir)
         .agg(coalesce(bit_xor(xxhash64(col("vec_id"), col("embedding"))), lit(0L)))
         .head().getLong(0))
+      // nList/seed in the key for the same stale-reuse reason as the
+      // MinHash index cache above.
       val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_ivfcol_$fp").toString
+        s"graft_ivfcol_${fp}_nl16_s42").toString
       val ivfc = graft.index.IvfCollection(s, root, "embeddings")
       if (!ivfc.exists) ivfc.build(emb, "vec_id", "embedding", nList = 16, seed = 42L)
       val exact = Knn.knnJoin(q, "vec_id", "embedding",

@@ -270,10 +270,19 @@ object Dedup {
       edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25,
       smallEdgeThreshold: Long = 1L << 20): (DataFrame, Int) = {
-    val lim = math.max(0L, math.min(smallEdgeThreshold + 1, Int.MaxValue - 1L)).toInt
+    // The threshold bounds a driver-side collect; at Int.MaxValue-1 the
+    // limit probe below would saturate and silently stop bounding it.
+    require(smallEdgeThreshold < Int.MaxValue - 1L,
+      s"smallEdgeThreshold must be < ${Int.MaxValue - 1} (it bounds a driver " +
+        s"collect), got $smallEdgeThreshold")
+    // A null endpoint names no vertex: such edges are dropped on BOTH paths
+    // (the distributed join would drop the null side anyway; the driver
+    // union-find would NPE on a null HashMap key).
+    val cleanEdges = edges.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    val lim = (smallEdgeThreshold + 1).max(0L).toInt
     if (smallEdgeThreshold >= 0 &&
-        edges.limit(lim).count() <= smallEdgeThreshold) {
-      val pairs = edges.select(col(aCol), col(bCol)).distinct().collect()
+        cleanEdges.limit(lim).count() <= smallEdgeThreshold) {
+      val pairs = cleanEdges.select(col(aCol), col(bCol)).distinct().collect()
         .map(r => (r.get(0), r.get(1)))
       val comp = driverComponents(pairs)
       val idType = vertices.schema(idCol).dataType
@@ -289,8 +298,8 @@ object Dedup {
         .select(col("id"), coalesce(col("__ccomp"), col("id")).as("component"))
       return (labels, 0)
     }
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val sym = cleanEdges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(cleanEdges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = vertices.select(col(idCol).as("id"), col(idCol).as("comp"))

@@ -8,14 +8,15 @@ import org.apache.spark.sql.types._
 
 object NearestCentroidOps {
   /** Indices of the `nProbe` centroids most cosine-similar to `vec`,
-    * best first. Centroids are pre-normalized at construction so the
-    * scan is a pure dot product per centroid — one fused pass, no joins,
-    * no per-centroid expression trees. */
-  def nearest(vec: ArrayData, centroids: Array[Array[Float]], nProbe: Int): ArrayData = {
+    * best first. The per-centroid score is the double-precision dot of the
+    * RAW float values divided by the double centroid norm — exactly the
+    * ranking a double-cosine oracle (e.g. DuckDB over the same floats)
+    * computes, so argmax routing is engine-stable. A float32
+    * re-normalization of the centroids would perturb near-tie argmaxes by
+    * an ulp and flip the routing discretely cross-engine. */
+  def nearest(vec: ArrayData, centroids: Array[Array[Float]],
+      norms: Array[Double], nProbe: Int): ArrayData = {
     val dim = vec.numElements()
-    var vn = 0.0
-    var i = 0
-    while (i < dim) { val x = vec.getFloat(i).toDouble; vn += x * x; i += 1 }
     // vec norm only scales all scores equally -> ranking unaffected; skip it.
     val n = centroids.length
     val scores = new Array[Double](n)
@@ -26,6 +27,7 @@ object NearestCentroidOps {
       val d = math.min(dim, cent.length)
       var j = 0
       while (j < d) { s += vec.getFloat(j).toDouble * cent(j); j += 1 }
+      s = if (norms(c) > 0.0) s / norms(c) else 0.0
       // NaN scores (a NaN vector component) compare false on both > and ==
       // and would leave the selection loop with no pick — map to -inf so
       // bad rows rank last instead of aborting the job.
@@ -53,12 +55,9 @@ object NearestCentroidOps {
     new GenericArrayData(out)
   }
 
-  /** L2-normalize centroid rows once, driver-side. */
-  def normalize(centroids: Array[Array[Float]]): Array[Array[Float]] =
-    centroids.map { c =>
-      val n = math.sqrt(c.map(x => x.toDouble * x).sum)
-      if (n == 0.0) c else c.map(x => (x / n).toFloat)
-    }
+  /** Double L2 norms of the centroid rows, computed once driver-side. */
+  def norms(centroids: Array[Array[Float]]): Array[Double] =
+    centroids.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
 }
 
 /**
@@ -74,7 +73,7 @@ case class NearestCentroids(
   require(nProbe > 0, s"nProbe must be positive, got $nProbe")
   require(centroids.nonEmpty, "centroid table must not be empty")
 
-  private val normalized = NearestCentroidOps.normalize(centroids)
+  private val centNorms = NearestCentroidOps.norms(centroids)
 
   override def prettyName: String = "nearest_centroids"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -85,11 +84,12 @@ case class NearestCentroids(
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(v: Any): Any =
-    NearestCentroidOps.nearest(v.asInstanceOf[ArrayData], normalized, nProbe)
+    NearestCentroidOps.nearest(v.asInstanceOf[ArrayData], centroids, centNorms, nProbe)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val centRef = ctx.addReferenceObj("centroids", normalized, "float[][]")
+    val centRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val normsRef = ctx.addReferenceObj("centNorms", centNorms, "double[]")
     defineCodeGen(ctx, ev,
-      c => s"graft.expr.NearestCentroidOps.nearest($c, $centRef, $nProbe)")
+      c => s"graft.expr.NearestCentroidOps.nearest($c, $centRef, $normsRef, $nProbe)")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 

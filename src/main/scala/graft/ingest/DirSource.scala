@@ -105,15 +105,21 @@ object DirSource {
     * value over a plain fallback is exactly this case): claim GBK or
     * Shift-JIS only when the whole stream parses structurally AND at
     * least 4 pairs land in the encoding's characteristic ranges making up
-    * ≥ half of all pairs — isolated cp1252 accents/smart-quotes that
-    * happen to form valid pairs score zero on both. Ties (both claims,
+    * ≥ half of all pairs AND those pairs cover ≥ 5% of the file's bytes —
+    * isolated cp1252 accents/smart-quotes that happen to form valid pairs
+    * score zero on the first two tests, and a long mostly-ASCII cp1252
+    * file whose few clustered accent runs DO satisfy them (e.g. 4+
+    * adjacent accented-letter pairs) still fails the density floor, so it
+    * keeps the byte-preserving windows-1252 fallback. Ties (both claims,
     * equal score) go to GBK, chardet's own prior for ambiguous
     * all-high-byte text. */
   private def cjkDetect(bytes: Array[Byte]): String = {
     val g = gbkScan(bytes)
     val s = sjisScan(bytes)
-    val gScore = if (g != null && g(1) >= 4 && g(1) * 2 >= g(0)) g(1) else 0
-    val sScore = if (s != null && s(1) >= 4 && s(1) * 2 >= s(0)) s(1) else 0
+    // characteristic-pair bytes (2 per pair) must be ≥ 5% of the file
+    def dense(chars: Int): Boolean = chars * 2L * 20L >= bytes.length
+    val gScore = if (g != null && g(1) >= 4 && g(1) * 2 >= g(0) && dense(g(1))) g(1) else 0
+    val sScore = if (s != null && s(1) >= 4 && s(1) * 2 >= s(0) && dense(s(1))) s(1) else 0
     if (gScore == 0 && sScore == 0) null
     else if (gScore >= sScore) "GBK"
     else "Shift_JIS"
