@@ -226,6 +226,22 @@ object SparkEntry {
           col("rank"), col("score"))
     }),
 
+    // Payload-filtered vector search (the backend's `search` with payload
+    // filters): the corpus predicate applies BEFORE scoring, so each
+    // query's top-k ranks only qualifying rows — k results from the
+    // filtered corpus, not a thinned unfiltered top-k. The predicate sits
+    // directly above the parquet relation and reaches the scan as a pushed
+    // filter (plan-asserted in KnnSpec); on the IvfCollection layout it
+    // additionally composes with cell partition pruning.
+    "knn_filtered" -> ((s, dir) => {
+      val corpus = embParallel(s, dir)
+      Knn.knnJoin(knnQueries(s, dir), "vec_id", "embedding",
+          corpus, "vec_id", "embedding", k = 10, roundScoreTo = Some(6),
+          corpusFilter = Some(col("label") < 5))
+        .select(col("query_id"), col("vec_id").as("result_id"),
+          col("rank"), col("score"))
+    }),
+
     // ------------------------------------------------------------------
     // A7: per-query score-separation stats (bcb_utils.py:179-215 shape:
     // query_id, avg clone/non-clone score, counts; 0.0 when a side is empty).
@@ -1232,6 +1248,22 @@ object SparkEntry {
         |    ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS score
         |  FROM q CROSS JOIN embeddings c
         |  WHERE c.vec_id <> q.qid
+        |), ranked AS (
+        |  SELECT query_id, result_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, result_id, rank, score FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "knn_filtered" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  ORDER BY md5('graft42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 500
+        |), scored AS (
+        |  SELECT q.qid AS query_id, c.vec_id AS result_id,
+        |    ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS score
+        |  FROM q CROSS JOIN embeddings c
+        |  WHERE c.vec_id <> q.qid AND c.label < 5
         |), ranked AS (
         |  SELECT query_id, result_id, score,
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank

@@ -66,13 +66,22 @@ class IvfCollection(spark: SparkSession, root: String, val name: String) {
    * Top-k cosine probe against the persisted layout: compute each query's
    * nProbe cells, read only those partitions, score and rank. Same output
    * contract as [[graft.search.Ivf.knnJoinIvf]].
+   *
+   * `filter` is payload-filtered vector search (same contract as
+   * [[graft.search.Knn.knnJoin]]'s `corpusFilter`): it restricts the
+   * probed cells BEFORE scoring, and because it sits directly above the
+   * parquet relation it composes with the cell pruning — the scan carries
+   * BOTH the ivf_cell partition filter and the predicate as PushedFilters
+   * (plan-asserted in IvfCollectionSpec). Rows failing the predicate are
+   * row-group-skipped at the source, not scored and discarded.
    */
   def query(
       queries: DataFrame, queryId: String, queryVec: String,
       corpusId: String, corpusVec: String,
       k: Int, nProbe: Int,
       excludeSelf: Boolean = true,
-      roundScoreTo: Option[Int] = None): DataFrame = {
+      roundScoreTo: Option[Int] = None,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val cents = centroids()
     // Driver-side probe-cell union: |Q| is small by the query contract, so
     // collecting the cell ids gives the scan a LITERAL partition filter
@@ -81,11 +90,12 @@ class IvfCollection(spark: SparkSession, root: String, val name: String) {
       .select(explode(graft.functions.nearest_centroids(col(queryVec), cents, nProbe))
         .as("cell"))
       .distinct().collect().map(_.getInt(0)).toSeq
+    val cells = loadCells(probeCells)
     // The persisted ivf_cell column was assigned from exactly these
     // centroids at build() time — safe to reuse, skipping the per-row
     // nearest-centroid recompute.
     Ivf.knnJoinIvf(queries, queryId, queryVec,
-      loadCells(probeCells), corpusId, corpusVec,
+      filter.fold(cells)(cells.filter), corpusId, corpusVec,
       k, cents, nProbe, excludeSelf, roundScoreTo, reuseCellCol = true)
   }
 }

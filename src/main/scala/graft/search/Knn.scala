@@ -43,6 +43,15 @@ object Knn {
    * For each row of `queries`, the top-`k` rows of `corpus` by descending
    * similarity, deterministic tie-break on ascending corpus id.
    *
+   * `corpusFilter` is payload-filtered search (the reference backend's
+   * `search` with payload filters): the predicate restricts the corpus
+   * BEFORE scoring, so top-k ranks only qualifying rows — not a post-hoc
+   * filter of unfiltered top-k, which would return < k rows and miss
+   * qualifying neighbors. Applied directly above the corpus relation, it
+   * reaches the parquet scan as a pushed filter (and, on a layout
+   * partitioned by the predicate column, as partition pruning) — at 100 TB
+   * the selectivity becomes skipped I/O, not discarded rows.
+   *
    * Output columns: `query_id`, query payload as `query_<name>`, all corpus
    * columns except the vector, `score`, `rank`.
    */
@@ -50,14 +59,16 @@ object Knn {
       queries: DataFrame,
       queryId: String,
       queryVec: String,
-      corpus: DataFrame,
+      corpus0: DataFrame,
       corpusId: String,
       corpusVec: String,
       k: Int,
       excludeSelf: Boolean = true,
       metric: String = "cosine",
       roundScoreTo: Option[Int] = None,
-      useTopKAgg: Boolean = true): DataFrame = {
+      useTopKAgg: Boolean = true,
+      corpusFilter: Option[Column] = None): DataFrame = {
+    val corpus = corpusFilter.fold(corpus0)(corpus0.filter)
     // Query payload columns ride along as query_<name> (the reference keeps
     // the query row's fields for relevance tagging, bcb_utils.py:182-189).
     val payloadNames = queries.columns.toSeq

@@ -41,4 +41,42 @@ class IvfCollectionSpec extends SparkSpec {
     val fullJoin = approx.join(exact, Seq("query_id", "result_id", "score"), "left_semi").count()
     assert(idJoin == fullJoin && idJoin > 0)
   }
+
+  test("filtered query: predicate composes with cell pruning; results match post-hoc filter") {
+    val root = Files.createTempDirectory("graft_ivf_f").toString
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val coll = IvfCollection(spark, root, "ivf_f")
+      .build(emb, "vec_id", "embedding", nList = 4, seed = 42L)
+    val q = emb.limit(10)
+    val filtered = coll.query(q, "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, nProbe = 4, roundScoreTo = Some(6), filter = Some(col("label") < 5))
+    // plan: BOTH the ivf_cell partition filter and the label predicate land
+    // at the scan — selectivity as skipped I/O, not discarded rows
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ivf_cell"),
+      s"expected cell pruning in:\n$plan")
+    assert(plan.contains("LessThan(label,5)"),
+      s"expected label pushdown in:\n$plan")
+    // semantics: nProbe = nList makes the probe exhaustive, so the filtered
+    // probe must equal exact kNN over the pre-filtered corpus
+    val exact = Knn.knnJoin(q, "vec_id", "embedding",
+        emb.filter(col("label") < 5), "vec_id", "embedding",
+        k = 5, roundScoreTo = Some(6))
+      .select(col("query_id"), col("vec_id").as("result_id"), col("score"))
+    val got = filtered.select(col("query_id"), col("vec_id").as("result_id"), col("score"))
+    assert(got.exceptAll(exact).count() == 0 && exact.exceptAll(got).count() == 0)
+  }
+
+  test("driver ivf_partitioned_recall query: recall_at_k meets the IVF floor") {
+    // The driver records this query rows-only (KMeans cells have no SQL
+    // twin), so the measured recall scalar must be floor-pinned HERE: a
+    // silent pruning regression (wrong cell reuse, broken probe union)
+    // would otherwise collapse the value with every check still green.
+    // Same floor as IvfSpec — both paths share Ivf.knnJoinIvf, and this
+    // query probes 4/16 cells vs IvfSpec's 2/4.
+    val recall = graft.SparkEntry.queries("ivf_partitioned_recall")(
+        spark, graft.TestSpark.sf0001)
+      .head().getDouble(0)
+    assert(recall >= 0.3, s"ivf_partitioned_recall recall_at_k = $recall")
+  }
 }

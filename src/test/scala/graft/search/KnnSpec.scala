@@ -49,4 +49,26 @@ class KnnSpec extends SparkSpec {
       k = 2, metric = "dot").orderBy("rank").collect()
     assert(res(0).getAs[Long]("vec_id") === 1L) // dot=5 beats dot=0.9
   }
+
+  test("corpusFilter: predicate applies before scoring, top-k from the filtered corpus") {
+    val q = corpus.filter($"vec_id" === 1L)
+    // label='b' excludes the otherwise-rank-1 neighbor (vec_id=2): the
+    // top-k must re-rank over qualifying rows, not thin an unfiltered top-k.
+    val res = Knn.knnJoin(q, "vec_id", "embedding", corpus, "vec_id", "embedding",
+      k = 2, corpusFilter = Some($"label" === "b")).orderBy("rank").collect()
+    assert(res.map(_.getAs[Long]("vec_id")).toSeq === Seq(3L, 4L))
+  }
+
+  test("corpusFilter: predicate reaches the parquet scan as a pushed filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_knnf").toString
+    corpus.write.mode("overwrite").parquet(dir)
+    val onDisk = spark.read.parquet(dir)
+    val q = corpus.filter($"vec_id" === 1L)
+    val plan = Knn.knnJoin(q, "vec_id", "embedding", onDisk, "vec_id", "embedding",
+        k = 2, corpusFilter = Some($"label" === "b"))
+      .queryExecution.executedPlan.toString
+    // the corpus-side scan must carry the predicate (pushed, not post-scan)
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(label,b)"),
+      s"expected label pushdown in:\n$plan")
+  }
 }
