@@ -80,6 +80,16 @@ object SparkEntry {
   private def docsParallel(s: SparkSession, dir: String): DataFrame =
     rebalanced(Tables.documents(s, dir), s)
 
+  /** Corpus content fingerprint for keying tmpdir artifact caches: one
+    * cheap hash pass, order-independent and overflow-free (bit_xor; a sum
+    * would trip the ANSI long-overflow check). Ids are unique so nothing
+    * cancels. Build PARAMETERS are appended to the cache key separately —
+    * the fingerprint pins the data, the suffix pins the config. */
+  private def corpusFingerprint(df: DataFrame, cols: Column*): String =
+    java.lang.Long.toHexString(df
+      .agg(coalesce(bit_xor(xxhash64(cols: _*)), lit(0L)))
+      .head().getLong(0))
+
   /** Embeddings corpus: cosine scoring of |Q|·|C| pairs parallelizes per
     * CORPUS partition (queries are broadcast), so a one-file corpus would
     * score on one core without the rebalance guard. */
@@ -421,11 +431,7 @@ object SparkEntry {
       // cheap hash pass — ~10× lighter than the shingle+MinHash kernel it
       // amortizes), so a changed corpus can never silently reuse a stale
       // index; an unchanged corpus reuses it across calls.
-      // bit_xor: order-independent and overflow-free (a sum trips the
-      // ANSI long-overflow check); ids are unique so nothing cancels.
-      val fp = java.lang.Long.toHexString(Tables.documents(s, dir)
-        .agg(coalesce(bit_xor(xxhash64(col("doc_id"), col("text"))), lit(0L)))
-        .head().getLong(0))
+      val fp = corpusFingerprint(Tables.documents(s, dir), col("doc_id"), col("text"))
       // Build params are part of the cache key: a stale artifact built with
       // OLD n/numHashes/bands must never be silently reused after a config
       // change — its pinned meta would override the new parameters.
@@ -672,15 +678,40 @@ object SparkEntry {
     "ivf_partitioned_recall" -> ((s, dir) => {
       val emb = embParallel(s, dir)
       val q = knnQueries(s, dir)
-      val fp = java.lang.Long.toHexString(Tables.embeddings(s, dir)
-        .agg(coalesce(bit_xor(xxhash64(col("vec_id"), col("embedding"))), lit(0L)))
-        .head().getLong(0))
+      val fp = corpusFingerprint(Tables.embeddings(s, dir), col("vec_id"), col("embedding"))
       // nList/seed in the key for the same stale-reuse reason as the
       // MinHash index cache above.
       val root = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_ivfcol_${fp}_nl16_s42").toString
       val ivfc = graft.index.IvfCollection(s, root, "embeddings")
       if (!ivfc.exists) ivfc.build(emb, "vec_id", "embedding", nList = 16, seed = 42L)
+      val exact = Knn.knnJoin(q, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"))
+      val approx = ivfc.query(q, "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, nProbe = 4, roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"), lit(1).as("__found"))
+      exact.join(approx, Seq("query_id", "result_id"), "left")
+        .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
+          .as("recall_at_k"))
+    }),
+
+    // The COMPRESSED persisted pruning path: same recall@10 measurement,
+    // but the IvfCollection layout stores int8 codes + scales (4× fewer
+    // vector bytes per probed cell) and scores code-vs-code in integer
+    // arithmetic — cell pruning × int8 compression is the production
+    // artifact shape for a 100 TB corpus. Recall vs full-float exact kNN
+    // compounds BOTH losses (pruning + quantization); IvfCollectionSpec
+    // pins its floor next to the uncompressed path's.
+    "ivf_int8_recall" -> ((s, dir) => {
+      val emb = embParallel(s, dir)
+      val q = knnQueries(s, dir)
+      val fp = corpusFingerprint(Tables.embeddings(s, dir), col("vec_id"), col("embedding"))
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ivfcol8_${fp}_nl16_s42").toString
+      val ivfc = graft.index.IvfCollection(s, root, "embeddings")
+      if (!ivfc.exists) ivfc.build(emb, "vec_id", "embedding", nList = 16, seed = 42L,
+        int8 = true)
       val exact = Knn.knnJoin(q, "vec_id", "embedding",
           emb, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
         .select(col("query_id"), col("vec_id").as("result_id"))

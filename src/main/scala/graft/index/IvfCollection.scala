@@ -1,8 +1,9 @@
 package graft.index
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{int8_scale, quantize_int8}
 import graft.search.Ivf
 
 /**
@@ -12,24 +13,46 @@ import graft.search.Ivf
  * (nProbe/nList) into a physical I/O reduction, which is the difference
  * between scanning 100 TB and scanning 100 TB × nProbe/nList.
  *
+ * `int8 = true` additionally stores the vectors as int8 codes + per-vector
+ * scales ([[graft.expr.Int8VectorOps]]) instead of float arrays — the
+ * probe then reads a QUARTER of the vector bytes per probed cell and
+ * scores in integer arithmetic ([[graft.functions.int8_cosine]]; the
+ * symmetric per-vector scale cancels in cosine, so codes alone are the
+ * search index). Composed, the two levers multiply: nProbe/nList × 1/4 of
+ * the vector bytes through scan, cache, and scoring — the production
+ * artifact shape for 100 TB corpora. Centroid training and probe routing
+ * stay full-float (centroids are nList rows — compressing them saves
+ * nothing and would perturb routing).
+ *
  * Build once (train + assign + write), query many: the layout is the
  * persisted analogue of [[graft.search.Ivf.knnJoinIvf]]'s in-flight
- * assignment.
+ * assignment. The `_meta.json` completion marker is written LAST
+ * ([[FsArtifact]] protocol), so `exists` is false for any crashed or
+ * in-flight build.
  */
-class IvfCollection(spark: SparkSession, root: String, val name: String) {
-  private val base = s"$root/$name"
-  private val dataPath = s"$base/cells"
-  private val centroidsPath = s"$base/centroids"
+class IvfCollection(
+    protected val spark: SparkSession,
+    protected val root: String,
+    val name: String) extends FsArtifact {
+  private val dataPath = new org.apache.hadoop.fs.Path(base, "cells").toString
+  private val centroidsPath = new org.apache.hadoop.fs.Path(base, "centroids").toString
 
   /** Train centroids, assign every row, write cell-partitioned parquet.
     * Rows are deduplicated by `idCol` (last-writer-indifferent) so a
     * rebuilt collection stays keyed like [[VectorCollection.upsert]]. */
   def build(
       corpus: DataFrame, idCol: String, vecCol: String,
-      nList: Int, seed: Long = 42L): this.type = {
+      nList: Int, seed: Long = 42L, int8: Boolean = false): this.type = {
+    invalidateMeta()
     val centroids = Ivf.trainCentroids(corpus, vecCol, nList, seed)
-    Ivf.assign(corpus.dropDuplicates(idCol), vecCol, centroids)
-      .write.mode(SaveMode.Overwrite)
+    val assigned = Ivf.assign(corpus.dropDuplicates(idCol), vecCol, centroids)
+    val stored =
+      if (int8) assigned
+        .withColumn(codeCol(vecCol), quantize_int8(col(vecCol)))
+        .withColumn(scaleCol(vecCol), int8_scale(col(vecCol)))
+        .drop(vecCol)
+      else assigned
+    stored.write.mode(SaveMode.Overwrite)
       .partitionBy("ivf_cell")
       .parquet(dataPath)
     import spark.implicits._
@@ -37,16 +60,15 @@ class IvfCollection(spark: SparkSession, root: String, val name: String) {
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .write.mode(SaveMode.Overwrite).parquet(centroidsPath)
+    writeMetaJson(s"""{"int8":$int8,"nList":$nList,"seed":$seed}""")
     this
   }
 
-  /** Built-and-complete marker: [[build]] writes the cell data FIRST and
-    * the centroid table last, so centroid presence implies a whole
-    * artifact (a crashed build leaves this false). */
-  def exists: Boolean = {
-    val p = new org.apache.hadoop.fs.Path(centroidsPath)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-  }
+  /** Whether the persisted layout stores int8 codes instead of floats. */
+  def isInt8: Boolean = metaField(readMetaJson(), "int8").toBoolean
+
+  private def codeCol(vecCol: String) = s"${vecCol}_code"
+  private def scaleCol(vecCol: String) = s"${vecCol}_scale"
 
   def centroids(): Array[Array[Float]] =
     spark.read.parquet(centroidsPath)
@@ -65,7 +87,9 @@ class IvfCollection(spark: SparkSession, root: String, val name: String) {
   /**
    * Top-k cosine probe against the persisted layout: compute each query's
    * nProbe cells, read only those partitions, score and rank. Same output
-   * contract as [[graft.search.Ivf.knnJoinIvf]].
+   * contract as [[graft.search.Ivf.knnJoinIvf]]. Queries always arrive as
+   * float vectors; against an int8 layout they are quantized on the fly
+   * (|Q| rows — negligible) and scored code-vs-code.
    *
    * `filter` is payload-filtered vector search (same contract as
    * [[graft.search.Knn.knnJoin]]'s `corpusFilter`): it restricts the
@@ -81,7 +105,7 @@ class IvfCollection(spark: SparkSession, root: String, val name: String) {
       k: Int, nProbe: Int,
       excludeSelf: Boolean = true,
       roundScoreTo: Option[Int] = None,
-      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      filter: Option[Column] = None): DataFrame = {
     val cents = centroids()
     // Driver-side probe-cell union: |Q| is small by the query contract, so
     // collecting the cell ids gives the scan a LITERAL partition filter
@@ -91,12 +115,22 @@ class IvfCollection(spark: SparkSession, root: String, val name: String) {
         .as("cell"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val cells = loadCells(probeCells)
+    val corpus = filter.fold(cells)(cells.filter)
     // The persisted ivf_cell column was assigned from exactly these
     // centroids at build() time — safe to reuse, skipping the per-row
     // nearest-centroid recompute.
-    Ivf.knnJoinIvf(queries, queryId, queryVec,
-      filter.fold(cells)(cells.filter), corpusId, corpusVec,
-      k, cents, nProbe, excludeSelf, roundScoreTo, reuseCellCol = true)
+    if (isInt8) {
+      // Routing stays on the float query vector; scoring runs on codes.
+      val q = queries.withColumn("__qcode", quantize_int8(col(queryVec)))
+      Ivf.knnJoinIvf(q, queryId, queryVec,
+        corpus, corpusId, codeCol(corpusVec),
+        k, cents, nProbe, excludeSelf, roundScoreTo, reuseCellCol = true,
+        metric = "int8", queryScoreCol = Some("__qcode"))
+    } else {
+      Ivf.knnJoinIvf(queries, queryId, queryVec,
+        corpus, corpusId, corpusVec,
+        k, cents, nProbe, excludeSelf, roundScoreTo, reuseCellCol = true)
+    }
   }
 }
 

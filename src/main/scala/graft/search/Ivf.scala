@@ -5,7 +5,7 @@ import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{cosine_similarity, nearest_centroids, top_k_rows}
+import graft.functions.{nearest_centroids, top_k_rows}
 
 /**
  * IVF (inverted-file) approximate nearest-neighbor search — the
@@ -54,9 +54,15 @@ object Ivf {
       element_at(nearest_centroids(col(vecCol), centroids, 1), 1))
 
   /**
-   * Approximate top-k cosine join probing `nProbe` cells per query. Same
-   * contract as [[Knn.knnJoin]] minus missed-recall results.
+   * Approximate top-k similarity join probing `nProbe` cells per query.
+   * Same contract as [[Knn.knnJoin]] minus missed-recall results.
    * Output: query_id, corpus columns (minus vector), score, rank.
+   *
+   * Probe ROUTING always runs on `queryVec` (float, against the float
+   * centroids); SCORING runs `metric` over (`queryScoreCol` or
+   * `queryVec`) vs `corpusVec` — the split lets an int8-compressed layout
+   * route full-float and score code-vs-code ([[graft.index.IvfCollection]]
+   * with `int8 = true`).
    */
   def knnJoinIvf(
       queries: DataFrame, queryId: String, queryVec: String,
@@ -66,7 +72,9 @@ object Ivf {
       nProbe: Int = 4,
       excludeSelf: Boolean = true,
       roundScoreTo: Option[Int] = None,
-      reuseCellCol: Boolean = false): DataFrame = {
+      reuseCellCol: Boolean = false,
+      metric: String = "cosine",
+      queryScoreCol: Option[String] = None): DataFrame = {
     // reuseCellCol: the caller vouches that corpus.ivf_cell was assigned
     // from EXACTLY these centroids (e.g. IvfCollection persists both
     // together) — skipping the per-row recompute. Never inferred from
@@ -76,12 +84,13 @@ object Ivf {
       if (reuseCellCol && corpus.columns.contains("ivf_cell")) corpus
       else assign(corpus, corpusVec, centroids)
     val probes = queries.select(
-        col(queryId).as("query_id"), col(queryVec).as("__qv"),
+        col(queryId).as("query_id"),
+        col(queryScoreCol.getOrElse(queryVec)).as("__qv"),
         explode(nearest_centroids(col(queryVec), centroids, nProbe)).as("ivf_cell"))
     val scored0 = assigned
       .join(broadcast(probes), Seq("ivf_cell"))
       .withColumn("score", {
-        val raw = cosine_similarity(col("__qv"), col(corpusVec))
+        val raw = Knn.score(metric)(col("__qv"), col(corpusVec))
         roundScoreTo.fold(raw)(n => round(raw, n))
       })
     val scored =

@@ -15,7 +15,7 @@ class SparkEntrySpec extends SparkSpec {
   test("rows-only queries are the documented hash-dependent set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expected = Set("corpus_uuid", "simhash_pairs", "winnow_pairs",
-      "ann_recall", "ivf_recall", "ivf_partitioned_recall",
+      "ann_recall", "ivf_recall", "ivf_partitioned_recall", "ivf_int8_recall",
       "quant_recall", "embed_corpus", "embed_knn", "multimodal_knn",
       "doc_len_quantiles_approx")
     assert(rowsOnly == expected,

@@ -67,6 +67,54 @@ class IvfCollectionSpec extends SparkSpec {
     assert(got.exceptAll(exact).count() == 0 && exact.exceptAll(got).count() == 0)
   }
 
+  test("int8 build: codes+scales stored, cell pruning intact, exhaustive probe ≡ exact int8 kNN") {
+    import graft.functions.quantize_int8
+    val root = Files.createTempDirectory("graft_ivf8").toString
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val coll = IvfCollection(spark, root, "ivf8")
+      .build(emb, "vec_id", "embedding", nList = 4, seed = 42L, int8 = true)
+    assert(coll.isInt8)
+
+    // layout: float vector replaced by binary codes + per-vector scale
+    val schema = coll.load().schema
+    assert(!schema.fieldNames.contains("embedding"))
+    assert(schema("embedding_code").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(schema("embedding_scale").dataType ==
+      org.apache.spark.sql.types.FloatType)
+
+    // pruning survives the compression: probed query still carries the
+    // ivf_cell partition filter
+    val q = emb.limit(10)
+    val probed = coll.query(q, "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, nProbe = 2, roundScoreTo = Some(6))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ivf_cell"),
+      s"expected partition filter in:\n$plan")
+
+    // exhaustive probe must equal exact int8 search over the quantized
+    // corpus (routing adds no loss when every cell is read)
+    val codes = emb.select(col("vec_id"), quantize_int8(col("embedding")).as("code"))
+    val qCodes = q.select(col("vec_id"), quantize_int8(col("embedding")).as("code"))
+    val exact = Knn.knnJoin(qCodes, "vec_id", "code", codes, "vec_id", "code",
+        k = 5, metric = "int8", roundScoreTo = Some(6))
+      .select(col("query_id"), col("vec_id").as("result_id"), col("score"))
+    val all = coll.query(q, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nProbe = 4, roundScoreTo = Some(6))
+      .select(col("query_id"), col("vec_id").as("result_id"), col("score"))
+    assert(all.exceptAll(exact).count() == 0 && exact.exceptAll(all).count() == 0)
+  }
+
+  test("driver ivf_int8_recall query: recall_at_k meets the IVF floor") {
+    // Compound loss (cell pruning + int8 quantization) still has to clear
+    // the same floor as the uncompressed path — quantization costs ≈1% of
+    // recall (quant_recall ≈ 0.99) so the floors are shared.
+    val recall = graft.SparkEntry.queries("ivf_int8_recall")(
+        spark, graft.TestSpark.sf0001)
+      .head().getDouble(0)
+    assert(recall >= 0.3, s"ivf_int8_recall recall_at_k = $recall")
+  }
+
   test("driver ivf_partitioned_recall query: recall_at_k meets the IVF floor") {
     // The driver records this query rows-only (KMeans cells have no SQL
     // twin), so the measured recall scalar must be floor-pinned HERE: a
