@@ -160,12 +160,33 @@ object DirSource {
     * `dir` matching `glob` (default `*.txt`), recursively. `charset` is the
     * detected encoding ([[detectAndDecode]]) — carried as a column so
     * pipelines can audit/filter on it, like chardet's confidence dict. */
-  def files(spark: SparkSession, dir: String, glob: String = "*.txt"): DataFrame = {
-    val decode = udf(detectAndDecode _)
-    spark.read.format("binaryFile")
+  def files(spark: SparkSession, dir: String, glob: String = "*.txt"): DataFrame =
+    decoded(spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", glob)
-      .load(dir)
+      .load(dir))
+
+  /** Streaming twin of [[files]]: a binaryFile STREAM watching `dir` — new
+    * files matching `glob` arrive as micro-batches with the identical
+    * (path, modificationTime, length, charset, text) projection, so every
+    * downstream transform is the same unified-Dataset code as the batch
+    * path (twin-checked in StreamingSpec). */
+  def filesStream(spark: SparkSession, dir: String, glob: String = "*.txt"): DataFrame =
+    decoded(spark.readStream.format("binaryFile")
+      // streaming file sources require an explicit schema; binaryFile's is
+      // fixed by the format
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType))))
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", glob)
+      .load(dir))
+
+  private def decoded(raw: DataFrame): DataFrame = {
+    val decode = udf(detectAndDecode _)
+    raw
       .withColumn("__dec", decode(col("content")))
       .select(col("path"), col("modificationTime"), col("length"),
         col("__dec._1").as("charset"), col("__dec._2").as("text"))

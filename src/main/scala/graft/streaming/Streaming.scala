@@ -67,6 +67,28 @@ object Streaming {
       .start()
 
   /**
+   * Streaming document ingest from a WATCHED DIRECTORY of raw files: the
+   * full reference ingest lifecycle (dir walk → charset-detected decode →
+   * embed → upsert, `main.py:122-125`) as a live stream. New files
+   * matching `glob` become micro-batches via the binaryFile source
+   * ([[graft.ingest.DirSource.filesStream]] — identical decode kernel and
+   * projection as the batch dir scan), each batch is embedded with the
+   * pre-fitted model and upserted keyed by file path, so re-delivered or
+   * re-listed files are exactly-once BY KEY like every other sink here.
+   * Completes the ingest story: events streamed before; now collections
+   * ingest continuously too.
+   */
+  def ingestFileStream(
+      spark: SparkSession,
+      dir: String,
+      model: EmbedModel,
+      collection: VectorCollection,
+      checkpointDir: String,
+      glob: String = "*.txt"): StreamingQuery =
+    ingestStream(graft.ingest.DirSource.filesStream(spark, dir, glob),
+      "path", "text", model, collection, checkpointDir)
+
+  /**
    * Streaming exact-dedup: drop rows whose key was already seen, keeping
    * state only within the watermark horizon — the streaming twin of
    * [[graft.dedup.Dedup.dropExactDuplicates]]. Unbounded dedup state is the

@@ -102,6 +102,44 @@ class StreamingSpec extends SparkSpec {
     assert(rows.schema("vec").dataType.typeName == "array")
   }
 
+  test("file-stream ingest into a collection: decode → embed → idempotent upsert; batch twin") {
+    val tmp = Files.createTempDirectory("graft_fstream")
+    val watched = Files.createDirectory(tmp.resolve("docs"))
+    def put(name: String, text: String): Unit =
+      Files.write(watched.resolve(name), text.getBytes("UTF-8"))
+    put("a.txt", "alpha beta gamma")
+    put("b.txt", "delta epsilon zeta")
+
+    val fitDocs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+      (3L, "eta theta iota")).toDF("doc_id", "text")
+    val model = new TfIdfEmbedder(dim = 64).fit(fitDocs, "text")
+    val coll = VectorCollection(spark, tmp.toString, "file_coll")
+    coll.create(CollectionMeta(64, "cosine", normalized = true))
+
+    val q = Streaming.ingestFileStream(spark, watched.toString, model, coll,
+      s"$tmp/ckpt1")
+    q.awaitTermination() // AvailableNow drains and stops
+    assert(coll.load().count() == 2)
+
+    // a new file lands; the old ones are re-listed by the fresh stream but
+    // must not duplicate (exactly-once by path key)
+    put("c.txt", "eta theta iota")
+    val q2 = Streaming.ingestFileStream(spark, watched.toString, model, coll,
+      s"$tmp/ckpt2")
+    q2.awaitTermination()
+    val got = coll.load()
+    assert(got.count() == 3)
+
+    // batch twin: the same dir through the batch scan + the same model
+    // yields identical vectors per path
+    val batch = model.transform(
+        graft.ingest.DirSource.files(spark, watched.toString), "text", "vec")
+      .select($"path", $"vec".as("batch_vec"))
+    val joined = got.join(batch, Seq("path"))
+    assert(joined.count() == 3)
+    assert(joined.filter($"vec" =!= $"batch_vec").count() == 0)
+  }
+
   test("file-source events stream: windowed agg over the fixture matches batch") {
     val streamDir = Files.createTempDirectory("graft_events_stream")
     Files.copy(Paths.get(s"${graft.TestSpark.sf0001}/events.parquet"),
