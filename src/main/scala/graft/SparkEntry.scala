@@ -425,6 +425,12 @@ object SparkEntry {
     // re-run band-candidate mining + exact verify over candidate docs:
     // the amortized path the index exists for, benchmarkable against the
     // self-contained dedup_near_keep.
+    // EXPECTED at small SF: this query benches SLOWER than dedup_near_keep
+    // (~4 s vs ~2.6 s at sf0.1) — artifact parquet reads + the candidate
+    // semi-join outweigh the skipped kernel when the corpus is 17 MB. The
+    // crossover favors the index as the corpus grows: the kernel it skips
+    // scales with corpus bytes, the index read is ~constant per query. Not
+    // a regression; see BASELINE.md's round-6 note.
     "index_near_keep" -> ((s, dir) => {
       val docs = docsParallel(s, dir)
       // The artifact root is keyed by a corpus CONTENT fingerprint (one
