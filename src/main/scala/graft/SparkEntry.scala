@@ -252,6 +252,43 @@ object SparkEntry {
           col("rank"), col("score"))
     }),
 
+    // Recommendation search (the backend's `recommend` API): corpus ranked
+    // against mean(positive examples) − mean(negative examples), examples
+    // excluded. The composite vector is double-averaged then float32-cast
+    // ONCE, so the DuckDB twin reproduces it bit-for-bit and certifies the
+    // whole pipeline (vector arithmetic + scoring + ranking) cross-engine.
+    "knn_recommend" -> ((s, dir) => {
+      Knn.recommend(embParallel(s, dir), "vec_id", "embedding",
+          positiveIds = Seq(0L, 1L, 2L), negativeIds = Seq(3L, 4L),
+          k = 20, roundScoreTo = Some(6))
+        .select(col("vec_id").as("result_id"), col("label"),
+          col("rank"), col("score"))
+    }),
+
+    // Keyset-paginated scroll over a persisted collection (the backend's
+    // `scroll` API) with a payload filter: id predicate + filter both push
+    // into the scan; per-page cost is independent of scroll position (no
+    // OFFSET). The collection artifact is fingerprint-keyed and reused
+    // across calls; its contents equal the embeddings table (one idempotent
+    // upsert), so the oracle runs on the source table directly.
+    "collection_scroll" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val fp = corpusFingerprint(emb, col("vec_id"), col("embedding"))
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_vcoll_$fp").toString
+      val coll = graft.index.VectorCollection(s, root, "embeddings")
+      if (!coll.exists) {
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        coll.create(graft.index.CollectionMeta(dim, "cosine", normalized = false))
+      }
+      // upsert every call: idempotent by key (complete artifact → anti-join
+      // no-op), and it heals a partially-written cache from a crashed run
+      coll.upsert(emb, "vec_id")
+      coll.scroll("vec_id", limit = 50, after = Some(99L),
+          filter = Some(col("label") < 5))
+        .select(col("vec_id"), col("label"))
+    }),
+
     // ------------------------------------------------------------------
     // A7: per-query score-separation stats (bcb_utils.py:179-215 shape:
     // query_id, avg clone/non-clone score, counts; 0.0 when a side is empty).
@@ -1307,6 +1344,40 @@ object SparkEntry {
         |  FROM scored
         |)
         |SELECT query_id, result_id, rank, score FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // The composite query vector is rebuilt exactly as the engine does it:
+    // per-dimension double means over the example vectors, subtracted, then
+    // cast to FLOAT (float32) — so both engines score the IDENTICAL vector.
+    "knn_recommend" ->
+      """WITH pos AS (
+        |  SELECT u.i AS i, avg(CAST(e.embedding[u.i] AS DOUBLE)) AS v
+        |  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS u(i)
+        |  WHERE e.vec_id IN (0, 1, 2) GROUP BY u.i
+        |), neg AS (
+        |  SELECT u.i AS i, avg(CAST(e.embedding[u.i] AS DOUBLE)) AS v
+        |  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS u(i)
+        |  WHERE e.vec_id IN (3, 4) GROUP BY u.i
+        |), qv AS (
+        |  SELECT CAST(list(CAST(pos.v - neg.v AS FLOAT) ORDER BY pos.i) AS DOUBLE[]) AS v
+        |  FROM pos JOIN neg ON pos.i = neg.i
+        |), scored AS (
+        |  SELECT c.vec_id AS result_id, c.label,
+        |    ROUND(list_cosine_similarity(qv.v, CAST(c.embedding AS DOUBLE[])), 6) AS score
+        |  FROM embeddings c, qv
+        |  WHERE c.vec_id NOT IN (0, 1, 2, 3, 4)
+        |), ranked AS (
+        |  SELECT result_id, label, score,
+        |    ROW_NUMBER() OVER (ORDER BY score DESC, result_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT result_id, label, rank, score FROM ranked WHERE rank <= 20""".stripMargin,
+
+    // The scrolled collection's contents equal the embeddings table (one
+    // idempotent upsert), so the page is expressible on the source table.
+    "collection_scroll" ->
+      """SELECT vec_id, label FROM embeddings
+        |WHERE vec_id > 99 AND label < 5
+        |ORDER BY vec_id LIMIT 50""".stripMargin,
 
     "query_stats" -> (knnOracleCte +
       """SELECT query_id,

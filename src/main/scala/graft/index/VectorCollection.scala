@@ -61,6 +61,24 @@ class VectorCollection(
   }
 
   def load(): DataFrame = spark.read.parquet(dataPath.toString)
+
+  /** Keyset-paginated point listing (the backend's `scroll` API): the
+    * first `limit` rows with `idCol` strictly greater than `after`,
+    * optionally `filter`-restricted, ordered by id — the page's last id is
+    * the next page's `after`. Keyset instead of OFFSET by design: OFFSET m
+    * re-scans and discards m rows per page (a full scroll goes quadratic
+    * at collection scale), while the id predicate and the filter both push
+    * into the parquet scan and each page plans as one TakeOrdered over the
+    * qualifying remainder — per-page cost is O(qualifying rows) with
+    * row-group skipping, independent of scroll position. */
+  def scroll(idCol: String, limit: Int, after: Option[Any] = None,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val base = load()
+    val fromKey = after.fold(base)(a => base.filter(col(idCol) > lit(a)))
+    filter.fold(fromKey)(fromKey.filter)
+      .orderBy(col(idCol))
+      .limit(limit)
+  }
 }
 
 object VectorCollection {

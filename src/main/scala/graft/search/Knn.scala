@@ -131,6 +131,63 @@ object Knn {
   }
 
   /**
+   * Recommendation search (the vector-backend `recommend` API): rank the
+   * corpus against a Rocchio-style composite query vector
+   * `mean(positive examples) − mean(negative examples)`, excluding the
+   * example points themselves. The canonical "more like these, less like
+   * those" retrieval step.
+   *
+   * Scale shape: the example sets are a handful of user-chosen ids by
+   * contract, so their vectors are a metadata-sized driver collect (the
+   * id filter pushes into the scan — same precedent as IvfCollection's
+   * probe-cell union); the composite vector then rides the plan as a
+   * broadcast one-row query and the corpus STREAMS through the same
+   * bounded-heap top-k as [[knnJoin]] — no shuffle of the corpus at any
+   * size. The mean is computed in double and cast to float32 once, so an
+   * oracle can reproduce the exact query vector.
+   *
+   * Output: corpus columns (minus the vector), `score`, `rank`.
+   */
+  def recommend(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      positiveIds: Seq[Long], negativeIds: Seq[Long] = Nil,
+      k: Int = 10,
+      roundScoreTo: Option[Int] = None,
+      corpusFilter: Option[Column] = None): DataFrame = {
+    require(positiveIds.nonEmpty, "recommend needs at least one positive example")
+    def meanVec(ids: Seq[Long]): Array[Double] = {
+      val rows = corpus
+        .filter(col(corpusId).isin(ids: _*))
+        .select(col(corpusVec)).collect()
+      require(rows.length == ids.distinct.length,
+        s"recommend: ${ids.distinct.length} example ids matched ${rows.length} corpus rows")
+      val dim = rows.head.getSeq[Float](0).length
+      val acc = new Array[Double](dim)
+      rows.foreach { r =>
+        val v = r.getSeq[Float](0)
+        var i = 0
+        while (i < dim) { acc(i) += v(i); i += 1 }
+      }
+      acc.map(_ / rows.length)
+    }
+    val pos = meanVec(positiveIds)
+    val neg =
+      if (negativeIds.nonEmpty) meanVec(negativeIds)
+      else new Array[Double](pos.length)
+    val qv = Array.tabulate(pos.length)(i => (pos(i) - neg(i)).toFloat)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val queries = Seq((0L, qv)).toDF("__rec_id", "__rec_vec")
+    val examples = (positiveIds ++ negativeIds).distinct
+    val notExample = !col(corpusId).isin(examples: _*)
+    val filt = corpusFilter.fold(notExample)(f => notExample && f)
+    knnJoin(queries, "__rec_id", "__rec_vec", corpus, corpusId, corpusVec,
+        k, excludeSelf = false, roundScoreTo = roundScoreTo,
+        corpusFilter = Some(filt))
+      .drop("query_id")
+  }
+
+  /**
    * Search a [[graft.index.VectorCollection]], picking the metric from its
    * metadata: a collection built with `normalized = true` scores by raw
    * dot product (cosine ≡ dot on unit vectors, one multiply-add per

@@ -31,4 +31,30 @@ class VectorCollectionSpec extends SparkSpec {
     c.drop()
     assert(!c.exists)
   }
+
+  test("scroll: keyset pages cover the filtered set exactly once; predicates pushed") {
+    import org.apache.spark.sql.functions.col
+    val c = VectorCollection(spark, tmpRoot, "scroll")
+    c.create(CollectionMeta(2, "cosine", normalized = false))
+    val rows = (1L to 20L).map(i => (i, Array(i.toFloat, 0f), if (i % 2 == 0) "even" else "odd"))
+    c.upsert(rows.toDF("id", "vec", "par"), "id")
+
+    // page chaining: last id of each page seeds the next; the filtered set
+    // (10 even ids) must arrive in order, exactly once, across pages of 4
+    var after: Option[Any] = None
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    var page = c.scroll("id", 4, after, Some(col("par") === "even")).collect()
+    while (page.nonEmpty) {
+      seen ++= page.map(_.getLong(0))
+      after = Some(page.last.getLong(0))
+      page = c.scroll("id", 4, after, Some(col("par") === "even")).collect()
+    }
+    assert(seen.toSeq == (2L to 20L by 2).toSeq)
+
+    // both the keyset predicate and the payload filter reach the scan
+    val plan = c.scroll("id", 4, Some(8L), Some(col("par") === "even"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,8)") &&
+      plan.contains("EqualTo(par,even)"), s"expected keyset+filter pushdown in:\n$plan")
+  }
 }

@@ -59,6 +59,30 @@ class KnnSpec extends SparkSpec {
     assert(res.map(_.getAs[Long]("vec_id")).toSeq === Seq(3L, 4L))
   }
 
+  test("recommend: ranks by mean(pos) - mean(neg), examples excluded") {
+    val c = Seq(
+      (1L, Array(1f, 0f)),    // positive example
+      (2L, Array(0.8f, 0.2f)), // positive example
+      (3L, Array(0f, 1f)),    // negative example
+      (4L, Array(0.9f, 0.1f)), // near the positive mean -> rank 1
+      (5L, Array(0.1f, 0.9f)), // near the negative -> last
+      (6L, Array(0.7f, 0.3f))
+    ).toDF("vec_id", "embedding")
+    val res = Knn.recommend(c, "vec_id", "embedding",
+      positiveIds = Seq(1L, 2L), negativeIds = Seq(3L), k = 3)
+      .orderBy("rank").collect()
+    // composite = mean((1,0),(0.8,0.2)) - (0,1) = (0.9, -0.9): rewards x,
+    // punishes y — 4 (x-heavy) first, 5 (y-heavy) last, examples absent
+    assert(res.map(_.getAs[Long]("vec_id")).toSeq == Seq(4L, 6L, 5L))
+  }
+
+  test("recommend: missing example id fails loudly, not silently") {
+    val e = intercept[IllegalArgumentException] {
+      Knn.recommend(corpus, "vec_id", "embedding", positiveIds = Seq(99L), k = 1)
+    }
+    assert(e.getMessage.contains("matched"))
+  }
+
   test("corpusFilter: predicate reaches the parquet scan as a pushed filter") {
     val dir = java.nio.file.Files.createTempDirectory("graft_knnf").toString
     corpus.write.mode("overwrite").parquet(dir)
