@@ -818,6 +818,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher document-level filter (Rae et al. 2021, App. A1.1): the
+    // published heuristic suite as one codegen'd map-side pass — per-rule
+    // inputs surfaced for auditing plus the composite keep decision (the
+    // BOOLEAN is oracle-checked too: every term is a single integer-ratio
+    // division, so thresholds compare identically cross-engine). At 100 TB
+    // this is the cheap first cut that runs before any pairwise dedup.
+    "doc_gopher" -> ((s, dir) => {
+      val t = col("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).as("n_words"),
+        r6(TextAnalysis.avgTokenLen(t)).as("mean_word_len"),
+        r6(TextAnalysis.symbolWordRatio(t)).as("symbol_ratio"),
+        r6(TextAnalysis.alphaWordRatio(t)).as("alpha_ratio"),
+        r6(TextAnalysis.bulletLineRatio(t)).as("bullet_ratio"),
+        r6(TextAnalysis.ellipsisLineRatio(t)).as("ellipsis_ratio"),
+        TextAnalysis.gopherStopHits(t).as("stop_hits"),
+        TextAnalysis.gopherKeep(t).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-group top-k OUTSIDE the knn context: best-3 docs by quality per
     // language through the same bounded-heap aggregate (top_k_rows) that
     // powers knn — certifying the aggregate against a SQL rank-window
@@ -1735,6 +1756,36 @@ object SparkEntry {
 
     "doc_quality" ->
       ("WITH " + qualityCte + "\nSELECT doc_id, quality FROM q ORDER BY doc_id"),
+
+    "doc_gopher" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks,
+        |    string_split(text, chr(10)) AS lines,
+        |    len(regexp_replace(text, '\s+', '', 'g')) AS nws_chars,
+        |    len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS n_sym
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, len(toks) AS n_words,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(nws_chars AS DOUBLE) / len(toks) END AS mwl,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(n_sym AS DOUBLE) / len(toks) END AS swr,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / len(toks) END AS awr,
+        |    CASE WHEN len(lines) = 0 THEN 0.0 ELSE CAST(len(list_filter(lines, l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS DOUBLE) / len(lines) END AS blr,
+        |    CASE WHEN len(lines) = 0 THEN 0.0 ELSE CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '\.\.\.$'))) AS DOUBLE) / len(lines) END AS elr,
+        |    len(list_intersect(toks, ['the','be','to','of','and','that','have','with'])) AS stop_hits
+        |  FROM g
+        |)
+        |SELECT doc_id, n_words,
+        |  FLOOR(mwl * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len,
+        |  FLOOR(swr * 1000000.0 + 0.5) / 1000000.0 AS symbol_ratio,
+        |  FLOOR(awr * 1000000.0 + 0.5) / 1000000.0 AS alpha_ratio,
+        |  FLOOR(blr * 1000000.0 + 0.5) / 1000000.0 AS bullet_ratio,
+        |  FLOOR(elr * 1000000.0 + 0.5) / 1000000.0 AS ellipsis_ratio,
+        |  stop_hits,
+        |  ((n_words BETWEEN 50 AND 100000) AND mwl BETWEEN 3.0 AND 10.0
+        |    AND swr <= 0.1 AND blr <= 0.9 AND elr <= 0.3 AND awr >= 0.8
+        |    AND stop_hits >= 2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "top_docs_per_lang" ->
       ("WITH " + qualityCte + """

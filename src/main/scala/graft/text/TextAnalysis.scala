@@ -156,4 +156,62 @@ object TextAnalysis {
     when(n === 0, 0.0)
       .otherwise(lit(1.0) - size(array_distinct(toks)).cast("double") / n)
   }
+
+  // --- Gopher document-level quality rules (Rae et al. 2021, App. A1.1) --
+  // The published heuristic filter suite re-expressed over the canonical
+  // tokenizer. Every term is a single integer-ratio division or an
+  // anchored cross-engine regex, so the rule BOOLEANS (not just rounded
+  // ratios) compare bit-identically against the DuckDB twin — threshold
+  // comparisons happen on exactly-reproducible doubles.
+
+  /** Gopher symbol-to-word ratio: '#' and '...' occurrences per token. */
+  def symbolWordRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    val sym = regexp_count(text, lit("#")) + regexp_count(text, lit("\\.\\.\\."))
+    when(n === 0, 0.0).otherwise(sym.cast("double") / n)
+  }
+
+  /** Fraction of tokens containing at least one letter (tokens are
+    * lower-cased, so `[a-z]` covers the alphabet). */
+  def alphaWordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    when(n === 0, 0.0)
+      .otherwise(size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / n)
+  }
+
+  /** Fraction of lines whose first non-blank char is a bullet (-, *, •). */
+  def bulletLineRatio(text: Column): Column = {
+    val lines = split(text, "\n")
+    val n = size(lines)
+    when(n === 0, 0.0).otherwise(
+      size(filter(lines, l => substring(ltrim(l), 1, 1).isin("-", "*", "•")))
+        .cast("double") / n)
+  }
+
+  /** Fraction of lines ending (after right-trim) in an ellipsis. */
+  def ellipsisLineRatio(text: Column): Column = {
+    val lines = split(text, "\n")
+    val n = size(lines)
+    when(n === 0, 0.0).otherwise(
+      size(filter(lines, l => rtrim(l).rlike("\\.\\.\\.$"))).cast("double") / n)
+  }
+
+  /** Distinct hits of Gopher's required-English-word list. */
+  def gopherStopHits(text: Column): Column =
+    size(array_intersect(tokens(text),
+      array(Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*)))
+
+  /** The composite Gopher keep decision at the published thresholds:
+    * 50 ≤ words ≤ 100 000, mean word length in [3, 10], symbol-to-word
+    * ≤ 0.1, bullet-started lines ≤ 90%, ellipsis-ended lines ≤ 30%,
+    * ≥ 80% alphabetic words, ≥ 2 of the required stop words. */
+  def gopherKeep(text: Column): Column =
+    tokenCount(text).between(50, 100000) &&
+      avgTokenLen(text).between(3.0, 10.0) &&
+      symbolWordRatio(text) <= 0.1 &&
+      bulletLineRatio(text) <= 0.9 &&
+      ellipsisLineRatio(text) <= 0.3 &&
+      alphaWordRatio(text) >= 0.8 &&
+      gopherStopHits(text) >= 2
 }

@@ -93,6 +93,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(r(3) - (1.0 - 2.0 / 3.0)) < 1e-12)
   }
 
+  test("gopher rules: clean prose keeps; short/bullet/symbol/ellipsis docs fail the right rule") {
+    def rules(t: String) = one(t).select(
+      TextAnalysis.gopherKeep($"text").as("keep"),
+      TextAnalysis.symbolWordRatio($"text").as("swr"),
+      TextAnalysis.bulletLineRatio($"text").as("blr"),
+      TextAnalysis.ellipsisLineRatio($"text").as("elr"),
+      TextAnalysis.alphaWordRatio($"text").as("awr"),
+      TextAnalysis.gopherStopHits($"text").as("stop")).head()
+
+    // 60 clean words incl. required stopwords -> keep
+    val prose = ("the quick brown fox jumps over lazy dogs and cats " * 6).trim
+    assert(rules(prose).getAs[Boolean]("keep"))
+    // same text but too short (9 words < 50) -> reject
+    assert(!rules("the quick brown fox jumps over lazy dogs and")
+      .getAs[Boolean]("keep"))
+    // hash-spam: symbol-to-word ratio above 0.1 kills it
+    val hashy = prose + " " + ("# # # # # # # # " * 2)
+    val h = rules(hashy)
+    assert(h.getAs[Double]("swr") > 0.1 && !h.getAs[Boolean]("keep"))
+    // all-bullet doc: every line bullet-started -> blr = 1.0 > 0.9
+    val bullets = (1 to 10).map(i => s"- item $i of the list and that").mkString("\n")
+    val b = rules(bullets)
+    assert(b.getAs[Double]("blr") == 1.0 && !b.getAs[Boolean]("keep"))
+    // ellipsis-trailed lines beyond 30%
+    val dots = (1 to 10).map(i => s"the line $i trails off...").mkString("\n")
+    assert(rules(dots).getAs[Double]("elr") == 1.0)
+    // numeric dump: alpha-word ratio collapses
+    val nums = (1 to 60).map(_.toString).mkString(" ")
+    val n = rules(nums)
+    assert(n.getAs[Double]("awr") == 0.0 && !n.getAs[Boolean]("keep"))
+    // stop-hit counting is distinct-word based
+    assert(rules(prose).getAs[Int]("stop") == 2) // "the", "and"
+  }
+
   test("normalize: case/punctuation/reflow variants collapse to one form; idempotent") {
     val forms = Seq("Hello,  World!", "hello world", "  HELLO\n\tworld. ")
     val norm = forms.toDF("text").select(TextAnalysis.normalize($"text").as("n"))
