@@ -533,6 +533,45 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // MassiveText repetition suite (Gopher's other half, Rae et al. 2021):
+    // duplicate-line fraction, duplicate-line CHARACTER fraction, and the
+    // modal bigram's share of all bigrams — the signals that catch
+    // boilerplate headers/footers and degenerate loops that token-level
+    // repetitionRatio dilutes. Line stats are pure map work (an O(L²)
+    // lambda over each doc's own lines — L is small and per-row); the
+    // bigram mode runs explode → (doc, bigram) count with map-side
+    // combine → per-doc max/sum, so the shuffle carries distinct bigrams
+    // only, never positions.
+    "doc_repetition" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      val lines = split(col("text"), "\n")
+      val totalLineChars = aggregate(lines, lit(0), (acc, l) => acc + length(l))
+      val dupLineChars = aggregate(lines, lit(0), (acc, l) =>
+        acc + when(size(filter(lines, x => x === l)) > 1, length(l)).otherwise(0))
+      val lineStats = docs.select(
+        col("doc_id"),
+        size(lines).as("n_lines"),
+        r6(lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines))
+          .as("dup_line_frac"),
+        r6(when(totalLineChars === 0, 0.0)
+          .otherwise(dupLineChars.cast("double") / totalLineChars))
+          .as("dup_line_char_frac"))
+      val bigramStats = docs
+        .select(col("doc_id"), explode(TextAnalysis.bigrams(col("text"))).as("bigram"))
+        .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
+      lineStats.join(bigramStats, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          col("dup_line_frac"), col("dup_line_char_frac"),
+          coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          r6(when(coalesce(col("n_bigrams"), lit(0L)) === 0, 0.0)
+            .otherwise(col("top_bigram_n").cast("double") / col("n_bigrams")))
+            .as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus-wide vocabulary: top-50 tokens by frequency. Explode →
     // partial+final count agg (map-side combine collapses each token to
     // one row per partition) → TakeOrderedAndProject: the shuffle carries
@@ -1756,6 +1795,36 @@ object SparkEntry {
 
     "doc_quality" ->
       ("WITH " + qualityCte + "\nSELECT doc_id, quality FROM q ORDER BY doc_id"),
+
+    "doc_repetition" ->
+      """WITH l AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents
+        |), ls AS (
+        |  SELECT doc_id, len(lines) AS n_lines,
+        |    FLOOR((1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)) * 1000000.0 + 0.5) / 1000000.0 AS dup_line_frac,
+        |    FLOOR((CASE WHEN COALESCE(list_sum(list_transform(lines, x -> len(x))), 0) = 0 THEN 0.0
+        |      ELSE CAST(list_sum(list_transform(lines, y -> CASE WHEN len(list_filter(lines, x -> x = y)) > 1 THEN len(y) ELSE 0 END)) AS DOUBLE)
+        |        / list_sum(list_transform(lines, x -> len(x))) END) * 1000000.0 + 0.5) / 1000000.0 AS dup_line_char_frac
+        |  FROM l
+        |), t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bigram
+        |  FROM t, unnest(range(1, len(toks))) AS u(i)
+        |), bc AS (
+        |  SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+        |), bs AS (
+        |  SELECT doc_id, max(c) AS top_bigram_n, CAST(sum(c) AS BIGINT) AS n_bigrams
+        |  FROM bc GROUP BY doc_id
+        |)
+        |SELECT ls.doc_id, ls.n_lines, ls.dup_line_frac, ls.dup_line_char_frac,
+        |  COALESCE(bs.top_bigram_n, 0) AS top_bigram_n,
+        |  COALESCE(bs.n_bigrams, 0) AS n_bigrams,
+        |  FLOOR((CASE WHEN COALESCE(bs.n_bigrams, 0) = 0 THEN 0.0
+        |    ELSE CAST(bs.top_bigram_n AS DOUBLE) / bs.n_bigrams END) * 1000000.0 + 0.5) / 1000000.0 AS top_bigram_frac
+        |FROM ls LEFT JOIN bs ON ls.doc_id = bs.doc_id
+        |ORDER BY ls.doc_id""".stripMargin,
 
     "doc_gopher" ->
       """WITH g AS (
