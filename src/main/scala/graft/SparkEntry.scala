@@ -805,6 +805,24 @@ object SparkEntry {
           .as("recall_at_k"))
     }),
 
+    // Embedding-corpus health: dims, L2-norm distribution, zero vectors —
+    // the one-pass diagnostic run before building any index (a dim
+    // mismatch or a batch of zero vectors silently poisons recall). One
+    // partial+final agg, constant output at any corpus size.
+    "embedding_stats" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(size(col("embedding")).as("dim"),
+          r6(graft.functions.l2_norm(col("embedding"))).as("norm"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          min(col("dim")).as("dim_min"),
+          max(col("dim")).as("dim_max"),
+          r6(stableMean(col("norm"))).as("avg_norm"),
+          min(col("norm")).as("min_norm"),
+          max(col("norm")).as("max_norm"),
+          count(when(col("norm") === 0.0, 1)).as("n_zero"))
+    }),
+
     // SimHash near-dups: fingerprints depend on xxhash64 → no cross-engine
     // SQL twin (rows-only driver check); semantics pinned in DedupSpec.
     "simhash_pairs" -> ((s, dir) => {
@@ -1795,6 +1813,19 @@ object SparkEntry {
 
     "doc_quality" ->
       ("WITH " + qualityCte + "\nSELECT doc_id, quality FROM q ORDER BY doc_id"),
+
+    "embedding_stats" ->
+      """WITH n AS (
+        |  SELECT len(embedding) AS dim,
+        |    FLOOR(sqrt(COALESCE(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS norm
+        |  FROM embeddings
+        |)
+        |SELECT count(*) AS n_vecs,
+        |  min(dim) AS dim_min, max(dim) AS dim_max,
+        |  FLOOR(CAST(SUM(CAST(norm AS DECIMAL(28,6))) AS DOUBLE) / count(norm) * 1000000.0 + 0.5) / 1000000.0 AS avg_norm,
+        |  min(norm) AS min_norm, max(norm) AS max_norm,
+        |  count(CASE WHEN norm = 0.0 THEN 1 END) AS n_zero
+        |FROM n""".stripMargin,
 
     "doc_repetition" ->
       """WITH l AS (
