@@ -70,6 +70,29 @@ class IvfCollection(
   private def codeCol(vecCol: String) = s"${vecCol}_code"
   private def scaleCol(vecCol: String) = s"${vecCol}_scale"
 
+  /** Incremental ingest: assign NEW rows (id anti-join — idempotent by
+    * key, like [[VectorCollection.upsert]]) against the EXISTING
+    * centroids and append them to their cell partitions. One kernel pass
+    * over the batch, no re-train, no rewrite of resident cells — the
+    * daily-batch workflow for a growing corpus. Centroids drift as the
+    * distribution shifts; rebuild when probe recall decays (the standard
+    * IVF operational contract). Single-writer, like every artifact here. */
+  def upsert(batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    require(exists, s"collection $name does not exist - build() it first")
+    val fresh = batch.dropDuplicates(idCol)
+      .join(load().select(col(idCol)), Seq(idCol), "left_anti")
+    val assigned = Ivf.assign(fresh, vecCol, centroids())
+    val stored =
+      if (isInt8) assigned
+        .withColumn(codeCol(vecCol), quantize_int8(col(vecCol)))
+        .withColumn(scaleCol(vecCol), int8_scale(col(vecCol)))
+        .drop(vecCol)
+      else assigned
+    stored.write.mode(SaveMode.Append)
+      .partitionBy("ivf_cell")
+      .parquet(dataPath)
+  }
+
   def centroids(): Array[Array[Float]] =
     spark.read.parquet(centroidsPath)
       .orderBy(col("cell"))

@@ -62,6 +62,30 @@ class VectorCollection(
 
   def load(): DataFrame = spark.read.parquet(dataPath.toString)
 
+  /** Delete points matching `predicate` (the backend's delete-by-filter
+    * API; pass `col(id).isin(...)` for delete-by-ids). Parquet is
+    * immutable, so deletion rewrites the SURVIVORS — rows where the
+    * predicate is not true (null-predicate rows survive, standard SQL
+    * delete semantics) — into a shadow directory, then swaps it in and
+    * drops the old data. At collection scale, batch deletes and prefer
+    * predicates on partition-prunable columns; the swap is two renames,
+    * so a crash inside it can leave the collection needing a manual
+    * rename — acceptable under the documented single-writer contract
+    * (same caveat as the reference's non-transactional ingest loop). */
+  def delete(predicate: org.apache.spark.sql.Column): Unit = {
+    if (!fs.exists(dataPath)) return
+    val shadow = new Path(base, "data_shadow")
+    fs.delete(shadow, true) // leftover from a crashed earlier delete
+    load().filter(coalesce(!predicate, lit(true)))
+      .write.mode(SaveMode.Overwrite).parquet(shadow.toString)
+    val old = new Path(base, "data_old")
+    fs.delete(old, true)
+    require(fs.rename(dataPath, old), s"could not stage old data dir of $name")
+    require(fs.rename(shadow, dataPath), s"could not swap new data dir of $name")
+    fs.delete(old, true)
+    ()
+  }
+
   /** Keyset-paginated point listing (the backend's `scroll` API): the
     * first `limit` rows with `idCol` strictly greater than `after`,
     * optionally `filter`-restricted, ordered by id — the page's last id is

@@ -67,6 +67,31 @@ class IvfCollectionSpec extends SparkSpec {
     assert(got.exceptAll(exact).count() == 0 && exact.exceptAll(got).count() == 0)
   }
 
+  test("upsert: new rows assigned to existing centroids and appended; idempotent by key") {
+    val root = Files.createTempDirectory("graft_ivf_up").toString
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val first = emb.filter(col("vec_id") < 400)
+    val rest = emb.filter(col("vec_id") >= 400)
+    val coll = IvfCollection(spark, root, "ivf_up")
+      .build(first, "vec_id", "embedding", nList = 4, seed = 42L)
+    val centsBefore = coll.centroids().map(_.toSeq)
+
+    coll.upsert(rest, "vec_id", "embedding")
+    assert(coll.load().count() == emb.count())
+    // re-delivering an already-ingested batch is a no-op (idempotent by key)
+    coll.upsert(rest, "vec_id", "embedding")
+    assert(coll.load().count() == emb.count())
+    // centroids unchanged: upsert assigns, never re-trains
+    assert(coll.centroids().map(_.toSeq).toSeq == centsBefore.toSeq)
+    // appended rows are queryable and their cells agree with a fresh
+    // assignment against the same centroids
+    val got = coll.load().filter(col("vec_id") >= 400)
+      .select(col("vec_id"), col("ivf_cell"))
+    val expect = graft.search.Ivf.assign(rest, "embedding", coll.centroids())
+      .select(col("vec_id"), col("ivf_cell"))
+    assert(got.exceptAll(expect).count() == 0 && expect.exceptAll(got).count() == 0)
+  }
+
   test("int8 build: codes+scales stored, cell pruning intact, exhaustive probe ≡ exact int8 kNN") {
     import graft.functions.quantize_int8
     val root = Files.createTempDirectory("graft_ivf8").toString

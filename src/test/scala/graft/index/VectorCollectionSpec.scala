@@ -32,6 +32,22 @@ class VectorCollectionSpec extends SparkSpec {
     assert(!c.exists)
   }
 
+  test("delete removes matching points, keeps the rest; re-upsert of a deleted key lands") {
+    import org.apache.spark.sql.functions.col
+    val c = VectorCollection(spark, tmpRoot, "del")
+    c.create(CollectionMeta(2, "cosine", normalized = false))
+    c.upsert(Seq(("a", Array(1f, 0f)), ("b", Array(0f, 1f)), ("c", Array(1f, 1f)))
+      .toDF("id", "vec"), "id")
+    c.delete(col("id") === "b")
+    assert(c.load().select("id").as[String].collect().sorted.toSeq == Seq("a", "c"))
+    // deleted key is genuinely gone: the idempotent upsert re-admits it
+    c.upsert(Seq(("b", Array(0f, 2f))).toDF("id", "vec"), "id")
+    assert(c.load().count() === 3L)
+    // delete with a predicate matching nothing is a no-op
+    c.delete(col("id") === "zzz")
+    assert(c.load().count() === 3L)
+  }
+
   test("scroll: keyset pages cover the filtered set exactly once; predicates pushed") {
     import org.apache.spark.sql.functions.col
     val c = VectorCollection(spark, tmpRoot, "scroll")
