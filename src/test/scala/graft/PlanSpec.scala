@@ -133,6 +133,45 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final max_by aggregate in:\n$p")
   }
 
+  test("doc_gopher: single map-side pass — no exchange except the output sort") {
+    val p = plan("doc_gopher")
+    // every rule is a per-row expression: the only allowed exchange is the
+    // range partitioning for the final ORDER BY
+    assert(!p.contains("HashAggregate") && !p.contains("Window"),
+      s"gopher rules must not aggregate or window:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"expected at most the output-sort exchange in:\n$p")
+  }
+
+  test("doc_repetition: bigram mode via partial+final agg, line stats never shuffle text") {
+    val p = plan("doc_repetition")
+    // (doc, bigram) counts and per-doc max/sum both partial+final
+    assert("HashAggregate".r.findAllIn(p).size >= 4 ||
+      ("HashAggregate".r.findAllIn(p).size >= 2 &&
+        "ObjectHashAggregate".r.findAllIn(p).size >= 2),
+      s"expected map-side combine for bigram counts in:\n$p")
+    // the line-stats/bigram-stats join is an id equi-join (SMJ or hash are
+    // both fine at scale); only a cartesian would be a bug
+    assert(!p.contains("CartesianProduct"), s"no cartesian in:\n$p")
+  }
+
+  test("knn_recommend: composite query broadcasts, corpus streams, example filter pushed") {
+    val p = plan("knn_recommend")
+    assert(p.contains("BroadcastExchange"), s"one-row query must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the join:\n$p")
+    // the example-exclusion predicate lands at the scan (Not(In(vec_id,...)))
+    assert(p.contains("PushedFilters") && p.contains("vec_id"),
+      s"expected example-id pushdown in:\n$p")
+  }
+
+  test("embedding_stats: constant-size output through one partial+final agg") {
+    val p = plan("embedding_stats")
+    assert("HashAggregate".r.findAllIn(p).size >= 2 ||
+      "SortAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregation in:\n$p")
+    assert(!p.contains("Window"), s"no window needed:\n$p")
+  }
+
   test("rebalanced: extra exchange ONLY when the scan has fewer splits than cores") {
     val par = spark.sparkContext.defaultParallelism
     // already-wide input: must come back untouched (the 100 TB path)
