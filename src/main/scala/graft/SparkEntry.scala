@@ -805,6 +805,42 @@ object SparkEntry {
           .as("recall_at_k"))
     }),
 
+    // BM25 full-text retrieval (Okapi ranking) — the lexical half of
+    // hybrid search. One TF aggregate with dl riding as a grouping key,
+    // query-term-restricted DF broadcast, DECIMAL-summed per-pair scores,
+    // bounded-heap top-k. The only transcendental (idf) is 6dp-quantized
+    // at the source, so the DuckDB twin reproduces scores cell-exactly.
+    "bm25_topk" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      val q = graft.bench.Sampling.seeded(Tables.documents(s, dir), "doc_id", 10)
+      graft.search.Bm25.search(docs, "doc_id", "text", q, "doc_id", "text",
+          k = 10, roundScoreTo = Some(6))
+        .select(col("query_id"), col("doc_id").as("result_id"),
+          col("rank"), col("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Hybrid retrieval: BM25 top-20 and cosine top-20 fused by reciprocal
+    // ranks (RRF k=60) — the scale-free lexical+vector combination every
+    // modern retrieval stack ships. The fixture's doc_id and vec_id share
+    // one id domain, so the sampled query docs drive both sides and the
+    // fused ranking is fully oracle-expressible.
+    "hybrid_rrf" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      val emb = embParallel(s, dir)
+      val qDocs = graft.bench.Sampling.seeded(Tables.documents(s, dir), "doc_id", 10)
+      val lexical = graft.search.Bm25.search(docs, "doc_id", "text",
+          qDocs, "doc_id", "text", k = 20, roundScoreTo = Some(6))
+        .select(col("query_id"), col("doc_id").as("result_id"), col("rank"))
+      val qVecs = Tables.embeddings(s, dir)
+        .join(broadcast(qDocs.select(col("doc_id").as("vec_id"))), Seq("vec_id"))
+      val vector = Knn.knnJoin(qVecs, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 20, roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"), col("rank"))
+      graft.search.Hybrid.rrf(Seq(lexical, vector), k = 60, topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Embedding-corpus health: dims, L2-norm distribution, zero vectors —
     // the one-pass diagnostic run before building any index (a dim
     // mismatch or a batch of zero vectors silently poisons recall). One
@@ -1813,6 +1849,108 @@ object SparkEntry {
 
     "doc_quality" ->
       ("WITH " + qualityCte + "\nSELECT doc_id, quality FROM q ORDER BY doc_id"),
+
+    "bm25_topk" ->
+      """WITH q AS (
+        |  SELECT doc_id AS qid, text AS qtext FROM documents
+        |  ORDER BY md5('graft42:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 10
+        |), qt AS (
+        |  SELECT DISTINCT qid, unnest(list_distinct(list_filter(string_split_regex(lower(qtext), '\s+'), x -> len(x) > 0))) AS term
+        |  FROM q
+        |), tk AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS dl,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM tk GROUP BY doc_id, dl, term
+        |), st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0))) AS DOUBLE) / count(*) AS avgdl
+        |  FROM documents
+        |), dft AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), idf AS (
+        |  SELECT qt.qid, qt.term,
+        |    FLOOR(ln(1.0 + (st.n - dft.df + 0.5) / (dft.df + 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS idf
+        |  FROM qt JOIN dft USING (term) CROSS JOIN st
+        |), c AS (
+        |  SELECT idf.qid AS query_id, tf.doc_id AS result_id,
+        |    CAST(FLOOR(idf.idf * tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / st.avgdl)) * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12)) AS c
+        |  FROM tf JOIN idf USING (term) CROSS JOIN st
+        |), sc AS (
+        |  SELECT query_id, result_id,
+        |    FLOOR(CAST(SUM(c) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS score
+        |  FROM c WHERE result_id <> query_id GROUP BY query_id, result_id
+        |), ranked AS (
+        |  SELECT query_id, result_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+        |  FROM sc
+        |)
+        |SELECT query_id, result_id, rank, score FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "hybrid_rrf" ->
+      """WITH q AS (
+        |  SELECT doc_id AS qid, text AS qtext FROM documents
+        |  ORDER BY md5('graft42:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 10
+        |), qt AS (
+        |  SELECT DISTINCT qid, unnest(list_distinct(list_filter(string_split_regex(lower(qtext), '\s+'), x -> len(x) > 0))) AS term
+        |  FROM q
+        |), tk AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS dl,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM tk GROUP BY doc_id, dl, term
+        |), st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0))) AS DOUBLE) / count(*) AS avgdl
+        |  FROM documents
+        |), dft AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), idf AS (
+        |  SELECT qt.qid, qt.term,
+        |    FLOOR(ln(1.0 + (st.n - dft.df + 0.5) / (dft.df + 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS idf
+        |  FROM qt JOIN dft USING (term) CROSS JOIN st
+        |), c AS (
+        |  SELECT idf.qid AS query_id, tf.doc_id AS result_id,
+        |    CAST(FLOOR(idf.idf * tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / st.avgdl)) * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12)) AS c
+        |  FROM tf JOIN idf USING (term) CROSS JOIN st
+        |), sc AS (
+        |  SELECT query_id, result_id,
+        |    FLOOR(CAST(SUM(c) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS score
+        |  FROM c WHERE result_id <> query_id GROUP BY query_id, result_id
+        |), bm AS (
+        |  SELECT query_id, result_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+        |  FROM sc QUALIFY rank <= 20
+        |), vs AS (
+        |  SELECT q.qid AS query_id, e2.vec_id AS result_id,
+        |    ROUND(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])), 6) AS score
+        |  FROM q JOIN embeddings e1 ON e1.vec_id = q.qid
+        |  CROSS JOIN embeddings e2
+        |  WHERE e2.vec_id <> q.qid
+        |), vv AS (
+        |  SELECT query_id, result_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+        |  FROM vs QUALIFY rank <= 20
+        |), contrib AS (
+        |  SELECT query_id, result_id, CAST(FLOOR(1.0 / (60 + rank) * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12)) AS r FROM bm
+        |  UNION ALL
+        |  SELECT query_id, result_id, CAST(FLOOR(1.0 / (60 + rank) * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12)) AS r FROM vv
+        |), fused AS (
+        |  SELECT query_id, result_id,
+        |    FLOOR(CAST(SUM(r) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS score
+        |  FROM contrib GROUP BY query_id, result_id
+        |), franked AS (
+        |  SELECT query_id, result_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+        |  FROM fused
+        |)
+        |SELECT query_id, result_id, rank, score FROM franked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
 
     "embedding_stats" ->
       """WITH n AS (

@@ -1,0 +1,115 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.top_k_rows
+import graft.text.TextAnalysis
+
+/**
+ * BM25 full-text retrieval (Robertson/Sparck-Jones probabilistic ranking,
+ * the Okapi BM25 formulation) — the lexical complement to the vector
+ * search stack, and one half of hybrid retrieval ([[Hybrid]]).
+ *
+ * score(q,d) = Σ_{t ∈ distinct(q)} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+ * with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+ *
+ * Scale shape:
+ *  - per-(doc, term) TF comes from one explode + hash aggregate with
+ *    map-side combine; `dl` rides the grouping as a per-doc-constant key,
+ *    so no separate doc-length join ever happens.
+ *  - corpus statistics are two scalars (N, avgdl) from one agg; the
+ *    per-term DF table is vocab-sized but is immediately semi-joined to
+ *    the QUERY term set (|Q|·terms-per-query rows) and the result
+ *    broadcasts — the TF stream is never shuffled again.
+ *  - per-(query, doc) summation and the final top-k run through the same
+ *    bounded-heap aggregate as the vector kNN: shuffle ≤ |Q|·k rows.
+ *
+ * Cross-engine float discipline (same contract as the cosine oracles):
+ * the IDF — the only transcendental — is quantized to 6 dp immediately
+ * (`floor(x·1e6 + 0.5)/1e6`), making every downstream term product an
+ * exact-rational function of integers; per-pair sums run over
+ * DECIMAL(28,12) so partial-aggregation order cannot perturb the result.
+ * The DuckDB twin (`bm25_topk`) reproduces the scores cell-exactly.
+ */
+object Bm25 {
+
+  /**
+   * Top-`k` BM25 matches per query. `queries` carries raw text — each
+   * query's DISTINCT tokens are matched against the corpus.
+   * Output: query_id, doc id column, `score`, `rank`.
+   */
+  def search(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = true,
+      roundScoreTo: Option[Int] = None): DataFrame = {
+    val r6: Column => Column = c => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+    // (doc, term, tf, dl): dl is constant per doc, so it joins the TF
+    // aggregate for free as a grouping key.
+    val tf = docs
+      .select(col(idCol).as("__d"),
+        TextAnalysis.tokenCount(col(textCol)).as("__dl"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .groupBy(col("__d"), col("__dl"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // two corpus scalars; metadata-sized collect
+      val statsRow = docs
+        .agg(count(lit(1)), sum(TextAnalysis.tokenCount(col(textCol))))
+        .head()
+      val n = statsRow.getLong(0)
+      val avgdl = statsRow.getLong(1).toDouble / n
+
+      val queryTerms = queries.select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("__t"))
+      // DF only for terms some query mentions: semi-join shrinks the
+      // vocab-sized aggregate to |query terms| before it broadcasts.
+      val dfTable = tf.join(queryTerms.select(col("__t")).distinct(), Seq("__t"),
+          "left_semi")
+        .groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+      val qidf = queryTerms.join(dfTable, Seq("__t"))
+        .withColumn("__idf",
+          r6(log(lit(1.0) + (lit(n.toDouble) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))))
+        .select(col("query_id"), col("__t"), col("__idf"))
+
+      // Each term contribution is floor-quantized to the 1e-12 grid BEFORE
+      // the DECIMAL cast: the pre-cast double then sits within an ulp of a
+      // grid point, where Spark's shortest-string HALF_UP and DuckDB's
+      // exact-binary double→decimal conversions provably agree (a raw
+      // full-mantissa double can straddle a 0.5e-12 midpoint, where they
+      // don't). The DECIMAL sum then makes partial-agg order irrelevant.
+      val raw = col("__idf") * col("__tf") * lit(k1 + 1.0) /
+        (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / lit(avgdl)))
+      val contrib = tf.join(broadcast(qidf), Seq("__t"))
+        .withColumn("__c",
+          (floor(raw * lit(1e12) + lit(0.5)) / lit(1e12)).cast("decimal(28,12)"))
+      val scored0 = contrib
+        .groupBy(col("query_id"), col("__d"))
+        .agg(sum(col("__c")).cast("double").as("__s"))
+      // floor-based rounding, NOT round(): the DECIMAL-summed score is an
+      // exact 12-dp decimal that CAN sit exactly on a 0.5e-6 boundary,
+      // where Spark's HALF_UP and DuckDB's exact-binary round() diverge —
+      // the structural case r6 exists for.
+      val scored = (if (excludeSelf) scored0.filter(col("query_id") =!= col("__d"))
+        else scored0)
+        .withColumn("score", roundScoreTo.fold(col("__s")) { p =>
+          val m = math.pow(10.0, p)
+          floor(col("__s") * lit(m) + lit(0.5)) / lit(m)
+        })
+      scored
+        .groupBy(col("query_id"))
+        .agg(top_k_rows(struct(col("__d"), col("score")),
+          col("score"), col("__d").cast("long"), k).as("__tk"))
+        .select(col("query_id"), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+        .select(col("query_id"), col("__e.__d").as(idCol),
+          col("__e.score").as("score"),
+          (col("__pos") + 1).cast("int").as("rank"))
+        .localCheckpoint(true)
+    } finally tf.unpersist(false)
+  }
+}

@@ -1,0 +1,48 @@
+package graft.search
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "the quick brown fox"),
+    (2L, "the lazy dog sleeps"),
+    (3L, "quick quick quick brown"),
+    (4L, "an unrelated document entirely")
+  ).toDF("doc_id", "text")
+
+  test("bm25: rare-term matches outrank common-term matches; idf discounts ubiquity") {
+    val q = Seq((10L, "quick brown")).toDF("doc_id", "text")
+    val res = Bm25.search(corpus, "doc_id", "text", q, "doc_id", "text",
+      k = 4, excludeSelf = false, roundScoreTo = Some(6)).orderBy("rank").collect()
+    // docs 1 and 3 both match both terms; 2 and 4 match neither query term
+    val ids = res.map(_.getAs[Long]("doc_id")).toSeq
+    assert(ids.toSet.intersect(Set(2L, 4L)).isEmpty,
+      s"non-matching docs must not appear: $ids")
+    assert(ids.take(2).toSet == Set(1L, 3L))
+    assert(res.forall(_.getAs[Double]("score") > 0))
+  }
+
+  test("bm25: excludeSelf drops the query's own doc; tf saturates via k1") {
+    val q = corpus.filter($"doc_id" === 3L)
+    val res = Bm25.search(corpus, "doc_id", "text", q, "doc_id", "text",
+      k = 4, roundScoreTo = Some(6)).collect()
+    assert(!res.map(_.getAs[Long]("doc_id")).contains(3L))
+    // doc 1 shares "quick" and "brown" -> best remaining match
+    assert(res.minBy(_.getAs[Int]("rank")).getAs[Long]("doc_id") == 1L)
+  }
+
+  test("rrf: fuses two lists scale-free; doc ranked in both lists beats single-list docs") {
+    val listA = Seq((1L, 100L, 1), (1L, 200L, 2)).toDF("query_id", "result_id", "rank")
+    val listB = Seq((1L, 200L, 1), (1L, 300L, 2)).toDF("query_id", "result_id", "rank")
+    val fused = Hybrid.rrf(Seq(listA, listB), k = 60, topK = 3).orderBy("rank").collect()
+    // 200 appears in both lists (1/62 + 1/61) and must beat the single-list
+    // rank-1 doc 100 (1/61) and doc 300 (1/62)
+    assert(fused.map(_.getAs[Long]("result_id")).toSeq == Seq(200L, 100L, 300L))
+    val s = fused.map(_.getAs[Double]("score"))
+    assert(s(0) > s(1) && s(1) > s(2))
+  }
+}
