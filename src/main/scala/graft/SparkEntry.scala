@@ -252,6 +252,21 @@ object SparkEntry {
           col("rank"), col("score"))
     }),
 
+    // Grouped search (the backend's `search_groups` API): per query, the
+    // top-3 labels ranked by their best hit, two hits each — "best k
+    // DISTINCT groups", which plain top-k can't express when one group
+    // dominates. Within-group top-k via the bounded heap; group ranking
+    // windows over |Q|·|groups| best rows only.
+    "knn_groups" -> ((s, dir) => {
+      val corpus = embParallel(s, dir)
+      Knn.knnJoinGrouped(knnQueries(s, dir), "vec_id", "embedding",
+          corpus, "vec_id", "embedding",
+          groupCol = "label", groupSize = 2, kGroups = 3, roundScoreTo = Some(6))
+        .select(col("query_id"), col("label"), col("group_rank"),
+          col("vec_id").as("result_id"), col("rank"), col("score"))
+        .orderBy(col("query_id"), col("group_rank"), col("rank"))
+    }),
+
     // Recommendation search (the backend's `recommend` API): corpus ranked
     // against mean(positive examples) − mean(negative examples), examples
     // excluded. The composite vector is double-averaged then float32-cast
@@ -1458,6 +1473,30 @@ object SparkEntry {
         |  FROM scored
         |)
         |SELECT query_id, result_id, rank, score FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "knn_groups" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  ORDER BY md5('graft42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 500
+        |), scored AS (
+        |  SELECT q.qid AS query_id, c.vec_id AS result_id, c.label,
+        |    ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS score
+        |  FROM q CROSS JOIN embeddings c
+        |  WHERE c.vec_id <> q.qid
+        |), wg AS (
+        |  SELECT query_id, label, result_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id, label ORDER BY score DESC, result_id ASC) AS rank
+        |  FROM scored QUALIFY rank <= 2
+        |), best AS (
+        |  SELECT query_id, label, score AS best FROM wg WHERE rank = 1
+        |), gr AS (
+        |  SELECT query_id, label,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY best DESC, label ASC) AS group_rank
+        |  FROM best QUALIFY group_rank <= 3
+        |)
+        |SELECT wg.query_id, wg.label, gr.group_rank, wg.result_id, wg.rank, wg.score
+        |FROM wg JOIN gr ON wg.query_id = gr.query_id AND wg.label = gr.label
+        |ORDER BY wg.query_id, gr.group_rank, wg.rank""".stripMargin,
 
     // The composite query vector is rebuilt exactly as the engine does it:
     // per-dimension double means over the example vectors, subtracted, then

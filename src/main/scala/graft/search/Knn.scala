@@ -131,6 +131,63 @@ object Knn {
   }
 
   /**
+   * Grouped search (the vector-backend `search_groups` API): for each
+   * query, the top `kGroups` payload groups — ranked by their best hit —
+   * each carrying its own top `groupSize` hits. The "best k distinct
+   * sources/languages/authors" shape that plain top-k can't express
+   * (one dominant group would fill all k slots).
+   *
+   * Scale shape: within-group top-k runs through the same bounded-heap
+   * partial aggregate as [[knnJoin]] (shuffle ≤ |Q|·|groups|·groupSize
+   * rows); the group ranking then windows over the per-group BEST rows
+   * only — a |Q|·|groups|-sized frame, never the scored corpus.
+   *
+   * Output: query_id, the group column, `group_rank`, corpus payload,
+   * `score`, `rank` (within group).
+   */
+  def knnJoinGrouped(
+      queries: DataFrame, queryId: String, queryVec: String,
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      groupCol: String, groupSize: Int, kGroups: Int,
+      excludeSelf: Boolean = true,
+      metric: String = "cosine",
+      roundScoreTo: Option[Int] = None,
+      corpusFilter: Option[Column] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c1 = corpusFilter.fold(corpus)(corpus.filter)
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+    val rawScore = score(metric)(col("__qv"), col(corpusVec))
+    val scoreCol = roundScoreTo.fold(rawScore)(n => round(rawScore, n))
+    val scored0 = broadcast(q).crossJoin(c1).withColumn("score", scoreCol)
+    val scored =
+      if (excludeSelf) scored0.filter(col("query_id") =!= col(corpusId))
+      else scored0
+    val corpusCols = corpus.columns.toSeq
+      .filterNot(c => c == corpusVec || c == groupCol)
+    val entry = struct((corpusCols :+ "score").map(col): _*)
+    val within = scored
+      .groupBy(col("query_id"), col(groupCol))
+      .agg(top_k_rows(entry, col("score"), col(corpusId).cast("long"), groupSize).as("__tk"))
+      .select(Seq(col("query_id"), col(groupCol),
+        posexplode(col("__tk")).as(Seq("__pos", "__e"))): _*)
+      .select(col("query_id") +: col(groupCol) +:
+        corpusCols.map(n => col(s"__e.$n")) :+
+        col("__e.score").as("score") :+
+        (col("__pos") + 1).cast("int").as("rank"): _*)
+    val best = within.filter(col("rank") === 1)
+      .select(col("query_id"), col(groupCol), col("score").as("__best"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__best").desc, col(groupCol).asc)
+    val rankedGroups = best
+      .withColumn("group_rank", row_number().over(w))
+      .filter(col("group_rank") <= kGroups)
+      .select(col("query_id"), col(groupCol), col("group_rank"))
+    within.join(rankedGroups, Seq("query_id", groupCol))
+      .select(col("query_id") +: col(groupCol) +: col("group_rank") +:
+        corpusCols.map(col) :+ col("score") :+ col("rank"): _*)
+  }
+
+  /**
    * Recommendation search (the vector-backend `recommend` API): rank the
    * corpus against a Rocchio-style composite query vector
    * `mean(positive examples) − mean(negative examples)`, excluding the

@@ -59,6 +59,20 @@ class KnnSpec extends SparkSpec {
     assert(res.map(_.getAs[Long]("vec_id")).toSeq === Seq(3L, 4L))
   }
 
+  test("grouped search: top groups by best hit, each with its own top hits") {
+    val q = corpus.filter($"vec_id" === 1L)
+    val res = Knn.knnJoinGrouped(q, "vec_id", "embedding",
+        corpus, "vec_id", "embedding",
+        groupCol = "label", groupSize = 2, kGroups = 2)
+      .orderBy("group_rank", "rank").collect()
+    // group 'a' holds the best hit (vec_id 2, cos≈0.994) -> group_rank 1
+    // with only member 2 surviving self-exclusion; group 'b' ranks 2 with
+    // hits 3 (orthogonal) then 4 (antiparallel)
+    assert(res.map(r => (r.getAs[String]("label"), r.getAs[Int]("group_rank"),
+      r.getAs[Long]("vec_id"), r.getAs[Int]("rank"))).toSeq ==
+      Seq(("a", 1, 2L, 1), ("b", 2, 3L, 1), ("b", 2, 4L, 2)))
+  }
+
   test("recommend: ranks by mean(pos) - mean(neg), examples excluded") {
     val c = Seq(
       (1L, Array(1f, 0f)),    // positive example
