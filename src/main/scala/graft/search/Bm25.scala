@@ -46,70 +46,91 @@ object Bm25 {
       k1: Double = 1.2, b: Double = 0.75,
       excludeSelf: Boolean = true,
       roundScoreTo: Option[Int] = None): DataFrame = {
-    val r6: Column => Column = c => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val tf = tfFrame(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (n, totalTokens) = corpusStats(docs, textCol)
+      val avgdl = totalTokens.toDouble / n
+      // DF only for terms some query mentions: the semi-join shrinks the
+      // vocab-sized aggregate to |query terms| before it broadcasts.
+      val queryTerms = queries.select(
+        explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("__t"))
+      val dfTable = tf.join(queryTerms.distinct(), Seq("__t"), "left_semi")
+        .groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+      scoreTf(tf, dfTable, n, avgdl, queries, queryIdCol, queryTextCol,
+        k, k1, b, excludeSelf, roundScoreTo, idCol)
+    } finally tf.unpersist(false)
+  }
 
-    // (doc, term, tf, dl): dl is constant per doc, so it joins the TF
-    // aggregate for free as a grouping key.
-    val tf = docs
+  /** The per-(doc, term) TF frame `(__d, __dl, __t, __tf)`: dl is constant
+    * per doc, so it rides the TF aggregate as a grouping key — no separate
+    * doc-length join ever exists. */
+  private[graft] def tfFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("__d"),
         TextAnalysis.tokenCount(col(textCol)).as("__dl"),
         explode(TextAnalysis.tokens(col(textCol))).as("__t"))
       .groupBy(col("__d"), col("__dl"), col("__t"))
       .agg(count(lit(1)).as("__tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // two corpus scalars; metadata-sized collect
-      val statsRow = docs
-        .agg(count(lit(1)), sum(TextAnalysis.tokenCount(col(textCol))))
-        .head()
-      val n = statsRow.getLong(0)
-      val avgdl = statsRow.getLong(1).toDouble / n
 
-      val queryTerms = queries.select(col(queryIdCol).as("query_id"),
-        explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("__t"))
-      // DF only for terms some query mentions: semi-join shrinks the
-      // vocab-sized aggregate to |query terms| before it broadcasts.
-      val dfTable = tf.join(queryTerms.select(col("__t")).distinct(), Seq("__t"),
-          "left_semi")
-        .groupBy(col("__t")).agg(count(lit(1)).as("__df"))
-      val qidf = queryTerms.join(dfTable, Seq("__t"))
-        .withColumn("__idf",
-          r6(log(lit(1.0) + (lit(n.toDouble) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))))
-        .select(col("query_id"), col("__t"), col("__idf"))
+  /** (N, total tokens) — two scalars from one agg; metadata-sized collect. */
+  private[graft] def corpusStats(docs: DataFrame, textCol: String): (Long, Long) = {
+    val statsRow = docs
+      .agg(count(lit(1)), sum(TextAnalysis.tokenCount(col(textCol))))
+      .head()
+    (statsRow.getLong(0), statsRow.getLong(1))
+  }
 
-      // Each term contribution is floor-quantized to the 1e-12 grid BEFORE
-      // the DECIMAL cast: the pre-cast double then sits within an ulp of a
-      // grid point, where Spark's shortest-string HALF_UP and DuckDB's
-      // exact-binary double→decimal conversions provably agree (a raw
-      // full-mantissa double can straddle a 0.5e-12 midpoint, where they
-      // don't). The DECIMAL sum then makes partial-agg order irrelevant.
-      val raw = col("__idf") * col("__tf") * lit(k1 + 1.0) /
-        (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / lit(avgdl)))
-      val contrib = tf.join(broadcast(qidf), Seq("__t"))
-        .withColumn("__c",
-          (floor(raw * lit(1e12) + lit(0.5)) / lit(1e12)).cast("decimal(28,12)"))
-      val scored0 = contrib
-        .groupBy(col("query_id"), col("__d"))
-        .agg(sum(col("__c")).cast("double").as("__s"))
-      // floor-based rounding, NOT round(): the DECIMAL-summed score is an
-      // exact 12-dp decimal that CAN sit exactly on a 0.5e-6 boundary,
-      // where Spark's HALF_UP and DuckDB's exact-binary round() diverge —
-      // the structural case r6 exists for.
-      val scored = (if (excludeSelf) scored0.filter(col("query_id") =!= col("__d"))
-        else scored0)
-        .withColumn("score", roundScoreTo.fold(col("__s")) { p =>
-          val m = math.pow(10.0, p)
-          floor(col("__s") * lit(m) + lit(0.5)) / lit(m)
-        })
-      scored
-        .groupBy(col("query_id"))
-        .agg(top_k_rows(struct(col("__d"), col("score")),
-          col("score"), col("__d").cast("long"), k).as("__tk"))
-        .select(col("query_id"), posexplode(col("__tk")).as(Seq("__pos", "__e")))
-        .select(col("query_id"), col("__e.__d").as(idCol),
-          col("__e.score").as("score"),
-          (col("__pos") + 1).cast("int").as("rank"))
-        .localCheckpoint(true)
-    } finally tf.unpersist(false)
+  /** BM25 scoring over a prepared TF frame — THE shared kernel between the
+    * self-contained [[search]] and the persisted
+    * [[graft.index.Bm25Index]], so both paths are output-identical (and
+    * share one oracle). `dfTable` is `(__t, __df)` covering at least every
+    * query term. */
+  private[graft] def scoreTf(
+      tf: DataFrame, dfTable: DataFrame, n: Long, avgdl: Double,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double, b: Double,
+      excludeSelf: Boolean, roundScoreTo: Option[Int],
+      outIdCol: String): DataFrame = {
+    val r6: Column => Column = c => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val queryTerms = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("__t"))
+    val qidf = queryTerms.join(dfTable, Seq("__t"))
+      .withColumn("__idf",
+        r6(log(lit(1.0) + (lit(n.toDouble) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))))
+      .select(col("query_id"), col("__t"), col("__idf"))
+    // Each term contribution is floor-quantized to the 1e-12 grid BEFORE
+    // the DECIMAL cast: the pre-cast double then sits within an ulp of a
+    // grid point, where Spark's shortest-string HALF_UP and DuckDB's
+    // exact-binary double→decimal conversions provably agree (a raw
+    // full-mantissa double can straddle a 0.5e-12 midpoint, where they
+    // don't). The DECIMAL sum then makes partial-agg order irrelevant.
+    val raw = col("__idf") * col("__tf") * lit(k1 + 1.0) /
+      (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / lit(avgdl)))
+    val contrib = tf.join(broadcast(qidf), Seq("__t"))
+      .withColumn("__c",
+        (floor(raw * lit(1e12) + lit(0.5)) / lit(1e12)).cast("decimal(28,12)"))
+    val scored0 = contrib
+      .groupBy(col("query_id"), col("__d"))
+      .agg(sum(col("__c")).cast("double").as("__s"))
+    // floor-based rounding, NOT round(): the DECIMAL-summed score is an
+    // exact 12-dp decimal that CAN sit exactly on a 0.5e-6 boundary,
+    // where Spark's HALF_UP and DuckDB's exact-binary round() diverge —
+    // the structural case r6 exists for.
+    val scored = (if (excludeSelf) scored0.filter(col("query_id") =!= col("__d"))
+      else scored0)
+      .withColumn("score", roundScoreTo.fold(col("__s")) { p =>
+        val m = math.pow(10.0, p)
+        floor(col("__s") * lit(m) + lit(0.5)) / lit(m)
+      })
+    scored
+      .groupBy(col("query_id"))
+      .agg(top_k_rows(struct(col("__d"), col("score")),
+        col("score"), col("__d").cast("long"), k).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.__d").as(outIdCol),
+        col("__e.score").as("score"),
+        (col("__pos") + 1).cast("int").as("rank"))
+      .localCheckpoint(true)
   }
 }

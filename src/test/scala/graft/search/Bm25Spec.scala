@@ -35,6 +35,22 @@ class Bm25Spec extends SparkSpec {
     assert(res.minBy(_.getAs[Int]("rank")).getAs[Long]("doc_id") == 1L)
   }
 
+  test("persisted index answers are identical to the self-contained operator") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sf0001)
+    val idx = graft.index.Bm25Index(spark, root, "docs")
+    assert(!idx.exists)
+    idx.build(docs, "doc_id", "text")
+    assert(idx.exists)
+    val q = graft.bench.Sampling.seeded(docs, "doc_id", 5)
+    val direct = Bm25.search(docs, "doc_id", "text", q, "doc_id", "text",
+      k = 10, roundScoreTo = Some(6))
+    val fromIndex = idx.query(q, "doc_id", "text", k = 10,
+      roundScoreTo = Some(6), outIdCol = "doc_id")
+    assert(direct.exceptAll(fromIndex).count() == 0 &&
+      fromIndex.exceptAll(direct).count() == 0)
+  }
+
   test("rrf: fuses two lists scale-free; doc ranked in both lists beats single-list docs") {
     val listA = Seq((1L, 100L, 1), (1L, 200L, 2)).toDF("query_id", "result_id", "rank")
     val listB = Seq((1L, 200L, 1), (1L, 300L, 2)).toDF("query_id", "result_id", "rank")
