@@ -877,6 +877,36 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Domain-mix reweighting: per-language sampling probabilities that
+    // steer the corpus toward a target mixture (the data-mixing step of
+    // every pretraining pipeline — fixed target shares here; a learned
+    // DoReMi-style weighting plugs into the same shape). weight =
+    // target/actual share; sample_prob normalizes by the max weight so the
+    // most-underrepresented group keeps everything and the rest downsample
+    // proportionally (feed sample_prob to Sampling.weighted). One tiny
+    // grouped frame; the windows run over |langs| rows, never the corpus.
+    "mix_weights" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val target = Seq("en" -> 0.40, "es" -> 0.15, "de" -> 0.15,
+        "fr" -> 0.15, "zh" -> 0.15)
+      val tcol = coalesce(element_at(
+        map(target.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+        col("lang")), lit(0.0))
+      val w = Window.partitionBy()
+      Tables.documents(s, dir)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("__actual",
+          col("n_docs").cast("double") / sum(col("n_docs")).over(w).cast("double"))
+        .withColumn("__target", tcol)
+        .withColumn("__weight", col("__target") / col("__actual"))
+        .select(col("lang"), col("n_docs"),
+          r6(col("__actual")).as("actual_share"),
+          col("__target").as("target_share"),
+          r6(col("__weight")).as("weight"),
+          r6(col("__weight") / max(col("__weight")).over(w)).as("sample_prob"))
+        .orderBy(col("lang"))
+    }),
+
     // Embedding-corpus health: dims, L2-norm distribution, zero vectors —
     // the one-pass diagnostic run before building any index (a dim
     // mismatch or a batch of zero vectors silently poisons recall). One
@@ -1977,6 +2007,26 @@ object SparkEntry {
         |)
         |SELECT query_id, result_id, rank, score FROM franked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    "mix_weights" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        |), t AS (
+        |  SELECT lang, n_docs,
+        |    CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE) AS actual,
+        |    CASE lang WHEN 'en' THEN CAST(0.40 AS DOUBLE) WHEN 'es' THEN CAST(0.15 AS DOUBLE)
+        |      WHEN 'de' THEN CAST(0.15 AS DOUBLE) WHEN 'fr' THEN CAST(0.15 AS DOUBLE)
+        |      WHEN 'zh' THEN CAST(0.15 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS target
+        |  FROM c
+        |), w AS (
+        |  SELECT lang, n_docs, actual, target, target / actual AS weight FROM t
+        |)
+        |SELECT lang, n_docs,
+        |  FLOOR(actual * 1000000.0 + 0.5) / 1000000.0 AS actual_share,
+        |  target AS target_share,
+        |  FLOOR(weight * 1000000.0 + 0.5) / 1000000.0 AS weight,
+        |  FLOOR(weight / MAX(weight) OVER () * 1000000.0 + 0.5) / 1000000.0 AS sample_prob
+        |FROM w ORDER BY lang""".stripMargin,
 
     "embedding_stats" ->
       """WITH n AS (
