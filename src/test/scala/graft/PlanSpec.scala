@@ -172,6 +172,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no window needed:\n$p")
   }
 
+  test("bm25_topk: query-term idf table broadcasts onto the streaming TF frame") {
+    val p = plan("bm25_topk")
+    assert(p.contains("BroadcastExchange"), s"qidf side must broadcast:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2 ||
+      "ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final TF aggregation in:\n$p")
+  }
+
   test("rebalanced: extra exchange ONLY when the scan has fewer splits than cores") {
     val par = spark.sparkContext.defaultParallelism
     // already-wide input: must come back untouched (the 100 TB path)
