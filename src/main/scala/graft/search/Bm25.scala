@@ -57,8 +57,12 @@ object Bm25 {
         explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("__t"))
       val dfTable = tf.join(queryTerms.distinct(), Seq("__t"), "left_semi")
         .groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+      // eager: the result must materialize while tf is still persisted
+      // (scoped-persist pattern; the index path stays lazy — its inputs
+      // are durable parquet, nothing to scope)
       scoreTf(tf, dfTable, n, avgdl, queries, queryIdCol, queryTextCol,
         k, k1, b, excludeSelf, roundScoreTo, idCol)
+        .localCheckpoint(true)
     } finally tf.unpersist(false)
   }
 
@@ -131,6 +135,5 @@ object Bm25 {
       .select(col("query_id"), col("__e.__d").as(outIdCol),
         col("__e.score").as("score"),
         (col("__pos") + 1).cast("int").as("rank"))
-      .localCheckpoint(true)
   }
 }

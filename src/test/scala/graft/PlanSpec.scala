@@ -172,12 +172,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no window needed:\n$p")
   }
 
-  test("bm25_topk: query-term idf table broadcasts onto the streaming TF frame") {
-    val p = plan("bm25_topk")
+  test("bm25 index query: query-term idf table broadcasts onto the streaming TF frame") {
+    // bm25_topk's own plan ends at its eager checkpoint (scoped-persist);
+    // the index-backed path is lazy end-to-end, so its plan exposes the
+    // real shape — and both routes share Bm25.scoreTf.
+    val p = plan("bm25_index_topk")
     assert(p.contains("BroadcastExchange"), s"qidf side must broadcast:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 2 ||
       "ObjectHashAggregate".r.findAllIn(p).size >= 2,
-      s"expected partial+final TF aggregation in:\n$p")
+      s"expected partial+final aggregation in:\n$p")
   }
 
   test("rebalanced: extra exchange ONLY when the scan has fewer splits than cores") {
