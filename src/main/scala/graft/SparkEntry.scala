@@ -503,6 +503,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental admission check: which docs of an incoming batch
+    // near-duplicate something ALREADY INDEXED — candidates from the
+    // batch's band keys joined against the persisted band table (corpus
+    // kernel paid at build), exact-Jaccard verified. The batch here is a
+    // seeded sample of the corpus itself, so the oracle is the exact
+    // batch×corpus Jaccard join (LSH recall is 1 at 0.8 on this corpus,
+    // same argument as dedup_minhash).
+    "batch_near_dup" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      val fp = corpusFingerprint(Tables.documents(s, dir), col("doc_id"), col("text"))
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_mh_idx_${fp}_n3_h128_b32").toString
+      val idx = graft.index.MinHashIndex(s, root, "documents")
+      if (!idx.exists) idx.build(docs, "doc_id", "text",
+        n = 3, numHashes = 128, bands = 32)
+      val batch = graft.bench.Sampling.seeded(Tables.documents(s, dir), "doc_id", 50)
+      idx.nearDupAgainstExact(batch, "doc_id", "text", docs, "doc_id", "text",
+          threshold = 0.8)
+        .select(col("batch_id"), col("match_id"), r6(col("jaccard")).as("jaccard"))
+        .orderBy(col("batch_id"), col("match_id"))
+    }),
+
     // Benchmark decontamination: corpus docs sharing ≥1 distinct 5-gram
     // with any doc of a (seeded-sample stand-in) eval set. Eval shingles
     // broadcast; the corpus streams.
@@ -2007,6 +2029,26 @@ object SparkEntry {
         |)
         |SELECT query_id, result_id, rank, score FROM franked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    "batch_near_dup" ->
+      """WITH bsel AS (
+        |  SELECT doc_id AS batch_id FROM documents
+        |  ORDER BY md5('graft42:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 50
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS sh
+        |  FROM toks
+        |), pairs AS (
+        |  SELECT a.doc_id AS batch_id, c.doc_id AS match_id,
+        |    CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, c.sh))) AS j
+        |  FROM sh a JOIN bsel ON a.doc_id = bsel.batch_id
+        |  CROSS JOIN sh c
+        |  WHERE a.doc_id <> c.doc_id AND len(list_distinct(list_concat(a.sh, c.sh))) > 0
+        |)
+        |SELECT batch_id, match_id, FLOOR(j * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+        |FROM pairs WHERE j >= 0.8 ORDER BY batch_id, match_id""".stripMargin,
 
     "mix_weights" ->
       """WITH c AS (

@@ -97,17 +97,73 @@ class MinHashIndex(
   def signatures(): DataFrame =
     signaturesRaw().where(element_at(col("sig"), 1) =!= Long.MaxValue)
 
-  /** (id, band) — one salted 64-bit key per band, derived from the stored
-    * signature (slice + xxhash64; band index salts the key so bands can't
-    * collide across positions). */
-  def bandTable(): DataFrame = {
-    val m = meta
+  /** Band-key array over a `sig` column under meta `m` — THE single
+    * derivation shared by [[bandTable]] and the batch side of
+    * [[nearDupAgainstExact]] (a mismatched derivation would silently
+    * produce zero candidates, not an error). */
+  private def bandKeys(m: MinHashIndexMeta): org.apache.spark.sql.Column = {
     val rows = m.numHashes / m.bands
-    val keys = array((0 until m.bands).map { b =>
+    array((0 until m.bands).map { b =>
       xxhash64(lit(b) +: (0 until rows).map(i =>
         element_at(col("sig"), b * rows + i + 1)): _*)
     }: _*)
-    signatures().select(col("id"), explode(keys).as("band"))
+  }
+
+  /** (id, band) — one salted 64-bit key per band, derived from the stored
+    * signature (slice + xxhash64; band index salts the key so bands can't
+    * collide across positions). */
+  def bandTable(): DataFrame =
+    signatures().select(col("id"), explode(bandKeys(meta)).as("band"))
+
+  /**
+   * Incremental batch-vs-corpus near-dup — the daily-batch admission
+   * check: which INCOMING docs near-duplicate something already indexed,
+   * without re-running the corpus-wide kernel (the artifact paid it) and
+   * without any all-pairs scan. The batch is signed on the fly with the
+   * PINNED meta, its band keys join the stored band table (corpus-side
+   * buckets over `maxBucketSize` dropped — the same boilerplate guard as
+   * the self-join path), and candidates are verified by exact shingle
+   * Jaccard against the two text sources (shingles recomputed only for
+   * candidate docs, semi-join first). `corpus` must be the corpus the
+   * index was built from.
+   *
+   * @return (batch_id, match_id, jaccard), jaccard ≥ threshold,
+   *         batch_id ≠ match_id — eager
+   */
+  def nearDupAgainstExact(
+      batch: DataFrame, idCol: String, textCol: String,
+      corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
+      threshold: Double, maxBucketSize: Int = 10000): DataFrame = {
+    require(exists, s"index $name does not exist - build() it first")
+    val m = meta
+    val bBands = batch
+      .select(col(idCol).as("bid"),
+        Dedup.minHashSignature(Dedup.shingles(col(textCol), m.n), m.numHashes).as("sig"))
+      .where(element_at(col("sig"), 1) =!= Long.MaxValue)
+      .select(col("bid"), explode(bandKeys(m)).as("band"))
+    val bands = bandTable()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ok = bands.groupBy(col("band")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBucketSize).select(col("band"))
+      // batch side is small by contract — broadcast it onto the corpus
+      // band stream; the corpus band table never shuffles for this join
+      val cand = bands.join(ok, Seq("band"), "left_semi")
+        .join(broadcast(bBands), Seq("band"))
+        .filter(col("bid") =!= col("id"))
+        .select(col("bid"), col("id")).distinct()
+      val bIds = cand.select(col("bid")).distinct()
+      val cIds = cand.select(col("id")).distinct()
+      val bSh = batch.join(bIds, batch(idCol) === bIds("bid"), "left_semi")
+        .select(col(idCol).as("bid"), Dedup.shingles(col(textCol), m.n).as("__sa"))
+      val cSh = corpus.join(cIds, corpus(corpusIdCol) === cIds("id"), "left_semi")
+        .select(col(corpusIdCol).as("id"), Dedup.shingles(col(corpusTextCol), m.n).as("__sb"))
+      cand.join(bSh, Seq("bid")).join(cSh, Seq("id"))
+        .withColumn("jaccard", Dedup.jaccard(col("__sa"), col("__sb")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("bid").as("batch_id"), col("id").as("match_id"), col("jaccard"))
+        .localCheckpoint(true)
+    } finally bands.unpersist(false)
   }
 
   /**

@@ -92,6 +92,30 @@ class MinHashIndexSpec extends SparkSpec {
     assert(indexKept == directKept && indexKept == Seq(1L, 3L, 5L))
   }
 
+  test("batch-vs-index: incoming docs matched against the indexed corpus, exact-verified") {
+    val root = Files.createTempDirectory("graft_mh_batch").toString
+    val idx = MinHashIndex(spark, root, "docs")
+    idx.build(fixture, "doc_id", "text", n = 3, numHashes = 128, bands = 32)
+    // a genuinely NEW batch (ids not in the index): one near-dup of doc 1,
+    // one unrelated doc
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val newNearDup = ((1 to 58).map(i => s"tok$i") ++ Seq("X", "Y")).mkString(" ")
+    val batch = Seq(100L -> newNearDup, 101L -> "completely different words entirely here now")
+      .toDF("doc_id", "text")
+    val got = idx.nearDupAgainstExact(batch, "doc_id", "text",
+        fixture, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 100 matches the base docs 1 and 4 (j = 56/60 ≈ 0.93 over 3-gram
+    // shingles) and misses the CHANGED variant only if below threshold;
+    // 101 matches nothing
+    assert(got.contains((100L, 1L)) && got.contains((100L, 4L)))
+    assert(!got.exists(_._1 == 101L))
+    // self-pairs impossible even when the batch overlaps the corpus
+    val overlap = idx.nearDupAgainstExact(fixture.filter(col("doc_id") === 1L),
+      "doc_id", "text", fixture, "doc_id", "text", threshold = 0.7)
+    assert(!overlap.collect().exists(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("band table derives bands-per-doc from stored signatures only") {
     val root = Files.createTempDirectory("graft_mh_idx2").toString
     val idx = MinHashIndex(spark, root, "docs")
