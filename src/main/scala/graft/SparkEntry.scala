@@ -443,6 +443,26 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Type-2-style verification of the near-dup candidates: character
+    // edit distance (codegen'd levenshtein) and normalized edit
+    // similarity over the LSH-mined pair set — the cheap "is it a rename/
+    // literal-change clone" check layered on the bag-of-shingles miner.
+    // Pairwise cost is O(len²) but runs only on verified near-dup PAIRS
+    // (corpus-size-independent set), never the corpus.
+    "edit_sim_pairs" -> ((s, dir) => {
+      val pairs = Dedup.minHashNearDups(docsParallel(s, dir), "doc_id", "text",
+          n = 3, numHashes = 128, bands = 32, threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      val ta = Tables.documents(s, dir).select(col("doc_id").as("id_a"), col("text").as("__ta"))
+      val tb = Tables.documents(s, dir).select(col("doc_id").as("id_b"), col("text").as("__tb"))
+      pairs.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
+        .withColumn("lev", levenshtein(col("__ta"), col("__tb")))
+        .select(col("id_a"), col("id_b"), col("lev"),
+          r6(lit(1.0) - col("lev").cast("double") /
+            greatest(length(col("__ta")), length(col("__tb")))).as("edit_sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Near-dup pairs → transitive dedup CLUSTERS: min-label propagation
     // with pointer jumping over the LSH pair output (the keeper-selection
     // step of a corpus dedup pipeline). Oracle: recursive-CTE transitive
@@ -1695,6 +1715,18 @@ object SparkEntry {
     "dedup_jaccard_pairs" -> jaccardPairsOracle,
 
     "dedup_minhash" -> jaccardPairsOracle,
+
+    "edit_sim_pairs" ->
+      ("WITH " + jaccardShinglesCte + """, sel AS (
+        |  SELECT id_a, id_b FROM pairs WHERE j >= 0.8
+        |)
+        |SELECT sel.id_a, sel.id_b,
+        |  levenshtein(a.text, b.text) AS lev,
+        |  FLOOR((1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) / greatest(len(a.text), len(b.text))) * 1000000.0 + 0.5) / 1000000.0 AS edit_sim
+        |FROM sel
+        |JOIN documents a ON a.doc_id = sel.id_a
+        |JOIN documents b ON b.doc_id = sel.id_b
+        |ORDER BY sel.id_a, sel.id_b""".stripMargin),
 
     "dedup_clusters" -> dedupClustersOracle,
 
