@@ -47,6 +47,34 @@ class Bm25Index(
     this
   }
 
+  /** Incremental ingest: sign and append TF rows for docs whose id is not
+    * already indexed (idempotent by key, like the sibling artifacts), then
+    * refresh the DF table (one columnar scan of the stored frame — never a
+    * second text pass) and the pinned corpus statistics. An upserted index
+    * is EXACTLY the index a full rebuild over the union would produce
+    * (same TF row set, DF and stats recomputed from it) — pinned in
+    * Bm25Spec. Single-writer; `exists` is false for the whole refresh
+    * window (FsArtifact protocol). */
+  def upsert(batch: DataFrame, idCol: String, textCol: String): Unit = {
+    require(exists, s"index $name does not exist - build() it first")
+    val m = readMetaJson()
+    val n0 = metaField(m, "n").toLong
+    val tt0 = metaField(m, "totalTokens").toLong
+    invalidateMeta()
+    val indexed = spark.read.parquet(tfPath).select(col("doc")).distinct()
+    val fresh = batch.dropDuplicates(idCol)
+      .join(indexed, batch(idCol) === indexed("doc"), "left_anti")
+    Bm25.tfFrame(fresh, idCol, textCol)
+      .select(col("__d").as("doc"), col("__dl").as("dl"),
+        col("__t").as("term"), col("__tf").as("tf"))
+      .write.mode(SaveMode.Append).parquet(tfPath)
+    spark.read.parquet(tfPath)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode(SaveMode.Overwrite).parquet(dfPath)
+    val (nF, ttF) = Bm25.corpusStats(fresh, textCol)
+    writeMetaJson(s"""{"n":${n0 + nF},"totalTokens":${tt0 + ttF}}""")
+  }
+
   /** Top-`k` BM25 matches per query from the artifact. Same output
     * contract (and values) as [[graft.search.Bm25.search]]. */
   def query(

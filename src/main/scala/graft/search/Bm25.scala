@@ -80,7 +80,8 @@ object Bm25 {
   /** (N, total tokens) — two scalars from one agg; metadata-sized collect. */
   private[graft] def corpusStats(docs: DataFrame, textCol: String): (Long, Long) = {
     val statsRow = docs
-      .agg(count(lit(1)), sum(TextAnalysis.tokenCount(col(textCol))))
+      .agg(count(lit(1)),
+        coalesce(sum(TextAnalysis.tokenCount(col(textCol))), lit(0L)))
       .head()
     (statsRow.getLong(0), statsRow.getLong(1))
   }

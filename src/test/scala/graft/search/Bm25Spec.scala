@@ -51,6 +51,24 @@ class Bm25Spec extends SparkSpec {
       fromIndex.exceptAll(direct).count() == 0)
   }
 
+  test("index upsert: build(d1) + upsert(d2) answers exactly like build(d1 ∪ d2)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25_up").toString
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sf0001)
+    val d1 = docs.filter($"doc_id" < 400)
+    val d2 = docs.filter($"doc_id" >= 400)
+    val idx = graft.index.Bm25Index(spark, root, "docs").build(d1, "doc_id", "text")
+    idx.upsert(d2, "doc_id", "text")
+    // re-delivering an ingested batch is a no-op (idempotent by key)
+    idx.upsert(d2, "doc_id", "text")
+    val full = graft.index.Bm25Index(spark,
+      java.nio.file.Files.createTempDirectory("graft_bm25_full").toString, "docs")
+      .build(docs, "doc_id", "text")
+    val q = graft.bench.Sampling.seeded(docs, "doc_id", 5)
+    val a = idx.query(q, "doc_id", "text", k = 10, roundScoreTo = Some(6))
+    val b = full.query(q, "doc_id", "text", k = 10, roundScoreTo = Some(6))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("rrf: fuses two lists scale-free; doc ranked in both lists beats single-list docs") {
     val listA = Seq((1L, 100L, 1), (1L, 200L, 2)).toDF("query_id", "result_id", "rank")
     val listB = Seq((1L, 200L, 1), (1L, 300L, 2)).toDF("query_id", "result_id", "rank")
