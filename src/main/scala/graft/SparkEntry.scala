@@ -1107,6 +1107,28 @@ object SparkEntry {
         .orderBy(col("w_start"), col("event_type"))
     }),
 
+    // Cohort retention matrix: users grouped by first-active week, counted
+    // per weekly offset they return in — the classic engagement analysis
+    // (completes the events breadth next to funnel/sessions). Two hash
+    // aggregates over (user, week) pairs; the distinct collapses to one
+    // row per user-week before anything joins, so the join and the final
+    // count are active-users-sized, not events-sized.
+    "user_retention" -> ((s, dir) => {
+      val weeks = Streaming.eventsBatch(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("act_week"))
+        .distinct()
+      val cohort = weeks.groupBy(col("user_id"))
+        .agg(min(col("act_week")).as("cohort_week"))
+      weeks.join(cohort, Seq("user_id"))
+        .withColumn("week_offset",
+          (datediff(col("act_week"), col("cohort_week")) / 7).cast("int"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"), col("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     // Gap-based batch sessionization (30-min gap): the exact twin of the
     // streaming mapGroupsWithState sessionizer, as lag + running-sum
     // windows. Session starts/ends emitted as strings (cross-engine
@@ -1864,6 +1886,18 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "user_retention" ->
+      """WITH w AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+        |), c AS (
+        |  SELECT user_id, min(act_week) AS cohort_week FROM w GROUP BY user_id
+        |)
+        |SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+        |  CAST(date_diff('day', c.cohort_week, w.act_week) / 7 AS INT) AS week_offset,
+        |  count(DISTINCT w.user_id) AS n_users
+        |FROM w JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
 
     "events_sessions" ->
       """WITH g AS (
