@@ -149,5 +149,12 @@ class DirSourceSpec extends SparkSpec {
     val sq = "he said “hello” and “bye” and “more” then left"
     val sqBytes = sq.getBytes(Charset.forName("windows-1252"))
     assert(DirSource.detectAndDecode(sqBytes)._1 == "Windows-1252")
+    // density floor: a long mostly-ASCII cp1252 file whose clustered
+    // accented pairs DO satisfy the structural + common-plane tests (4+
+    // adjacent pairs, both bytes high) must still fall back byte-preserving
+    // — the characteristic pairs cover far less than 5% of the file
+    val clustered = ("word " * 100).getBytes("US-ASCII") ++
+      Array.fill(4)(Array(0xD6.toByte, 0xFC.toByte)).flatten // "Öü" ×4 adjacent
+    assert(DirSource.detectAndDecode(clustered)._1 == "Windows-1252")
   }
 }
