@@ -72,11 +72,41 @@ class VectorCollection(
     * so a crash inside it can leave the collection needing a manual
     * rename — acceptable under the documented single-writer contract
     * (same caveat as the reference's non-transactional ingest loop). */
-  def delete(predicate: org.apache.spark.sql.Column): Unit = {
+  def delete(predicate: org.apache.spark.sql.Column): Unit =
+    rewriteData(_.filter(coalesce(!predicate, lit(true))))
+
+  /** Update payload columns for points matching `predicate` (the backend's
+    * `set_payload` API): each assigned column takes its new value on
+    * matching rows and keeps its old value elsewhere. Same survivor-
+    * rewrite + swap as [[delete]]; assignments must target EXISTING
+    * columns (adding columns would fork the schema for old rows). */
+  def setPayload(predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Unit = {
+    val existing = load().columns.toSet
+    val unknown = assignments.keySet -- existing
+    require(unknown.isEmpty, s"setPayload targets unknown columns: $unknown")
+    rewriteData { df =>
+      assignments.foldLeft(df) { case (acc, (name, value)) =>
+        acc.withColumn(name, when(predicate, value).otherwise(col(name)))
+      }
+    }
+  }
+
+  /** Exact point count, optionally filtered (the backend's `count` API) —
+    * the predicate pushes into the scan, so a filtered count reads only
+    * the touched row groups' statistics and columns. */
+  def count(filter: Option[org.apache.spark.sql.Column] = None): Long =
+    filter.fold(load())(load().filter).count()
+
+  /** Full-rewrite mutation: write the transformed collection into a shadow
+    * directory, swap it in (two renames), drop the old data. A crash
+    * inside the swap can leave the collection needing a manual rename —
+    * acceptable under the documented single-writer contract. */
+  private def rewriteData(transform: DataFrame => DataFrame): Unit = {
     if (!fs.exists(dataPath)) return
     val shadow = new Path(base, "data_shadow")
-    fs.delete(shadow, true) // leftover from a crashed earlier delete
-    load().filter(coalesce(!predicate, lit(true)))
+    fs.delete(shadow, true) // leftover from a crashed earlier rewrite
+    transform(load())
       .write.mode(SaveMode.Overwrite).parquet(shadow.toString)
     val old = new Path(base, "data_old")
     fs.delete(old, true)

@@ -48,6 +48,26 @@ class VectorCollectionSpec extends SparkSpec {
     assert(c.load().count() === 3L)
   }
 
+  test("setPayload updates matching rows only; count honors filters") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val c = VectorCollection(spark, tmpRoot, "payload")
+    c.create(CollectionMeta(2, "cosine", normalized = false))
+    c.upsert(Seq(("a", Array(1f, 0f), "raw"), ("b", Array(0f, 1f), "raw"),
+      ("c", Array(1f, 1f), "clean")).toDF("id", "vec", "status"), "id")
+    c.setPayload(col("id") === "a", Map("status" -> lit("clean")))
+    val got = c.load().select("id", "status").as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "clean", "b" -> "raw", "c" -> "clean"))
+    // vectors untouched by a payload update
+    assert(c.load().filter(col("vec").isNull).count() == 0)
+    assert(c.count() == 3L)
+    assert(c.count(Some(col("status") === "clean")) == 2L)
+    // unknown column fails loudly
+    val e = intercept[IllegalArgumentException] {
+      c.setPayload(col("id") === "a", Map("nope" -> lit(1)))
+    }
+    assert(e.getMessage.contains("unknown columns"))
+  }
+
   test("scroll: keyset pages cover the filtered set exactly once; predicates pushed") {
     import org.apache.spark.sql.functions.col
     val c = VectorCollection(spark, tmpRoot, "scroll")
