@@ -111,4 +111,45 @@ object KernelProperties extends Properties("graft.kernels") {
         .map(x => x * x).sum)
       math.abs(n - 1.0) < 1e-5
     }
+
+  property("int8 cosine is symmetric, within [-1,1]; self ≈ 1 for non-zero codes") =
+    forAll(vecGen) { a =>
+      val code = graft.expr.Int8VectorOps.quantize(arr(a))
+      val self = graft.expr.Int8VectorOps.cosine(code, code)
+      val zero = code.forall(_ == 0)
+      (if (zero) self == 0.0 else math.abs(self - 1.0) < 1e-9) &&
+        self >= -1.0 - 1e-9 && self <= 1.0 + 1e-9
+    }
+
+  property("int8 quantization preserves cosine within the quantization error bound") =
+    forAll(vecGen, vecGen) { (a0, b0) =>
+      val n = math.min(a0.length, b0.length)
+      val (a, b) = (a0.take(n), b0.take(n))
+      val exact = VectorOps.cosine(arr(a), arr(b))
+      val approx = graft.expr.Int8VectorOps.cosine(
+        graft.expr.Int8VectorOps.quantize(arr(a)),
+        graft.expr.Int8VectorOps.quantize(arr(b)))
+      // 1/127 per-component relative error -> cosine moves O(sqrt(dim)/127);
+      // 0.2 is a loose safety bound for dim <= 32 (typical error ~0.01)
+      exact == 0.0 || approx == 0.0 || math.abs(exact - approx) < 0.2
+    }
+
+  property("nearest centroid is the true double-cosine argmax (smallest index on ties)") =
+    forAll(vecGen, Gen.chooseNum(2, 6).flatMap(n => Gen.listOfN(n, vecGen))) {
+      (v0, cents0) =>
+        val dim = (v0.length +: cents0.map(_.length)).min
+        val v = v0.take(dim)
+        val cents = cents0.map(_.take(dim)).toArray
+        val norms = graft.expr.NearestCentroidOps.norms(cents)
+        val got = graft.expr.NearestCentroidOps
+          .nearest(arr(v), cents, norms, 1).getInt(0)
+        val scores = cents.indices.map { i =>
+          var s = 0.0
+          var j = 0
+          while (j < dim) { s += v(j).toDouble * cents(i)(j); j += 1 }
+          if (norms(i) > 0.0) s / norms(i) else 0.0
+        }
+        val best = scores.max
+        got == scores.indexWhere(_ == best)
+    }
 }
