@@ -15,6 +15,10 @@ object Verify {
       // ObjectHashAggregate falls back to sort-based aggregation - keep the
       // bounded-heap top-k hashing instead of sorting scored rows.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      // 80+ multi-stage queries overflow the default 100-entry generated-
+      // class cache (see Bench.scala) — harmless for correctness but the
+      // recompiles double this run's wall time.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
