@@ -288,7 +288,10 @@ object SparkEntry {
     // upsert), so the oracle runs on the source table directly.
     "collection_scroll" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val fp = corpusFingerprint(emb, col("vec_id"), col("embedding"))
+      // label rides the fingerprint because the query filters and outputs
+      // it: a corpus whose payload changed under fixed ids/vectors must
+      // miss the cache (build-params-in-key rule).
+      val fp = corpusFingerprint(emb, col("vec_id"), col("embedding"), col("label"))
       val root = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_vcoll_$fp").toString
       val coll = graft.index.VectorCollection(s, root, "embeddings")
@@ -819,9 +822,11 @@ object SparkEntry {
       val q = knnQueries(s, dir)
       val fp = corpusFingerprint(Tables.embeddings(s, dir), col("vec_id"), col("embedding"))
       // nList/seed in the key for the same stale-reuse reason as the
-      // MinHash index cache above.
+      // MinHash index cache above; the routing version too, so a cache
+      // built under older (or pre-versioning) routing arithmetic misses
+      // instead of tripping the collection's version guard.
       val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_ivfcol_${fp}_nl16_s42").toString
+        s"graft_ivfcol_${fp}_nl16_s42_rv${graft.index.IvfCollection.RoutingVersion}").toString
       val ivfc = graft.index.IvfCollection(s, root, "embeddings")
       if (!ivfc.exists) ivfc.build(emb, "vec_id", "embedding", nList = 16, seed = 42L)
       val exact = Knn.knnJoin(q, "vec_id", "embedding",
@@ -847,7 +852,7 @@ object SparkEntry {
       val q = knnQueries(s, dir)
       val fp = corpusFingerprint(Tables.embeddings(s, dir), col("vec_id"), col("embedding"))
       val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_ivfcol8_${fp}_nl16_s42").toString
+        s"graft_ivfcol8_${fp}_nl16_s42_rv${graft.index.IvfCollection.RoutingVersion}").toString
       val ivfc = graft.index.IvfCollection(s, root, "embeddings")
       if (!ivfc.exists) ivfc.build(emb, "vec_id", "embedding", nList = 16, seed = 42L,
         int8 = true)

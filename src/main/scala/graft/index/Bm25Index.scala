@@ -62,8 +62,17 @@ class Bm25Index(
     val tt0 = metaField(m, "totalTokens").toLong
     invalidateMeta()
     val indexed = spark.read.parquet(tfPath).select(col("doc")).distinct()
+    // Eagerly pin the admitted batch BEFORE any write: `fresh` reads tfPath
+    // (through the anti-join) and may be non-deterministic upstream, so a
+    // lazy plan re-executed after the TF append could resolve to DIFFERENT
+    // rows than the ones just appended — the stats delta below must come
+    // from the exact row set the append wrote, or N/avgdl silently corrupt
+    // every later score.
     val fresh = batch.dropDuplicates(idCol)
       .join(indexed, batch(idCol) === indexed("doc"), "left_anti")
+      .select(col(idCol), col(textCol))
+      .localCheckpoint(true)
+    val (nF, ttF) = Bm25.corpusStats(fresh, textCol)
     Bm25.tfFrame(fresh, idCol, textCol)
       .select(col("__d").as("doc"), col("__dl").as("dl"),
         col("__t").as("term"), col("__tf").as("tf"))
@@ -71,7 +80,6 @@ class Bm25Index(
     spark.read.parquet(tfPath)
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .write.mode(SaveMode.Overwrite).parquet(dfPath)
-    val (nF, ttF) = Bm25.corpusStats(fresh, textCol)
     writeMetaJson(s"""{"n":${n0 + nF},"totalTokens":${tt0 + ttF}}""")
   }
 

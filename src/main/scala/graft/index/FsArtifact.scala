@@ -54,6 +54,11 @@ private[index] trait FsArtifact {
     json.split(s""""$k":""")(1).split("[,}]")(0).trim
       .stripPrefix("\"").stripSuffix("\"")
 
+  /** Like [[metaField]] but None when the field is absent — for fields
+    * added after artifacts of this kind already existed on disk. */
+  protected final def metaFieldOpt(json: String, k: String): Option[String] =
+    if (json.contains(s""""$k":""")) Some(metaField(json, k)) else None
+
   def drop(): Unit = {
     fs.delete(base, true)
     ()

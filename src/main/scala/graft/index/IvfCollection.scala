@@ -60,8 +60,25 @@ class IvfCollection(
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .write.mode(SaveMode.Overwrite).parquet(centroidsPath)
-    writeMetaJson(s"""{"int8":$int8,"nList":$nList,"seed":$seed}""")
+    writeMetaJson(s"""{"int8":$int8,"nList":$nList,"seed":$seed,"routingVersion":${IvfCollection.RoutingVersion}}""")
     this
+  }
+
+  /** Stored cell assignments are only valid under the EXACT centroid-routing
+    * arithmetic that produced them: query() trusts the persisted ivf_cell
+    * (reuseCellCol) and upsert() appends under current routing, so a
+    * collection built under older routing would silently lose recall (its
+    * rows sit in cells the current router never probes for them). The
+    * routing version is pinned in _meta.json at build; any mismatch —
+    * including a pre-versioning artifact, recorded as version 1 — refuses
+    * loudly with a rebuild instruction instead of degrading quietly. */
+  private def checkRoutingVersion(): Unit = {
+    val v = metaFieldOpt(readMetaJson(), "routingVersion").map(_.toInt).getOrElse(1)
+    require(v == IvfCollection.RoutingVersion,
+      s"collection $name was built under centroid-routing version $v but this " +
+        s"engine routes with version ${IvfCollection.RoutingVersion}; stored " +
+        "ivf_cell assignments would not match query-time probe routing " +
+        "(silent recall loss) - rebuild the collection with build()")
   }
 
   /** Whether the persisted layout stores int8 codes instead of floats. */
@@ -79,6 +96,7 @@ class IvfCollection(
     * IVF operational contract). Single-writer, like every artifact here. */
   def upsert(batch: DataFrame, idCol: String, vecCol: String): Unit = {
     require(exists, s"collection $name does not exist - build() it first")
+    checkRoutingVersion()
     val fresh = batch.dropDuplicates(idCol)
       .join(load().select(col(idCol)), Seq(idCol), "left_anti")
     val assigned = Ivf.assign(fresh, vecCol, centroids())
@@ -129,6 +147,8 @@ class IvfCollection(
       excludeSelf: Boolean = true,
       roundScoreTo: Option[Int] = None,
       filter: Option[Column] = None): DataFrame = {
+    require(exists, s"collection $name does not exist - build() it first")
+    checkRoutingVersion()
     val cents = centroids()
     // Driver-side probe-cell union: |Q| is small by the query contract, so
     // collecting the cell ids gives the scan a LITERAL partition filter
@@ -158,6 +178,12 @@ class IvfCollection(
 }
 
 object IvfCollection {
+  /** Current centroid-routing arithmetic version. v1: float32-normalized
+    * centroid dot; v2 (round 7): raw-float dot / double centroid norm
+    * ([[graft.expr.NearestCentroidOps.nearest]]). Bump whenever the
+    * assignment arithmetic changes in any observable way. */
+  val RoutingVersion = 2
+
   def apply(spark: SparkSession, root: String, name: String): IvfCollection =
     new IvfCollection(spark, root, name)
 }

@@ -38,6 +38,11 @@ object Bm25 {
    * Top-`k` BM25 matches per query. `queries` carries raw text — each
    * query's DISTINCT tokens are matched against the corpus.
    * Output: query_id, doc id column, `score`, `rank`.
+   *
+   * Self-contained: re-runs the corpus tokenize+TF kernel (and scopes it in
+   * a MEMORY_AND_DISK persist) on EVERY call. Right for one-shot retrieval
+   * at moderate scale; a retrieval service — and anything at 100 TB — should
+   * build a [[graft.index.Bm25Index]] once and query the artifact instead.
    */
   def search(
       docs: DataFrame, idCol: String, textCol: String,
@@ -128,13 +133,34 @@ object Bm25 {
         val m = math.pow(10.0, p)
         floor(col("__s") * lit(m) + lit(0.5)) / lit(m)
       })
-    scored
-      .groupBy(col("query_id"))
-      .agg(top_k_rows(struct(col("__d"), col("score")),
-        col("score"), col("__d").cast("long"), k).as("__tk"))
-      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__pos", "__e")))
-      .select(col("query_id"), col("__e.__d").as(outIdCol),
-        col("__e.score").as("score"),
-        (col("__pos") + 1).cast("int").as("rank"))
+    // The bounded-heap tie-break id is cast to long, so only integral doc
+    // id types take the agg path (a uuid-string id would null-cast every
+    // row out of the heap; a fractional id could collide two docs) — same
+    // guard as Knn.knnJoin. Non-integral ids fall back to a rank window
+    // ordered by (score desc, id asc), correct for any orderable id type.
+    val idIsIntegral = scored.schema("__d").dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (idIsIntegral) {
+      scored
+        .groupBy(col("query_id"))
+        .agg(top_k_rows(struct(col("__d"), col("score")),
+          col("score"), col("__d").cast("long"), k).as("__tk"))
+        .select(col("query_id"), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+        .select(col("query_id"), col("__e.__d").as(outIdCol),
+          col("__e.score").as("score"),
+          (col("__pos") + 1).cast("int").as("rank"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("__d").asc)
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("__d").as(outIdCol),
+          col("score"), col("rank").cast("int").as("rank"))
+    }
   }
 }

@@ -34,14 +34,39 @@ object Hybrid {
           .cast("decimal(28,12)").as("__r")))
       .reduce(_ union _)
     val m = math.pow(10.0, roundScoreTo)
-    contrib.groupBy(col("query_id"), col("result_id"))
+    val fusedScores = contrib.groupBy(col("query_id"), col("result_id"))
       .agg((floor(sum(col("__r")).cast("double") * lit(m) + lit(0.5)) / lit(m))
         .as("score"))
-      .groupBy(col("query_id"))
-      .agg(top_k_rows(struct(col("result_id"), col("score")),
-        col("score"), col("result_id").cast("long"), topK).as("__tk"))
-      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__pos", "__e")))
-      .select(col("query_id"), col("__e.result_id").as("result_id"),
-        col("__e.score").as("score"), (col("__pos") + 1).cast("int").as("rank"))
+    topKPerQuery(fusedScores, topK)
+  }
+
+  /** Per-query top-k cut over (query_id, result_id, score): bounded heap
+    * for integral result ids, rank-window fallback for any other orderable
+    * id type (same guard as Knn.knnJoin — a uuid-string id would null-cast
+    * out of the heap's long tie-break). */
+  private[search] def topKPerQuery(scores: DataFrame, topK: Int): DataFrame = {
+    val idIsIntegral = scores.schema("result_id").dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (idIsIntegral) {
+      scores
+        .groupBy(col("query_id"))
+        .agg(top_k_rows(struct(col("result_id"), col("score")),
+          col("score"), col("result_id").cast("long"), topK).as("__tk"))
+        .select(col("query_id"), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+        .select(col("query_id"), col("__e.result_id").as("result_id"),
+          col("__e.score").as("score"), (col("__pos") + 1).cast("int").as("rank"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("result_id").asc)
+      scores
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select(col("query_id"), col("result_id"), col("score"),
+          col("rank").cast("int").as("rank"))
+    }
   }
 }

@@ -130,6 +130,33 @@ class IvfCollectionSpec extends SparkSpec {
     assert(all.exceptAll(exact).count() == 0 && exact.exceptAll(all).count() == 0)
   }
 
+  test("routing-version guard: a collection built under older routing refuses to query") {
+    val root = Files.createTempDirectory("graft_ivf_rv").toString
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val coll = IvfCollection(spark, root, "ivf_rv")
+      .build(emb, "vec_id", "embedding", nList = 4, seed = 42L)
+    // Forge a pre-versioning meta (no routingVersion field → version 1):
+    // stored ivf_cell assignments from other routing arithmetic must be
+    // refused, not silently probed with degraded recall.
+    val metaPath = java.nio.file.Paths.get(root, "ivf_rv", "_meta.json")
+    // drop the Hadoop local-FS checksum sidecar — we rewrite meta directly
+    val crc = java.nio.file.Paths.get(root, "ivf_rv", "._meta.json.crc")
+    java.nio.file.Files.deleteIfExists(crc)
+    java.nio.file.Files.write(metaPath,
+      """{"int8":false,"nList":4,"seed":42}""".getBytes("UTF-8"))
+    val q = emb.limit(2)
+    val e = intercept[IllegalArgumentException] {
+      coll.query(q, "vec_id", "embedding", "vec_id", "embedding", k = 2, nProbe = 2)
+    }
+    assert(e.getMessage.contains("routing version"))
+    intercept[IllegalArgumentException] { coll.upsert(emb, "vec_id", "embedding") }
+    // current-version meta queries fine
+    java.nio.file.Files.write(metaPath,
+      s"""{"int8":false,"nList":4,"seed":42,"routingVersion":${IvfCollection.RoutingVersion}}""".getBytes("UTF-8"))
+    assert(coll.query(q, "vec_id", "embedding", "vec_id", "embedding",
+      k = 2, nProbe = 2).count() > 0)
+  }
+
   test("driver ivf_int8_recall query: recall_at_k meets the IVF floor") {
     // Compound loss (cell pruning + int8 quantization) still has to clear
     // the same floor as the uncompressed path — quantization costs ≈1% of

@@ -69,6 +69,46 @@ class Bm25Spec extends SparkSpec {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("bm25: string doc ids take the window fallback and rank identically") {
+    // same corpus, ids as non-numeric strings: the long-cast heap tie-break
+    // would null-cast every row out; the window fallback must produce the
+    // same ranking as the integral-id path modulo the id mapping
+    val named = corpus.select(concat(lit("doc-"), $"doc_id").as("doc_id"), $"text")
+    val q = Seq(("q-1", "quick brown")).toDF("doc_id", "text")
+    val res = Bm25.search(named, "doc_id", "text", q, "doc_id", "text",
+      k = 4, excludeSelf = false, roundScoreTo = Some(6)).orderBy("rank").collect()
+    val ids = res.map(_.getAs[String]("doc_id")).toSeq
+    assert(ids.nonEmpty && ids.toSet.subsetOf(Set("doc-1", "doc-3")),
+      s"non-matching docs must not appear and rows must survive the fallback: $ids")
+    val numeric = Bm25.search(corpus, "doc_id", "text",
+      Seq((10L, "quick brown")).toDF("doc_id", "text"), "doc_id", "text",
+      k = 4, excludeSelf = false, roundScoreTo = Some(6)).orderBy("rank").collect()
+    assert(ids == numeric.map(r => s"doc-${r.getAs[Long]("doc_id")}").toSeq)
+  }
+
+  test("upsert stats survive a non-deterministic batch (pinned before the append)") {
+    // A batch plan that is NOT stable across executions: a random sample.
+    // The admitted rows are checkpointed before the TF append, so the
+    // pinned (n, totalTokens) must equal a rebuild over exactly the rows
+    // that landed in tf/ — re-executing the lazy plan would disagree.
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25_nd").toString
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sf0001)
+    val d1 = docs.filter($"doc_id" < 100)
+    val idx = graft.index.Bm25Index(spark, root, "docs").build(d1, "doc_id", "text")
+    val wild = docs.filter($"doc_id" >= 100).sample(0.5, seed = System.nanoTime())
+    idx.upsert(wild, "doc_id", "text")
+    val indexedDocs = spark.read.parquet(s"$root/docs/tf")
+      .select($"doc".as("doc_id")).distinct()
+    val truth = docs.join(indexedDocs, Seq("doc_id"))
+    val rebuilt = graft.index.Bm25Index(spark,
+      java.nio.file.Files.createTempDirectory("graft_bm25_nd2").toString, "docs")
+      .build(truth, "doc_id", "text")
+    val q = graft.bench.Sampling.seeded(truth, "doc_id", 5)
+    val a = idx.query(q, "doc_id", "text", k = 10, roundScoreTo = Some(6))
+    val b = rebuilt.query(q, "doc_id", "text", k = 10, roundScoreTo = Some(6))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("rrf: fuses two lists scale-free; doc ranked in both lists beats single-list docs") {
     val listA = Seq((1L, 100L, 1), (1L, 200L, 2)).toDF("query_id", "result_id", "rank")
     val listB = Seq((1L, 200L, 1), (1L, 300L, 2)).toDF("query_id", "result_id", "rank")
@@ -78,5 +118,12 @@ class Bm25Spec extends SparkSpec {
     assert(fused.map(_.getAs[Long]("result_id")).toSeq == Seq(200L, 100L, 300L))
     val s = fused.map(_.getAs[Double]("score"))
     assert(s(0) > s(1) && s(1) > s(2))
+  }
+
+  test("rrf: string result ids take the window fallback, same fusion order") {
+    val listA = Seq(("q", "a", 1), ("q", "b", 2)).toDF("query_id", "result_id", "rank")
+    val listB = Seq(("q", "b", 1), ("q", "c", 2)).toDF("query_id", "result_id", "rank")
+    val fused = Hybrid.rrf(Seq(listA, listB), k = 60, topK = 3).orderBy("rank").collect()
+    assert(fused.map(_.getAs[String]("result_id")).toSeq == Seq("b", "a", "c"))
   }
 }

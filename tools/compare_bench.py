@@ -10,6 +10,7 @@ reader can distinguish host-load pollution (slow pass at high load, other
 passes fine) from a genuine regression (slow at low load, reproducible
 across passes) without re-running. See Bench.scala's timing protocol.
 """
+import argparse
 import json
 import sys
 
@@ -20,12 +21,14 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    thresh = 1.2
-    for a in sys.argv[1:]:
-        if a.startswith("--thresh"):
-            thresh = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
-    old, new = load(args[0]), load(args[1])
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("old_json")
+    ap.add_argument("new_json")
+    ap.add_argument("--thresh", type=float, default=1.2,
+                    help="relative slowdown threshold (default 1.2)")
+    ns = ap.parse_args()
+    thresh = ns.thresh
+    old, new = load(ns.old_json), load(ns.new_json)
     oq, nq = old["queries"], new["queries"]
     shared = sorted(set(oq) & set(nq))
     added = sorted(set(nq) - set(oq))
@@ -38,7 +41,7 @@ def main():
     if added:
         print("added:", ", ".join(f"{k}={nq[k]:.2f}s" for k in added))
     if removed:
-        print("removed:", ", ".join(added and removed or removed))
+        print("removed:", ", ".join(f"{k}={oq[k]:.2f}s" for k in removed))
     for k in flagged:
         print(f"\nREGRESSION? {k}: {oq[k]:.2f}s -> {nq[k]:.2f}s")
         print(f"  old passes: {old.get('passes', {}).get(k)}")
