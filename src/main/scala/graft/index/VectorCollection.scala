@@ -1,7 +1,8 @@
 package graft.index
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -9,17 +10,40 @@ import org.apache.spark.sql.functions._
  * reference's external vector store (collection create `main.py:60-65`,
  * existence check `main.py:59`, point upsert `bcb_utils.py:117-121`).
  *
- * Layout: `<root>/<name>/data/` (parquet, bucket-friendly) +
- * `<root>/<name>/_meta.json` (dim, metric, normalized flag — the knobs the
- * reference encodes in its collection name, `main.py:28-34`, kept as real
- * metadata instead of name-mangling).
+ * Layout: `<root>/<name>/data/` (parquet, bucket-friendly base rows) +
+ * `_meta.json` (dim, metric, normalized flag — the knobs the reference
+ * encodes in its collection name, `main.py:28-34`, kept as real metadata
+ * instead of name-mangling) + `_key` (the id column name, recorded at
+ * first upsert) + two merge-on-read sidecars that exist only once the
+ * collection has been mutated:
+ *
+ *  - `tombstones/` — `(key, __seq)` delete markers ([[delete]])
+ *  - `patches/`    — full updated rows + `__seq` ([[setPayload]], and
+ *                    re-upserts of previously deleted keys)
+ *
+ * Mutation model (merge-on-read, the Iceberg/Delta shape): a mutation
+ * APPENDS a mutation-sized sidecar instead of rewriting the collection —
+ * a one-point delete on a 100 TB collection costs one tombstone row, not
+ * a 100 TB write job. [[load]] resolves visibility lazily: base rows are
+ * implicitly sequence 0, sidecar records carry a strictly increasing
+ * `__seq`, and the LAST writer per key wins (a tombstone winner hides the
+ * key; a patch winner replaces the row). Only keys that appear in a
+ * sidecar pay the resolution — the untouched remainder of the corpus is
+ * separated by a BROADCAST anti-join (sidecars are mutation-sized by
+ * construction) and streams through unshuffled, so merge-on-read adds a
+ * per-row hash probe, not an exchange, at any corpus size. An unmutated
+ * collection short-circuits to a plain scan with zero overhead.
+ * [[compact]] folds the sidecars into `data/` (the old full rewrite, now
+ * an explicitly scheduled maintenance job) and restores the fast path.
  *
  * Idempotency: the reference skips ingest when the collection exists and
  * relies on deterministic UUID point ids for re-upload safety; here upsert
- * anti-joins new rows against existing ids so re-ingesting a batch is a
- * no-op (exactly-once by key, not by attempt). Note: read-then-append is
- * not atomic under CONCURRENT writers — single-writer-per-collection is
- * the supported contract (same as the reference's sequential ingest loop).
+ * anti-joins new rows against the LIVE view so re-ingesting a batch is a
+ * no-op (exactly-once by key, not by attempt), while re-upserting a
+ * DELETED key lands as a patch that out-sequences its tombstone. Note:
+ * read-then-append is not atomic under CONCURRENT writers —
+ * single-writer-per-collection is the supported contract (same as the
+ * reference's sequential ingest loop).
  *
  * Scale notes: all filesystem access goes through the Hadoop `FileSystem`
  * API resolved from the session's Hadoop conf, so the same code runs on
@@ -37,6 +61,9 @@ class VectorCollection(
     protected val root: String,
     val name: String) extends FsArtifact {
   private lazy val dataPath = new Path(base, "data")
+  private lazy val tombPath = new Path(base, "tombstones")
+  private lazy val patchPath = new Path(base, "patches")
+  private lazy val keyPath = new Path(base, "_key")
 
   def create(meta: CollectionMeta): this.type = {
     writeMetaJson(
@@ -50,69 +77,191 @@ class VectorCollection(
       metaField(s, "normalized").toBoolean)
   }
 
-  /** Append rows whose `idCol` is not already present (idempotent by key).
-    * One Spark job: the anti-join feeds the write directly — no pre-count.
-    * Appending zero rows is a valid no-op write. */
-  def upsert(df: DataFrame, idCol: String): Unit = {
-    val fresh =
-      if (!fs.exists(dataPath)) df
-      else df.join(load().select(col(idCol)), Seq(idCol), "left_anti")
-    fresh.write.mode(SaveMode.Append).parquet(dataPath.toString)
+  /** The id column the collection is keyed by (recorded at first upsert). */
+  def key: Option[String] =
+    if (fs.exists(keyPath)) {
+      val in = fs.open(keyPath)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    } else None
+
+  private def recordKey(idCol: String): Unit = key match {
+    case Some(k) => require(k == idCol,
+      s"collection $name is keyed by '$k' but this call used '$idCol' - one key per collection")
+    case None =>
+      val out = fs.create(keyPath, true)
+      try out.write(idCol.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
   }
 
-  def load(): DataFrame = spark.read.parquet(dataPath.toString)
+  private def requireKey(op: String): String = key.getOrElse(
+    throw new IllegalArgumentException(
+      s"$op on $name needs the collection key - upsert() at least once first"))
+
+  /** Whether merge-on-read sidecars are present (mutated since last compact). */
+  def mutated: Boolean = fs.exists(tombPath) || fs.exists(patchPath)
+
+  /** Highest sidecar sequence + 1 (base rows are sequence 0). Sidecars are
+    * mutation-sized, so this scan is metadata-cheap; single-writer makes
+    * the read-allocate-write race-free by contract. */
+  private def nextSeq(): Long = {
+    def maxSeq(p: Path): Long =
+      if (!fs.exists(p)) 0L
+      else Option(spark.read.parquet(p.toString).agg(max(col("__seq"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    math.max(maxSeq(tombPath), maxSeq(patchPath)) + 1L
+  }
+
+  /** Append rows whose `idCol` is not already LIVE (idempotent by key).
+    * Never-seen ids append straight to `data/`; ids that exist in `data/`
+    * but were deleted land as patches that out-sequence their tombstones
+    * (revival with the new values). Appending zero rows is a valid no-op. */
+  def upsert(df: DataFrame, idCol: String): Unit = {
+    recordKey(idCol)
+    require(!df.columns.contains("__seq") && !df.columns.contains("__del"),
+      "__seq/__del are reserved merge-on-read column names")
+    if (!fs.exists(dataPath)) {
+      df.write.mode(SaveMode.Append).parquet(dataPath.toString)
+      return
+    }
+    if (!mutated) {
+      df.join(load().select(col(idCol)), Seq(idCol), "left_anti")
+        .write.mode(SaveMode.Append).parquet(dataPath.toString)
+      return
+    }
+    val rawIds = spark.read.parquet(dataPath.toString).select(col(idCol))
+    // brand-new keys: never present in data/ -> base rows (sequence 0)
+    df.join(rawIds, Seq(idCol), "left_anti")
+      .write.mode(SaveMode.Append).parquet(dataPath.toString)
+    // revived keys: present in data/ but not live -> patch rows that
+    // out-sequence the tombstone. (The plan lists data/ lazily, but the
+    // append above only ADDED ids that are live-by-construction, so the
+    // result is the same whichever listing this job snapshots.)
+    val revived = df.dropDuplicates(idCol)
+      .join(rawIds, Seq(idCol), "left_semi")
+      .join(load().select(col(idCol)), Seq(idCol), "left_anti")
+    if (!revived.isEmpty) appendPatches(revived)
+  }
+
+  /** The live view: base rows overlaid with patches minus tombstones,
+    * last writer (highest `__seq`) per key winning. Unmutated collections
+    * return the plain scan — zero overhead on the common read path. */
+  def load(): DataFrame = {
+    val base = spark.read.parquet(dataPath.toString)
+    if (!mutated) return base
+    val k = requireKey("load of a mutated collection")
+    val baseCols = base.columns.toSeq
+    val tomb =
+      if (fs.exists(tombPath)) spark.read.parquet(tombPath.toString)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          base.schema(k).copy(name = k),
+          org.apache.spark.sql.types.StructField("__seq",
+            org.apache.spark.sql.types.LongType))))
+    val patch =
+      if (fs.exists(patchPath)) spark.read.parquet(patchPath.toString)
+      else base.withColumn("__seq", lit(0L)).limit(0)
+    // Only sidecar-touched keys pay resolution; the clean remainder is
+    // split off by a BROADCAST anti-join (sidecars are mutation-sized)
+    // and never shuffles.
+    val dirtyKeys = tomb.select(col(k)).union(patch.select(col(k))).distinct()
+    val clean = base.join(broadcast(dirtyKeys), Seq(k), "left_anti")
+    val dirtyBase = base.join(broadcast(dirtyKeys), Seq(k), "left_semi")
+      .withColumn("__seq", lit(0L)).withColumn("__del", lit(false))
+    val contenders = dirtyBase
+      .unionByName(patch.withColumn("__del", lit(false)))
+      .unionByName(tomb.withColumn("__del", lit(true)),
+        allowMissingColumns = true) // tombstones carry key+seq only
+    val w = Window.partitionBy(col(k)).orderBy(col("__seq").desc)
+    val survivors = contenders
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col("__del"))
+      .select(baseCols.map(col): _*)
+    clean.unionByName(survivors)
+  }
+
+  /** Patch rows must land with exactly the base schema (+ `__seq`): name
+    * set and data types are validated loudly, column order normalized, so
+    * a bad assignment can never fork the parquet schema for later reads. */
+  private def appendPatches(rows: DataFrame): Unit = {
+    val base = spark.read.parquet(dataPath.toString)
+    require(rows.columns.sorted.toSeq == base.columns.sorted.toSeq,
+      s"patch schema ${rows.columns.sorted.mkString(",")} != collection schema " +
+        base.columns.sorted.mkString(","))
+    base.schema.fields.foreach { f =>
+      // catalogString comparison: nullability-insensitive (a local batch
+      // often carries containsNull=false where parquet reads back true)
+      require(rows.schema(f.name).dataType.catalogString == f.dataType.catalogString,
+        s"patch column ${f.name} has type ${rows.schema(f.name).dataType.catalogString} " +
+          s"but the collection stores ${f.dataType.catalogString}")
+    }
+    rows.select(base.columns.map(col).toSeq: _*)
+      .withColumn("__seq", lit(nextSeq()))
+      .write.mode(SaveMode.Append).parquet(patchPath.toString)
+  }
 
   /** Delete points matching `predicate` (the backend's delete-by-filter
-    * API; pass `col(id).isin(...)` for delete-by-ids). Parquet is
-    * immutable, so deletion rewrites the SURVIVORS — rows where the
-    * predicate is not true (null-predicate rows survive, standard SQL
-    * delete semantics) — into a shadow directory, then swaps it in and
-    * drops the old data. At collection scale, batch deletes and prefer
-    * predicates on partition-prunable columns; the swap is two renames,
-    * so a crash inside it can leave the collection needing a manual
-    * rename — acceptable under the documented single-writer contract
-    * (same caveat as the reference's non-transactional ingest loop). */
-  def delete(predicate: org.apache.spark.sql.Column): Unit =
-    rewriteData(_.filter(coalesce(!predicate, lit(true))))
+    * API; pass `col(id).isin(...)` for delete-by-ids). Appends tombstones
+    * for the matching LIVE keys — O(matched) written bytes; the one read
+    * is a predicate-pushed scan of the live view, never a rewrite. Rows
+    * where the predicate is null survive (standard SQL delete semantics).
+    * Run [[compact]] to fold accumulated tombstones into the base. */
+  def delete(predicate: Column): Unit = {
+    if (!fs.exists(dataPath)) return
+    val k = requireKey("delete")
+    val victims = load().filter(coalesce(predicate, lit(false))).select(col(k))
+    if (!victims.isEmpty)
+      victims.withColumn("__seq", lit(nextSeq()))
+        .write.mode(SaveMode.Append).parquet(tombPath.toString)
+  }
 
   /** Update payload columns for points matching `predicate` (the backend's
-    * `set_payload` API): each assigned column takes its new value on
-    * matching rows and keeps its old value elsewhere. Same survivor-
-    * rewrite + swap as [[delete]]; assignments must target EXISTING
-    * columns (adding columns would fork the schema for old rows). */
-  def setPayload(predicate: org.apache.spark.sql.Column,
-      assignments: Map[String, org.apache.spark.sql.Column]): Unit = {
-    val existing = load().columns.toSet
+    * `set_payload` API): appends patched copies of the matching live rows —
+    * O(matched) written bytes, last writer wins at read. Assignments must
+    * target EXISTING columns with their existing types (adding columns
+    * would fork the schema for old rows). */
+  def setPayload(predicate: Column,
+      assignments: Map[String, Column]): Unit = {
+    if (!fs.exists(dataPath)) return
+    requireKey("setPayload")
+    val existing = spark.read.parquet(dataPath.toString).columns.toSet
     val unknown = assignments.keySet -- existing
     require(unknown.isEmpty, s"setPayload targets unknown columns: $unknown")
-    rewriteData { df =>
-      assignments.foldLeft(df) { case (acc, (name, value)) =>
-        acc.withColumn(name, when(predicate, value).otherwise(col(name)))
-      }
+    val matched = load().filter(coalesce(predicate, lit(false)))
+    val patched = assignments.foldLeft(matched) { case (acc, (c, value)) =>
+      acc.withColumn(c, value)
     }
+    if (!patched.isEmpty) appendPatches(patched)
   }
 
   /** Exact point count, optionally filtered (the backend's `count` API) —
-    * the predicate pushes into the scan, so a filtered count reads only
-    * the touched row groups' statistics and columns. */
-  def count(filter: Option[org.apache.spark.sql.Column] = None): Long =
+    * on an unmutated collection the predicate pushes into the scan; on a
+    * mutated one it applies to the live merge-on-read view. */
+  def count(filter: Option[Column] = None): Long =
     filter.fold(load())(load().filter).count()
 
-  /** Full-rewrite mutation: write the transformed collection into a shadow
-    * directory, swap it in (two renames), drop the old data. A crash
-    * inside the swap can leave the collection needing a manual rename —
-    * acceptable under the documented single-writer contract. */
-  private def rewriteData(transform: DataFrame => DataFrame): Unit = {
-    if (!fs.exists(dataPath)) return
+  /** Fold the merge-on-read sidecars into `data/`: materialize the live
+    * view into a shadow directory, swap it in (two renames), drop the old
+    * data and the sidecars. This is the only full-rewrite job left — an
+    * explicitly scheduled maintenance pass, not a per-mutation cost.
+    * Idempotent across crashes: a crash after the swap leaves sidecars
+    * whose re-application onto the already-merged base is a no-op
+    * (tombstoned keys are gone, patch values equal the merged rows), and
+    * re-running compact finishes the cleanup. Single-writer contract. */
+  def compact(): Unit = {
+    if (!fs.exists(dataPath) || !mutated) return
     val shadow = new Path(base, "data_shadow")
-    fs.delete(shadow, true) // leftover from a crashed earlier rewrite
-    transform(load())
-      .write.mode(SaveMode.Overwrite).parquet(shadow.toString)
+    fs.delete(shadow, true) // leftover from a crashed earlier compact
+    load().write.mode(SaveMode.Overwrite).parquet(shadow.toString)
     val old = new Path(base, "data_old")
     fs.delete(old, true)
     require(fs.rename(dataPath, old), s"could not stage old data dir of $name")
     require(fs.rename(shadow, dataPath), s"could not swap new data dir of $name")
     fs.delete(old, true)
+    fs.delete(tombPath, true)
+    fs.delete(patchPath, true)
     ()
   }
 
@@ -124,9 +273,12 @@ class VectorCollection(
     * at collection scale), while the id predicate and the filter both push
     * into the parquet scan and each page plans as one TakeOrdered over the
     * qualifying remainder — per-page cost is O(qualifying rows) with
-    * row-group skipping, independent of scroll position. */
+    * row-group skipping, independent of scroll position. On a mutated
+    * collection the predicates still push into the clean-majority branch
+    * of the live view; only the sidecar-touched keys take the resolution
+    * path. */
   def scroll(idCol: String, limit: Int, after: Option[Any] = None,
-      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      filter: Option[Column] = None): DataFrame = {
     val base = load()
     val fromKey = after.fold(base)(a => base.filter(col(idCol) > lit(a)))
     filter.fold(fromKey)(fromKey.filter)

@@ -68,6 +68,117 @@ class VectorCollectionSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown columns"))
   }
 
+  test("mutations are O(batch): delete/setPayload append sidecars, base files untouched") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = tmpRoot
+    val c = VectorCollection(spark, root, "mor")
+    c.create(CollectionMeta(2, "cosine", normalized = false))
+    c.upsert((1L to 100L).map(i => (i, Array(i.toFloat, 0f), "raw"))
+      .toDF("id", "vec", "status"), "id")
+    def dataFiles = new java.io.File(s"$root/mor/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    val before = dataFiles
+    assert(!c.mutated)
+    c.delete(col("id") <= 3L)
+    c.setPayload(col("id") === 10L, Map("status" -> lit("clean")))
+    assert(c.mutated)
+    // the scale property: a point mutation must not rewrite the collection
+    assert(dataFiles == before, "mutation rewrote base data files")
+    // sidecars are mutation-sized
+    val tombs = spark.read.parquet(s"$root/mor/tombstones")
+    assert(tombs.count() == 3L)
+    assert(spark.read.parquet(s"$root/mor/patches").count() == 1L)
+    // live view reflects both mutations
+    assert(c.count() == 97L)
+    assert(c.load().filter(col("status") === "clean").select("id").as[Long].collect()
+      .toSeq == Seq(10L))
+  }
+
+  test("last-writer-wins chain: patch -> delete -> revive resolves in sequence order") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val c = VectorCollection(spark, tmpRoot, "lww")
+    c.create(CollectionMeta(2, "cosine", normalized = false))
+    c.upsert(Seq(("a", Array(1f, 0f), "v1"), ("b", Array(0f, 1f), "v1"))
+      .toDF("id", "vec", "status"), "id")
+    c.setPayload(col("id") === "a", Map("status" -> lit("v2")))
+    assert(c.load().filter(col("id") === "a").select("status").as[String].head() == "v2")
+    c.delete(col("id") === "a")
+    assert(c.count() == 1L)
+    // re-upsert of the deleted key revives it with the NEW values (the
+    // revival patch out-sequences both the tombstone and the old patch)
+    c.upsert(Seq(("a", Array(9f, 9f), "v3")).toDF("id", "vec", "status"), "id")
+    val a = c.load().filter(col("id") === "a")
+      .select("status", "vec").as[(String, Array[Float])].head()
+    assert(a._1 == "v3" && a._2.toSeq == Seq(9f, 9f))
+    // re-delivering the same batch is still a no-op against the live view
+    c.upsert(Seq(("a", Array(7f, 7f), "v4")).toDF("id", "vec", "status"), "id")
+    assert(c.load().filter(col("id") === "a").select("status").as[String].head() == "v3")
+  }
+
+  test("compact folds sidecars into the base and restores the fast path") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = tmpRoot
+    val c = VectorCollection(spark, root, "cmp")
+    c.create(CollectionMeta(2, "cosine", normalized = false))
+    c.upsert((1L to 50L).map(i => (i, Array(i.toFloat, 0f), "raw"))
+      .toDF("id", "vec", "status"), "id")
+    c.delete(col("id") % 10 === 0)
+    c.setPayload(col("id") === 7L, Map("status" -> lit("clean")))
+    val before = c.load().orderBy("id").collect().toSeq
+    c.compact()
+    assert(!c.mutated)
+    assert(!new java.io.File(s"$root/cmp/tombstones").exists)
+    assert(!new java.io.File(s"$root/cmp/patches").exists)
+    assert(c.load().orderBy("id").collect().toSeq == before)
+    // idempotent: compacting an unmutated collection is a no-op
+    c.compact()
+    assert(c.load().orderBy("id").collect().toSeq == before)
+    // post-compact mutations start a fresh sidecar generation
+    c.delete(col("id") === 1L)
+    assert(c.count() == before.size - 1L)
+  }
+
+  test("scroll and filtered count see the live merge-on-read view") {
+    import org.apache.spark.sql.functions.col
+    val c = VectorCollection(spark, tmpRoot, "mscroll")
+    c.create(CollectionMeta(2, "cosine", normalized = false))
+    c.upsert((1L to 20L).map(i => (i, Array(i.toFloat, 0f),
+      if (i % 2 == 0) "even" else "odd")).toDF("id", "vec", "par"), "id")
+    c.delete(col("id") === 4L)
+    var after: Option[Any] = None
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    var page = c.scroll("id", 4, after, Some(col("par") === "even")).collect()
+    while (page.nonEmpty) {
+      seen ++= page.map(_.getLong(0))
+      after = Some(page.last.getLong(0))
+      page = c.scroll("id", 4, after, Some(col("par") === "even")).collect()
+    }
+    assert(seen.toSeq == (2L to 20L by 2).filterNot(_ == 4L).toSeq)
+    assert(c.count(Some(col("par") === "even")) == 9L)
+  }
+
+  test("key discipline: one key per collection; reserved columns rejected") {
+    import org.apache.spark.sql.functions.col
+    val c = VectorCollection(spark, tmpRoot, "keys")
+    c.create(CollectionMeta(2, "cosine", normalized = false))
+    c.upsert(Seq(("a", Array(1f, 0f))).toDF("id", "vec"), "id")
+    assert(c.key.contains("id"))
+    val e = intercept[IllegalArgumentException] {
+      c.upsert(Seq(("b", Array(1f, 0f))).toDF("other", "vec"), "other")
+    }
+    assert(e.getMessage.contains("keyed by"))
+    val r = intercept[IllegalArgumentException] {
+      c.upsert(Seq(("b", Array(1f, 0f), 1L)).toDF("id", "vec", "__seq"), "id")
+    }
+    assert(r.getMessage.contains("reserved"))
+    // a collection that was never upserted cannot resolve mutations
+    val fresh = VectorCollection(spark, tmpRoot, "nokey")
+    fresh.create(CollectionMeta(2, "cosine", normalized = false))
+    fresh.upsert(Seq(("a", Array(1f, 0f))).toDF("id", "vec"), "id")
+    fresh.delete(col("id") === "a") // key recorded by the upsert - fine
+    assert(fresh.count() == 0L)
+  }
+
   test("scroll: keyset pages cover the filtered set exactly once; predicates pushed") {
     import org.apache.spark.sql.functions.col
     val c = VectorCollection(spark, tmpRoot, "scroll")
