@@ -51,6 +51,32 @@ class Bm25Spec extends SparkSpec {
       fromIndex.exceptAll(direct).count() == 0)
   }
 
+  test("bucketed postings: query scan is partition-pruned to the touched term shards") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25_bk").toString
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sf0001)
+    val idx = graft.index.Bm25Index(spark, root, "docs")
+      .build(docs, "doc_id", "text", buckets = 16)
+    // layout: one directory per term-hash bucket
+    val bucketDirs = new java.io.File(s"$root/docs/tf").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName)
+    assert(bucketDirs.length > 1, s"expected bucketed layout, got ${bucketDirs.toSeq}")
+    // a single-term query touches exactly one shard: the scan must carry a
+    // partition filter on bucket (the IVF-cells move applied to text)
+    val q = Seq((999L, "quick")).toDF("doc_id", "text")
+    val res = idx.query(q, "doc_id", "text", k = 5, roundScoreTo = Some(6))
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected bucket partition pruning in:\n$plan")
+    // and pruning must not change answers: identical to the direct operator
+    val qs = graft.bench.Sampling.seeded(docs, "doc_id", 5)
+    val direct = Bm25.search(docs, "doc_id", "text", qs, "doc_id", "text",
+      k = 10, roundScoreTo = Some(6))
+    val pruned = idx.query(qs, "doc_id", "text", k = 10,
+      roundScoreTo = Some(6), outIdCol = "doc_id")
+    assert(direct.exceptAll(pruned).count() == 0 &&
+      pruned.exceptAll(direct).count() == 0)
+  }
+
   test("index upsert: build(d1) + upsert(d2) answers exactly like build(d1 ∪ d2)") {
     val root = java.nio.file.Files.createTempDirectory("graft_bm25_up").toString
     val docs = graft.Tables.documents(spark, graft.TestSpark.sf0001)
@@ -118,6 +144,31 @@ class Bm25Spec extends SparkSpec {
     assert(fused.map(_.getAs[Long]("result_id")).toSeq == Seq(200L, 100L, 300L))
     val s = fused.map(_.getAs[Double]("score"))
     assert(s(0) > s(1) && s(1) > s(2))
+  }
+
+  test("weighted fusion: min-max calibrated convex sum; alpha dials the balance") {
+    // dense: a(1.0) > b(0.5) > c(0.0 after min-max); lexical: c best, b mid, a absent
+    val dense = Seq((1L, 100L, 0.9), (1L, 200L, 0.5), (1L, 300L, 0.1))
+      .toDF("query_id", "result_id", "score")
+    val lexical = Seq((1L, 300L, 12.0), (1L, 200L, 8.0), (1L, 400L, 4.0))
+      .toDF("query_id", "result_id", "score")
+    val fused = Hybrid.weighted(dense, lexical, alpha = 0.5, topK = 4)
+      .orderBy("rank").collect()
+    // normalized: dense a=1 b=.5 c=0; lexical c=1 b=.5 d=0
+    // fused: a=.5, b=.5, c=.5, d=0 -> three-way tie broken by id, d last
+    assert(fused.map(_.getAs[Long]("result_id")).toSeq == Seq(100L, 200L, 300L, 400L))
+    assert(fused.take(3).forall(_.getAs[Double]("score") == 0.5))
+    assert(fused.last.getAs[Double]("score") == 0.0)
+    // alpha = 1.0: pure dense ranking, lexical-only docs sink to zero
+    val denseOnly = Hybrid.weighted(dense, lexical, alpha = 1.0, topK = 4)
+      .orderBy("rank").collect()
+    assert(denseOnly.take(3).map(_.getAs[Long]("result_id")).toSeq ==
+      Seq(100L, 200L, 300L))
+    // degenerate all-tied list: every doc keeps the list's full weight
+    val tied = Seq((1L, 100L, 3.0), (1L, 200L, 3.0)).toDF("query_id", "result_id", "score")
+    val f2 = Hybrid.weighted(tied, lexical, alpha = 0.5, topK = 2).collect()
+    assert(f2.filter(_.getAs[Long]("result_id") == 100L)
+      .head.getAs[Double]("score") == 0.5)
   }
 
   test("rrf: string result ids take the window fallback, same fusion order") {
