@@ -897,7 +897,7 @@ object SparkEntry {
       // oracle is unchanged.
       val fp = corpusFingerprint(Tables.documents(s, dir), col("doc_id"), col("text"))
       val idxRoot = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_bm25_$fp").toString
+        s"graft_bm25_${fp}_b64").toString
       val idx = graft.index.Bm25Index(s, idxRoot, "documents")
       if (!idx.exists) idx.build(docs, "doc_id", "text")
       val lexical = idx.query(qDocs, "doc_id", "text", k = 20,
@@ -912,6 +912,33 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Hybrid retrieval, weighted mode: the same BM25 top-20 + cosine
+    // top-20 lists as hybrid_rrf, fused by min-max-normalized convex
+    // combination (alpha = 0.5) instead of reciprocal ranks — the fusion
+    // users reach for when score MAGNITUDES matter (RRF treats a near-tie
+    // and a blowout identically). alpha = 0.5 is exactly representable in
+    // binary, so the weighted contributions stay cross-engine exact.
+    "hybrid_weighted" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      val emb = embParallel(s, dir)
+      val qDocs = graft.bench.Sampling.seeded(Tables.documents(s, dir), "doc_id", 10)
+      val fp = corpusFingerprint(Tables.documents(s, dir), col("doc_id"), col("text"))
+      val idxRoot = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_bm25_${fp}_b64").toString
+      val idx = graft.index.Bm25Index(s, idxRoot, "documents")
+      if (!idx.exists) idx.build(docs, "doc_id", "text")
+      val lexical = idx.query(qDocs, "doc_id", "text", k = 20,
+          roundScoreTo = Some(6), outIdCol = "result_id")
+        .select(col("query_id"), col("result_id"), col("score"))
+      val qVecs = Tables.embeddings(s, dir)
+        .join(broadcast(qDocs.select(col("doc_id").as("vec_id"))), Seq("vec_id"))
+      val vector = Knn.knnJoin(qVecs, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 20, roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"), col("score"))
+      graft.search.Hybrid.weighted(vector, lexical, alpha = 0.5, topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Index-backed BM25: same queries, same output (and same oracle) as
     // bm25_topk, answered from the persisted inverted index — the
     // build-once/query-many lexical path (sibling of index_near_keep).
@@ -923,7 +950,7 @@ object SparkEntry {
       val docs = docsParallel(s, dir)
       val fp = corpusFingerprint(Tables.documents(s, dir), col("doc_id"), col("text"))
       val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_bm25_$fp").toString
+        s"graft_bm25_${fp}_b64").toString
       val idx = graft.index.Bm25Index(s, root, "documents")
       if (!idx.exists) idx.build(docs, "doc_id", "text")
       val q = graft.bench.Sampling.seeded(Tables.documents(s, dir), "doc_id", 10)
@@ -2098,6 +2125,80 @@ object SparkEntry {
         |  SELECT query_id, result_id, CAST(FLOOR(1.0 / (60 + rank) * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12)) AS r FROM bm
         |  UNION ALL
         |  SELECT query_id, result_id, CAST(FLOOR(1.0 / (60 + rank) * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12)) AS r FROM vv
+        |), fused AS (
+        |  SELECT query_id, result_id,
+        |    FLOOR(CAST(SUM(r) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS score
+        |  FROM contrib GROUP BY query_id, result_id
+        |), franked AS (
+        |  SELECT query_id, result_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+        |  FROM fused
+        |)
+        |SELECT query_id, result_id, rank, score FROM franked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "hybrid_weighted" ->
+      """WITH q AS (
+        |  SELECT doc_id AS qid, text AS qtext FROM documents
+        |  ORDER BY md5('graft42:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 10
+        |), qt AS (
+        |  SELECT DISTINCT qid, unnest(list_distinct(list_filter(string_split_regex(lower(qtext), '\s+'), x -> len(x) > 0))) AS term
+        |  FROM q
+        |), tk AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS dl,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM tk GROUP BY doc_id, dl, term
+        |), st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0))) AS DOUBLE) / count(*) AS avgdl
+        |  FROM documents
+        |), dft AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), idf AS (
+        |  SELECT qt.qid, qt.term,
+        |    FLOOR(ln(1.0 + (st.n - dft.df + 0.5) / (dft.df + 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS idf
+        |  FROM qt JOIN dft USING (term) CROSS JOIN st
+        |), c AS (
+        |  SELECT idf.qid AS query_id, tf.doc_id AS result_id,
+        |    CAST(FLOOR(idf.idf * tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / st.avgdl)) * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12)) AS c
+        |  FROM tf JOIN idf USING (term) CROSS JOIN st
+        |), sc AS (
+        |  SELECT query_id, result_id,
+        |    FLOOR(CAST(SUM(c) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS score
+        |  FROM c WHERE result_id <> query_id GROUP BY query_id, result_id
+        |), bm AS (
+        |  SELECT query_id, result_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+        |  FROM sc QUALIFY rank <= 20
+        |), vs AS (
+        |  SELECT q.qid AS query_id, e2.vec_id AS result_id,
+        |    ROUND(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])), 6) AS score
+        |  FROM q JOIN embeddings e1 ON e1.vec_id = q.qid
+        |  CROSS JOIN embeddings e2
+        |  WHERE e2.vec_id <> q.qid
+        |), vv AS (
+        |  SELECT query_id, result_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+        |  FROM vs QUALIFY rank <= 20
+        |), vn AS (
+        |  SELECT query_id, result_id,
+        |    CASE WHEN MAX(score) OVER (PARTITION BY query_id) = MIN(score) OVER (PARTITION BY query_id) THEN 1.0
+        |         ELSE (score - MIN(score) OVER (PARTITION BY query_id)) /
+        |              (MAX(score) OVER (PARTITION BY query_id) - MIN(score) OVER (PARTITION BY query_id)) END AS n
+        |  FROM vv
+        |), bn AS (
+        |  SELECT query_id, result_id,
+        |    CASE WHEN MAX(score) OVER (PARTITION BY query_id) = MIN(score) OVER (PARTITION BY query_id) THEN 1.0
+        |         ELSE (score - MIN(score) OVER (PARTITION BY query_id)) /
+        |              (MAX(score) OVER (PARTITION BY query_id) - MIN(score) OVER (PARTITION BY query_id)) END AS n
+        |  FROM bm
+        |), contrib AS (
+        |  SELECT query_id, result_id, CAST(FLOOR(0.5 * n * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12)) AS r FROM vn
+        |  UNION ALL
+        |  SELECT query_id, result_id, CAST(FLOOR(0.5 * n * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12)) AS r FROM bn
         |), fused AS (
         |  SELECT query_id, result_id,
         |    FLOOR(CAST(SUM(r) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS score

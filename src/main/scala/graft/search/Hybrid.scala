@@ -40,6 +40,52 @@ object Hybrid {
     topKPerQuery(fusedScores, topK)
   }
 
+  /**
+   * Hybrid retrieval by weighted score fusion: each list's scores are
+   * min-max normalized PER QUERY to [0, 1] (scale calibration — BM25
+   * magnitudes are unbounded, cosine lives in [-1, 1]), then combined as
+   * the convex sum `alpha·dense + (1 − alpha)·lexical`; a document absent
+   * from a list contributes nothing from it. The other standard hybrid
+   * mode next to [[rrf]]: rank-only fusion discards score MAGNITUDES
+   * (a near-tie and a blowout at ranks 1-2 fuse identically), while
+   * weighted fusion keeps them and gives users the alpha dial.
+   * Degenerate all-tied lists (max = min) normalize to 1.0 — every doc is
+   * equally "best", so each keeps the list's full weight.
+   *
+   * Scale shape: inputs are already top-k'd (≤ |Q|·k rows each), so the
+   * min-max windows, union, and fusion aggregate are query-output-sized,
+   * never corpus-sized. Same cross-engine float discipline as [[rrf]]:
+   * normalized scores are exact-double functions of 6-dp-quantized inputs,
+   * each weighted contribution is floor-quantized to the 1e-12 grid and
+   * DECIMAL-summed, so the DuckDB twin reproduces fused scores
+   * cell-exactly.
+   *
+   * Inputs carry (query_id, result_id, score).
+   * Output: query_id, result_id, `score` (fused, rounded), `rank`.
+   */
+  def weighted(dense: DataFrame, lexical: DataFrame, alpha: Double = 0.5,
+      topK: Int = 10, roundScoreTo: Int = 6): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    def contribution(list: DataFrame, weight: Double): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      val mn = min(col("score")).over(w)
+      val mx = max(col("score")).over(w)
+      list.select(col("query_id"), col("result_id"),
+          when(mx === mn, lit(1.0))
+            .otherwise((col("score") - mn) / (mx - mn)).as("__n"))
+        .select(col("query_id"), col("result_id"),
+          (floor(lit(weight) * col("__n") * lit(1e12) + lit(0.5)) / lit(1e12))
+            .cast("decimal(28,12)").as("__c"))
+    }
+    val contrib = contribution(dense, alpha)
+      .union(contribution(lexical, 1.0 - alpha))
+    val m = math.pow(10.0, roundScoreTo)
+    val fusedScores = contrib.groupBy(col("query_id"), col("result_id"))
+      .agg((floor(sum(col("__c")).cast("double") * lit(m) + lit(0.5)) / lit(m))
+        .as("score"))
+    topKPerQuery(fusedScores, topK)
+  }
+
   /** Per-query top-k cut over (query_id, result_id, score): bounded heap
     * for integral result ids, rank-window fallback for any other orderable
     * id type (same guard as Knn.knnJoin — a uuid-string id would null-cast
