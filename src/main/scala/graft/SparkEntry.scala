@@ -280,6 +280,52 @@ object SparkEntry {
           col("rank"), col("score"))
     }),
 
+    // Named multi-vector points (the backend's named-vectors surface):
+    // each point stores SEVERAL vectors — here the full 64-d embedding
+    // plus an 8-d head projection — registered by name with their dims in
+    // collection metadata; a search picks one by name. Scoring the head
+    // vector ranks differently from the full vector, which is the point:
+    // one artifact, several retrieval geometries. The head slice is
+    // deterministic (first 8 components), so the oracle reproduces the
+    // whole path — build, select-by-name, cosine top-k — in SQL.
+    "multi_vec_knn" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val fp = corpusFingerprint(emb, col("vec_id"), col("embedding"), col("label"))
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_vcoll_mv_$fp").toString
+      val coll = graft.index.VectorCollection(s, root, "embeddings_mv")
+      if (!coll.exists)
+        coll.create("cosine", normalized = false,
+          vectors = Seq("embedding" -> 64, "head_vec" -> 8))
+      coll.upsert(emb.withColumn("head_vec", slice(col("embedding"), 1, 8)), "vec_id")
+      val q = graft.bench.Sampling.seeded(emb, "vec_id", 10)
+        .select(col("vec_id"), slice(col("embedding"), 1, 8).as("qv"))
+      Knn.searchCollection(coll, q, "vec_id", "qv", "vec_id", "embedding",
+          k = 10, roundScoreTo = Some(6), vectorName = Some("head_vec"))
+        .select(col("query_id"), col("vec_id").as("result_id"),
+          col("rank"), col("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Sparse-vector search (the backend's sparse-vector surface, the data
+    // shape SPLADE-style learned-sparse models emit): documents carry
+    // (indices, values) pairs and score by sparse dot product. The corpus
+    // here is the embeddings table sparsified at |v| >= 0.1 (1-based
+    // indices — the oracle mirrors the same construction in SQL), queries
+    // a seeded 10-doc sample. Query components broadcast; the corpus
+    // explodes streaming; per-pair sums are DECIMAL-summed over the 1e-12
+    // grid and the top-k cut is the bounded heap.
+    "sparse_knn" -> ((s, dir) => {
+      val (idx, vals) = graft.search.Sparse.sparsify(col("embedding"), 0.1)
+      val sparse = embParallel(s, dir)
+        .select(col("vec_id"), idx.as("sidx"), vals.as("svals"))
+      val q = graft.bench.Sampling.seeded(Tables.embeddings(s, dir), "vec_id", 10)
+        .select(col("vec_id"), idx.as("sidx"), vals.as("svals"))
+      graft.search.Sparse.knn(sparse, "vec_id", "sidx", "svals",
+          q, "vec_id", "sidx", "svals", k = 10, roundScoreTo = Some(6))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Keyset-paginated scroll over a persisted collection (the backend's
     // `scroll` API) with a payload filter: id predicate + filter both push
     // into the scan; per-page cost is independent of scroll position (no
@@ -2135,6 +2181,49 @@ object SparkEntry {
         |  FROM fused
         |)
         |SELECT query_id, result_id, rank, score FROM franked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "multi_vec_knn" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding[1:8] AS qv FROM embeddings
+        |  ORDER BY md5('graft42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 10
+        |), scored AS (
+        |  SELECT q.qid AS query_id, c.vec_id AS result_id,
+        |    ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding[1:8] AS DOUBLE[])), 6) AS score
+        |  FROM q CROSS JOIN embeddings c
+        |  WHERE c.vec_id <> q.qid
+        |), ranked AS (
+        |  SELECT query_id, result_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, result_id, rank, score FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "sparse_knn" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid FROM embeddings
+        |  ORDER BY md5('graft42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 10
+        |), sp AS (
+        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+        |  WHERE abs(CAST(embedding[i] AS DOUBLE)) >= 0.1
+        |), qsp AS (
+        |  SELECT sp.vec_id, sp.i, sp.v FROM sp JOIN q ON sp.vec_id = q.qid
+        |), c AS (
+        |  SELECT qsp.vec_id AS query_id, sp.vec_id AS result_id,
+        |    CAST(FLOOR(qsp.v * sp.v * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12)) AS c
+        |  FROM qsp JOIN sp ON qsp.i = sp.i
+        |), sc AS (
+        |  SELECT query_id, result_id,
+        |    FLOOR(CAST(SUM(c) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS score
+        |  FROM c WHERE result_id <> query_id GROUP BY query_id, result_id
+        |), ranked AS (
+        |  SELECT query_id, result_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+        |  FROM sc
+        |)
+        |SELECT query_id, result_id, score, rank FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 
     "hybrid_weighted" ->
