@@ -71,6 +71,35 @@ class VectorCollection(
     this
   }
 
+  /** Create a collection with NAMED vectors: points carry several vector
+    * columns (e.g. a text embedding and a code embedding per document),
+    * each registered here with its dim; searches select one by name
+    * ([[graft.search.Knn.searchCollection]]'s `vectorName`). The first
+    * entry is the default vector and doubles as `meta.dim`; `normalized`
+    * and `metric` apply to every registered vector (mixing metrics per
+    * vector would make `normalized` meaningless as a collection fact). */
+  def create(metric: String, normalized: Boolean,
+      vectors: Seq[(String, Int)]): this.type = {
+    require(vectors.nonEmpty, "named-vector collections need at least one vector")
+    vectors.foreach { case (n, d) =>
+      require(!n.contains(";") && !n.contains("=") && n.nonEmpty,
+        s"vector name '$n' may not contain ';' or '='")
+      require(d > 0, s"vector '$n' has non-positive dim $d")
+    }
+    val enc = vectors.map { case (n, d) => s"$n=$d" }.mkString(";")
+    writeMetaJson(
+      s"""{"dim":${vectors.head._2},"metric":"$metric","normalized":$normalized,"vectors":"$enc"}""")
+    this
+  }
+
+  /** Registered named vectors `(name, dim)` in declaration order; empty
+    * for single-vector collections created via [[create(CollectionMeta)]]. */
+  def vectorDims: Seq[(String, Int)] =
+    metaFieldOpt(readMetaJson(), "vectors").map(_.split(";").toSeq.map { s =>
+      val Array(n, d) = s.split("=")
+      (n, d.toInt)
+    }).getOrElse(Seq.empty)
+
   def meta: CollectionMeta = {
     val s = readMetaJson()
     CollectionMeta(metaField(s, "dim").toInt, metaField(s, "metric"),

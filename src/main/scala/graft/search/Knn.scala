@@ -251,13 +251,26 @@ object Knn {
    * element cheaper) — the reference's `--normalized` intent
    * (main.py:19,30-34) as an automatic rewrite instead of a CLI knob.
    */
+  /** `vectorName` selects one of a multi-vector collection's registered
+    * vectors (named-vector points: a text embedding AND a code embedding
+    * per document, say) — it must appear in the collection's vector
+    * registry, and replaces `corpusVec` as the scored column. Leave it
+    * None for single-vector collections. */
   def searchCollection(
       collection: graft.index.VectorCollection,
       queries: DataFrame, queryId: String, queryVec: String,
       corpusId: String, corpusVec: String,
       k: Int,
       excludeSelf: Boolean = true,
-      roundScoreTo: Option[Int] = None): DataFrame = {
+      roundScoreTo: Option[Int] = None,
+      vectorName: Option[String] = None): DataFrame = {
+    val scoredVec = vectorName.fold(corpusVec) { vn =>
+      val registered = collection.vectorDims
+      require(registered.exists(_._1 == vn),
+        s"collection ${collection.name} has no vector '$vn'; registered: " +
+          registered.map(_._1).mkString(", "))
+      vn
+    }
     val normalized = collection.meta.normalized
     // dot ≡ cosine only on unit vectors: the collection side is unit by
     // its metadata contract, the query side is normalized here so callers
@@ -267,7 +280,7 @@ object Knn {
       queries.withColumn(queryVec, graft.functions.l2_normalize(col(queryVec)))
     else queries
     val metric = if (normalized) "dot" else "cosine"
-    knnJoin(q, queryId, queryVec, collection.load(), corpusId, corpusVec,
+    knnJoin(q, queryId, queryVec, collection.load(), corpusId, scoredVec,
       k, excludeSelf, metric, roundScoreTo)
   }
 }

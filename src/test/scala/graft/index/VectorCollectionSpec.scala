@@ -179,6 +179,40 @@ class VectorCollectionSpec extends SparkSpec {
     assert(fresh.count() == 0L)
   }
 
+  test("named multi-vector points: registry roundtrip, search-by-name, unknown name fails") {
+    import org.apache.spark.sql.functions.col
+    val c = VectorCollection(spark, tmpRoot, "mv")
+    c.create("cosine", normalized = false,
+      vectors = Seq("text_vec" -> 2, "code_vec" -> 3))
+    assert(c.vectorDims == Seq("text_vec" -> 2, "code_vec" -> 3))
+    assert(c.meta == CollectionMeta(2, "cosine", false)) // first vector is default
+    c.upsert(Seq(
+      (1L, Array(1f, 0f), Array(0f, 0f, 1f)),
+      (2L, Array(0f, 1f), Array(0f, 0f, 2f)),
+      (3L, Array(1f, 1f), Array(1f, 0f, 0f))
+    ).toDF("id", "text_vec", "code_vec"), "id")
+    val q = Seq((9L, Array(0f, 0f, 1f))).toDF("id", "qv")
+    // code_vec geometry: docs 1 and 2 are parallel to the query (cos 1.0),
+    // doc 3 orthogonal (cos 0.0) - text_vec would rank them differently
+    val byCode = graft.search.Knn.searchCollection(c, q, "id", "qv", "id", "text_vec",
+        k = 3, roundScoreTo = Some(6), vectorName = Some("code_vec"))
+      .orderBy("rank").collect()
+    assert(byCode.take(2).map(_.getAs[Long]("id")).toSet == Set(1L, 2L))
+    assert(byCode.take(2).forall(_.getAs[Double]("score") == 1.0))
+    assert(byCode.last.getAs[Long]("id") == 3L &&
+      byCode.last.getAs[Double]("score") == 0.0)
+    val e = intercept[IllegalArgumentException] {
+      graft.search.Knn.searchCollection(c, q, "id", "qv", "id", "text_vec",
+        k = 1, vectorName = Some("nope"))
+    }
+    assert(e.getMessage.contains("no vector 'nope'"))
+    // invalid registrations fail at create
+    intercept[IllegalArgumentException] {
+      VectorCollection(spark, tmpRoot, "bad").create("cosine", false,
+        Seq("a=b" -> 2))
+    }
+  }
+
   test("scroll: keyset pages cover the filtered set exactly once; predicates pushed") {
     import org.apache.spark.sql.functions.col
     val c = VectorCollection(spark, tmpRoot, "scroll")
