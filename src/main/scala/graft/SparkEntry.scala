@@ -913,6 +913,33 @@ object SparkEntry {
           .as("recall_at_k"))
     }),
 
+    // The MAXIMALLY-compressed persisted pruning path: IVF-PQ (Jégou 2011)
+    // stores one BYTE per subspace — 32x fewer vector bytes at 64-dim/m=8
+    // vs float (int8's 4x squared) — and scores the float query against
+    // the codebook reconstruction (asymmetric: only the corpus side pays
+    // quantization loss). recall@10 vs full-float exact kNN compounds
+    // cell-pruning + PQ loss; IvfCollectionSpec pins the floor. KMeans
+    // codebooks aren't SQL-expressible -> rows-only.
+    "ivf_pq_recall" -> ((s, dir) => {
+      val emb = embParallel(s, dir)
+      val q = knnQueries(s, dir)
+      val fp = corpusFingerprint(Tables.embeddings(s, dir), col("vec_id"), col("embedding"))
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ivfcolpq_${fp}_nl16_s42_m8_rv${graft.index.IvfCollection.RoutingVersion}").toString
+      val ivfc = graft.index.IvfCollection(s, root, "embeddings")
+      if (!ivfc.exists) ivfc.build(emb, "vec_id", "embedding", nList = 16, seed = 42L,
+        pq = true, pqM = 8, pqCodebookSize = 256)
+      val exact = Knn.knnJoin(q, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"))
+      val approx = ivfc.query(q, "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, nProbe = 4, roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"), lit(1).as("__found"))
+      exact.join(approx, Seq("query_id", "result_id"), "left")
+        .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
+          .as("recall_at_k"))
+    }),
+
     // BM25 full-text retrieval (Okapi ranking) — the lexical half of
     // hybrid search. One TF aggregate with dl riding as a grouping key,
     // query-term-restricted DF broadcast, DECIMAL-summed per-pair scores,

@@ -78,6 +78,19 @@ package object functions {
     * integer dot/norms on the codes, no dequantization. */
   def int8_cosine(a: Column, b: Column): Column = col(Int8Cosine(ex(a), ex(b)))
 
+  /** Product-quantize an array<float> column to binary codes (one byte
+    * per subspace — 32x smaller at 64-dim/m=8). Codebooks ride the plan
+    * as a constant (train with [[graft.search.Pq.trainCodebooks]]). */
+  def pq_encode(a: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    col(PqEncode(ex(a), codebooks))
+
+  /** Asymmetric cosine of a float query column against a PQ code
+    * (binary) column: query vs the codebook reconstruction — only the
+    * corpus side pays quantization loss. */
+  def pq_cosine(q: Column, codes: Column,
+      codebooks: Array[Array[Array[Float]]]): Column =
+    col(PqCosine(ex(q), ex(codes), codebooks))
+
   /** Bounded-heap per-group top-k aggregate (map-side partials): keeps the
     * k best `payload` struct rows by (score desc, id asc) and returns them
     * best-first as array<struct>. The aggregate requires exact

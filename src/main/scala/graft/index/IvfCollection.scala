@@ -18,11 +18,16 @@ import graft.search.Ivf
  * probe then reads a QUARTER of the vector bytes per probed cell and
  * scores in integer arithmetic ([[graft.functions.int8_cosine]]; the
  * symmetric per-vector scale cancels in cosine, so codes alone are the
- * search index). Composed, the two levers multiply: nProbe/nList × 1/4 of
- * the vector bytes through scan, cache, and scoring — the production
- * artifact shape for 100 TB corpora. Centroid training and probe routing
- * stay full-float (centroids are nList rows — compressing them saves
- * nothing and would perturb routing).
+ * search index). `pq = true` goes further: product quantization
+ * ([[graft.expr.PqVectorOps]], Jégou 2011) stores ONE BYTE per subspace —
+ * 32× compression at 64-dim/m=8 — scoring the float query asymmetrically
+ * against the codebook reconstruction, so only the corpus side pays the
+ * quantization loss. Composed, the levers multiply: nProbe/nList × the
+ * codec's byte reduction through scan, cache, and scoring — IVF-int8 and
+ * IVF-PQ are the production artifact shapes for 100 TB corpora (PQ when
+ * memory/bandwidth dominates, int8 when recall headroom is tight).
+ * Centroid training and probe routing stay full-float (centroids are
+ * nList rows — compressing them saves nothing and would perturb routing).
  *
  * Build once (train + assign + write), query many: the layout is the
  * persisted analogue of [[graft.search.Ivf.knnJoinIvf]]'s in-flight
@@ -42,7 +47,9 @@ class IvfCollection(
     * rebuilt collection stays keyed like [[VectorCollection.upsert]]. */
   def build(
       corpus: DataFrame, idCol: String, vecCol: String,
-      nList: Int, seed: Long = 42L, int8: Boolean = false): this.type = {
+      nList: Int, seed: Long = 42L, int8: Boolean = false,
+      pq: Boolean = false, pqM: Int = 8, pqCodebookSize: Int = 256): this.type = {
+    require(!(int8 && pq), "pick ONE compression codec: int8 or pq")
     invalidateMeta()
     val centroids = Ivf.trainCentroids(corpus, vecCol, nList, seed)
     val assigned = Ivf.assign(corpus.dropDuplicates(idCol), vecCol, centroids)
@@ -51,7 +58,14 @@ class IvfCollection(
         .withColumn(codeCol(vecCol), quantize_int8(col(vecCol)))
         .withColumn(scaleCol(vecCol), int8_scale(col(vecCol)))
         .drop(vecCol)
-      else assigned
+      else if (pq) {
+        val cb = graft.search.Pq.trainCodebooks(corpus, vecCol, pqM,
+          pqCodebookSize, seed)
+        writeCodebooks(cb)
+        assigned
+          .withColumn(pqCol(vecCol), graft.functions.pq_encode(col(vecCol), cb))
+          .drop(vecCol)
+      } else assigned
     stored.write.mode(SaveMode.Overwrite)
       .partitionBy("ivf_cell")
       .parquet(dataPath)
@@ -60,7 +74,7 @@ class IvfCollection(
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .write.mode(SaveMode.Overwrite).parquet(centroidsPath)
-    writeMetaJson(s"""{"int8":$int8,"nList":$nList,"seed":$seed,"routingVersion":${IvfCollection.RoutingVersion}}""")
+    writeMetaJson(s"""{"int8":$int8,"pq":$pq,"pqM":$pqM,"nList":$nList,"seed":$seed,"routingVersion":${IvfCollection.RoutingVersion}}""")
     this
   }
 
@@ -84,8 +98,34 @@ class IvfCollection(
   /** Whether the persisted layout stores int8 codes instead of floats. */
   def isInt8: Boolean = metaField(readMetaJson(), "int8").toBoolean
 
+  /** Whether the persisted layout stores product-quantization codes
+    * (m bytes per vector — 32× compression at 64-dim/m=8, vs int8's 4×). */
+  def isPq: Boolean = metaFieldOpt(readMetaJson(), "pq").exists(_.toBoolean)
+
   private def codeCol(vecCol: String) = s"${vecCol}_code"
   private def scaleCol(vecCol: String) = s"${vecCol}_scale"
+  private def pqCol(vecCol: String) = s"${vecCol}_pq"
+
+  private lazy val codebooksPath =
+    new org.apache.hadoop.fs.Path(base, "pq_codebooks").toString
+
+  private def writeCodebooks(cb: Array[Array[Array[Float]]]): Unit = {
+    import spark.implicits._
+    cb.zipWithIndex.toSeq.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
+    }.toDF("subspace", "centroid_id", "centroid")
+      .write.mode(SaveMode.Overwrite).parquet(codebooksPath)
+  }
+
+  /** The persisted PQ codebooks (m × k × d/m floats — a plan constant;
+    * metadata-sized driver collect, same precedent as [[centroids]]). */
+  def codebooks(): Array[Array[Array[Float]]] =
+    spark.read.parquet(codebooksPath)
+      .orderBy(col("subspace"), col("centroid_id"))
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.map(_.getSeq[Float](2).toArray))
+      .toArray
 
   /** Incremental ingest: assign NEW rows (id anti-join — idempotent by
     * key, like [[VectorCollection.upsert]]) against the EXISTING
@@ -104,6 +144,11 @@ class IvfCollection(
       if (isInt8) assigned
         .withColumn(codeCol(vecCol), quantize_int8(col(vecCol)))
         .withColumn(scaleCol(vecCol), int8_scale(col(vecCol)))
+        .drop(vecCol)
+      else if (isPq) assigned
+        // encode against the PERSISTED codebooks — like the centroids,
+        // they are frozen at build; re-training would orphan stored codes
+        .withColumn(pqCol(vecCol), graft.functions.pq_encode(col(vecCol), codebooks()))
         .drop(vecCol)
       else assigned
     stored.write.mode(SaveMode.Append)
@@ -169,6 +214,14 @@ class IvfCollection(
         corpus, corpusId, codeCol(corpusVec),
         k, cents, nProbe, excludeSelf, roundScoreTo, reuseCellCol = true,
         metric = "int8", queryScoreCol = Some("__qcode"))
+    } else if (isPq) {
+      // Asymmetric scoring: the FLOAT query against the PQ reconstruction
+      // — only the corpus side pays quantization loss; routing unchanged.
+      val cb = codebooks()
+      Ivf.knnJoinIvf(queries, queryId, queryVec,
+        corpus, corpusId, pqCol(corpusVec),
+        k, cents, nProbe, excludeSelf, roundScoreTo, reuseCellCol = true,
+        scorer = Some((q, c) => graft.functions.pq_cosine(q, c, cb)))
     } else {
       Ivf.knnJoinIvf(queries, queryId, queryVec,
         corpus, corpusId, corpusVec,

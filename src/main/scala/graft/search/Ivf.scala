@@ -74,7 +74,8 @@ object Ivf {
       roundScoreTo: Option[Int] = None,
       reuseCellCol: Boolean = false,
       metric: String = "cosine",
-      queryScoreCol: Option[String] = None): DataFrame = {
+      queryScoreCol: Option[String] = None,
+      scorer: Option[(Column, Column) => Column] = None): DataFrame = {
     // reuseCellCol: the caller vouches that corpus.ivf_cell was assigned
     // from EXACTLY these centroids (e.g. IvfCollection persists both
     // together) — skipping the per-row recompute. Never inferred from
@@ -90,7 +91,11 @@ object Ivf {
     val scored0 = assigned
       .join(broadcast(probes), Seq("ivf_cell"))
       .withColumn("score", {
-        val raw = Knn.score(metric)(col("__qv"), col(corpusVec))
+        // scorer overrides the named metric — for kernels carrying plan
+        // constants (PQ codebooks) that a metric string can't express
+        val raw = scorer.fold(Knn.score(metric)(col("__qv"), col(corpusVec))) {
+          f => f(col("__qv"), col(corpusVec))
+        }
         roundScoreTo.fold(raw)(n => round(raw, n))
       })
     val scored =

@@ -157,6 +157,83 @@ class IvfCollectionSpec extends SparkSpec {
       k = 2, nProbe = 2).count() > 0)
   }
 
+  test("pq build: codes stored (m bytes), cell pruning intact, exhaustive probe ≡ exact PQ scoring") {
+    import graft.functions.{pq_cosine, pq_encode}
+    val root = Files.createTempDirectory("graft_ivfpq").toString
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val coll = IvfCollection(spark, root, "ivfpq")
+      .build(emb, "vec_id", "embedding", nList = 4, seed = 42L,
+        pq = true, pqM = 8, pqCodebookSize = 16)
+    assert(coll.isPq && !coll.isInt8)
+
+    // layout: float vector replaced by m-byte PQ codes
+    val schema = coll.load().schema
+    assert(!schema.fieldNames.contains("embedding"))
+    assert(schema("embedding_pq").dataType == org.apache.spark.sql.types.BinaryType)
+    assert(coll.load().select(org.apache.spark.sql.functions.length(col("embedding_pq")))
+      .head().getInt(0) == 8)
+    // persisted codebooks roundtrip with the right shape
+    val cb = coll.codebooks()
+    assert(cb.length == 8 && cb.forall(_.forall(_.length == 8)))
+
+    // pruning survives the compression
+    val q = emb.limit(10)
+    val probed = coll.query(q, "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, nProbe = 2, roundScoreTo = Some(6))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ivf_cell"),
+      s"expected partition filter in:\n$plan")
+
+    // exhaustive probe must equal exact asymmetric-PQ search over the
+    // encoded corpus (routing adds no loss when every cell is read);
+    // recomputed directly via a rank window over pq_cosine
+    val codes = emb.select(col("vec_id"), pq_encode(col("embedding"), cb).as("c"))
+    val scored = q.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(codes)
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("score", org.apache.spark.sql.functions.round(
+        pq_cosine(col("qv"), col("c"), cb), 6))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val want = scored.withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("result_id"), col("score"))
+    val all = coll.query(q, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nProbe = 4, roundScoreTo = Some(6))
+      .select(col("query_id"), col("vec_id").as("result_id"), col("score"))
+    assert(all.exceptAll(want).count() == 0 && want.exceptAll(all).count() == 0)
+  }
+
+  test("pq upsert: new rows encoded against the persisted codebooks; idempotent") {
+    val root = Files.createTempDirectory("graft_ivfpq_up").toString
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val coll = IvfCollection(spark, root, "ivfpq_up")
+      .build(emb.filter(col("vec_id") < 400), "vec_id", "embedding",
+        nList = 4, seed = 42L, pq = true, pqM = 8, pqCodebookSize = 16)
+    val rest = emb.filter(col("vec_id") >= 400)
+    coll.upsert(rest, "vec_id", "embedding")
+    assert(coll.load().count() == emb.count())
+    coll.upsert(rest, "vec_id", "embedding") // no-op
+    assert(coll.load().count() == emb.count())
+    // appended codes agree with a fresh encode against the same codebooks
+    val cb = coll.codebooks()
+    val got = coll.load().filter(col("vec_id") >= 400)
+      .select(col("vec_id"), col("embedding_pq"))
+    val expect = rest.select(col("vec_id"),
+      graft.functions.pq_encode(col("embedding"), cb).as("embedding_pq"))
+    assert(got.exceptAll(expect).count() == 0 && expect.exceptAll(got).count() == 0)
+  }
+
+  test("driver ivf_pq_recall query: recall_at_k meets a pq floor") {
+    // IVF pruning + 32x PQ compression compounds the most loss of any
+    // path; the floor documents the engine-level guarantee the rows-only
+    // driver check can't see.
+    val recall = graft.SparkEntry.queries("ivf_pq_recall")(
+        spark, graft.TestSpark.sf0001)
+      .head().getDouble(0)
+    assert(recall >= 0.2, s"ivf_pq_recall recall_at_k = $recall")
+  }
+
   test("driver ivf_int8_recall query: recall_at_k meets the IVF floor") {
     // Compound loss (cell pruning + int8 quantization) still has to clear
     // the same floor as the uncompressed path — quantization costs ≈1% of
