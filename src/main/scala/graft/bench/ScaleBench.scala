@@ -1,0 +1,124 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Empirical scale validation: amplify the sf0.1 documents/embeddings
+ * fixtures N× (union with re-keyed ids — every original doc becomes an
+ * N-clone family, the worst case for dedup paths) and measure the
+ * dedup/retrieval query families at each factor. The design claims this
+ * run checks:
+ *
+ *  - bucketed paths (LSH bands, winnow fingerprints, BM25 postings, TF
+ *    aggregates, bounded-heap top-k) should scale ~linearly in corpus
+ *    size — a quadratic explosion shows up immediately as super-linear
+ *    wall-clock;
+ *  - the distributed connected-components path must ENGAGE once the mined
+ *    edge set exceeds the 2²⁰ driver threshold (identical-clone families
+ *    of 30 × 5 000 docs mine ≈ 2.2 M edges) and converge in few rounds —
+ *    measured directly via connectedComponentsWithRounds, not inferred.
+ *
+ * Timing protocol mirrors [[graft.Bench]]: one untimed warmup pass (JIT +
+ * codegen + artifact caches), two timed passes, per-query minimum. Output:
+ * one JSON line on stdout + a durable copy at bench_out/scale.json.
+ */
+object ScaleBench {
+  // The families whose scale behavior the design document argues for.
+  // dedup_clusters is the CC consumer; bm25_index_topk the pruned-postings
+  // path; sparse_knn the newest corpus-exploding kernel.
+  private val queryNames = Seq(
+    "dedup_exact", "dedup_minhash", "dedup_near_keep", "dedup_clusters",
+    "winnow_pairs", "bm25_topk", "bm25_index_topk", "knn_topk", "sparse_knn")
+
+  private val Stride = 10_000_000L // far above any fixture id
+
+  def main(args: Array[String]): Unit = {
+    val factors = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 10, 30)
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def jNum(d: Double): String = "%.4f".format(d)
+    val perFactor = factors.map { n =>
+      val dir = amplified(spark, srcDir, n)
+      val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+      val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val fns = queryNames.map(q => q -> graft.SparkEntry.queries(q))
+      fns.foreach { case (_, fn) => // warmup: JIT, codegen, artifact builds
+        try fn(spark, dir).count() catch { case _: Throwable => () }
+      }
+      def pass(): Map[String, Double] = fns.map { case (q, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, dir).count() catch { case _: Throwable => () }
+        q -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+      val (p1, p2) = (pass(), pass())
+      val times = queryNames.map(q => q -> math.min(p1(q), p2(q)))
+      System.err.println(s"factor $n done: " +
+        times.map { case (q, t) => f"$q=$t%.2f" }.mkString(" "))
+      n -> (nDocs, nVecs, times)
+    }
+
+    // Distributed-CC engagement at the largest factor: mine the same LSH
+    // pair set dedup_clusters uses and run CC with the round counter.
+    val maxDir = amplified(spark, srcDir, factors.max)
+    val docs = graft.Tables.documents(spark, maxDir)
+    val pairs = graft.dedup.Dedup.minHashNearDups(docs, "doc_id", "text",
+      n = 3, numHashes = 128, bands = 32, threshold = 0.8)
+    val edgeCount = pairs.count()
+    val (labels, rounds) = graft.dedup.Dedup.connectedComponentsWithRounds(
+      docs, "doc_id", pairs, "id_a", "id_b")
+    val nComponents = labels.select(col("component")).distinct().count()
+
+    val factorJson = perFactor.map { case (n, (nd, nv, times)) =>
+      s""""$n":{"n_docs":$nd,"n_vecs":$nv,"queries":{""" +
+        times.map { case (q, t) => s""""$q":${jNum(t)}""" }.mkString(",") + "}}"
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"scale","sf_dir":"$srcDir","cores":$cpus,""" +
+      s""""factors":${factors.mkString("[", ",", "]")},""" +
+      s""""per_factor":$factorJson,""" +
+      s""""cc":{"factor":${factors.max},"edges":$edgeCount,"rounds":$rounds,""" +
+      s""""components":$nComponents,"driver_threshold":${1L << 20}}}"""
+    println(line)
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/bench_out/scale.json"))
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    spark.stop()
+  }
+
+  /** N-fold union of documents/embeddings with replica-offset ids (replica
+    * r shifts ids by r·Stride, keeping every other column byte-identical —
+    * exact N-clone families). Cached under java.io.tmpdir per (src, N). */
+  private def amplified(spark: SparkSession, srcDir: String, n: Int): String = {
+    if (n == 1) return srcDir
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_scale_${new java.io.File(srcDir).getName}_x$n")
+    val marker = new java.io.File(out, "_SCALE_OK")
+    if (marker.exists) return out.toString
+    def amplify(table: String, idCol: String): Unit = {
+      val base = spark.read.parquet(s"$srcDir/$table.parquet")
+      base.crossJoin(broadcast(spark.range(n).toDF("__rep")))
+        .withColumn(idCol, col(idCol) + col("__rep") * lit(Stride))
+        .drop("__rep")
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+    }
+    amplify("documents", "doc_id")
+    amplify("embeddings", "vec_id")
+    marker.createNewFile()
+    out.toString
+  }
+}
