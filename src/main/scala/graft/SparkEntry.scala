@@ -940,6 +940,33 @@ object SparkEntry {
           .as("recall_at_k"))
     }),
 
+    // The bandwidth-extreme pruning path: IVF-binary stores 1 BIT per
+    // dimension (32x, no codebooks) and recovers ranking quality by
+    // rescoring k*oversample sign-sketch candidates at full precision —
+    // only |Q|*k*oversample rows ever touch float vectors. KMeans cells +
+    // sign-sketch candidate selection aren't SQL-expressible -> rows-only;
+    // IvfCollectionSpec pins the rescored recall floor.
+    "ivf_binary_recall" -> ((s, dir) => {
+      val emb = embParallel(s, dir)
+      val q = knnQueries(s, dir)
+      val fp = corpusFingerprint(Tables.embeddings(s, dir), col("vec_id"), col("embedding"))
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ivfcolbin_${fp}_nl16_s42_rv${graft.index.IvfCollection.RoutingVersion}").toString
+      val ivfc = graft.index.IvfCollection(s, root, "embeddings")
+      if (!ivfc.exists) ivfc.build(emb, "vec_id", "embedding", nList = 16, seed = 42L,
+        binary = true)
+      val exact = Knn.knnJoin(q, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"))
+      val approx = ivfc.query(q, "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, nProbe = 4, roundScoreTo = Some(6),
+          rescore = Some(emb), oversample = 4)
+        .select(col("query_id"), col("vec_id").as("result_id"), lit(1).as("__found"))
+      exact.join(approx, Seq("query_id", "result_id"), "left")
+        .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
+          .as("recall_at_k"))
+    }),
+
     // BM25 full-text retrieval (Okapi ranking) — the lexical half of
     // hybrid search. One TF aggregate with dl riding as a grouping key,
     // query-term-restricted DF broadcast, DECIMAL-summed per-pair scores,

@@ -91,6 +91,23 @@ package object functions {
       codebooks: Array[Array[Array[Float]]]): Column =
     col(PqCosine(ex(q), ex(codes), codebooks))
 
+  /** Binary-quantize an array<float> column to packed sign bits (1 bit
+    * per component — 32x smaller, no codebooks). The extreme end of the
+    * compression ladder; recover recall by rescoring over-fetched
+    * candidates at full precision. */
+  def binary_quantize(a: Column): Column = col(BitQuantize(ex(a)))
+
+  /** Asymmetric cosine of a float query column against packed sign bits:
+    * query vs the ±1 reconstruction — only the corpus side pays the
+    * quantization loss. */
+  def binary_cosine(q: Column, codes: Column): Column =
+    col(BitCosine(ex(q), ex(codes)))
+
+  /** Hamming distance (int) between two packed sign-bit code columns;
+    * -1 on length mismatch. */
+  def hamming_distance(a: Column, b: Column): Column =
+    col(BitHamming(ex(a), ex(b)))
+
   /** Bounded-heap per-group top-k aggregate (map-side partials): keeps the
     * k best `payload` struct rows by (score desc, id asc) and returns them
     * best-first as array<struct>. The aggregate requires exact
@@ -152,6 +169,9 @@ package object functions {
     reg.createOrReplaceTempFunction("quantize_int8", es => QuantizeInt8(es.head), "built-in")
     reg.createOrReplaceTempFunction("int8_scale", es => Int8Scale(es.head), "built-in")
     reg.createOrReplaceTempFunction("int8_cosine", es => Int8Cosine(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("binary_quantize", es => BitQuantize(es.head), "built-in")
+    reg.createOrReplaceTempFunction("binary_cosine", es => BitCosine(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("hamming_distance", es => BitHamming(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("min_hash_sig",
       es => MinHashSig(es(0), litInt("min_hash_sig", "numHashes")(es(1))), "built-in")
     reg.createOrReplaceTempFunction("min_hash_band_keys",

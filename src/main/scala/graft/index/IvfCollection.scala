@@ -22,10 +22,15 @@ import graft.search.Ivf
  * ([[graft.expr.PqVectorOps]], Jégou 2011) stores ONE BYTE per subspace —
  * 32× compression at 64-dim/m=8 — scoring the float query asymmetrically
  * against the codebook reconstruction, so only the corpus side pays the
- * quantization loss. Composed, the levers multiply: nProbe/nList × the
- * codec's byte reduction through scan, cache, and scoring — IVF-int8 and
- * IVF-PQ are the production artifact shapes for 100 TB corpora (PQ when
- * memory/bandwidth dominates, int8 when recall headroom is tight).
+ * quantization loss. `binary = true` is the extreme end: packed sign
+ * bits ([[graft.expr.BitVectorOps]]) — 32× with no codebooks, rescued by
+ * query()'s full-precision `rescore` (over-fetch candidates, re-rank
+ * exactly — only |Q|·k·oversample rows ever touch float vectors).
+ * Composed, the levers multiply: nProbe/nList × the
+ * codec's byte reduction through scan, cache, and scoring — IVF-int8,
+ * IVF-PQ, and IVF-binary+rescore are the production artifact shapes for
+ * 100 TB corpora (binary/PQ when memory/bandwidth dominates, int8 when
+ * recall headroom is tight).
  * Centroid training and probe routing stay full-float (centroids are
  * nList rows — compressing them saves nothing and would perturb routing).
  *
@@ -48,8 +53,10 @@ class IvfCollection(
   def build(
       corpus: DataFrame, idCol: String, vecCol: String,
       nList: Int, seed: Long = 42L, int8: Boolean = false,
-      pq: Boolean = false, pqM: Int = 8, pqCodebookSize: Int = 256): this.type = {
-    require(!(int8 && pq), "pick ONE compression codec: int8 or pq")
+      pq: Boolean = false, pqM: Int = 8, pqCodebookSize: Int = 256,
+      binary: Boolean = false): this.type = {
+    require(Seq(int8, pq, binary).count(identity) <= 1,
+      "pick ONE compression codec: int8, pq, or binary")
     invalidateMeta()
     val centroids = Ivf.trainCentroids(corpus, vecCol, nList, seed)
     val assigned = Ivf.assign(corpus.dropDuplicates(idCol), vecCol, centroids)
@@ -65,7 +72,10 @@ class IvfCollection(
         assigned
           .withColumn(pqCol(vecCol), graft.functions.pq_encode(col(vecCol), cb))
           .drop(vecCol)
-      } else assigned
+      } else if (binary) assigned
+        .withColumn(bitsCol(vecCol), graft.functions.binary_quantize(col(vecCol)))
+        .drop(vecCol)
+      else assigned
     stored.write.mode(SaveMode.Overwrite)
       .partitionBy("ivf_cell")
       .parquet(dataPath)
@@ -74,7 +84,7 @@ class IvfCollection(
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .write.mode(SaveMode.Overwrite).parquet(centroidsPath)
-    writeMetaJson(s"""{"int8":$int8,"pq":$pq,"pqM":$pqM,"nList":$nList,"seed":$seed,"routingVersion":${IvfCollection.RoutingVersion}}""")
+    writeMetaJson(s"""{"int8":$int8,"pq":$pq,"pqM":$pqM,"binary":$binary,"nList":$nList,"seed":$seed,"routingVersion":${IvfCollection.RoutingVersion}}""")
     this
   }
 
@@ -102,9 +112,15 @@ class IvfCollection(
     * (m bytes per vector — 32× compression at 64-dim/m=8, vs int8's 4×). */
   def isPq: Boolean = metaFieldOpt(readMetaJson(), "pq").exists(_.toBoolean)
 
+  /** Whether the persisted layout stores packed sign bits (1 bit per
+    * component — 32× compression with no codebooks; pair with query()'s
+    * rescore to recover recall). */
+  def isBinary: Boolean = metaFieldOpt(readMetaJson(), "binary").exists(_.toBoolean)
+
   private def codeCol(vecCol: String) = s"${vecCol}_code"
   private def scaleCol(vecCol: String) = s"${vecCol}_scale"
   private def pqCol(vecCol: String) = s"${vecCol}_pq"
+  private def bitsCol(vecCol: String) = s"${vecCol}_bits"
 
   private lazy val codebooksPath =
     new org.apache.hadoop.fs.Path(base, "pq_codebooks").toString
@@ -150,6 +166,9 @@ class IvfCollection(
         // they are frozen at build; re-training would orphan stored codes
         .withColumn(pqCol(vecCol), graft.functions.pq_encode(col(vecCol), codebooks()))
         .drop(vecCol)
+      else if (isBinary) assigned
+        .withColumn(bitsCol(vecCol), graft.functions.binary_quantize(col(vecCol)))
+        .drop(vecCol)
       else assigned
     stored.write.mode(SaveMode.Append)
       .partitionBy("ivf_cell")
@@ -184,6 +203,17 @@ class IvfCollection(
    * BOTH the ivf_cell partition filter and the predicate as PushedFilters
    * (plan-asserted in IvfCollectionSpec). Rows failing the predicate are
    * row-group-skipped at the source, not scored and discarded.
+   *
+   * `rescore` refines a lossy codec's ranking at full precision (the
+   * binary-quantization recall recovery, Qdrant's oversampling pattern):
+   * the codec ranks k·`oversample` candidates per query, then ONLY those
+   * candidate ids are joined back to the given full-precision frame
+   * (`corpusId` + float `corpusVec` columns) and re-ranked by exact
+   * cosine to the final k. The exact kernel runs on |Q|·k·oversample
+   * rows, never the corpus; the candidate side is broadcast into the
+   * full-precision scan, so at 100 TB the fetch reads the (id, vec)
+   * columns of one keyed table — bucket that table by id and the fetch
+   * prunes too. Codec-agnostic (useful for binary, pq, int8 alike).
    */
   def query(
       queries: DataFrame, queryId: String, queryVec: String,
@@ -191,8 +221,30 @@ class IvfCollection(
       k: Int, nProbe: Int,
       excludeSelf: Boolean = true,
       roundScoreTo: Option[Int] = None,
-      filter: Option[Column] = None): DataFrame = {
+      filter: Option[Column] = None,
+      rescore: Option[DataFrame] = None,
+      oversample: Int = 4): DataFrame = {
     require(exists, s"collection $name does not exist - build() it first")
+    require(oversample >= 1, s"oversample must be >= 1, got $oversample")
+    rescore match {
+      case Some(full) =>
+        val approx = queryCodec(queries, queryId, queryVec, corpusId, corpusVec,
+          k = k * oversample, nProbe, excludeSelf, roundScoreTo = None, filter)
+        rescoreExact(approx, queries, queryId, queryVec, full, corpusId,
+          corpusVec, k, roundScoreTo)
+      case None =>
+        queryCodec(queries, queryId, queryVec, corpusId, corpusVec,
+          k, nProbe, excludeSelf, roundScoreTo, filter)
+    }
+  }
+
+  private def queryCodec(
+      queries: DataFrame, queryId: String, queryVec: String,
+      corpusId: String, corpusVec: String,
+      k: Int, nProbe: Int,
+      excludeSelf: Boolean,
+      roundScoreTo: Option[Int],
+      filter: Option[Column]): DataFrame = {
     checkRoutingVersion()
     val cents = centroids()
     // Driver-side probe-cell union: |Q| is small by the query contract, so
@@ -222,11 +274,52 @@ class IvfCollection(
         corpus, corpusId, pqCol(corpusVec),
         k, cents, nProbe, excludeSelf, roundScoreTo, reuseCellCol = true,
         scorer = Some((q, c) => graft.functions.pq_cosine(q, c, cb)))
+    } else if (isBinary) {
+      // Asymmetric again: float query vs the ±1 sign reconstruction. All
+      // sign vectors share norm sqrt(dim), so the ranking is the signed
+      // component sum — 1 bit of corpus bandwidth per dimension.
+      Ivf.knnJoinIvf(queries, queryId, queryVec,
+        corpus, corpusId, bitsCol(corpusVec),
+        k, cents, nProbe, excludeSelf, roundScoreTo, reuseCellCol = true,
+        scorer = Some((q, c) => graft.functions.binary_cosine(q, c)))
     } else {
       Ivf.knnJoinIvf(queries, queryId, queryVec,
         corpus, corpusId, corpusVec,
         k, cents, nProbe, excludeSelf, roundScoreTo, reuseCellCol = true)
     }
+  }
+
+  /** Exact-cosine re-rank of codec candidates: join candidate ids to the
+    * full-precision frame (candidates broadcast — the big scan is probed,
+    * not shuffled), rescore against the query vectors (|Q|-sized
+    * broadcast), and re-rank to the final k through the same bounded
+    * heap. Output contract identical to [[Ivf.knnJoinIvf]]. */
+  private def rescoreExact(
+      approx: DataFrame, queries: DataFrame, queryId: String, queryVec: String,
+      full: DataFrame, corpusId: String, corpusVec: String,
+      k: Int, roundScoreTo: Option[Int]): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val payloadCols = approx.columns.toSeq
+      .filterNot(c => c == "query_id" || c == "score" || c == "rank")
+    val cand = approx.select(col("query_id") +: payloadCols.map(col): _*)
+    val qv = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+    val scored = full.select(col(corpusId), col(corpusVec).as("__fv"))
+      .join(broadcast(cand), Seq(corpusId))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("score", {
+        val raw = graft.functions.cosine_similarity(col("__qv"), col("__fv"))
+        roundScoreTo.fold(raw)(n => round(raw, n))
+      })
+    val entry = struct((payloadCols :+ "score").map(col): _*)
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.top_k_rows(entry, col("score"),
+        col(corpusId).cast("long"), k).as("__tk"))
+      .select(Seq(col("query_id"), posexplode(col("__tk")).as(Seq("__pos", "__entry"))): _*)
+      .select(col("query_id") +:
+        payloadCols.map(n => col(s"__entry.$n")) :+
+        col("__entry.score").as("score") :+
+        ((col("__pos") + 1).cast("int").as("rank")): _*)
   }
 }
 

@@ -16,7 +16,7 @@ class SparkEntrySpec extends SparkSpec {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expected = Set("corpus_uuid", "simhash_pairs", "winnow_pairs",
       "ann_recall", "ivf_recall", "ivf_partitioned_recall", "ivf_int8_recall",
-      "ivf_pq_recall",
+      "ivf_pq_recall", "ivf_binary_recall",
       "quant_recall", "embed_corpus", "embed_knn", "multimodal_knn",
       "doc_len_quantiles_approx")
     assert(rowsOnly == expected,

@@ -224,6 +224,72 @@ class IvfCollectionSpec extends SparkSpec {
     assert(got.exceptAll(expect).count() == 0 && expect.exceptAll(got).count() == 0)
   }
 
+  test("binary build: packed codes stored, pruning intact, rescore returns exact scores") {
+    val root = Files.createTempDirectory("graft_ivfbin").toString
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val coll = IvfCollection(spark, root, "ivfbin")
+      .build(emb, "vec_id", "embedding", nList = 4, seed = 42L, binary = true)
+    assert(coll.isBinary && !coll.isInt8 && !coll.isPq)
+
+    // layout: float vector replaced by ceil(64/8) = 8 packed sign bytes
+    val schema = coll.load().schema
+    assert(!schema.fieldNames.contains("embedding"))
+    assert(schema("embedding_bits").dataType == org.apache.spark.sql.types.BinaryType)
+    assert(coll.load().select(org.apache.spark.sql.functions.length(col("embedding_bits")))
+      .head().getInt(0) == 8)
+
+    // pruning survives the codec
+    val q = emb.limit(10)
+    val probed = coll.query(q, "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, nProbe = 2, roundScoreTo = Some(6))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ivf_cell"),
+      s"expected partition filter in:\n$plan")
+
+    // rescore: every returned score must equal the EXACT float cosine of
+    // that (query, result) pair — the codec only selects candidates
+    val rescored = coll.query(q, "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, nProbe = 4, roundScoreTo = Some(6),
+      rescore = Some(emb), oversample = 4)
+    val mismatches = rescored.alias("r")
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        col("r.query_id") === col("qid"))
+      .join(emb.select(col("vec_id").as("rid"), col("embedding").as("rv")),
+        col("r.vec_id") === col("rid"))
+      .filter(org.apache.spark.sql.functions.abs(col("r.score") -
+        org.apache.spark.sql.functions.round(
+          graft.functions.cosine_similarity(col("qv"), col("rv")), 6)) > 1e-9)
+      .count()
+    assert(mismatches == 0, s"$mismatches rescored rows deviate from exact cosine")
+  }
+
+  test("binary upsert: idempotent append, codes match fresh encode") {
+    val root = Files.createTempDirectory("graft_ivfbin_up").toString
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val coll = IvfCollection(spark, root, "ivfbin_up")
+      .build(emb.filter(col("vec_id") < 400), "vec_id", "embedding",
+        nList = 4, seed = 42L, binary = true)
+    val rest = emb.filter(col("vec_id") >= 400)
+    coll.upsert(rest, "vec_id", "embedding")
+    assert(coll.load().count() == emb.count())
+    coll.upsert(rest, "vec_id", "embedding") // no-op
+    assert(coll.load().count() == emb.count())
+    val got = coll.load().filter(col("vec_id") >= 400)
+      .select(col("vec_id"), col("embedding_bits"))
+    val expect = rest.select(col("vec_id"),
+      graft.functions.binary_quantize(col("embedding")).as("embedding_bits"))
+    assert(got.exceptAll(expect).count() == 0 && expect.exceptAll(got).count() == 0)
+  }
+
+  test("driver ivf_binary_recall query: rescored recall_at_k meets the floor") {
+    // 1-bit codes select candidates, full-precision rescore re-ranks them:
+    // recall must beat what the sign sketch alone could pin.
+    val recall = graft.SparkEntry.queries("ivf_binary_recall")(
+        spark, graft.TestSpark.sf0001)
+      .head().getDouble(0)
+    assert(recall >= 0.3, s"ivf_binary_recall recall_at_k = $recall")
+  }
+
   test("driver ivf_pq_recall query: recall_at_k meets a pq floor") {
     // IVF pruning + 32x PQ compression compounds the most loss of any
     // path; the floor documents the engine-level guarantee the rows-only
