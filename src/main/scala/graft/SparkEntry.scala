@@ -236,6 +236,29 @@ object SparkEntry {
           col("rank"), col("score"))
     }),
 
+    // Euclid / Manhattan collection modes (the two remaining distance
+    // metrics of a vector backend's collection config): same broadcast +
+    // bounded-heap plan as knn_topk, but ranked ASCENDING — rank 1 is the
+    // SMALLEST distance, ties still break on ascending id (the heap is fed
+    // the negated distance; the entry carries the real one).
+    "knn_euclid" -> ((s, dir) => {
+      val corpus = embParallel(s, dir)
+      Knn.knnJoin(knnQueries(s, dir), "vec_id", "embedding",
+          corpus, "vec_id", "embedding", k = 10, metric = "euclid",
+          roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"),
+          col("rank"), col("score"))
+    }),
+
+    "knn_manhattan" -> ((s, dir) => {
+      val corpus = embParallel(s, dir)
+      Knn.knnJoin(knnQueries(s, dir), "vec_id", "embedding",
+          corpus, "vec_id", "embedding", k = 10, metric = "manhattan",
+          roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"),
+          col("rank"), col("score"))
+    }),
+
     // Payload-filtered vector search (the backend's `search` with payload
     // filters): the corpus predicate applies BEFORE scoring, so each
     // query's top-k ranks only qualifying rows — k results from the
@@ -1710,6 +1733,38 @@ object SparkEntry {
         |), ranked AS (
         |  SELECT query_id, result_id, score,
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, result_id, rank, score FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "knn_euclid" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  ORDER BY md5('graft42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 500
+        |), scored AS (
+        |  SELECT q.qid AS query_id, c.vec_id AS result_id,
+        |    ROUND(list_distance(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS score
+        |  FROM q CROSS JOIN embeddings c
+        |  WHERE c.vec_id <> q.qid
+        |), ranked AS (
+        |  SELECT query_id, result_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score ASC, result_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, result_id, rank, score FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "knn_manhattan" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  ORDER BY md5('graft42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 500
+        |), scored AS (
+        |  SELECT q.qid AS query_id, c.vec_id AS result_id,
+        |    ROUND(list_sum(list_transform(list_zip(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), x -> ABS(x[1] - x[2]))), 6) AS score
+        |  FROM q CROSS JOIN embeddings c
+        |  WHERE c.vec_id <> q.qid
+        |), ranked AS (
+        |  SELECT query_id, result_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score ASC, result_id ASC) AS rank
         |  FROM scored
         |)
         |SELECT query_id, result_id, rank, score FROM ranked WHERE rank <= 10""".stripMargin,

@@ -54,6 +54,32 @@ object VectorOps {
     if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
   }
 
+  /** Euclidean (L2) distance over the common prefix — a DISTANCE, so
+    * lower is better; ranking code must order ascending. */
+  def euclidean(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  /** Manhattan (L1) distance over the common prefix; lower is better. */
+  def manhattan(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += math.abs(a.getFloat(i).toDouble - b.getFloat(i).toDouble)
+      i += 1
+    }
+    s
+  }
+
   def l2Normalize(a: ArrayData): ArrayData = {
     val n = a.numElements()
     val out = new Array[Float](n)
@@ -93,6 +119,31 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
     VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.expr.VectorOps.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** euclidean_distance(a, b) over array<float>, double result. A distance
+  * (lower = more similar) — the Euclid mode of a vector-backend collection;
+  * search code ranks it ASCENDING. */
+case class EuclideanDistance(left: Expression, right: Expression) extends VectorBinary {
+  override def prettyName: String = "euclidean_distance"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.euclidean(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.VectorOps.euclidean($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** manhattan_distance(a, b) over array<float>, double result; lower =
+  * more similar, ranked ascending. */
+case class ManhattanDistance(left: Expression, right: Expression) extends VectorBinary {
+  override def prettyName: String = "manhattan_distance"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.manhattan(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.VectorOps.manhattan($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

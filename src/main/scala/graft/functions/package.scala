@@ -26,6 +26,16 @@ package object functions {
   /** Euclidean norm of an array<float> column, as double. */
   def l2_norm(a: Column): Column = col(L2Norm(ex(a)))
 
+  /** Euclidean (L2) distance of two array<float> columns, as double.
+    * A DISTANCE — rank it ascending (the vector-backend Euclid mode). */
+  def euclidean_distance(a: Column, b: Column): Column =
+    col(EuclideanDistance(ex(a), ex(b)))
+
+  /** Manhattan (L1) distance of two array<float> columns, as double;
+    * rank ascending. */
+  def manhattan_distance(a: Column, b: Column): Column =
+    col(ManhattanDistance(ex(a), ex(b)))
+
   /** RFC 4122 UUIDv5 (DNS namespace) of a string column. */
   def uuid5(a: Column): Column = col(Uuid5(ex(a)))
 
@@ -164,6 +174,8 @@ package object functions {
     reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("l2_normalize", es => L2Normalize(es.head), "built-in")
     reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "built-in")
+    reg.createOrReplaceTempFunction("euclidean_distance", es => EuclideanDistance(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("manhattan_distance", es => ManhattanDistance(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("uuid5", es => Uuid5(es.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("quantize_int8", es => QuantizeInt8(es.head), "built-in")

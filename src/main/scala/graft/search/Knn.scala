@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{cosine_similarity, dot_product, int8_cosine, top_k_rows}
+import graft.functions.{cosine_similarity, dot_product, euclidean_distance, int8_cosine, manhattan_distance, top_k_rows}
 
 /**
  * Exact top-k similarity join — the reference's core query: for each query
@@ -29,14 +29,26 @@ object Knn {
 
   /** Score metric: "cosine" or "dot" over array<float> vectors (use dot
     * when vectors are pre-normalized — the reference's `--normalized`
-    * intent, main.py:19,30-34), or "int8" over binary int8-quantized code
+    * intent, main.py:19,30-34), "euclid" / "manhattan" DISTANCES (the
+    * remaining vector-backend collection modes — ranked ASCENDING, see
+    * [[ascending]]), or "int8" over binary int8-quantized code
     * columns ([[graft.functions.quantize_int8]]) — the 4x-compressed
     * corpus representation for 100 TB search. */
   def score(metric: String)(a: Column, b: Column): Column = metric match {
-    case "cosine" => cosine_similarity(a, b)
-    case "dot"    => dot_product(a, b)
-    case "int8"   => int8_cosine(a, b)
-    case other    => throw new IllegalArgumentException(s"unknown metric: $other")
+    case "cosine"    => cosine_similarity(a, b)
+    case "dot"       => dot_product(a, b)
+    case "euclid"    => euclidean_distance(a, b)
+    case "manhattan" => manhattan_distance(a, b)
+    case "int8"      => int8_cosine(a, b)
+    case other       => throw new IllegalArgumentException(s"unknown metric: $other")
+  }
+
+  /** Whether `metric` is a distance (lower = more similar): rank 1 is the
+    * SMALLEST score and ties still break on ascending id. Similarity
+    * metrics rank descending. */
+  def ascending(metric: String): Boolean = metric match {
+    case "euclid" | "manhattan" => true
+    case _ => false
   }
 
   /**
@@ -109,12 +121,16 @@ object Knn {
       // dragging the embedding through the aggregate (the agg is opaque
       // to Catalyst, so this pruning must happen here, not in the
       // optimizer).
+      // Distance metrics feed the heap the NEGATED score (the heap keeps
+      // largest-first); the entry carries the real score, so output rank 1
+      // is the smallest distance with the same id tie-break.
       val corpusCols = corpus.columns.toSeq.filterNot(_ == corpusVec)
       val entry = struct((corpusCols :+ "score").map(col): _*)
+      val heapScore = if (ascending(metric)) -col("score") else col("score")
       val keys = ("query_id" +: payloadNames).map(col)
       scored
         .groupBy(keys: _*)
-        .agg(top_k_rows(entry, col("score"), col(corpusId).cast("long"), k).as("__tk"))
+        .agg(top_k_rows(entry, heapScore, col(corpusId).cast("long"), k).as("__tk"))
         .select(keys :+ posexplode(col("__tk")).as(Seq("__pos", "__entry")): _*)
         .select(keys ++
           corpusCols.map(n => col(s"__entry.$n")) :+
@@ -122,7 +138,8 @@ object Knn {
           (col("__pos") + 1).cast("int").as("rank"): _*)
     } else {
       val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col(corpusId).asc)
+        .orderBy(if (ascending(metric)) col("score").asc else col("score").desc,
+          col(corpusId).asc)
       scored
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
@@ -165,9 +182,10 @@ object Knn {
     val corpusCols = corpus.columns.toSeq
       .filterNot(c => c == corpusVec || c == groupCol)
     val entry = struct((corpusCols :+ "score").map(col): _*)
+    val heapScore = if (ascending(metric)) -col("score") else col("score")
     val within = scored
       .groupBy(col("query_id"), col(groupCol))
-      .agg(top_k_rows(entry, col("score"), col(corpusId).cast("long"), groupSize).as("__tk"))
+      .agg(top_k_rows(entry, heapScore, col(corpusId).cast("long"), groupSize).as("__tk"))
       .select(Seq(col("query_id"), col(groupCol),
         posexplode(col("__tk")).as(Seq("__pos", "__e"))): _*)
       .select(col("query_id") +: col(groupCol) +:
@@ -177,7 +195,8 @@ object Knn {
     val best = within.filter(col("rank") === 1)
       .select(col("query_id"), col(groupCol), col("score").as("__best"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__best").desc, col(groupCol).asc)
+      .orderBy(if (ascending(metric)) col("__best").asc else col("__best").desc,
+        col(groupCol).asc)
     val rankedGroups = best
       .withColumn("group_rank", row_number().over(w))
       .filter(col("group_rank") <= kGroups)
@@ -272,14 +291,22 @@ object Knn {
       vn
     }
     val normalized = collection.meta.normalized
-    // dot ≡ cosine only on unit vectors: the collection side is unit by
-    // its metadata contract, the query side is normalized here so callers
-    // can't silently feed unnormalized vectors into a dot-metric search
-    // (idempotent for already-unit queries).
-    val q = if (normalized)
+    // The collection's stored metric is authoritative — a collection
+    // created for Euclid must not be silently searched by cosine. For
+    // cosine on a normalized collection, rewrite to dot (≡ on unit
+    // vectors, one multiply-add per element cheaper); the query side is
+    // normalized here so callers can't silently feed unnormalized vectors
+    // into the dot rewrite (idempotent for already-unit queries).
+    val stored = collection.meta.metric
+    val metric = stored match {
+      case "cosine" if normalized => "dot"
+      case "cosine" | "dot" | "euclid" | "manhattan" => stored
+      case other => throw new IllegalArgumentException(
+        s"collection ${collection.name} has unsupported metric '$other'")
+    }
+    val q = if (stored == "cosine" && normalized)
       queries.withColumn(queryVec, graft.functions.l2_normalize(col(queryVec)))
     else queries
-    val metric = if (normalized) "dot" else "cosine"
     knnJoin(q, queryId, queryVec, collection.load(), corpusId, scoredVec,
       k, excludeSelf, metric, roundScoreTo)
   }

@@ -53,6 +53,27 @@ class ExpressionsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
   }
 
+  test("euclidean_distance and manhattan_distance kernels + SQL registration") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 7f))).toDF("a", "b")
+    val r = df.select(
+      euclidean_distance(col("a"), col("b")).as("e"),
+      manhattan_distance(col("a"), col("b")).as("m")).collect()(0)
+    assert(math.abs(r.getDouble(0) - math.sqrt(9 + 9 + 16)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 10.0) < 1e-12)
+    // identity: d(x, x) = 0 for both
+    val self = df.select(
+      euclidean_distance(col("a"), col("a")).as("e"),
+      manhattan_distance(col("a"), col("a")).as("m")).collect()(0)
+    assert(self.getDouble(0) === 0.0 && self.getDouble(1) === 0.0)
+    df.createOrReplaceTempView("t_dist")
+    val sql = spark.sql(
+      "SELECT euclidean_distance(a, b) AS e, manhattan_distance(a, b) AS m FROM t_dist")
+      .collect()(0)
+    assert(math.abs(sql.getDouble(0) - math.sqrt(34.0)) < 1e-12)
+    assert(math.abs(sql.getDouble(1) - 10.0) < 1e-12)
+  }
+
   test("l2_normalize yields unit vectors; zero vector passes through") {
     import spark.implicits._
     val df = Seq(Tuple1(Array(3f, 4f)), Tuple1(Array(0f, 0f))).toDF("a")

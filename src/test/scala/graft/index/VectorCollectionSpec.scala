@@ -32,6 +32,29 @@ class VectorCollectionSpec extends SparkSpec {
     assert(!c.exists)
   }
 
+  test("searchCollection honors the collection's stored distance metric") {
+    import org.apache.spark.sql.functions.col
+    val c = VectorCollection(spark, tmpRoot, "euclid_coll")
+    c.create(CollectionMeta(2, "euclid", normalized = false))
+    c.upsert(Seq((1L, Array(0.9f, 0f)), (2L, Array(10f, 0f)), (3L, Array(0f, 0.5f)))
+      .toDF("id", "vec"), "id")
+    val q = Seq((99L, Array(1f, 0f))).toDF("id", "vec")
+    val res = graft.search.Knn.searchCollection(c, q, "id", "vec", "id", "vec", k = 3)
+      .orderBy("rank").collect()
+    // cosine would put id2 (parallel, cos=1) above id1; euclid must rank by
+    // distance: id1 (0.1) < id3 (~1.118) < id2 (9)
+    assert(res.map(_.getAs[Long]("id")).toSeq === Seq(1L, 3L, 2L))
+    assert(math.abs(res(0).getAs[Double]("score") - 0.1) < 1e-6)
+    // an unknown stored metric fails loudly, not silently as cosine
+    val bad = VectorCollection(spark, tmpRoot, "bad_metric")
+    bad.create(CollectionMeta(2, "tanimoto", normalized = false))
+    bad.upsert(Seq((1L, Array(1f, 0f))).toDF("id", "vec"), "id")
+    val e = intercept[IllegalArgumentException] {
+      graft.search.Knn.searchCollection(bad, q, "id", "vec", "id", "vec", k = 1).collect()
+    }
+    assert(e.getMessage.contains("tanimoto"))
+  }
+
   test("delete removes matching points, keeps the rest; re-upsert of a deleted key lands") {
     import org.apache.spark.sql.functions.col
     val c = VectorCollection(spark, tmpRoot, "del")

@@ -50,6 +50,52 @@ class KnnSpec extends SparkSpec {
     assert(res(0).getAs[Long]("vec_id") === 1L) // dot=5 beats dot=0.9
   }
 
+  test("euclid metric ranks ASCENDING: rank 1 is the smallest distance") {
+    val q = Seq((10L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val res = Knn.knnJoin(q, "vec_id", "embedding", corpus, "vec_id", "embedding",
+      k = 3, metric = "euclid").orderBy("rank").collect()
+    // distances from (1,0): id1 0, id2 sqrt(0.02)=0.1414, id3 sqrt(2), id4 2
+    assert(res.map(_.getAs[Long]("vec_id")).toSeq === Seq(1L, 2L, 3L))
+    assert(res(0).getAs[Double]("score") === 0.0)
+    assert(math.abs(res(1).getAs[Double]("score") - math.sqrt(0.02)) < 1e-6)
+    assert(math.abs(res(2).getAs[Double]("score") - math.sqrt(2.0)) < 1e-12)
+  }
+
+  test("manhattan metric: L1 distances, ascending, id tie-break preserved") {
+    val q = Seq((10L, Array(0f, 0f))).toDF("vec_id", "embedding")
+    // id 2 is strictly closest (float 0.9f+0.1f sums just UNDER 1.0);
+    // ids 1, 3, 4 are exact ties at L1 = 1.0 -> broken by ascending id.
+    val res = Knn.knnJoin(q, "vec_id", "embedding", corpus, "vec_id", "embedding",
+      k = 4, metric = "manhattan").orderBy("rank").collect()
+    assert(res.map(_.getAs[Long]("vec_id")).toSeq === Seq(2L, 1L, 3L, 4L))
+    assert(res.map(_.getAs[Double]("score")).forall(d => math.abs(d - 1.0) < 1e-6))
+  }
+
+  test("distance metrics: heap path ≡ window path (same rows, same ranks)") {
+    val q = corpus.select($"vec_id", $"embedding")
+    for (m <- Seq("euclid", "manhattan")) {
+      val heap = Knn.knnJoin(q, "vec_id", "embedding", corpus, "vec_id", "embedding",
+        k = 2, metric = m, roundScoreTo = Some(6), useTopKAgg = true)
+        .select("query_id", "vec_id", "rank", "score")
+      val window = Knn.knnJoin(q, "vec_id", "embedding", corpus, "vec_id", "embedding",
+        k = 2, metric = m, roundScoreTo = Some(6), useTopKAgg = false)
+        .select("query_id", "vec_id", "rank", "score")
+      assert(heap.exceptAll(window).isEmpty && window.exceptAll(heap).isEmpty,
+        s"heap/window divergence for metric $m")
+    }
+  }
+
+  test("grouped search under a distance metric ranks groups by SMALLEST best") {
+    val q = Seq((10L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val res = Knn.knnJoinGrouped(q, "vec_id", "embedding",
+        corpus, "vec_id", "embedding",
+        groupCol = "label", groupSize = 1, kGroups = 2, metric = "euclid")
+      .orderBy("group_rank").collect()
+    // best of 'a' = id1 at distance 0; best of 'b' = id3 at sqrt(2)
+    assert(res.map(r => (r.getAs[String]("label"), r.getAs[Long]("vec_id"))).toSeq ===
+      Seq(("a", 1L), ("b", 3L)))
+  }
+
   test("corpusFilter: predicate applies before scoring, top-k from the filtered corpus") {
     val q = corpus.filter($"vec_id" === 1L)
     // label='b' excludes the otherwise-rank-1 neighbor (vec_id=2): the
