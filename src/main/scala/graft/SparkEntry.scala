@@ -303,6 +303,21 @@ object SparkEntry {
           col("rank"), col("score"))
     }),
 
+    // Discovery search (the backend's `discover` API): rank by the target
+    // vector under context-pair constraints — lexicographically by how
+    // many (positive, negative) pairs the candidate sides with, then by
+    // target similarity. One map-side pass (example vectors are plan
+    // literals inside codegen'd cosine kernels) into the global bounded
+    // heap; fully SQL-expressible, so the oracle replays the whole
+    // lexicographic ranking.
+    "knn_discover" -> ((s, dir) => {
+      Knn.discover(embParallel(s, dir), "vec_id", "embedding",
+          targetId = 0L, contextPairs = Seq((1L, 2L), (3L, 4L)),
+          k = 20, roundScoreTo = Some(6))
+        .select(col("vec_id").as("result_id"), col("label"),
+          col("context_score"), col("rank"), col("score"))
+    }),
+
     // Named multi-vector points (the backend's named-vectors surface):
     // each point stores SEVERAL vectors — here the full 64-d embedding
     // plus an 8-d head projection — registered by name with their dims in
@@ -1835,6 +1850,33 @@ object SparkEntry {
         |  FROM scored
         |)
         |SELECT result_id, label, rank, score FROM ranked WHERE rank <= 20""".stripMargin,
+
+    "knn_discover" ->
+      """WITH tgt AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0
+        |), p1 AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 1
+        |), n1 AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 2
+        |), p2 AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 3
+        |), n2 AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 4
+        |), scored AS (
+        |  SELECT c.vec_id AS result_id, c.label,
+        |    (CASE WHEN ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), p1.v), 6)
+        |             > ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), n1.v), 6) THEN 1 ELSE 0 END
+        |     + CASE WHEN ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), p2.v), 6)
+        |             > ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), n2.v), 6) THEN 1 ELSE 0 END) AS context_score,
+        |    ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), tgt.v), 6) AS score
+        |  FROM embeddings c, tgt, p1, n1, p2, n2
+        |  WHERE c.vec_id NOT IN (0, 1, 2, 3, 4)
+        |), ranked AS (
+        |  SELECT result_id, label, context_score, score,
+        |    ROW_NUMBER() OVER (ORDER BY context_score DESC, score DESC, result_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT result_id, label, context_score, rank, score FROM ranked WHERE rank <= 20""".stripMargin,
 
     // The scrolled collection's contents equal the embeddings table (one
     // idempotent upsert), so the page is expressible on the source table.

@@ -264,6 +264,70 @@ object Knn {
   }
 
   /**
+   * Discovery search (the vector-backend `discover` API): rank the corpus
+   * by a TARGET vector under the constraint geometry of context pairs
+   * (positive, negative example ids). Ranking is lexicographic — first by
+   * CONTEXT SCORE, the number of pairs whose positive the candidate is
+   * closer to than the negative (cosine, both sides rounded to 6 dp so
+   * the comparison is cross-engine stable), then by similarity to the
+   * target, then ascending id. The "steer retrieval away from a region
+   * without excluding it" shape: a zero-pair call degrades to plain
+   * target search.
+   *
+   * Scale shape: target + pair vectors are a handful of user-chosen ids —
+   * a metadata-sized driver collect (id filter pushes into the scan);
+   * they re-enter the plan as array literals inside codegen'd cosine
+   * kernels, so the corpus STREAMS through one map-side pass and the
+   * global top-k runs through the same bounded heap as [[knnJoin]]
+   * (partial per partition, ≤ k rows merge — no corpus shuffle). The
+   * lexicographic order is encoded as `context_score·4 + similarity`
+   * (the gap of 4 dominates similarity's [-1, 1] range).
+   *
+   * Output: corpus columns (minus the vector), `context_score`, `score`
+   * (similarity to target), `rank`.
+   */
+  def discover(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      targetId: Long, contextPairs: Seq[(Long, Long)],
+      k: Int = 10,
+      roundScoreTo: Option[Int] = None,
+      corpusFilter: Option[Column] = None): DataFrame = {
+    val exampleIds = (targetId +: contextPairs.flatMap(p => Seq(p._1, p._2))).distinct
+    val rows = corpus
+      .filter(col(corpusId).isin(exampleIds: _*))
+      .select(col(corpusId).cast("long"), col(corpusVec))
+      .collect()
+    require(rows.length == exampleIds.length,
+      s"discover: ${exampleIds.length} example ids matched ${rows.length} corpus rows")
+    val vecs: Map[Long, Array[Float]] =
+      rows.map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos6(v: Array[Float]): Column =
+      round(cosine_similarity(col(corpusVec), typedLit(v)), 6)
+    val ctx: Column =
+      if (contextPairs.isEmpty) lit(0)
+      else contextPairs
+        .map { case (p, n) => when(cos6(vecs(p)) > cos6(vecs(n)), 1).otherwise(0) }
+        .reduce(_ + _)
+    val rawSim = cosine_similarity(col(corpusVec), typedLit(vecs(targetId)))
+    val sim = roundScoreTo.fold(rawSim)(n => round(rawSim, n))
+    val notExample = !col(corpusId).isin(exampleIds: _*)
+    val filt = corpusFilter.fold(notExample)(f => notExample && f)
+    val payloadCols = corpus.columns.toSeq.filterNot(_ == corpusVec)
+    val scored = corpus.filter(filt)
+      .withColumn("context_score", ctx)
+      .withColumn("score", sim)
+    val entry = struct((payloadCols :+ "context_score" :+ "score").map(col): _*)
+    scored
+      .agg(top_k_rows(entry, col("context_score") * 4 + col("score"),
+        col(corpusId).cast("long"), k).as("__tk"))
+      .select(posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(payloadCols.map(n => col(s"__e.$n")) :+
+        col("__e.context_score").as("context_score") :+
+        col("__e.score").as("score") :+
+        (col("__pos") + 1).cast("int").as("rank"): _*)
+  }
+
+  /**
    * Search a [[graft.index.VectorCollection]], picking the metric from its
    * metadata: a collection built with `normalized = true` scores by raw
    * dot product (cosine ≡ dot on unit vectors, one multiply-add per

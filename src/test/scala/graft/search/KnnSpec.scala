@@ -136,6 +136,35 @@ class KnnSpec extends SparkSpec {
     assert(res.map(_.getAs[Long]("vec_id")).toSeq == Seq(4L, 6L, 5L))
   }
 
+  test("discover: context pairs dominate, target similarity breaks the tier") {
+    val c = Seq(
+      (0L, Array(1f, 0f)),     // target
+      (1L, Array(0f, 1f)),     // positive of pair 1
+      (2L, Array(0f, -1f)),    // negative of pair 1
+      // candidates:
+      (10L, Array(0.9f, 0.3f)),  // sides WITH the pair (+y half), ctx=1
+      (11L, Array(1f, 0.01f)),   // barely +y -> ctx=1, nearly parallel to target
+      (12L, Array(0.9f, -0.3f))  // sides AGAINST the pair, ctx=0
+    ).toDF("vec_id", "embedding")
+    val res = Knn.discover(c, "vec_id", "embedding",
+        targetId = 0L, contextPairs = Seq((1L, 2L)), k = 3, roundScoreTo = Some(6))
+      .orderBy("rank").collect()
+    // ctx=1 tier first (11 beats 10 on target sim), then ctx=0 tier: 12
+    // TIES 10 on target similarity (0.9487 each) yet ranks below both —
+    // lexicographic, not additive.
+    assert(res.map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("context_score"))).toSeq
+      === Seq((11L, 1), (10L, 1), (12L, 0)))
+    assert(res.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3))
+  }
+
+  test("discover with no context pairs degrades to plain target search") {
+    val res = Knn.discover(corpus, "vec_id", "embedding",
+        targetId = 1L, contextPairs = Nil, k = 2, roundScoreTo = Some(6))
+      .orderBy("rank").collect()
+    assert(res.map(_.getAs[Long]("vec_id")).toSeq === Seq(2L, 3L))
+    assert(res.forall(_.getAs[Int]("context_score") === 0))
+  }
+
   test("recommend: missing example id fails loudly, not silently") {
     val e = intercept[IllegalArgumentException] {
       Knn.recommend(corpus, "vec_id", "embedding", positiveIds = Seq(99L), k = 1)
