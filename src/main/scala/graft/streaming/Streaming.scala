@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
 
 import graft.embed.EmbedModel
-import graft.index.VectorCollection
+import graft.index.{MinHashIndex, VectorCollection}
 
 /**
  * Structured Streaming surface. The reference is batch-only (its ingest
@@ -87,6 +87,73 @@ object Streaming {
       glob: String = "*.txt"): StreamingQuery =
     ingestStream(graft.ingest.DirSource.filesStream(spark, dir, glob),
       "path", "text", model, collection, checkpointDir)
+
+  /**
+   * Streaming NEAR-duplicate admission: each micro-batch of documents is
+   * admitted only if it near-duplicates neither the already-admitted
+   * corpus nor an earlier document of the same batch — the continuous
+   * form of the daily-batch admission query (`batch_near_dup`), built on
+   * the persisted [[MinHashIndex]] so the corpus-side shingle+MinHash
+   * kernel is never re-paid.
+   *
+   * Per micro-batch (foreachBatch — the stateful artifact IS the state,
+   * so no in-engine dedup state grows with the corpus):
+   *   1. replay guard: drop ids already in the admitted corpus
+   *      (exactly-once BY KEY, like every sink here);
+   *   2. in-batch: [[graft.dedup.Dedup.dropNearDuplicates]] under the
+   *      index's own (n, numHashes, bands) parameters — batch-sized work;
+   *   3. vs corpus: [[MinHashIndex.nearDupAgainstExact]] band-joins the
+   *      batch against the persisted band table and exact-verifies only
+   *      candidate pairs; survivors are admitted;
+   *   4. admitted rows append to the corpus parquet and incrementally
+   *      upsert into the index (both O(batch)).
+   *
+   * At 100 TB the only corpus-sized artifact touched per batch is the
+   * band table (columnar, band-key join), never the text. Single-writer
+   * contract per index/admitted-dir, like the index upsert itself.
+   *
+   * `admittedDir` must hold the same corpus the index was built from
+   * (schema: idCol, textCol, payload...).
+   */
+  def admitStream(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: MinHashIndex,
+      admittedDir: String,
+      threshold: Double,
+      checkpointDir: String,
+      maxBucketSize: Int = 10000): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val m = index.meta
+        val corpus = spark.read.parquet(admittedDir)
+        val replayFree = batch.join(
+          corpus.select(col(idCol)), Seq(idCol), "left_anti")
+        val inBatch = graft.dedup.Dedup.dropNearDuplicates(
+          replayFree, idCol, textCol,
+          n = m.n, numHashes = m.numHashes, bands = m.bands,
+          threshold = threshold, maxBucketSize = maxBucketSize)
+        val matched = index.nearDupAgainstExact(
+            inBatch, idCol, textCol, corpus, idCol, textCol,
+            threshold, maxBucketSize)
+          .select(col("batch_id").as(idCol)).distinct()
+        // eager: the admitted frame feeds two writes; localCheckpoint
+        // also severs it from the corpus read, so the append below can't
+        // invalidate its own input listing
+        val admitted = inBatch.join(matched, Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+        if (!admitted.isEmpty) {
+          admitted.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(admittedDir)
+          index.upsert(admitted, idCol, textCol)
+        }
+      }
+      .start()
 
   /**
    * Streaming exact-dedup: drop rows whose key was already seen, keeping

@@ -140,6 +140,49 @@ class StreamingSpec extends SparkSpec {
     assert(joined.filter($"vec" =!= $"batch_vec").count() == 0)
   }
 
+  test("streaming near-dup admission: replay, in-batch, and vs-corpus dups all rejected") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_admit")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "pack my box with five dozen liquor jugs before noon today ok")
+    ).toDF("doc_id", "text")
+    corpus.write.parquet(s"$tmp/admitted")
+    val idx = graft.index.MinHashIndex(spark, tmp.toString, "admit_idx")
+    idx.build(corpus, "doc_id", "text", n = 3, numHashes = 128, bands = 32)
+
+    val source = MemoryStream[(Long, String)]
+    val q = Streaming.admitStream(source.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", idx, s"$tmp/admitted", threshold = 0.5, s"$tmp/ckpt1")
+    source.addData(
+      // near-dup of corpus doc 1 (one word changed, jaccard ~0.54) -> reject
+      (10L, "the quick brown fox jumps over the crazy dog again and again"),
+      // fresh -> admit
+      (11L, "sphinx of black quartz judge my vow said the wise old owl"),
+      // exact in-batch dup of 11 -> reject (11 is the kept representative)
+      (12L, "sphinx of black quartz judge my vow said the wise old owl"),
+      // replayed already-admitted id -> reject
+      (1L, "the quick brown fox jumps over the lazy dog again and again"))
+    q.awaitTermination()
+    val admitted = spark.read.parquet(s"$tmp/admitted")
+    assert(admitted.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 11L))
+
+    // the admitted doc was upserted into the index incrementally: a later
+    // batch near-dupping IT (not the seed corpus) must now be rejected
+    val source2 = MemoryStream[(Long, String)]
+    val q2 = Streaming.admitStream(source2.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", idx, s"$tmp/admitted", threshold = 0.5, s"$tmp/ckpt2")
+    source2.addData(
+      (20L, "sphinx of black quartz judge my vow said the wise young owl"),
+      (21L, "how vexingly quick daft zebras jump over the fence right now"))
+    q2.awaitTermination()
+    val admitted2 = spark.read.parquet(s"$tmp/admitted")
+    assert(admitted2.select("doc_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 11L, 21L))
+    // index state tracks the admitted corpus 1:1
+    assert(idx.signatures().count() == 4)
+  }
+
   test("file-source events stream: windowed agg over the fixture matches batch") {
     val streamDir = Files.createTempDirectory("graft_events_stream")
     Files.copy(Paths.get(s"${graft.TestSpark.sf0001}/events.parquet"),
