@@ -391,6 +391,31 @@ object SparkEntry {
         .select(col("vec_id"), col("label"))
     }),
 
+    // Facet counts (the backend's `facet` API): distinct payload values
+    // with point counts under a filter, most-frequent first. One
+    // partial+final aggregate over a single pruned column.
+    "collection_facet" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val fp = corpusFingerprint(emb, col("vec_id"), col("embedding"), col("label"))
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_vcoll_$fp").toString
+      val coll = graft.index.VectorCollection(s, root, "embeddings")
+      if (!coll.exists) {
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        coll.create(graft.index.CollectionMeta(dim, "cosine", normalized = false))
+      }
+      coll.upsert(emb, "vec_id")
+      coll.facet("label", filter = Some(col("vec_id") >= 100L), limit = 5)
+    }),
+
+    // Similarity matrix (the backend's `search_matrix_pairs` API):
+    // pairwise top-k among a seeded 100-point sample — sample² work
+    // bounded by the API contract, never corpus².
+    "matrix_pairs" -> ((s, dir) => {
+      Knn.searchMatrix(embParallel(s, dir), "vec_id", "embedding",
+        sample = 100, k = 3, roundScoreTo = Some(6))
+    }),
+
     // ------------------------------------------------------------------
     // A7: per-query score-separation stats (bcb_utils.py:179-215 shape:
     // query_id, avg clone/non-clone score, counts; 0.0 when a side is empty).
@@ -1877,6 +1902,29 @@ object SparkEntry {
         |  FROM scored
         |)
         |SELECT result_id, label, context_score, rank, score FROM ranked WHERE rank <= 20""".stripMargin,
+
+    // The faceted collection's contents equal the embeddings table (one
+    // idempotent upsert), so facet counts are expressible on the source.
+    "collection_facet" ->
+      """SELECT label AS value, COUNT(*) AS count FROM embeddings
+        |WHERE vec_id >= 100
+        |GROUP BY label ORDER BY count DESC, value ASC LIMIT 5""".stripMargin,
+
+    "matrix_pairs" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  ORDER BY md5('graft42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
+        |), scored AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score
+        |  FROM s a CROSS JOIN s b
+        |  WHERE a.vec_id <> b.vec_id
+        |), ranked AS (
+        |  SELECT id_a, id_b, score,
+        |    ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT id_a, id_b, rank, score FROM ranked WHERE rank <= 3""".stripMargin,
 
     // The scrolled collection's contents equal the embeddings table (one
     // idempotent upsert), so the page is expressible on the source table.

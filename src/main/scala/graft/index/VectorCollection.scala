@@ -314,6 +314,23 @@ class VectorCollection(
       .orderBy(col(idCol))
       .limit(limit)
   }
+
+  /** Facet counts (the backend's `facet` API): distinct values of a
+    * payload field with their point counts, optionally under a filter,
+    * most-frequent first (ties by ascending value for determinism). One
+    * partial+final aggregate over the pruned column scan — the filter and
+    * the single-column projection both reach the parquet scan, so at
+    * 100 TB this reads one column of the qualifying row groups, nothing
+    * else. Output: `value`, `count`, capped at `limit` values. */
+  def facet(field: String, filter: Option[Column] = None,
+      limit: Int = 10): DataFrame = {
+    val base = load()
+    filter.fold(base)(base.filter)
+      .groupBy(col(field).as("value"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
+      .orderBy(col("count").desc, col("value").asc)
+      .limit(limit)
+  }
 }
 
 object VectorCollection {

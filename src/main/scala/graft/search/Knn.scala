@@ -264,6 +264,35 @@ object Knn {
   }
 
   /**
+   * Similarity matrix (the vector-backend `search_matrix_pairs` API):
+   * pairwise top-k among a deterministic sample of the (optionally
+   * filtered) corpus — the distance-matrix view used for clustering
+   * diagnostics and dedup threshold tuning. Sampling is the engine-wide
+   * seeded scheme ([[graft.bench.Sampling.seeded]]), so the pair set is
+   * reproducible in any engine with md5. Work is sample², never corpus²:
+   * the sample bound is the API contract (backend default 10), and both
+   * sides of the scoring cross join are the same |sample|-row frame —
+   * the corpus contributes one pruned (id, vec, filter-cols) scan.
+   *
+   * Output: `id_a`, `id_b`, `rank` (of b within a's neighbors), `score`.
+   */
+  def searchMatrix(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      sample: Int, k: Int,
+      metric: String = "cosine",
+      roundScoreTo: Option[Int] = None,
+      corpusFilter: Option[Column] = None,
+      seed: String = graft.bench.Sampling.defaultSeed): DataFrame = {
+    val base = corpusFilter.fold(corpus)(corpus.filter)
+    val sampled = graft.bench.Sampling.seeded(
+      base.select(col(corpusId), col(corpusVec)), corpusId, sample, seed)
+    knnJoin(sampled, corpusId, corpusVec, sampled, corpusId, corpusVec, k,
+        excludeSelf = true, metric, roundScoreTo)
+      .select(col("query_id").as("id_a"), col(corpusId).as("id_b"),
+        col("rank"), col("score"))
+  }
+
+  /**
    * Discovery search (the vector-backend `discover` API): rank the corpus
    * by a TARGET vector under the constraint geometry of context pairs
    * (positive, negative example ids). Ranking is lexicographic — first by

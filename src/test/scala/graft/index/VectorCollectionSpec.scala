@@ -32,6 +32,23 @@ class VectorCollectionSpec extends SparkSpec {
     assert(!c.exists)
   }
 
+  test("facet: per-value counts under a filter, most-frequent first") {
+    import org.apache.spark.sql.functions.col
+    val c = VectorCollection(spark, tmpRoot, "facet_coll")
+    c.create(CollectionMeta(2, "cosine", normalized = false))
+    c.upsert(Seq(
+      (1L, Array(1f, 0f), "red"), (2L, Array(0f, 1f), "red"),
+      (3L, Array(1f, 1f), "blue"), (4L, Array(0f, 0f), "red"),
+      (5L, Array(2f, 0f), "green")).toDF("id", "vec", "color"), "id")
+    val all = c.facet("color").collect()
+    assert(all.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("red", 3L), ("blue", 1L), ("green", 1L))) // count desc, value asc
+    val filtered = c.facet("color", filter = Some(col("id") <= 3L)).collect()
+    assert(filtered.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("red", 2L), ("blue", 1L)))
+    assert(c.facet("color", limit = 1).count() === 1L)
+  }
+
   test("searchCollection honors the collection's stored distance metric") {
     import org.apache.spark.sql.functions.col
     val c = VectorCollection(spark, tmpRoot, "euclid_coll")

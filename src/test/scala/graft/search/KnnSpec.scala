@@ -136,6 +136,17 @@ class KnnSpec extends SparkSpec {
     assert(res.map(_.getAs[Long]("vec_id")).toSeq == Seq(4L, 6L, 5L))
   }
 
+  test("searchMatrix: pairwise top-k among the sample, self-pairs excluded") {
+    val res = Knn.searchMatrix(corpus, "vec_id", "embedding",
+      sample = 10, k = 1, roundScoreTo = Some(6)).collect()
+    // sample covers all 4 points; each contributes its single best pair
+    assert(res.length === 4)
+    assert(res.forall(r => r.getAs[Long]("id_a") != r.getAs[Long]("id_b")))
+    val best = res.map(r => r.getAs[Long]("id_a") -> r.getAs[Long]("id_b")).toMap
+    assert(best(1L) === 2L && best(2L) === 1L) // mutual nearest by cosine
+    assert(res.forall(_.getAs[Int]("rank") === 1))
+  }
+
   test("discover: context pairs dominate, target similarity breaks the tier") {
     val c = Seq(
       (0L, Array(1f, 0f)),     // target
