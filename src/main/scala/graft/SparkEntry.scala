@@ -391,6 +391,25 @@ object SparkEntry {
         .select(col("vec_id"), col("label"))
     }),
 
+    // Ordered scroll (the backend's scroll `order_by`): keyset pagination
+    // over (payload field, id) — the page after (label=4, vec_id=200),
+    // O(page) with pushdown, stable under appends.
+    "collection_scroll_by" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val fp = corpusFingerprint(emb, col("vec_id"), col("embedding"), col("label"))
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_vcoll_$fp").toString
+      val coll = graft.index.VectorCollection(s, root, "embeddings")
+      if (!coll.exists) {
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        coll.create(graft.index.CollectionMeta(dim, "cosine", normalized = false))
+      }
+      coll.upsert(emb, "vec_id")
+      coll.scrollBy("label", "vec_id", limit = 40,
+          after = Some((4, 200L)))
+        .select(col("vec_id"), col("label"))
+    }),
+
     // Facet counts (the backend's `facet` API): distinct payload values
     // with point counts under a filter, most-frequent first. One
     // partial+final aggregate over a single pruned column.
@@ -1902,6 +1921,11 @@ object SparkEntry {
         |  FROM scored
         |)
         |SELECT result_id, label, context_score, rank, score FROM ranked WHERE rank <= 20""".stripMargin,
+
+    "collection_scroll_by" ->
+      """SELECT vec_id, label FROM embeddings
+        |WHERE label > 4 OR (label = 4 AND vec_id > 200)
+        |ORDER BY label, vec_id LIMIT 40""".stripMargin,
 
     // The faceted collection's contents equal the embeddings table (one
     // idempotent upsert), so facet counts are expressible on the source.

@@ -315,6 +315,27 @@ class VectorCollection(
       .limit(limit)
   }
 
+  /** Scroll ordered by a PAYLOAD field (the backend's scroll `order_by`):
+    * keyset pagination over the composite (orderCol, idCol) — `after` is
+    * the last row of the previous page as (order-value, id), and the next
+    * page is `(o > v) OR (o = v AND id > lastId)`, so pages are stable
+    * under concurrent appends and cost O(page) with pushdown, exactly
+    * like [[scroll]]; an OFFSET would re-scan every earlier page. Rows
+    * with a NULL order value are excluded (their keyset position is
+    * undefined — the backend likewise skips unset order_by fields). */
+  def scrollBy(orderCol: String, idCol: String, limit: Int,
+      after: Option[(Any, Any)] = None,
+      filter: Option[Column] = None): DataFrame = {
+    val base = load().filter(col(orderCol).isNotNull)
+    val fromKey = after.fold(base) { case (v, lastId) =>
+      base.filter(col(orderCol) > lit(v) ||
+        (col(orderCol) === lit(v) && col(idCol) > lit(lastId)))
+    }
+    filter.fold(fromKey)(fromKey.filter)
+      .orderBy(col(orderCol), col(idCol))
+      .limit(limit)
+  }
+
   /** Facet counts (the backend's `facet` API): distinct values of a
     * payload field with their point counts, optionally under a filter,
     * most-frequent first (ties by ascending value for determinism). One

@@ -32,6 +32,25 @@ class VectorCollectionSpec extends SparkSpec {
     assert(!c.exists)
   }
 
+  test("scrollBy: keyset pages over (payload, id) chain without gaps or repeats") {
+    val c = VectorCollection(spark, tmpRoot, "scrollby")
+    c.create(CollectionMeta(2, "cosine", normalized = false))
+    c.upsert(Seq(
+      (1L, Array(1f, 0f), "b"), (2L, Array(0f, 1f), "a"),
+      (3L, Array(1f, 1f), "b"), (4L, Array(0f, 0f), "a"),
+      (5L, Array(2f, 0f), "c")).toDF("id", "vec", "grade"), "id")
+    def page(after: Option[(Any, Any)]) =
+      c.scrollBy("grade", "id", limit = 2, after = after)
+        .select("grade", "id").as[(String, Long)].collect().toSeq
+    val p1 = page(None)
+    assert(p1 === Seq(("a", 2L), ("a", 4L)))
+    val p2 = page(Some(p1.last))
+    assert(p2 === Seq(("b", 1L), ("b", 3L)))
+    val p3 = page(Some(p2.last))
+    assert(p3 === Seq(("c", 5L)))
+    assert(page(Some(p3.last)).isEmpty)
+  }
+
   test("facet: per-value counts under a filter, most-frequent first") {
     import org.apache.spark.sql.functions.col
     val c = VectorCollection(spark, tmpRoot, "facet_coll")
