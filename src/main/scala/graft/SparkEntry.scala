@@ -318,6 +318,21 @@ object SparkEntry {
           col("context_score"), col("rank"), col("score"))
     }),
 
+    // MMR-diversified search (Carbonell & Goldstein 1998): top-20 cosine
+    // candidates per query re-ranked by λ·relevance − (1−λ)·max-sim-to-
+    // selected, greedy k=5 — the "distinct clone families, not five copies
+    // of one" retrieval mode. Greedy selection is inherently sequential,
+    // but only over each query's ≤ fetchK candidates; the oracle replays
+    // the identical selection as k chained argmax CTEs.
+    "knn_mmr" -> ((s, dir) => {
+      val emb = embParallel(s, dir)
+      graft.search.Mmr.diversifiedTopK(
+          graft.bench.Sampling.seeded(Tables.embeddings(s, dir), "vec_id", 8),
+          "vec_id", "embedding", emb, "vec_id", "embedding",
+          k = 5, lambda = 0.5, fetchK = 20)
+        .orderBy(col("query_id"), col("mmr_rank"))
+    }),
+
     // Named multi-vector points (the backend's named-vectors surface):
     // each point stores SEVERAL vectors — here the full 64-d embedding
     // plus an 8-d head projection — registered by name with their dims in
@@ -773,6 +788,18 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // Per-document TF-IDF keywords (top-3 terms by tf·ln(N/df)): corpus
+    // exploration / tag generation, sharing Bm25.tfFrame's tokenize+TF
+    // kernel so keyword TF can never diverge from retrieval TF. The TF⋈DF
+    // join shuffles by term (inherent — every document needs every term's
+    // IDF, unlike BM25's query-term semi-join); per-doc top-3 windows over
+    // document-length-bounded frames.
+    "doc_keywords" -> ((s, dir) => {
+      graft.text.Keywords.tfidfKeywords(docsParallel(s, dir),
+          "doc_id", "text", topN = 3)
+        .orderBy(col("doc_id"), col("kw_rank"))
+    }),
+
     // Exact corpus length quantiles (linear interpolation at p·(n−1) —
     // the same formula in Spark's percentile and DuckDB's quantile_cont).
     // Exact percentile sorts per group; for a single global group that is
@@ -1188,6 +1215,20 @@ object SparkEntry {
           min(col("norm")).as("min_norm"),
           max(col("norm")).as("max_norm"),
           count(when(col("norm") === 0.0, 1)).as("n_zero"))
+    }),
+
+    // Embedding-space outlier scan: mean cosine similarity to the 10
+    // nearest neighbors WITHIN a seeded 500-vector reference sample, 20
+    // strongest outliers (lowest density) first — the embedding-level
+    // junk filter next to the Gopher text rules. The sample (not the
+    // corpus) is broadcast, so the plan is one streaming corpus pass at
+    // any scale; exact self-kNN density would be |C|².
+    "embed_outliers" -> ((s, dir) => {
+      val emb = embParallel(s, dir)
+      graft.search.Outliers.topOutliers(
+        emb, "vec_id", "embedding",
+        graft.bench.Sampling.seeded(Tables.embeddings(s, dir), "vec_id", 500),
+        "vec_id", "embedding", k = 10, n = 20)
     }),
 
     // SimHash near-dups: fingerprints depend on xxhash64 → no cross-engine
@@ -1922,6 +1963,34 @@ object SparkEntry {
         |)
         |SELECT result_id, label, context_score, rank, score FROM ranked WHERE rank <= 20""".stripMargin,
 
+    "knn_mmr" -> mmrOracleSql(nQ = 8, fetchK = 20, k = 5),
+
+    "embed_outliers" ->
+      """WITH ref AS (
+        |  SELECT vec_id AS rid, CAST(embedding AS DOUBLE[]) AS rv FROM embeddings
+        |  ORDER BY md5('graft42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 500
+        |), sims AS (
+        |  SELECT e.vec_id, ref.rid,
+        |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ref.rv), 6) AS sim
+        |  FROM embeddings e CROSS JOIN ref
+        |  WHERE e.vec_id <> ref.rid
+        |), topk AS (
+        |  SELECT vec_id, sim FROM (
+        |    SELECT vec_id, sim,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, rid ASC) AS rn
+        |    FROM sims) WHERE rn <= 10
+        |), scored AS (
+        |  SELECT vec_id,
+        |    FLOOR(CAST(SUM(CAST(sim AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS mean_knn_sim
+        |  FROM topk GROUP BY vec_id
+        |), top AS (
+        |  SELECT vec_id, mean_knn_sim FROM scored
+        |  ORDER BY mean_knn_sim ASC, vec_id ASC LIMIT 20
+        |)
+        |SELECT vec_id, mean_knn_sim,
+        |  ROW_NUMBER() OVER (ORDER BY mean_knn_sim ASC, vec_id ASC) AS outlier_rank
+        |FROM top""".stripMargin,
+
     "collection_scroll_by" ->
       """SELECT vec_id, label FROM embeddings
         |WHERE label > 4 OR (label = 4 AND vec_id > 200)
@@ -2132,6 +2201,31 @@ object SparkEntry {
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
         |  FROM documents
         |) GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    "doc_keywords" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term
+        |), st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+        |), dft AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    tf.tf * (FLOOR(ln(st.n / dft.df) * 1000000.0 + 0.5) / 1000000.0) AS tfidf
+        |  FROM tf JOIN dft USING (term) CROSS JOIN st
+        |), ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS kw_rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, term AS keyword, kw_rank,
+        |  FLOOR(tfidf * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+        |FROM ranked WHERE kw_rank <= 3
+        |ORDER BY doc_id, kw_rank""".stripMargin,
 
     "doc_len_quantiles" ->
       """WITH t AS (
@@ -2833,6 +2927,59 @@ object SparkEntry {
   /** Shared DuckDB CTE: adjacent-token bigrams per doc with `lang` carried
     * (twin of [[TextAnalysis.bigrams]]; `range(1, len)` is empty below two
     * tokens, matching the Spark guard). */
+  /** MMR oracle: replays [[graft.search.Mmr.diversifiedTopK]]'s greedy
+    * selection as `k` chained argmax CTEs — sel1 is the plain relevance
+    * argmax (empty selected set ⇒ no diversity penalty), each later step
+    * scores the not-yet-selected candidates by
+    * `0.5·rel − 0.5·max(sim to selected)` with the pairwise sims
+    * floor-quantized to the same 1e-6 grid as the Scala greedy loop, and
+    * picks the (score desc, id asc) winner. λ = 0.5 inlined. */
+  private def mmrOracleSql(nQ: Int, fetchK: Int, k: Int): String = {
+    val header =
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  ORDER BY md5('graft42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $nQ
+         |), scored AS (
+         |  SELECT q.qid AS query_id, c.vec_id AS result_id,
+         |    ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS rel,
+         |    CAST(c.embedding AS DOUBLE[]) AS cv
+         |  FROM q CROSS JOIN embeddings c
+         |  WHERE c.vec_id <> q.qid
+         |), cand AS (
+         |  SELECT query_id, result_id, rel, cv FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, result_id ASC) AS rn
+         |    FROM scored) WHERE rn <= $fetchK
+         |), sel1 AS (
+         |  SELECT query_id, result_id, rel, cv, 1 AS mmr_rank, 0.5 * rel AS m FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, result_id ASC) AS rn
+         |    FROM cand) WHERE rn = 1
+         |)""".stripMargin
+    val steps = (2 to k).map { i =>
+      val prev = s"sel${i - 1}"
+      s""", gen$i AS (
+         |  SELECT c.query_id, c.result_id, c.rel, c.cv,
+         |    0.5 * c.rel - 0.5 * (
+         |      SELECT MAX(FLOOR(list_cosine_similarity(c.cv, s.cv) * 1000000.0 + 0.5) / 1000000.0)
+         |      FROM $prev s WHERE s.query_id = c.query_id) AS m
+         |  FROM cand c
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev x
+         |    WHERE x.query_id = c.query_id AND x.result_id = c.result_id)
+         |), pick$i AS (
+         |  SELECT query_id, result_id, rel, cv, $i AS mmr_rank, m FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY m DESC, result_id ASC) AS rn
+         |    FROM gen$i) WHERE rn = 1
+         |), sel$i AS (
+         |  SELECT * FROM $prev UNION ALL SELECT * FROM pick$i
+         |)""".stripMargin
+    }.mkString
+    header + steps +
+      s"""
+         |SELECT query_id, result_id, mmr_rank,
+         |  FLOOR(m * 1000000.0 + 0.5) / 1000000.0 AS mmr_score,
+         |  rel AS score
+         |FROM sel$k ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
   /** BM25 oracle — shared verbatim by `bm25_topk` and `bm25_index_topk`
     * (both route through `Bm25.scoreTf`, so their outputs are identical by
     * construction). */

@@ -1,0 +1,55 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.search.Bm25
+
+/**
+ * Per-document TF-IDF keyword extraction: the `topN` terms of each document
+ * by `tf · ln(N/df)` (classic Salton TF-IDF; df ≥ 1 for any term that
+ * occurs, so no smoothing is needed) — the standard "what is this document
+ * about" summarization used for corpus exploration, tag generation, and
+ * cluster labeling in a training-data pipeline.
+ *
+ * Shares [[Bm25.tfFrame]]'s tokenize+TF kernel (one explode + hash
+ * aggregate over the corpus, document length riding as a grouping key) so
+ * keyword TF can never diverge from retrieval TF. DF is a vocabulary-sized
+ * aggregate of that same frame; the TF⋈DF equi-join shuffles both sides by
+ * term — inherent, since unlike BM25 (which semi-joins DF down to query
+ * terms) every document's every term needs its IDF. Per-document top-N
+ * runs as a rank window partitioned by document: frames are bounded by
+ * document length, so the sort is per-document-sized, never corpus-sized.
+ *
+ * Determinism discipline: IDF is floor-quantized to 6 dp (the
+ * [[Bm25]] rule); `tfidf = tf · idf6` is then a product of an integer
+ * double and a 6-dp double — bit-identical in any engine — and ties rank
+ * by ascending term (binary UTF-8 order in Spark and any binary-collation
+ * oracle engine).
+ */
+object Keywords {
+  /**
+   * Output: `doc_id` (named after `idCol`), `keyword`, `kw_rank` (1-based
+   * within document), `tfidf` (6-dp). Documents with fewer distinct terms
+   * than `topN` emit fewer rows.
+   */
+  def tfidfKeywords(
+      docs: DataFrame, idCol: String, textCol: String, topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val n = docs.count() // one metadata-sized scalar, same as Bm25.corpusStats
+    val tf = Bm25.tfFrame(docs, idCol, textCol)
+    val dfTable = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val r6: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val idf = r6(log(lit(n.toDouble) / col("__df")))
+    val w = Window.partitionBy(col("__d"))
+      .orderBy(col("__tfidf").desc, col("__t").asc)
+    tf.join(dfTable, Seq("__t"))
+      .withColumn("__tfidf", col("__tf") * idf)
+      .withColumn("kw_rank", row_number().over(w))
+      .filter(col("kw_rank") <= topN)
+      .select(col("__d").as(idCol), col("__t").as("keyword"),
+        col("kw_rank"), r6(col("__tfidf")).as("tfidf"))
+  }
+}

@@ -33,6 +33,15 @@ object KernelProperties extends Properties("graft.kernels") {
       c1 == c2 && c1 >= -1.0 - 1e-9 && c1 <= 1.0 + 1e-9
     }
 
+  property("Mmr.cosine matches the Catalyst kernel bit-for-bit") =
+    // The MMR greedy loop computes pairwise sims on plain float arrays;
+    // its oracle equivalence rests on agreeing EXACTLY (same double
+    // accumulation order) with the expression kernel the stage-1 scores
+    // came from.
+    forAll(vecGen, vecGen) { (a, b) =>
+      graft.search.Mmr.cosine(a, b) == VectorOps.cosine(arr(a), arr(b))
+    }
+
   property("cosine self-similarity is 1 (or 0 for the zero vector)") =
     forAll(vecGen) { a =>
       val c = VectorOps.cosine(arr(a), arr(a))
