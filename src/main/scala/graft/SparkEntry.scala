@@ -290,6 +290,26 @@ object SparkEntry {
         .orderBy(col("query_id"), col("group_rank"), col("rank"))
     }),
 
+    // Grouped search with lookup (the backend's `search_groups` +
+    // `with_lookup`): each surfaced group carries its group key's record
+    // from a lookup collection — here per-label metadata (member count +
+    // representative id). The grouped result is |Q|·kGroups·groupSize
+    // rows by contract, so it BROADCASTS into the lookup scan: the
+    // lookup collection can be corpus-sized and is probed, not shuffled.
+    "knn_groups_lookup" -> ((s, dir) => {
+      val corpus = embParallel(s, dir)
+      val labelMeta = Tables.embeddings(s, dir).groupBy("label")
+        .agg(count(lit(1)).as("n_members"), min("vec_id").as("rep_id"))
+      Knn.knnJoinGrouped(knnQueries(s, dir), "vec_id", "embedding",
+          corpus, "vec_id", "embedding",
+          groupCol = "label", groupSize = 2, kGroups = 3, roundScoreTo = Some(6),
+          withLookup = Some((labelMeta, "label")))
+        .select(col("query_id"), col("label"), col("group_rank"),
+          col("vec_id").as("result_id"), col("rank"), col("score"),
+          col("lookup_n_members"), col("lookup_rep_id"))
+        .orderBy(col("query_id"), col("group_rank"), col("rank"))
+    }),
+
     // Recommendation search (the backend's `recommend` API): corpus ranked
     // against mean(positive examples) − mean(negative examples), examples
     // excluded. The composite vector is double-averaged then float32-cast
@@ -299,6 +319,24 @@ object SparkEntry {
       Knn.recommend(embParallel(s, dir), "vec_id", "embedding",
           positiveIds = Seq(0L, 1L, 2L), negativeIds = Seq(3L, 4L),
           k = 20, roundScoreTo = Some(6))
+        .select(col("vec_id").as("result_id"), col("label"),
+          col("rank"), col("score"))
+    }),
+
+    // Recommend with `lookup_from`: the example vectors resolve from a
+    // DIFFERENT collection (here the same embeddings re-keyed +10000 —
+    // a prototype collection in a foreign id space), so the searched
+    // corpus does NOT exclude the example ids: the composite vector is
+    // identical to knn_recommend's, but ids 0-4 are now eligible results
+    // — the observable semantic difference of the lookup_from contract.
+    "recommend_lookup" -> ((s, dir) => {
+      val protos = Tables.embeddings(s, dir)
+        .select((col("vec_id") + lit(10000L)).as("proto_id"), col("embedding"))
+      Knn.recommend(embParallel(s, dir), "vec_id", "embedding",
+          positiveIds = Seq(10000L, 10001L, 10002L),
+          negativeIds = Seq(10003L, 10004L),
+          k = 20, roundScoreTo = Some(6),
+          lookupFrom = Some((protos, "proto_id", "embedding")))
         .select(col("vec_id").as("result_id"), col("label"),
           col("rank"), col("score"))
     }),
@@ -355,6 +393,67 @@ object SparkEntry {
         .select(col("vec_id"), slice(col("embedding"), 1, 8).as("qv"))
       Knn.searchCollection(coll, q, "vec_id", "qv", "vec_id", "embedding",
           k = 10, roundScoreTo = Some(6), vectorName = Some("head_vec"))
+        .select(col("query_id"), col("vec_id").as("result_id"),
+          col("rank"), col("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Universal query with prefetch (the backend's multi-stage `query`
+    // request): stage 1 ranks the top-50 per query on the CHEAP 8-d head
+    // slice of each vector (matryoshka-style), stage 2 rescores ONLY
+    // those candidates on the full 64-d vector for the final top-10. The
+    // full-precision representation is touched for |Q|·prefetchK rows,
+    // never the corpus — the plan shape of every refine-style retrieval.
+    "query_prefetch" -> ((s, dir) => {
+      val emb = embParallel(s, dir)
+      graft.search.Query.prefetchRescore(
+          knnQueries(s, dir), "vec_id", "embedding",
+          emb, "vec_id", "embedding",
+          cheapVec = v => slice(v, 1, 8),
+          prefetchK = 50, k = 10, roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"),
+          col("label"), col("rank"), col("score"))
+    }),
+
+    // Formula rescoring (the backend's score-boosting query): candidates
+    // from an exact top-50 cosine prefetch are re-ranked by a FORMULA
+    // over the similarity and a payload field — here a convex blend of
+    // cosine and a linear category-decay boost (prefer labels near 5,
+    // the recency/popularity-boost shape). The decay is pure IEEE
+    // arithmetic and the blend is r6-floored, so every cell is
+    // engine-stable; the formula is one codegen'd projection over the
+    // |Q|·50 rescore rows — the corpus is probed by broadcast id join.
+    "query_boosted" -> ((s, dir) => {
+      val emb = embParallel(s, dir)
+      val q = knnQueries(s, dir)
+      val candidates = Knn.knnJoin(q, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 50, roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id"))
+      graft.search.Query.rescoreFormula(candidates,
+          q, "vec_id", "embedding", emb, "vec_id", "embedding", k = 10,
+          formula = r6(lit(0.8) * col("sim") + lit(0.2) *
+            graft.functions.lin_decay(col("label").cast("double"),
+              lit(5.0), lit(5.0), lit(0.5))),
+          roundSimTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"),
+          col("label"), col("sim"), col("score"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Late-interaction MaxSim search (ColBERT scoring; the backend's
+    // multivector comparator): each point's 64-d embedding is viewed as
+    // 8 token-vectors × 8 dims, and score(q, d) = Σ over query tokens of
+    // the best per-token cosine against any doc token. Same broadcast +
+    // bounded-heap plan as knn_topk — only the comparator changes
+    // (knnJoin's scoreFn hook); pairwise cosines are 1e-6-quantized
+    // before the max so the winning token is engine-stable.
+    "maxsim_knn" -> ((s, dir) => {
+      val emb = embParallel(s, dir)
+      Knn.knnJoin(
+          graft.bench.Sampling.seeded(Tables.embeddings(s, dir), "vec_id", 10),
+          "vec_id", "embedding", emb, "vec_id", "embedding", k = 10,
+          scoreFn = Some((a, b) =>
+            floor(graft.functions.max_sim(a, b, 8) * lit(1e6) + lit(0.5)) / lit(1e6)))
         .select(col("query_id"), col("vec_id").as("result_id"),
           col("rank"), col("score"))
         .orderBy(col("query_id"), col("rank"))
@@ -798,6 +897,17 @@ object SparkEntry {
       graft.text.Keywords.tfidfKeywords(docsParallel(s, dir),
           "doc_id", "text", topN = 3)
         .orderBy(col("doc_id"), col("kw_rank"))
+    }),
+
+    // Char-bigram LM perplexity (the CCNet-style quality filter, reduced
+    // to an exactly-reproducible corpus-trained model): bits per
+    // character transition under add-one-smoothed bigram probabilities;
+    // junk text floats to the top. Model + scoring are two aggregations
+    // and a broadcast join over a builtin-codegen bigram stream — no UDF,
+    // no corpus shuffle.
+    "doc_perplexity" -> ((s, dir) => {
+      graft.text.Perplexity.bitsPerChar(docsParallel(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
     }),
 
     // Exact corpus length quantiles (linear interpolation at p·(n−1) —
@@ -1909,6 +2019,62 @@ object SparkEntry {
         |FROM wg JOIN gr ON wg.query_id = gr.query_id AND wg.label = gr.label
         |ORDER BY wg.query_id, gr.group_rank, wg.rank""".stripMargin,
 
+    "knn_groups_lookup" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  ORDER BY md5('graft42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 500
+        |), scored AS (
+        |  SELECT q.qid AS query_id, c.vec_id AS result_id, c.label,
+        |    ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS score
+        |  FROM q CROSS JOIN embeddings c
+        |  WHERE c.vec_id <> q.qid
+        |), wg AS (
+        |  SELECT query_id, label, result_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id, label ORDER BY score DESC, result_id ASC) AS rank
+        |  FROM scored QUALIFY rank <= 2
+        |), best AS (
+        |  SELECT query_id, label, score AS best FROM wg WHERE rank = 1
+        |), gr AS (
+        |  SELECT query_id, label,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY best DESC, label ASC) AS group_rank
+        |  FROM best QUALIFY group_rank <= 3
+        |), meta AS (
+        |  SELECT label, count(*) AS lookup_n_members, min(vec_id) AS lookup_rep_id
+        |  FROM embeddings GROUP BY label
+        |)
+        |SELECT wg.query_id, wg.label, gr.group_rank, wg.result_id, wg.rank, wg.score,
+        |  meta.lookup_n_members, meta.lookup_rep_id
+        |FROM wg
+        |JOIN gr ON wg.query_id = gr.query_id AND wg.label = gr.label
+        |JOIN meta ON meta.label = wg.label
+        |ORDER BY wg.query_id, gr.group_rank, wg.rank""".stripMargin,
+
+    // lookup_from twin: the SAME composite vector as knn_recommend (the
+    // prototype collection re-keys ids only), but NO example exclusion —
+    // the searched corpus never contained the example ids.
+    "recommend_lookup" ->
+      """WITH pos AS (
+        |  SELECT u.i AS i, avg(CAST(e.embedding[u.i] AS DOUBLE)) AS v
+        |  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS u(i)
+        |  WHERE e.vec_id IN (0, 1, 2) GROUP BY u.i
+        |), neg AS (
+        |  SELECT u.i AS i, avg(CAST(e.embedding[u.i] AS DOUBLE)) AS v
+        |  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS u(i)
+        |  WHERE e.vec_id IN (3, 4) GROUP BY u.i
+        |), qv AS (
+        |  SELECT CAST(list(CAST(pos.v - neg.v AS FLOAT) ORDER BY pos.i) AS DOUBLE[]) AS v
+        |  FROM pos JOIN neg ON pos.i = neg.i
+        |), scored AS (
+        |  SELECT c.vec_id AS result_id, c.label,
+        |    ROUND(list_cosine_similarity(qv.v, CAST(c.embedding AS DOUBLE[])), 6) AS score
+        |  FROM embeddings c, qv
+        |), ranked AS (
+        |  SELECT result_id, label, score,
+        |    ROW_NUMBER() OVER (ORDER BY score DESC, result_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT result_id, label, rank, score FROM ranked WHERE rank <= 20""".stripMargin,
+
     // The composite query vector is rebuilt exactly as the engine does it:
     // per-dimension double means over the example vectors, subtracted, then
     // cast to FLOAT (float32) — so both engines score the IDENTICAL vector.
@@ -2227,6 +2393,34 @@ object SparkEntry {
         |FROM ranked WHERE kw_rank <= 3
         |ORDER BY doc_id, kw_rank""".stripMargin,
 
+    "doc_perplexity" ->
+      """WITH t AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents WHERE len(lower(text)) >= 2
+        |), big AS (
+        |  SELECT doc_id, substr(t, i, 2) AS bg
+        |  FROM t, unnest(range(1, len(t))) AS u(i)
+        |), tf AS (
+        |  SELECT doc_id, bg, count(*) AS tf FROM big GROUP BY doc_id, bg
+        |), cbg AS (
+        |  SELECT bg, count(*) AS c FROM big GROUP BY bg
+        |), ctx AS (
+        |  SELECT substr(bg, 1, 1) AS a, SUM(c) AS ca FROM cbg GROUP BY 1
+        |), v AS (
+        |  SELECT count(DISTINCT substr(bg, 2, 1)) AS v FROM cbg
+        |), model AS (
+        |  SELECT cbg.bg,
+        |    FLOOR(log2((cbg.c + 1.0) / (ctx.ca + v.v)) * 1000000.0 + 0.5) / 1000000.0 AS logp
+        |  FROM cbg JOIN ctx ON substr(cbg.bg, 1, 1) = ctx.a CROSS JOIN v
+        |), s AS (
+        |  SELECT tf.doc_id,
+        |    SUM(CAST(tf.tf AS DECIMAL(10,0)) * CAST(model.logp AS DECIMAL(18,6))) AS sl,
+        |    SUM(tf.tf) AS n
+        |  FROM tf JOIN model USING (bg) GROUP BY tf.doc_id
+        |)
+        |SELECT doc_id, n AS n_bigrams,
+        |  FLOOR(-(CAST(sl AS DOUBLE) / n) * 1000000.0 + 0.5) / 1000000.0 AS bits_per_char
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "doc_len_quantiles" ->
       """WITH t AS (
         |  SELECT len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS n
@@ -2509,6 +2703,91 @@ object SparkEntry {
         |    ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding[1:8] AS DOUBLE[])), 6) AS score
         |  FROM q CROSS JOIN embeddings c
         |  WHERE c.vec_id <> q.qid
+        |), ranked AS (
+        |  SELECT query_id, result_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, result_id, rank, score FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "query_prefetch" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  ORDER BY md5('graft42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 500
+        |), pre AS (
+        |  SELECT q.qid, c.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+        |      ROUND(list_cosine_similarity(CAST(q.qv[1:8] AS DOUBLE[]), CAST(c.embedding[1:8] AS DOUBLE[])), 6) DESC,
+        |      c.vec_id ASC) AS rn
+        |  FROM q CROSS JOIN embeddings c
+        |  WHERE c.vec_id <> q.qid
+        |), resc AS (
+        |  SELECT p.qid AS query_id, p.vec_id AS result_id, c.label,
+        |    ROUND(list_cosine_similarity(CAST(q2.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS score
+        |  FROM pre p
+        |  JOIN embeddings c ON c.vec_id = p.vec_id
+        |  JOIN q q2 ON q2.qid = p.qid
+        |  WHERE p.rn <= 50
+        |), ranked AS (
+        |  SELECT query_id, result_id, label, score,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+        |  FROM resc
+        |)
+        |SELECT query_id, result_id, label, rank, score FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "query_boosted" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  ORDER BY md5('graft42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 500
+        |), cand AS (
+        |  SELECT q.qid, c.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+        |      ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC,
+        |      c.vec_id ASC) AS rn
+        |  FROM q CROSS JOIN embeddings c
+        |  WHERE c.vec_id <> q.qid
+        |), resc AS (
+        |  SELECT p.qid AS query_id, p.vec_id AS result_id, c.label,
+        |    ROUND(list_cosine_similarity(CAST(q2.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM cand p
+        |  JOIN embeddings c ON c.vec_id = p.vec_id
+        |  JOIN q q2 ON q2.qid = p.qid
+        |  WHERE p.rn <= 50
+        |), sc AS (
+        |  SELECT query_id, result_id, label, sim,
+        |    FLOOR((0.8 * sim + 0.2 * GREATEST(0.0,
+        |      1.0 - (1.0 - 0.5) / 5.0 * ABS(CAST(label AS DOUBLE) - 5.0)))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS score
+        |  FROM resc
+        |), ranked AS (
+        |  SELECT query_id, result_id, label, sim, score,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+        |  FROM sc
+        |)
+        |SELECT query_id, result_id, label, sim, score, rank FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "maxsim_knn" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  ORDER BY md5('graft42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 10
+        |), qt AS (
+        |  SELECT qid, i, CAST(list_slice(qv, 8*i + 1, 8*i + 8) AS DOUBLE[]) AS tv
+        |  FROM q, unnest(range(0, 8)) AS u(i)
+        |), ct AS (
+        |  SELECT vec_id, j, CAST(list_slice(embedding, 8*j + 1, 8*j + 8) AS DOUBLE[]) AS tv
+        |  FROM embeddings, unnest(range(0, 8)) AS u(j)
+        |), best AS (
+        |  SELECT qt.qid, ct.vec_id, qt.i,
+        |    MAX(FLOOR(list_cosine_similarity(qt.tv, ct.tv) * 1000000.0 + 0.5) / 1000000.0) AS b
+        |  FROM qt CROSS JOIN ct
+        |  WHERE ct.vec_id <> qt.qid
+        |  GROUP BY qt.qid, ct.vec_id, qt.i
+        |), scored AS (
+        |  SELECT qid AS query_id, vec_id AS result_id,
+        |    FLOOR(CAST(SUM(CAST(b AS DECIMAL(28,6))) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS score
+        |  FROM best GROUP BY qid, vec_id
         |), ranked AS (
         |  SELECT query_id, result_id, score,
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank

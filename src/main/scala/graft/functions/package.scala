@@ -118,6 +118,36 @@ package object functions {
   def hamming_distance(a: Column, b: Column): Column =
     col(BitHamming(ex(a), ex(b)))
 
+  /** Linear decay boost (the backend formula-query `lin_decay`):
+    * `max(0, 1 − (1−midpoint)/scale · |x − target|)` — 1 at the target,
+    * `midpoint` at distance `scale`, 0 beyond. Pure IEEE arithmetic
+    * (no transcendentals), so the value is bit-identical cross-engine —
+    * the decay to use inside oracle-checked formulas. */
+  def lin_decay(x: Column, target: Column, scale: Column, midpoint: Column): Column = {
+    import org.apache.spark.sql.{functions => F}
+    F.greatest(F.lit(0.0),
+      F.lit(1.0) - (F.lit(1.0) - midpoint) / scale * F.abs(x - target))
+  }
+
+  /** Exponential decay boost: `exp(ln(midpoint)/scale · |x − target|)`. */
+  def exp_decay(x: Column, target: Column, scale: Column, midpoint: Column): Column = {
+    import org.apache.spark.sql.{functions => F}
+    F.exp(F.log(midpoint) / scale * F.abs(x - target))
+  }
+
+  /** Gaussian decay boost: `exp(ln(midpoint)/scale² · (x − target)²)`. */
+  def gauss_decay(x: Column, target: Column, scale: Column, midpoint: Column): Column = {
+    import org.apache.spark.sql.{functions => F}
+    F.exp(F.log(midpoint) / (scale * scale) * F.pow(x - target, F.lit(2)))
+  }
+
+  /** Late-interaction MaxSim score of two flattened-multivector
+    * array<float> columns (tokens × subDim elements each): for every
+    * query token, the best 1e-6-quantized cosine against any doc token,
+    * summed — the ColBERT / multivector-collection comparator. */
+  def max_sim(q: Column, d: Column, subDim: Int): Column =
+    col(MaxSim(ex(q), ex(d), subDim))
+
   /** Bounded-heap per-group top-k aggregate (map-side partials): keeps the
     * k best `payload` struct rows by (score desc, id asc) and returns them
     * best-first as array<struct>. The aggregate requires exact
@@ -184,6 +214,8 @@ package object functions {
     reg.createOrReplaceTempFunction("binary_quantize", es => BitQuantize(es.head), "built-in")
     reg.createOrReplaceTempFunction("binary_cosine", es => BitCosine(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("hamming_distance", es => BitHamming(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("max_sim",
+      es => MaxSim(es(0), es(1), litInt("max_sim", "subDim")(es(2))), "built-in")
     reg.createOrReplaceTempFunction("min_hash_sig",
       es => MinHashSig(es(0), litInt("min_hash_sig", "numHashes")(es(1))), "built-in")
     reg.createOrReplaceTempFunction("min_hash_band_keys",

@@ -79,7 +79,8 @@ object Knn {
       metric: String = "cosine",
       roundScoreTo: Option[Int] = None,
       useTopKAgg: Boolean = true,
-      corpusFilter: Option[Column] = None): DataFrame = {
+      corpusFilter: Option[Column] = None,
+      scoreFn: Option[(Column, Column) => Column] = None): DataFrame = {
     val corpus = corpusFilter.fold(corpus0)(corpus0.filter)
     // Query payload columns ride along as query_<name> (the reference keeps
     // the query row's fields for relevance tagging, bcb_utils.py:182-189).
@@ -91,7 +92,11 @@ object Knn {
       .map(c => col(c).as(s"query_$c"))
     val q = queries.select(
       col(queryId).as("query_id") +: col(queryVec).as("__query_vec") +: payloadCols: _*)
-    val rawScore = score(metric)(col("__query_vec"), col(corpusVec))
+    // scoreFn swaps in a custom comparator (e.g. late-interaction
+    // [[graft.functions.max_sim]]) while keeping the whole broadcast +
+    // bounded-heap plan; `metric` still decides rank direction.
+    val rawScore =
+      scoreFn.getOrElse(score(metric) _)(col("__query_vec"), col(corpusVec))
     // roundScoreTo pins ranking to a precision both engines agree on —
     // cross-engine float kernels can differ in the last ulp, which would
     // make near-tie ranks nondeterministic vs the oracle.
@@ -169,7 +174,8 @@ object Knn {
       excludeSelf: Boolean = true,
       metric: String = "cosine",
       roundScoreTo: Option[Int] = None,
-      corpusFilter: Option[Column] = None): DataFrame = {
+      corpusFilter: Option[Column] = None,
+      withLookup: Option[(DataFrame, String)] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c1 = corpusFilter.fold(corpus)(corpus.filter)
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
@@ -201,9 +207,29 @@ object Knn {
       .withColumn("group_rank", row_number().over(w))
       .filter(col("group_rank") <= kGroups)
       .select(col("query_id"), col(groupCol), col("group_rank"))
-    within.join(rankedGroups, Seq("query_id", groupCol))
+    val grouped = within.join(rankedGroups, Seq("query_id", groupCol))
       .select(col("query_id") +: col(groupCol) +: col("group_rank") +:
         corpusCols.map(col) :+ col("score") :+ col("rank"): _*)
+    // The backend's `with_lookup`: attach the GROUP KEY's record from a
+    // lookup collection to every row of its group, columns prefixed
+    // `lookup_`. The grouped result is |Q|·kGroups·groupSize rows — tiny
+    // by contract — so it broadcasts into the lookup scan (the lookup
+    // collection can be corpus-sized and is probed, never shuffled).
+    withLookup.fold(grouped) { case (lookup, lookupId) =>
+      val renamed = lookup.columns.foldLeft(lookup) { (df, c) =>
+        if (c == lookupId) df else df.withColumnRenamed(c, s"lookup_$c")
+      }
+      // Probe first: group keys broadcast INTO the lookup scan (inner —
+      // a preserved side can't be an outer join's build side), leaving a
+      // keys-sized found set; the null-preserving outer join then runs
+      // between two tiny frames with the found set as broadcast build.
+      val keys = grouped.select(col(groupCol)).distinct()
+      val found = renamed
+        .join(broadcast(keys), renamed(lookupId) === keys(groupCol))
+        .drop(keys(groupCol))
+      grouped.join(broadcast(found), grouped(groupCol) === found(lookupId), "left")
+        .drop(found(lookupId)) // by reference: groupCol may share the name
+    }
   }
 
   /**
@@ -229,12 +255,18 @@ object Knn {
       positiveIds: Seq[Long], negativeIds: Seq[Long] = Nil,
       k: Int = 10,
       roundScoreTo: Option[Int] = None,
-      corpusFilter: Option[Column] = None): DataFrame = {
+      corpusFilter: Option[Column] = None,
+      lookupFrom: Option[(DataFrame, String, String)] = None): DataFrame = {
     require(positiveIds.nonEmpty, "recommend needs at least one positive example")
+    // The backend's `lookup_from`: example vectors resolve from ANOTHER
+    // collection (frame, idCol, vecCol). Foreign id space ⇒ the searched
+    // corpus does NOT exclude the example ids (they aren't its points).
+    val (exFrame, exId, exVec) =
+      lookupFrom.getOrElse((corpus, corpusId, corpusVec))
     def meanVec(ids: Seq[Long]): Array[Double] = {
-      val rows = corpus
-        .filter(col(corpusId).isin(ids: _*))
-        .select(col(corpusVec)).collect()
+      val rows = exFrame
+        .filter(col(exId).isin(ids: _*))
+        .select(col(exVec)).collect()
       require(rows.length == ids.distinct.length,
         s"recommend: ${ids.distinct.length} example ids matched ${rows.length} corpus rows")
       val dim = rows.head.getSeq[Float](0).length
@@ -255,7 +287,9 @@ object Knn {
     import spark.implicits._
     val queries = Seq((0L, qv)).toDF("__rec_id", "__rec_vec")
     val examples = (positiveIds ++ negativeIds).distinct
-    val notExample = !col(corpusId).isin(examples: _*)
+    val notExample =
+      if (lookupFrom.isDefined) lit(true)
+      else !col(corpusId).isin(examples: _*)
     val filt = corpusFilter.fold(notExample)(f => notExample && f)
     knnJoin(queries, "__rec_id", "__rec_vec", corpus, corpusId, corpusVec,
         k, excludeSelf = false, roundScoreTo = roundScoreTo,

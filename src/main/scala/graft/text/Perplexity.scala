@@ -1,0 +1,71 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Character-bigram language-model quality scoring (the CCNet/KenLM-style
+ * perplexity filter of a training-data pipeline, reduced to a model that
+ * is exactly reproducible cross-engine): train bigram transition counts
+ * on the corpus itself, then score each document by its average negative
+ * log2 transition probability — bits per character transition. Junk
+ * (mojibake, random identifiers, binary-ish text) makes improbable
+ * transitions and floats to the top; fluent prose scores low. Rank
+ * thresholds, not absolute values, are the filter contract (the model is
+ * corpus-trained, so scores are relative to the corpus itself).
+ *
+ * Model, pinned for the oracle twin:
+ *   P(b|a) = (c(ab) + 1) / (c(a*) + V)
+ * over lowercased text; `c(ab)` = corpus count of bigram ab, `c(a*)` =
+ * count of bigrams starting with a, `V` = distinct observed second
+ * characters (add-one smoothing's vocabulary). Documents shorter than 2
+ * characters have no transitions and are dropped.
+ *
+ * Scale shape: bigram expansion is builtin codegen (`sequence` +
+ * `transform` + `explode` — no UDF); the model is two aggregations over
+ * the bigram stream (alphabet²-bounded output: a few thousand rows for
+ * real text) and joins back to per-doc TF as a BROADCAST — per-doc
+ * scoring never shuffles the corpus, only its TF rows (bounded by
+ * doc length, combined map-side). One corpus pass for counts, one for
+ * TF; both are the same exploded stream, so Catalyst reuses the scan.
+ *
+ * Determinism discipline: each bigram's log2 probability is
+ * floor-quantized to the 1e-6 grid; per-doc totals are exact DECIMAL
+ * sums of (tf × quantized-logp); the final bits-per-transition is one
+ * double division, floor-quantized. Identical count inputs thus yield
+ * bit-identical scores in any engine.
+ */
+object Perplexity {
+
+  private def r6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** Per-document bits-per-transition under the corpus-trained bigram LM.
+    * Output: `doc_id`-named id column, `n_bigrams`, `bits_per_char`. */
+  def bitsPerChar(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val big = docs
+      .select(col(idCol), lower(col(textCol)).as("__t"))
+      .filter(length(col("__t")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, length(__t) - 1), i -> substring(__t, i, 2))")).as("bg"))
+    val tf = big.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("tf"))
+    // Corpus model from the SAME exploded stream: bigram counts, context
+    // (first-char) totals, and the distinct-second-char vocabulary.
+    val cbg = big.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    val ctx = cbg.groupBy(substring(col("bg"), 1, 1).as("a")).agg(sum(col("c")).as("ca"))
+    val vocab = cbg.agg(countDistinct(substring(col("bg"), 2, 1)).as("v"))
+    val model = cbg
+      .join(broadcast(ctx), substring(col("bg"), 1, 1) === col("a"))
+      .crossJoin(broadcast(vocab))
+      .select(col("bg"),
+        r6(log2((col("c") + lit(1)).cast("double") /
+          (col("ca") + col("v")).cast("double"))).as("logp"))
+    tf.join(broadcast(model), Seq("bg"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        (-(sum(col("tf").cast("decimal(10,0)") * col("logp").cast("decimal(18,6)"))
+          .cast("double") / sum(col("tf")))).as("__raw"))
+      .select(col(idCol), col("n_bigrams"), r6(col("__raw")).as("bits_per_char"))
+  }
+}

@@ -136,6 +136,55 @@ class KnnSpec extends SparkSpec {
     assert(res.map(_.getAs[Long]("vec_id")).toSeq == Seq(4L, 6L, 5L))
   }
 
+  test("grouped search with_lookup attaches the group key's lookup record") {
+    val q = corpus.filter($"vec_id" === 1L)
+    val meta = Seq(("a", "alpha"), ("b", "beta"), ("zz", "unused"))
+      .toDF("label", "title")
+    val res = Knn.knnJoinGrouped(q, "vec_id", "embedding",
+        corpus, "vec_id", "embedding",
+        groupCol = "label", groupSize = 2, kGroups = 2,
+        withLookup = Some((meta, "label")))
+      .orderBy("group_rank", "rank").collect()
+    // Same rows as the plain grouped search, each carrying its group's
+    // lookup payload under the lookup_ prefix; the lookup's own key
+    // column does not leak into the output.
+    assert(res.map(r => (r.getAs[String]("label"), r.getAs[String]("lookup_title")))
+      .toSeq === Seq(("a", "alpha"), ("b", "beta"), ("b", "beta")))
+    assert(!res.head.schema.fieldNames.contains("lookup_label"))
+  }
+
+  test("recommend lookup_from: foreign examples, no corpus exclusion") {
+    val c = Seq(
+      (1L, Array(1f, 0f)),
+      (2L, Array(0.8f, 0.2f)),
+      (3L, Array(0f, 1f)),
+      (4L, Array(0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    // Prototype collection in its own id space: positive prototype along
+    // x, negative along y — same composite as pos=(1,0) neg=(0,1).
+    val protos = Seq(
+      (100L, Array(1f, 0f)),
+      (200L, Array(0f, 1f))
+    ).toDF("proto_id", "vec")
+    val res = Knn.recommend(c, "vec_id", "embedding",
+        positiveIds = Seq(100L), negativeIds = Seq(200L), k = 4,
+        lookupFrom = Some((protos, "proto_id", "vec")))
+      .orderBy("rank").collect()
+    // ALL corpus points are eligible (no exclusion): 1 is itself the
+    // composite direction and ranks first.
+    assert(res.length === 4)
+    assert(res.map(_.getAs[Long]("vec_id")).toSeq === Seq(1L, 4L, 2L, 3L))
+  }
+
+  test("recommend lookup_from: missing prototype id fails loudly") {
+    val protos = Seq((100L, Array(1f, 0f))).toDF("proto_id", "vec")
+    intercept[IllegalArgumentException] {
+      Knn.recommend(corpus, "vec_id", "embedding",
+        positiveIds = Seq(100L, 999L), k = 1,
+        lookupFrom = Some((protos, "proto_id", "vec")))
+    }
+  }
+
   test("searchMatrix: pairwise top-k among the sample, self-pairs excluded") {
     val res = Knn.searchMatrix(corpus, "vec_id", "embedding",
       sample = 10, k = 1, roundScoreTo = Some(6)).collect()
