@@ -27,6 +27,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the join")
   }
 
+  test("query_prefetch: both stages broadcast, corpus never sort-merge joins") {
+    val p = plan("query_prefetch")
+    // stage 1: queries broadcast into the cheap-vector scoring pass;
+    // stage 2: candidate ids broadcast into the full-precision probe.
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      s"prefetch queries AND rescore candidates must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must be probed, not shuffled, in both stages:\n$p")
+  }
+
+  test("query_boosted: formula stays a projection, no extra exchange beyond the rescore agg") {
+    val p = plan("query_boosted")
+    assert(!p.contains("SortMergeJoin"),
+      s"formula rescore must keep the broadcast probe plan:\n$p")
+    assert(!p.contains("Window"),
+      s"top-k must stay in the bounded-heap aggregate, not a rank window:\n$p")
+  }
+
+  test("maxsim_knn: late-interaction comparator keeps the knnJoin plan shape") {
+    val p = plan("maxsim_knn")
+    assert(p.contains("BroadcastExchange"), s"query side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must stream through scoring:\n$p")
+    assert(p.contains("max_sim") || p.contains("MaxSim"),
+      s"scoring must be the fused MaxSim kernel:\n$p")
+  }
+
+  test("doc_perplexity: model broadcast into scoring, corpus never shuffles text") {
+    val p = plan("doc_perplexity")
+    assert(p.contains("BroadcastExchange"),
+      s"the bigram model (vocab-sized) must broadcast into scoring:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"per-doc bigram stream must not shuffle to meet the model:\n$p")
+  }
+
   test("dedup_exact: digest computed before the exchange (text never shuffles)") {
     val p = plan("dedup_exact")
     // the md5 appears in a projection below the exchange: the aggregate's
