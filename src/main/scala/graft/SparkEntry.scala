@@ -541,6 +541,30 @@ object SparkEntry {
       coll.facet("label", filter = Some(col("vec_id") >= 100L), limit = 5)
     }),
 
+    // Payload-partitioned collection (the backend's payload index, the
+    // Spark way): data/ directory-partitioned by label, so label
+    // predicates prune whole directories at planning time — searches,
+    // scrolls, and counts over a label filter scan only that label's
+    // partition regardless of collection size. The query counts per
+    // label through the partitioned live view; the oracle counts the
+    // source directly (one idempotent upsert ⇒ identical contents).
+    "collection_partitioned" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val fp = corpusFingerprint(emb, col("vec_id"), col("embedding"), col("label"))
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_vcoll_part_$fp").toString
+      val coll = graft.index.VectorCollection(s, root, "embeddings_bylabel")
+      if (!coll.exists) {
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        coll.create(graft.index.CollectionMeta(dim, "cosine", normalized = false),
+          partitionBy = "label")
+      }
+      coll.upsert(emb, "vec_id")
+      coll.load().filter(col("label") < 5)
+        .groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .orderBy(col("label"))
+    }),
+
     // Similarity matrix (the backend's `search_matrix_pairs` API):
     // pairwise top-k among a seeded 100-point sample — sample² work
     // bounded by the API contract, never corpus².
@@ -2168,6 +2192,13 @@ object SparkEntry {
       """SELECT label AS value, COUNT(*) AS count FROM embeddings
         |WHERE vec_id >= 100
         |GROUP BY label ORDER BY count DESC, value ASC LIMIT 5""".stripMargin,
+
+    // Partitioned-collection contents equal the embeddings table; the
+    // label type survives the directory roundtrip as int.
+    "collection_partitioned" ->
+      """SELECT label, COUNT(*) AS n FROM embeddings
+        |WHERE label < 5
+        |GROUP BY label ORDER BY label""".stripMargin,
 
     "matrix_pairs" ->
       """WITH s AS (

@@ -135,27 +135,83 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.7,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000,
+      collapseExact: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
-    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    // Exact-collapse pre-pass: identical texts have identical shingles,
+    // signatures, and band keys, so a family of E exact copies multiplies
+    // every one of its band buckets by E and the bucket self-join by E² —
+    // mining cost scales QUADRATICALLY in the duplication factor while
+    // producing no information the representative doesn't carry. Collapse
+    // to one representative per distinct text (one md5 aggregate, the
+    // dedup_exact shuffle), mine pairs among representatives only, then
+    // expand back: rep-pair scores apply verbatim to every member combo,
+    // and within-family pairs are emitted directly (jaccard 1 when the
+    // family has shingles AND at least one surviving band — exactly the
+    // uncollapsed conditions). Bucket caps count DOCUMENTS via the family
+    // weight, so cap behavior is unchanged too. Mining work becomes
+    // independent of the corpus's duplication factor; only the (output-
+    // sized) expansion still scales with it.
+    val hashed = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .withColumn("__h", md5(col("__text")))
+    val reps =
+      if (collapseExact)
+        hashed.groupBy(col("__h"))
+          .agg(min(col("id")).as("id"), first(col("__text")).as("__text"),
+            count(lit(1)).as("__fam"))
+      else hashed.withColumn("__fam", lit(1L))
+    val withSh = reps.select(col("id"), shingles(col("__text"), n).as("sh"),
+        col("__fam"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Band-bucket join carries only (id, bandKey) — the shingle arrays do
     // NOT ride through the exploded shuffle; they're joined back onto the
     // (much smaller) distinct candidate set afterwards.
     val sigBands = withSh.select(col("id"),
-        explode(bandKeys(col("sh"), numHashes, bands)).as("band"))
+        explode(bandKeys(col("sh"), numHashes, bands)).as("band"), col("__fam"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val candidates = lshCandidatePairs(sigBands, maxBucketSize)
+      val capped = cappedBands(sigBands, maxBucketSize,
+        weightCol = if (collapseExact) Some("__fam") else None)
+      val candidates = pairsFromCapped(capped)
       // Exact-Jaccard verify on candidates only: shingles come from the
       // cached frame, keyed rejoin once per side.
-      candidates
+      val repPairs = candidates
         .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
         .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
         .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
         .filter(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"), col("jaccard"))
-        .localCheckpoint(true)
+      if (!collapseExact) repPairs.localCheckpoint(true)
+      else {
+        val members = hashed
+          .join(reps.select(col("__h"), col("id").as("__rid")), Seq("__h"))
+          .select(col("id"), col("__rid"))
+        // cross-family: the rep pair's verified jaccard applies to every
+        // member combination (identical shingle sets)
+        val cross = repPairs
+          .join(members.select(col("__rid").as("id_a"), col("id").as("__ma")), Seq("id_a"))
+          .join(members.select(col("__rid").as("id_b"), col("id").as("__mb")), Seq("id_b"))
+          .select(least(col("__ma"), col("__mb")).as("id_a"),
+            greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
+        // within-family: uncollapsed, copies pair iff they share ≥1
+        // surviving band (all their bands are the rep's) and their exact
+        // jaccard — 1 for non-empty shingle sets, 0 for empty — clears
+        // the threshold
+        val survived = capped.select(col("id").as("__rid")).distinct()
+        val selfScore = withSh.filter(col("__fam") >= 2)
+          .join(survived, withSh("id") === survived("__rid"))
+          .select(col("__rid"),
+            when(size(col("sh")) > 0, lit(1.0)).otherwise(lit(0.0)).as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+        val within = members.as("a")
+          .join(members.as("b"),
+            col("a.__rid") === col("b.__rid") && col("a.id") < col("b.id"))
+          .select(col("a.__rid").as("__rid"), col("a.id").as("id_a"),
+            col("b.id").as("id_b"))
+          .join(selfScore, Seq("__rid"))
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+        cross.unionByName(within).localCheckpoint(true)
+      }
     } finally {
       sigBands.unpersist(false)
       withSh.unpersist(false)
@@ -175,16 +231,29 @@ object Dedup {
    * members can still pair via their other bands). The sizing pass
    * shuffles only (band, count) rows.
    */
-  private[graft] def lshCandidatePairs(bands: DataFrame, maxBucketSize: Int): DataFrame = {
-    val oversized = bands.groupBy(col("band")).count()
-      .filter(col("count") > maxBucketSize).select(col("band"))
-    val capped = bands.join(broadcast(oversized), Seq("band"), "left_anti")
+  private[graft] def lshCandidatePairs(bands: DataFrame, maxBucketSize: Int): DataFrame =
+    pairsFromCapped(cappedBands(bands, maxBucketSize, weightCol = None))
+
+  /** Bucket-capped band rows. With `weightCol`, bucket size is the SUM of
+    * that column instead of the row count — used by the exact-collapse
+    * path, where one representative row stands for `__fam` documents and
+    * the cap must keep counting DOCUMENTS to preserve the uncollapsed
+    * semantics bit-for-bit. */
+  private[graft] def cappedBands(bands: DataFrame, maxBucketSize: Int,
+      weightCol: Option[String]): DataFrame = {
+    val sizes = weightCol.fold(bands.groupBy(col("band")).count()) { w =>
+      bands.groupBy(col("band")).agg(sum(col(w)).as("count"))
+    }
+    val oversized = sizes.filter(col("count") > maxBucketSize).select(col("band"))
+    bands.join(broadcast(oversized), Seq("band"), "left_anti")
+  }
+
+  private[graft] def pairsFromCapped(capped: DataFrame): DataFrame =
     capped.as("l")
       .join(capped.as("r"),
         col("l.band") === col("r.band") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct() // a pair can collide in several bands
-  }
 
   /**
    * Connected components over a near-duplicate pair table: every vertex is
@@ -428,24 +497,67 @@ object Dedup {
   def winnowNearDups(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 12, w: Int = 8, minShared: Int = 3,
-      maxBucketSize: Int = 10000): DataFrame = {
-    val fps = df.select(col(idCol).as("id"),
-      explode(graft.functions.winnow_fingerprints(col(textCol), k, w)).as("fp"))
+      maxBucketSize: Int = 10000,
+      collapseExact: Boolean = true): DataFrame = {
+    // Same exact-collapse pre-pass as [[minHashNearDups]], and winnowing
+    // needs it MORE: a doc carries ~len/((w+1)/2) fingerprints, so a
+    // family of E exact copies pays E²·|fps| bucket-join rows — the
+    // dominant cost on any corpus with heavy exact duplication. Mine on
+    // one representative per distinct text (caps weighted by family size
+    // so bucket drops still count documents), then expand: cross-family
+    // pairs inherit the rep pair's surviving-shared-fingerprint count
+    // verbatim; within-family pairs share exactly the rep's surviving
+    // fingerprints, so their n_shared is that per-rep survivor count.
+    val hashed = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .withColumn("__h", md5(col("__text")))
+    val reps =
+      if (collapseExact)
+        hashed.groupBy(col("__h"))
+          .agg(min(col("id")).as("id"), first(col("__text")).as("__text"),
+            count(lit(1)).as("__fam"))
+      else hashed.withColumn("__fam", lit(1L))
+    val fps = reps.select(col("id"),
+        explode(graft.functions.winnow_fingerprints(col("__text"), k, w)).as("fp"),
+        col("__fam"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // ubiquitous fingerprints (license headers, generated boilerplate)
       // would join quadratically — drop buckets over the cap, same
       // documented recall trade as every LSH guard here.
-      val oversized = fps.groupBy(col("fp")).count()
-        .filter(col("count") > maxBucketSize).select(col("fp"))
+      val sizes =
+        if (collapseExact) fps.groupBy(col("fp")).agg(sum(col("__fam")).as("count"))
+        else fps.groupBy(col("fp")).count()
+      val oversized = sizes.filter(col("count") > maxBucketSize).select(col("fp"))
       val capped = fps.join(broadcast(oversized), Seq("fp"), "left_anti")
-      capped.as("l")
+      val repPairs = capped.as("l")
         .join(capped.as("r"),
           col("l.fp") === col("r.fp") && col("l.id") < col("r.id"))
         .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= minShared)
-        .localCheckpoint(true)
+      if (!collapseExact) repPairs.localCheckpoint(true)
+      else {
+        val members = hashed
+          .join(reps.select(col("__h"), col("id").as("__rid")), Seq("__h"))
+          .select(col("id"), col("__rid"))
+        val cross = repPairs
+          .join(members.select(col("__rid").as("id_a"), col("id").as("__ma")), Seq("id_a"))
+          .join(members.select(col("__rid").as("id_b"), col("id").as("__mb")), Seq("id_b"))
+          .select(least(col("__ma"), col("__mb")).as("id_a"),
+            greatest(col("__ma"), col("__mb")).as("id_b"), col("n_shared"))
+        // per-rep surviving fingerprints = n_shared of an identical pair
+        val selfShared = capped.groupBy(col("id")).count()
+          .select(col("id").as("__rid"), col("count").as("n_shared"))
+          .filter(col("n_shared") >= minShared)
+        val within = members.as("a")
+          .join(members.as("b"),
+            col("a.__rid") === col("b.__rid") && col("a.id") < col("b.id"))
+          .select(col("a.__rid").as("__rid"), col("a.id").as("id_a"),
+            col("b.id").as("id_b"))
+          .join(selfShared, Seq("__rid"))
+          .select(col("id_a"), col("id_b"), col("n_shared"))
+        cross.unionByName(within).localCheckpoint(true)
+      }
     } finally fps.unpersist(false)
   }
 

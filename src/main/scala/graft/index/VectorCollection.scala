@@ -71,6 +71,37 @@ class VectorCollection(
     this
   }
 
+  /** Create with a payload-PARTITIONED layout (the backend's payload
+    * index, realized the Spark way): `data/` is directory-partitioned by
+    * `partitionBy`, so every filtered search / scroll / count whose
+    * predicate touches that field prunes whole directories at planning
+    * time instead of scanning the collection — the same write-time-layout
+    * / read-time-pruning trade as [[IvfCollection]]'s cell partitioning,
+    * applied to a payload field. Pick a low-cardinality field (language,
+    * source, tenant): one directory per distinct value. */
+  def create(meta: CollectionMeta, partitionBy: String): this.type = {
+    require(partitionBy.nonEmpty && !partitionBy.contains("\""),
+      s"bad partition field '$partitionBy'")
+    writeMetaJson(
+      s"""{"dim":${meta.dim},"metric":"${meta.metric}","normalized":${meta.normalized},"partition_by":"$partitionBy"}""")
+    this
+  }
+
+  /** The payload field `data/` is directory-partitioned by, if any. */
+  def partitionField: Option[String] =
+    metaFieldOpt(readMetaJson(), "partition_by")
+
+  /** Every `data/` write goes through here so the partitioned layout is
+    * preserved by upserts and compaction alike. */
+  private def writeData(df: DataFrame, mode: SaveMode): Unit = {
+    val w = df.write.mode(mode)
+    partitionField.fold(w) { f =>
+      require(df.columns.contains(f),
+        s"collection $name is partitioned by '$f' but the batch lacks that column")
+      w.partitionBy(f)
+    }.parquet(dataPath.toString)
+  }
+
   /** Create a collection with NAMED vectors: points carry several vector
     * columns (e.g. a text embedding and a code embedding per document),
     * each registered here with its dim; searches select one by name
@@ -151,18 +182,17 @@ class VectorCollection(
     require(!df.columns.contains("__seq") && !df.columns.contains("__del"),
       "__seq/__del are reserved merge-on-read column names")
     if (!fs.exists(dataPath)) {
-      df.write.mode(SaveMode.Append).parquet(dataPath.toString)
+      writeData(df, SaveMode.Append)
       return
     }
     if (!mutated) {
-      df.join(load().select(col(idCol)), Seq(idCol), "left_anti")
-        .write.mode(SaveMode.Append).parquet(dataPath.toString)
+      writeData(df.join(load().select(col(idCol)), Seq(idCol), "left_anti"),
+        SaveMode.Append)
       return
     }
     val rawIds = spark.read.parquet(dataPath.toString).select(col(idCol))
     // brand-new keys: never present in data/ -> base rows (sequence 0)
-    df.join(rawIds, Seq(idCol), "left_anti")
-      .write.mode(SaveMode.Append).parquet(dataPath.toString)
+    writeData(df.join(rawIds, Seq(idCol), "left_anti"), SaveMode.Append)
     // revived keys: present in data/ but not live -> patch rows that
     // out-sequence the tombstone. (The plan lists data/ lazily, but the
     // append above only ADDED ids that are live-by-construction, so the
@@ -283,7 +313,8 @@ class VectorCollection(
     if (!fs.exists(dataPath) || !mutated) return
     val shadow = new Path(base, "data_shadow")
     fs.delete(shadow, true) // leftover from a crashed earlier compact
-    load().write.mode(SaveMode.Overwrite).parquet(shadow.toString)
+    val w = load().write.mode(SaveMode.Overwrite)
+    partitionField.fold(w)(f => w.partitionBy(f)).parquet(shadow.toString)
     val old = new Path(base, "data_old")
     fs.delete(old, true)
     require(fs.rename(dataPath, old), s"could not stage old data dir of $name")
@@ -357,6 +388,12 @@ class VectorCollection(
 object VectorCollection {
   def apply(spark: SparkSession, root: String, name: String): VectorCollection =
     new VectorCollection(spark, root, name)
+
+  /** Open a collection by name OR alias ([[Aliases.resolve]]): the read
+    * path of the alias indirection — readers keep using the stable alias
+    * while reindexing repoints it underneath them. */
+  def open(spark: SparkSession, root: String, nameOrAlias: String): VectorCollection =
+    new VectorCollection(spark, root, Aliases.resolve(spark, root, nameOrAlias))
 
   /** Create (or open) a collection for `(dataset, model)` with the dim
     * DERIVED from the model registry — the reference's `setup_qdrant`

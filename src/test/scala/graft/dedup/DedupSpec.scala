@@ -154,6 +154,59 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.winnowNearDups(docs.limit(0), "doc_id", "text").count() == 0)
   }
 
+  test("exact-collapse mining ≡ direct mining (minhash + winnow), incl. dup families") {
+    // Families of exact copies (the duplication-amplified worst case),
+    // near-dups across families, unique docs, and a family of texts too
+    // short to shingle/fingerprint (must produce NO pairs either way).
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    val other = "completely different content with no overlap whatsoever in sight"
+    val corpus = docs(
+      1L -> base, 2L -> base, 3L -> base,           // family A (3 copies)
+      4L -> near, 5L -> near,                        // family B (2 copies), near A
+      6L -> other,                                   // unique
+      7L -> "tiny", 8L -> "tiny",                    // short family: no shingles
+      9L -> "the quick brown fox jumps over the lazy dog again and again today" // = A, non-contiguous id
+    )
+    def key(r: Row) = (r.getLong(0), r.getLong(1))
+
+    val mhFast = Dedup.minHashNearDups(corpus, "doc_id", "text",
+      threshold = 0.5, collapseExact = true).collect().map(key).toSet
+    val mhSlow = Dedup.minHashNearDups(corpus, "doc_id", "text",
+      threshold = 0.5, collapseExact = false).collect().map(key).toSet
+    assert(mhFast === mhSlow)
+    // family A ∪ {9} gives C(4,2)=6 within pairs; A×B cross pairs exist
+    assert(Set((1L, 2L), (1L, 9L), (2L, 3L), (1L, 4L)).subsetOf(mhFast))
+    assert(!mhFast.exists { case (a, b) => a == 7L || b == 8L })
+
+    val wFast = Dedup.winnowNearDups(corpus, "doc_id", "text",
+      k = 8, w = 4, collapseExact = true).collect()
+    val wSlow = Dedup.winnowNearDups(corpus, "doc_id", "text",
+      k = 8, w = 4, collapseExact = false).collect()
+    def full(r: Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(wFast.map(full).toSet === wSlow.map(full).toSet) // scores too
+    assert(Set((1L, 2L), (2L, 9L)).subsetOf(wFast.map(key).toSet))
+  }
+
+  test("exact-collapse respects document-weighted bucket caps") {
+    // One fingerprintable text duplicated 6×: any band/fp bucket holds 1
+    // rep weighing 6 documents. With cap 5 the DIRECT path drops every
+    // bucket (6 > 5) and emits nothing — the collapsed path must agree,
+    // which only happens if caps count documents, not representatives.
+    val corpus = docs((1L to 6L).map(i =>
+      i -> "some repeated boilerplate text that fingerprint buckets will share"): _*)
+    val direct = Dedup.minHashNearDups(corpus, "doc_id", "text",
+      threshold = 0.5, maxBucketSize = 5, collapseExact = false).count()
+    val collapsed = Dedup.minHashNearDups(corpus, "doc_id", "text",
+      threshold = 0.5, maxBucketSize = 5, collapseExact = true).count()
+    assert(direct === 0L && collapsed === 0L)
+    val wDirect = Dedup.winnowNearDups(corpus, "doc_id", "text",
+      k = 8, w = 4, maxBucketSize = 5, collapseExact = false).count()
+    val wCollapsed = Dedup.winnowNearDups(corpus, "doc_id", "text",
+      k = 8, w = 4, maxBucketSize = 5, collapseExact = true).count()
+    assert(wDirect === 0L && wCollapsed === 0L)
+  }
+
   test("connectedComponents: chains collapse transitively, singletons self-label") {
     import spark.implicits._
     // path graph 1-2-3-4-5-6-7-8 (diameter 7 forces >1 pointer-jump round),

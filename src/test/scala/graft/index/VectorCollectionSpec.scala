@@ -32,6 +32,48 @@ class VectorCollectionSpec extends SparkSpec {
     assert(!c.exists)
   }
 
+  test("payload-partitioned collection: directory layout, pruned filtered reads, mutations preserved") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpRoot
+    val c = VectorCollection(spark, root, "bylang")
+    c.create(CollectionMeta(2, "cosine", normalized = false), partitionBy = "lang")
+    assert(c.partitionField === Some("lang"))
+    c.upsert(Seq(
+      (1L, Array(1f, 0f), "en"), (2L, Array(0f, 1f), "en"),
+      (3L, Array(1f, 1f), "de"), (4L, Array(0f, 0f), "fr")
+    ).toDF("id", "vec", "lang"), "id")
+
+    // layout: one directory per distinct partition value
+    val dirs = new java.io.File(s"$root/bylang/data").listFiles()
+      .filter(_.getName.startsWith("lang=")).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("lang=de", "lang=en", "lang=fr"))
+
+    // a lang predicate prunes at planning time (partition filter, and the
+    // predicate no longer needs a data filter over row values)
+    val filtered = c.load().filter(col("lang") === "en")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"expected lang partition filter in:\n$plan")
+    assert(filtered.count() === 2L)
+
+    // a batch missing the partition column fails loudly
+    intercept[IllegalArgumentException] {
+      c.upsert(Seq((9L, Array(1f, 1f))).toDF("id", "vec"), "id")
+    }
+
+    // merge-on-read mutations and compaction keep the partitioned layout
+    c.delete(col("id") === 2L)
+    c.upsert(Seq((5L, Array(0.5f, 0.5f), "de")).toDF("id", "vec", "lang"), "id")
+    assert(c.load().count() === 4L)
+    assert(c.load().filter(col("lang") === "de").count() === 2L)
+    c.compact()
+    assert(!c.mutated)
+    assert(c.load().count() === 4L)
+    val dirsAfter = new java.io.File(s"$root/bylang/data").listFiles()
+      .filter(_.getName.startsWith("lang=")).map(_.getName).sorted
+    assert(dirsAfter.toSeq === Seq("lang=de", "lang=en", "lang=fr"))
+  }
+
   test("scrollBy: keyset pages over (payload, id) chain without gaps or repeats") {
     val c = VectorCollection(spark, tmpRoot, "scrollby")
     c.create(CollectionMeta(2, "cosine", normalized = false))
