@@ -56,9 +56,18 @@ object Aliases {
       .map { case (a, c) => s""""$a":"$c"""" }
       .mkString("{", ",", "}")
     val f = fs(spark, root)
-    val out = f.create(regPath(root), true)
+    // Write-then-rename so a concurrent reader never observes a truncated
+    // registry: rename within a directory is atomic on local fs and HDFS.
+    // The single-writer contract applies to writers only; readers are safe
+    // at any instant.
+    val tmp = new org.apache.hadoop.fs.Path(
+      regPath(root).getParent, s"._aliases.json.tmp-${java.util.UUID.randomUUID}")
+    val out = f.create(tmp, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, regPath(root), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Point `alias` at `collection` (create or atomically repoint). */
