@@ -306,32 +306,48 @@ object Streaming {
       }
   }
 
+  /** Normalize the fixture's `ts` column to session-zone `TimestampType`,
+    * whatever physical type the parquet writer chose:
+    *   - `TIMESTAMP`/`TIMESTAMP_NTZ` (micro-precision writers; the current
+    *     fixture) pass through with an NTZ→LTZ cast — values are UTC and
+    *     the session zone is UTC, so instants are unchanged;
+    *   - `BIGINT` (int64-nanos writers read under the nanosAsLong legacy
+    *     conf) truncates nanos → micros, Spark's native precision.
+    * Everything downstream (windows, watermarks, sessionization, as-of)
+    * sees one stable type regardless of fixture vintage. */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   /** Convenience: batch-read the events fixture with streaming-compatible
-    * types. The fixture carries nanosecond parquet timestamps, which
-    * Spark 4 only reads via the nanosAsLong legacy conf — read the raw
-    * nanos and truncate to microsecond timestamps (Spark's native
-    * precision).
-    *
-    * NOTE: sets `spark.sql.legacy.parquet.nanosAsLong` SESSION-WIDE, and
-    * deliberately does not restore it: the conf is consulted when the lazy
-    * scan plans/executes, so a set/restore scoped to this call would break
-    * the returned frame. Side effect on the session: every later
-    * int64-nanos parquet read is also typed LONG (which is the only way
-    * Spark 4 can read such files at all). */
-  def eventsBatch(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    graft.Tables.events(spark, dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+    * types (see [[normalizeTs]]). Legacy int64-nanos fixtures are only
+    * readable at all under `spark.sql.legacy.parquet.nanosAsLong`, which
+    * must stay set session-wide for the lazy scan to execute — that path
+    * is entered only when the plain read rejects the file's footer. */
+  def eventsBatch(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(
+      try graft.Tables.events(spark, dir)
+      catch { case scala.util.control.NonFatal(_) =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        graft.Tables.events(spark, dir)
+      })
 
   /** A file-source stream over a DIRECTORY of event parquet files (file
     * streams watch directories; new files become micro-batches). Schema is
-    * pinned from the existing files; same nanosecond handling — and the
-    * same session-wide nanosAsLong side effect — as [[eventsBatch]]. */
+    * pinned from the existing files; same `ts` normalization as
+    * [[eventsBatch]]. */
   def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(eventsDir).schema
-    spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema =
+      (try spark.read.parquet(eventsDir)
+      catch { case scala.util.control.NonFatal(_) =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(eventsDir)
+      }).schema
+    normalizeTs(spark.readStream.schema(schema).parquet(eventsDir))
   }
 }
