@@ -2399,33 +2399,40 @@ object SparkEntry {
         |  FROM documents
         |) GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
 
+    // IDF goes through the q20 kernel on both engines (see doc_perplexity)
+    // and ranking runs on the exact BIGINT tf·qidf score.
     "doc_keywords" ->
-      """WITH tk AS (
+      s"""WITH RECURSIVE tk AS (
         |  SELECT doc_id,
-        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS term
+        |    unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS term
         |  FROM documents
         |), tf AS (
         |  SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term
         |), st AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+        |  SELECT count(*) AS n FROM documents
         |), dft AS (
         |  SELECT term, count(*) AS df FROM tf GROUP BY term
-        |), scored AS (
-        |  SELECT tf.doc_id, tf.term,
-        |    tf.tf * (FLOOR(ln(st.n / dft.df) * 1000000.0 + 0.5) / 1000000.0) AS tfidf
-        |  FROM tf JOIN dft USING (term) CROSS JOIN st
+        |), isrc AS (
+        |  SELECT dft.term, CAST(st.n AS BIGINT) AS num, CAST(dft.df AS BIGINT) AS den
+        |  FROM dft CROSS JOIN st
+        |), ${graft.expr.DetMath.duckdbLog2q20("isrc", "qidf", "term")}, scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf * qidf.qlog AS qtfidf
+        |  FROM tf JOIN qidf USING (term)
         |), ranked AS (
-        |  SELECT doc_id, term, tfidf,
-        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS kw_rank
+        |  SELECT doc_id, term, qtfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY qtfidf DESC, term ASC) AS kw_rank
         |  FROM scored
         |)
         |SELECT doc_id, term AS keyword, kw_rank,
-        |  FLOOR(tfidf * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+        |  FLOOR((CAST(qtfidf AS DOUBLE) / 1048576.0) * 1000000.0 + 0.5) / 1000000.0 AS tfidf
         |FROM ranked WHERE kw_rank <= 3
         |ORDER BY doc_id, kw_rank""".stripMargin,
 
+    // The bigram log-probability goes through the q20 shift-and-square
+    // kernel (graft.expr.DetMath) on BOTH engines — libm log2 differs in
+    // the last ulp between engines and flips quantization cells.
     "doc_perplexity" ->
-      """WITH t AS (
+      s"""WITH RECURSIVE t AS (
         |  SELECT doc_id, lower(text) AS t FROM documents WHERE len(lower(text)) >= 2
         |), big AS (
         |  SELECT doc_id, substr(t, i, 2) AS bg
@@ -2438,18 +2445,16 @@ object SparkEntry {
         |  SELECT substr(bg, 1, 1) AS a, SUM(c) AS ca FROM cbg GROUP BY 1
         |), v AS (
         |  SELECT count(DISTINCT substr(bg, 2, 1)) AS v FROM cbg
-        |), model AS (
-        |  SELECT cbg.bg,
-        |    FLOOR(log2((cbg.c + 1.0) / (ctx.ca + v.v)) * 1000000.0 + 0.5) / 1000000.0 AS logp
+        |), msrc AS (
+        |  SELECT cbg.bg, CAST(cbg.c + 1 AS BIGINT) AS num,
+        |    CAST(ctx.ca + v.v AS BIGINT) AS den
         |  FROM cbg JOIN ctx ON substr(cbg.bg, 1, 1) = ctx.a CROSS JOIN v
-        |), s AS (
-        |  SELECT tf.doc_id,
-        |    SUM(CAST(tf.tf AS DECIMAL(10,0)) * CAST(model.logp AS DECIMAL(18,6))) AS sl,
-        |    SUM(tf.tf) AS n
+        |), ${graft.expr.DetMath.duckdbLog2q20("msrc", "model", "bg")}, s AS (
+        |  SELECT tf.doc_id, SUM(tf.tf * model.qlog) AS sq, SUM(tf.tf) AS n
         |  FROM tf JOIN model USING (bg) GROUP BY tf.doc_id
         |)
         |SELECT doc_id, n AS n_bigrams,
-        |  FLOOR(-(CAST(sl AS DOUBLE) / n) * 1000000.0 + 0.5) / 1000000.0 AS bits_per_char
+        |  FLOOR((-(CAST(sq AS DOUBLE) / (n * 1048576.0))) * 1000000.0 + 0.5) / 1000000.0 AS bits_per_char
         |FROM s ORDER BY doc_id""".stripMargin,
 
     "doc_len_quantiles" ->

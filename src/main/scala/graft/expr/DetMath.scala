@@ -75,7 +75,7 @@ object DetMath {
    * (the query must open with `WITH RECURSIVE`).
    */
   def duckdbLog2q20(src: String, out: String, keyCols: String): String =
-    s"""__n0 AS (
+    s"""${out}__n AS (
        |  SELECT $keyCols, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS m, 0 AS e, 0 AS it
        |  FROM $src
        |  UNION ALL
@@ -83,19 +83,19 @@ object DetMath {
        |    CASE WHEN m >= 2.0 THEN m * 0.5 WHEN m < 1.0 THEN m * 2.0 ELSE m END,
        |    CASE WHEN m >= 2.0 THEN e + 1 WHEN m < 1.0 THEN e - 1 ELSE e END,
        |    it + 1
-       |  FROM __n0 WHERE it < 64
-       |), __f0 AS (
+       |  FROM ${out}__n WHERE it < 64
+       |), ${out}__f AS (
        |  SELECT $keyCols, m, e, CAST(0 AS BIGINT) AS acc, 0 AS it
-       |  FROM __n0 WHERE it = 64
+       |  FROM ${out}__n WHERE it = 64
        |  UNION ALL
        |  SELECT $keyCols,
        |    CASE WHEN m * m >= 2.0 THEN m * m * 0.5 ELSE m * m END,
        |    e,
        |    CASE WHEN m * m >= 2.0 THEN acc * 2 + 1 ELSE acc * 2 END,
        |    it + 1
-       |  FROM __f0 WHERE it < 20
+       |  FROM ${out}__f WHERE it < 20
        |), $out AS (
        |  SELECT $keyCols, CAST(e AS BIGINT) * 1048576 + acc AS qlog
-       |  FROM __f0 WHERE it = 20
+       |  FROM ${out}__f WHERE it = 20
        |)""".stripMargin
 }

@@ -8,10 +8,12 @@ import graft.search.Bm25
 
 /**
  * Per-document TF-IDF keyword extraction: the `topN` terms of each document
- * by `tf · ln(N/df)` (classic Salton TF-IDF; df ≥ 1 for any term that
- * occurs, so no smoothing is needed) — the standard "what is this document
- * about" summarization used for corpus exploration, tag generation, and
- * cluster labeling in a training-data pipeline.
+ * by `tf · log2(N/df)` (Salton TF-IDF — the log base only scales every
+ * score by a positive constant, so ranks are identical to the ln form;
+ * df ≥ 1 for any term that occurs, so no smoothing is needed) — the
+ * standard "what is this document about" summarization used for corpus
+ * exploration, tag generation, and cluster labeling in a training-data
+ * pipeline.
  *
  * Shares [[Bm25.tfFrame]]'s tokenize+TF kernel (one explode + hash
  * aggregate over the corpus, document length riding as a grouping key) so
@@ -22,11 +24,14 @@ import graft.search.Bm25
  * runs as a rank window partitioned by document: frames are bounded by
  * document length, so the sort is per-document-sized, never corpus-sized.
  *
- * Determinism discipline: IDF is floor-quantized to 6 dp (the
- * [[Bm25]] rule); `tfidf = tf · idf6` is then a product of an integer
- * double and a 6-dp double — bit-identical in any engine — and ties rank
- * by ascending term (binary UTF-8 order in Spark and any binary-collation
- * oracle engine).
+ * Determinism discipline: IDF comes from [[graft.expr.DetMath.log2q20]]
+ * as a q20 fixed-point BIGINT (engine-stable by construction — libm `ln`
+ * differs between engines in the last ulp, which can flip a rank when
+ * ln(N/df) lands on a quantization boundary); `tf · qidf` is exact
+ * integer arithmetic, so ranking is deterministic everywhere, with ties
+ * broken by ascending term (binary UTF-8 order in Spark and any
+ * binary-collation oracle engine). The wire-format `tfidf` is one double
+ * division off the integer score, floor-quantized to 6 dp.
  */
 object Keywords {
   /**
@@ -42,14 +47,16 @@ object Keywords {
     val dfTable = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
     val r6: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       c => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
-    val idf = r6(log(lit(n.toDouble) / col("__df")))
+    val qidf = graft.expr.DetMath.log2q20(lit(n), col("__df"))
     val w = Window.partitionBy(col("__d"))
-      .orderBy(col("__tfidf").desc, col("__t").asc)
+      .orderBy(col("__qtfidf").desc, col("__t").asc)
     tf.join(dfTable, Seq("__t"))
-      .withColumn("__tfidf", col("__tf") * idf)
+      .withColumn("__qtfidf", col("__tf") * qidf) // exact BIGINT score
       .withColumn("kw_rank", row_number().over(w))
       .filter(col("kw_rank") <= topN)
       .select(col("__d").as(idCol), col("__t").as("keyword"),
-        col("kw_rank"), r6(col("__tfidf")).as("tfidf"))
+        col("kw_rank"),
+        r6(col("__qtfidf").cast("double") / lit(graft.expr.DetMath.Q.toDouble))
+          .as("tfidf"))
   }
 }

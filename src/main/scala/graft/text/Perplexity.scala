@@ -29,11 +29,14 @@ import org.apache.spark.sql.functions._
  * doc length, combined map-side). One corpus pass for counts, one for
  * TF; both are the same exploded stream, so Catalyst reuses the scan.
  *
- * Determinism discipline: each bigram's log2 probability is
- * floor-quantized to the 1e-6 grid; per-doc totals are exact DECIMAL
- * sums of (tf × quantized-logp); the final bits-per-transition is one
- * double division, floor-quantized. Identical count inputs thus yield
- * bit-identical scores in any engine.
+ * Determinism discipline: each bigram's log2 probability is computed by
+ * [[graft.expr.DetMath.log2q20]] — a q20 fixed-point BIGINT built from
+ * only correctly-rounded IEEE operations, bit-identical in any engine BY
+ * CONSTRUCTION (libm `log2` differs between engines in the last ulp,
+ * which flips quantization cells no matter how coarse the grid); per-doc
+ * totals are exact integer sums of (tf × qlog); the final
+ * bits-per-transition is one double division (correctly rounded,
+ * identical everywhere), floor-quantized to 6 dp for the wire format.
  */
 object Perplexity {
 
@@ -58,14 +61,19 @@ object Perplexity {
       .join(broadcast(ctx), substring(col("bg"), 1, 1) === col("a"))
       .crossJoin(broadcast(vocab))
       .select(col("bg"),
-        r6(log2((col("c") + lit(1)).cast("double") /
-          (col("ca") + col("v")).cast("double"))).as("logp"))
+        graft.expr.DetMath.log2q20(col("c") + lit(1), col("ca") + col("v")).as("qlog"))
+    // qlog < 0 (probabilities < 1), so the integer sum is negative and the
+    // negated division yields positive bits. Both factors stay exact in
+    // double (|sum| ≤ n·64·2²⁰ ≪ 2⁵³), so the single division is correctly
+    // rounded — identical in every engine.
     tf.join(broadcast(model), Seq("bg"))
       .groupBy(col(idCol))
       .agg(
         sum(col("tf")).as("n_bigrams"),
-        (-(sum(col("tf").cast("decimal(10,0)") * col("logp").cast("decimal(18,6)"))
-          .cast("double") / sum(col("tf")))).as("__raw"))
-      .select(col(idCol), col("n_bigrams"), r6(col("__raw")).as("bits_per_char"))
+        sum(col("tf") * col("qlog")).as("__sq"))
+      .select(col(idCol), col("n_bigrams"),
+        r6(-(col("__sq").cast("double") /
+          (col("n_bigrams").cast("double") * lit(graft.expr.DetMath.Q.toDouble))))
+          .as("bits_per_char"))
   }
 }

@@ -17,8 +17,8 @@ class KeywordsSpec extends SparkSpec {
   test("distinctive rare term outranks ubiquitous term") {
     val kw = Keywords.tfidfKeywords(docs, "doc_id", "text", topN = 3)
       .filter($"doc_id" === 1L).orderBy("kw_rank").collect()
-    assert(kw.head.getAs[String]("keyword") === "zebra") // tf=2 · ln(4/1)
-    // "the" has idf ln(4/4)=0 → tfidf 0, beaten by any unique term.
+    assert(kw.head.getAs[String]("keyword") === "zebra") // tf=2 · log2(4/1)
+    // "the" has idf log2(4/4)=0 → tfidf 0, beaten by any unique term.
     val keywords = kw.map(_.getAs[String]("keyword")).toSeq
     assert(!keywords.contains("the"))
   }
@@ -26,10 +26,9 @@ class KeywordsSpec extends SparkSpec {
   test("tfidf values match hand computation, ranks dense within doc") {
     val kw = Keywords.tfidfKeywords(docs, "doc_id", "text", topN = 3).collect()
     val doc1 = kw.filter(_.getAs[Long]("doc_id") == 1L).sortBy(_.getAs[Int]("kw_rank"))
-    val idf4 = math.floor(math.log(4.0) * 1e6 + 0.5) / 1e6
+    // idf is now q20 log2: log2(4/1) = 2 exactly, so zebra = tf·2 = 4.0.
     val zebra = doc1.head
-    assert(math.abs(zebra.getAs[Double]("tfidf") -
-      math.floor(2 * idf4 * 1e6 + 0.5) / 1e6) < 1e-9)
+    assert(zebra.getAs[Double]("tfidf") === 4.0)
     // Within every doc ranks are 1..n without gaps.
     kw.groupBy(_.getAs[Long]("doc_id")).values.foreach { g =>
       val ranks = g.map(_.getAs[Int]("kw_rank")).sorted.toSeq
@@ -40,8 +39,8 @@ class KeywordsSpec extends SparkSpec {
   test("score ties rank by ascending term") {
     // Doc 4's "is" and "tall" both have tf=1, df=1 → equal tfidf; binary
     // string order must break the tie.
-    // tfidf: is = tall = ln(4) > fence = ln(2) > the = 0; the tie between
-    // "is" and "tall" breaks to "is" (binary string order).
+    // tfidf: is = tall = log2(4) > fence = log2(2) > the = 0; the tie
+    // between "is" and "tall" breaks to "is" (binary string order).
     val doc4 = Keywords.tfidfKeywords(docs, "doc_id", "text", topN = 3)
       .filter($"doc_id" === 4L).orderBy("kw_rank").collect()
       .map(_.getAs[String]("keyword")).toSeq

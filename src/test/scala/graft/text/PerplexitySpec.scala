@@ -8,20 +8,46 @@ class PerplexitySpec extends SparkSpec {
 
   private def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
+  /** Reference model of DetMath.log2q20 (same shift-and-square steps). */
+  private def q20(num: Long, den: Long): Long = {
+    var m = num.toDouble / den.toDouble
+    var e = 0L
+    for (_ <- 1 to 64) {
+      if (m >= 2.0) { m *= 0.5; e += 1 }
+      else if (m < 1.0) { m *= 2.0; e -= 1 }
+    }
+    var acc = 0L
+    for (_ <- 1 to 20) {
+      val m2 = m * m
+      if (m2 >= 2.0) { m = m2 * 0.5; acc = acc * 2 + 1 }
+      else { m = m2; acc = acc * 2 }
+    }
+    e * (1L << 20) + acc
+  }
+
+  test("q20 reference matches libm log2 to within the fixed-point grid") {
+    for ((n, d) <- Seq((2L, 5L), (3L, 5L), (1L, 3L), (7L, 2L), (1L, 1L), (1024L, 1L))) {
+      val exact = math.log(n.toDouble / d) / math.log(2.0)
+      assert(math.abs(q20(n, d) / 1048576.0 - exact) < 2.0 / 1048576.0,
+        s"q20($n,$d)")
+    }
+  }
+
   test("hand-computed two-doc corpus") {
     // Corpus: "aab" and "ab". Bigrams: doc1 → aa, ab; doc2 → ab.
     // c(aa)=1, c(ab)=2; c(a*)=3; V = |{a, b}| = 2.
     // P(a|a) = (1+1)/(3+2) = 0.4;  P(b|a) = (2+1)/(3+2) = 0.6.
+    // qlogs are the q20 fixed-point log2 of those probabilities.
     val docs = Seq((1L, "aab"), (2L, "ab")).toDF("doc_id", "text")
     val got = Perplexity.bitsPerChar(docs, "doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("n_bigrams"), r.getAs[Double]("bits_per_char"))).toMap
-    val lpAA = r6(math.log(0.4) / math.log(2.0))
-    val lpAB = r6(math.log(0.6) / math.log(2.0))
+    val qAA = q20(2, 5)
+    val qAB = q20(3, 5)
     assert(got(1L)._1 === 2L)
-    assert(math.abs(got(1L)._2 - r6(-(lpAA + lpAB) / 2.0)) < 1e-9)
+    assert(got(1L)._2 === r6(-((qAA + qAB).toDouble / (2.0 * 1048576.0))))
     assert(got(2L)._1 === 1L)
-    assert(math.abs(got(2L)._2 - r6(-lpAB)) < 1e-9)
+    assert(got(2L)._2 === r6(-(qAB.toDouble / 1048576.0)))
   }
 
   test("uppercase folds into the same model as lowercase") {
