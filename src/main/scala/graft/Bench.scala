@@ -53,13 +53,18 @@ object Bench {
     headline.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A query that throws must surface as an error, not a fast "timing":
+    // round 10's fixture drift broke 12 queries and the bench recorded
+    // their fail-fast exceptions as 48-66ms improvements.
+    val errors = scala.collection.mutable.TreeSet[String]()
+    def timeOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => errors += name }
       (System.nanoTime() - t0) / 1e9
     }
     def timedPass(): Map[String, Double] =
-      headline.map { case (name, fn) => name -> timeOne(fn) }
+      headline.map { case (name, fn) => name -> timeOne(name, fn) }
     val passLoads = scala.collection.mutable.ArrayBuffer[Double](loadAvg)
     val pass1 = timedPass(); passLoads += loadAvg
     val pass2 = timedPass(); passLoads += loadAvg
@@ -72,7 +77,7 @@ object Bench {
     }.toSet
     val pass3: Map[String, Double] =
       if (disputed.nonEmpty) {
-        val p = disputed.map(n => n -> timeOne(headline(n))).toMap
+        val p = disputed.map(n => n -> timeOne(n, headline(n))).toMap
         passLoads += loadAvg
         p
       } else Map.empty
@@ -86,10 +91,14 @@ object Bench {
     val passesJson = perQueryPasses
       .map { case (k, ps) => s"\"$k\":" + ps.map(jNum).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val disputedJson = disputed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Errored queries are also marked disputed: their "timings" are
+    // exception latencies, not runs, and must never be read as timings.
+    val disputedJson = (disputed ++ errors).toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errorsJson = errors.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadsJson = passLoads.map(jNum).mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${jNum(total)},"unit":"sec","queries":$qs,"passes":$passesJson,"pass_load_avg_1m":$loadsJson,"disputed":$disputedJson,"sf":"$sfDir","cores":$cpus,"load_avg_1m":${jNum(loadAvg)}}"""
+    val line = s"""{"metric":"total","value":${jNum(total)},"unit":"sec","queries":$qs,"passes":$passesJson,"pass_load_avg_1m":$loadsJson,"disputed":$disputedJson,"errors":$errorsJson,"sf":"$sfDir","cores":$cpus,"load_avg_1m":${jNum(loadAvg)}}"""
     println(line)
     // Durable copy: the driver snapshots only the tail of stdout (~2000
     // chars), which the full self-adjudicating line can overflow (BENCH_r06

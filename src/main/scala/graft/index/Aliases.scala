@@ -56,18 +56,38 @@ object Aliases {
       .map { case (a, c) => s""""$a":"$c"""" }
       .mkString("{", ",", "}")
     val f = fs(spark, root)
-    // Write-then-rename so a concurrent reader never observes a truncated
-    // registry: rename within a directory is atomic on local fs and HDFS.
-    // The single-writer contract applies to writers only; readers are safe
-    // at any instant.
+    // Write-then-rename so a concurrent reader never observes a TRUNCATED
+    // registry. Atomicity of the final swap is filesystem-dependent: HDFS
+    // renames atomically; for file:// URIs Hadoop's FileContext falls back
+    // to delete-then-rename, so go through java.nio ATOMIC_MOVE there. A
+    // reader can thus see old bytes or new bytes, never a partial file.
     val tmp = new org.apache.hadoop.fs.Path(
       regPath(root).getParent, s"._aliases.json.tmp-${java.util.UUID.randomUUID}")
-    val out = f.create(tmp, true)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, regPath(root), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    var renamed = false
+    try {
+      val out = f.create(tmp, true)
+      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if ("file" == f.getUri.getScheme) {
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp.toUri.getPath),
+          java.nio.file.Paths.get(regPath(root).toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } else {
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
+          .rename(tmp, regPath(root), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
+      renamed = true
+    } finally {
+      // A failed write or rename must not leak the UUID-named temp file —
+      // repeated failures would accumulate garbage in the registry root.
+      if (!renamed) {
+        try f.delete(tmp, false)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
   }
 
   /** Point `alias` at `collection` (create or atomically repoint). */
