@@ -44,14 +44,16 @@ object Keywords {
     require(topN >= 1, s"topN must be >= 1, got $topN")
     val n = docs.count() // one metadata-sized scalar, same as Bm25.corpusStats
     val tf = Bm25.tfFrame(docs, idCol, textCol)
+    // qidf rides on the vocabulary-sized DF table so the 84-step q20 fold
+    // runs once per TERM, not once per corpus TF row.
     val dfTable = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+      .withColumn("__qidf", graft.expr.DetMath.log2q20(lit(n), col("__df")))
     val r6: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       c => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
-    val qidf = graft.expr.DetMath.log2q20(lit(n), col("__df"))
     val w = Window.partitionBy(col("__d"))
       .orderBy(col("__qtfidf").desc, col("__t").asc)
     tf.join(dfTable, Seq("__t"))
-      .withColumn("__qtfidf", col("__tf") * qidf) // exact BIGINT score
+      .withColumn("__qtfidf", col("__tf") * col("__qidf")) // exact BIGINT score
       .withColumn("kw_rank", row_number().over(w))
       .filter(col("kw_rank") <= topN)
       .select(col("__d").as(idCol), col("__t").as("keyword"),
