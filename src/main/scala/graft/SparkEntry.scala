@@ -2669,7 +2669,7 @@ object SparkEntry {
     "bm25_index_topk" -> bm25TopkSql,
 
     "hybrid_rrf" ->
-      """WITH q AS (
+      ("""WITH RECURSIVE q AS (
         |  SELECT doc_id AS qid, text AS qtext FROM documents
         |  ORDER BY md5('graft42:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 10
         |), qt AS (
@@ -2688,11 +2688,7 @@ object SparkEntry {
         |  FROM documents
         |), dft AS (
         |  SELECT term, count(*) AS df FROM tf GROUP BY term
-        |), idf AS (
-        |  SELECT qt.qid, qt.term,
-        |    FLOOR(ln(1.0 + (st.n - dft.df + 0.5) / (dft.df + 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS idf
-        |  FROM qt JOIN dft USING (term) CROSS JOIN st
-        |), c AS (
+        |), """.stripMargin + bm25IdfCtes + """, c AS (
         |  SELECT idf.qid AS query_id, tf.doc_id AS result_id,
         |    CAST(FLOOR(idf.idf * tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / st.avgdl)) * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12)) AS c
         |  FROM tf JOIN idf USING (term) CROSS JOIN st
@@ -2728,7 +2724,7 @@ object SparkEntry {
         |  FROM fused
         |)
         |SELECT query_id, result_id, rank, score FROM franked WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
+        |ORDER BY query_id, rank""".stripMargin),
 
     "multi_vec_knn" ->
       """WITH q AS (
@@ -2859,7 +2855,7 @@ object SparkEntry {
         |ORDER BY query_id, rank""".stripMargin,
 
     "hybrid_weighted" ->
-      """WITH q AS (
+      ("""WITH RECURSIVE q AS (
         |  SELECT doc_id AS qid, text AS qtext FROM documents
         |  ORDER BY md5('graft42:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 10
         |), qt AS (
@@ -2878,11 +2874,7 @@ object SparkEntry {
         |  FROM documents
         |), dft AS (
         |  SELECT term, count(*) AS df FROM tf GROUP BY term
-        |), idf AS (
-        |  SELECT qt.qid, qt.term,
-        |    FLOOR(ln(1.0 + (st.n - dft.df + 0.5) / (dft.df + 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS idf
-        |  FROM qt JOIN dft USING (term) CROSS JOIN st
-        |), c AS (
+        |), """.stripMargin + bm25IdfCtes + """, c AS (
         |  SELECT idf.qid AS query_id, tf.doc_id AS result_id,
         |    CAST(FLOOR(idf.idf * tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / st.avgdl)) * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12)) AS c
         |  FROM tf JOIN idf USING (term) CROSS JOIN st
@@ -2930,7 +2922,7 @@ object SparkEntry {
         |  FROM fused
         |)
         |SELECT query_id, result_id, rank, score FROM franked WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
+        |ORDER BY query_id, rank""".stripMargin),
 
     "batch_near_dup" ->
       """WITH bsel AS (
@@ -3295,11 +3287,29 @@ object SparkEntry {
          |FROM sel$k ORDER BY query_id, mmr_rank""".stripMargin
   }
 
+  /** Engine-stable BM25 idf CTE chain, spliced after a `dft(term, df)`
+    * CTE in a `WITH RECURSIVE` query: binds `idf(qid, term, idf)` for the
+    * query-term table `qt(qid, term)`. idf(t) = ln((2N+2)/(2df+1)) via
+    * the q20 kernel × the ln-2 literal — the exact twin of
+    * `Bm25.scoreTf`'s Spark expression. */
+  private def bm25IdfCtes: String =
+    """isrc AS (
+      |  SELECT dft.term, CAST(2 * cnt.n + 2 AS BIGINT) AS num,
+      |    CAST(2 * dft.df + 1 AS BIGINT) AS den
+      |  FROM dft CROSS JOIN (SELECT count(*) AS n FROM documents) cnt
+      |), """.stripMargin +
+      graft.expr.DetMath.duckdbLog2q20("isrc", "qlg", "term") +
+    """, idf AS (
+      |  SELECT qt.qid, qt.term,
+      |    FLOOR((qlg.qlog / 1048576.0) * 0.6931471805599453 * 1000000.0 + 0.5) / 1000000.0 AS idf
+      |  FROM qt JOIN qlg USING (term)
+      |)""".stripMargin
+
   /** BM25 oracle — shared verbatim by `bm25_topk` and `bm25_index_topk`
     * (both route through `Bm25.scoreTf`, so their outputs are identical by
     * construction). */
-  private val bm25TopkSql: String =
-    """WITH q AS (
+  private def bm25TopkSql: String =
+    """WITH RECURSIVE q AS (
       |  SELECT doc_id AS qid, text AS qtext FROM documents
       |  ORDER BY md5('graft42:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 10
       |), qt AS (
@@ -3318,11 +3328,7 @@ object SparkEntry {
       |  FROM documents
       |), dft AS (
       |  SELECT term, count(*) AS df FROM tf GROUP BY term
-      |), idf AS (
-      |  SELECT qt.qid, qt.term,
-      |    FLOOR(ln(1.0 + (st.n - dft.df + 0.5) / (dft.df + 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS idf
-      |  FROM qt JOIN dft USING (term) CROSS JOIN st
-      |), c AS (
+      |), """.stripMargin + bm25IdfCtes + """, c AS (
       |  SELECT idf.qid AS query_id, tf.doc_id AS result_id,
       |    CAST(FLOOR(idf.idf * tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / st.avgdl)) * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12)) AS c
       |  FROM tf JOIN idf USING (term) CROSS JOIN st

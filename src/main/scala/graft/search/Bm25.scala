@@ -26,11 +26,15 @@ import graft.text.TextAnalysis
  *    bounded-heap aggregate as the vector kNN: shuffle ≤ |Q|·k rows.
  *
  * Cross-engine float discipline (same contract as the cosine oracles):
- * the IDF — the only transcendental — is quantized to 6 dp immediately
- * (`floor(x·1e6 + 0.5)/1e6`), making every downstream term product an
- * exact-rational function of integers; per-pair sums run over
- * DECIMAL(28,12) so partial-aggregation order cannot perturb the result.
- * The DuckDB twin (`bm25_topk`) reproduces the scores cell-exactly.
+ * the IDF — the only transcendental — is deterministic by construction:
+ * its argument is the integer ratio (2N+2)/(2df+1), so ln goes through
+ * [[graft.expr.DetMath.log2q20]] (engine-stable q20 fixed-point log2)
+ * scaled by the ln-2 double literal — every step is a correctly-rounded
+ * IEEE op, bit-identical in any engine — then 6-dp floor-quantized.
+ * Downstream term products are exact-rational functions of that 6-dp
+ * value; per-pair sums run over DECIMAL(28,12) so partial-aggregation
+ * order cannot perturb the result. The DuckDB twin (`bm25_topk`)
+ * reproduces the scores cell-exactly.
  */
 object Bm25 {
 
@@ -105,9 +109,15 @@ object Bm25 {
     val r6: Column => Column = c => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
     val queryTerms = queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("__t"))
+    // idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) = ln((2N+2)/(2df+1)):
+    // an integer ratio, so the log runs through the engine-stable q20
+    // kernel; the ÷2²⁰ is an exact power-of-two step and the ×ln2 literal
+    // is one correctly-rounded multiply — identical bits in any engine.
     val qidf = queryTerms.join(dfTable, Seq("__t"))
       .withColumn("__idf",
-        r6(log(lit(1.0) + (lit(n.toDouble) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))))
+        r6((graft.expr.DetMath.log2q20(
+            lit(2L * n + 2L), col("__df") * lit(2L) + lit(1L)).cast("double") /
+          lit(1048576.0d)) * lit(0.6931471805599453d)))
       .select(col("query_id"), col("__t"), col("__idf"))
     // Each term contribution is floor-quantized to the 1e-12 grid BEFORE
     // the DECIMAL cast: the pre-cast double then sits within an ulp of a
