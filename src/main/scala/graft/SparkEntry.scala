@@ -934,6 +934,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Cross-document repeated 5-gram spans (the Lee et al. exact-substring
+    // dedup signal in n-gram-hash form): per doc, how many token positions
+    // start an n-gram that also occurs in ≥2 distinct documents. Spans are
+    // keyed by md5 (same bytes in every engine; 16-byte shuffle keys);
+    // two hash aggregates + one semi-ish join, nothing quadratic.
+    "doc_dup_spans" -> ((s, dir) => {
+      graft.text.DupSpans.duplicatedSpans(docsParallel(s, dir),
+          "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact corpus length quantiles (linear interpolation at p·(n−1) —
     // the same formula in Spark's percentile and DuckDB's quantile_cont).
     // Exact percentile sorts per group; for a single global group that is
@@ -2456,6 +2467,23 @@ object SparkEntry {
         |SELECT doc_id, n AS n_bigrams,
         |  FLOOR((-(CAST(sq AS DOUBLE) / (n * 1048576.0))) * 1000000.0 + 0.5) / 1000000.0 AS bits_per_char
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "doc_dup_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, md5(array_to_string(toks[i:i+4], ' ')) AS h
+        |  FROM tk, unnest(range(1, len(toks) - 3)) AS u(i)
+        |  WHERE len(toks) >= 5
+        |), dup AS (
+        |  SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        |)
+        |SELECT g.doc_id, count(*) AS n_spans, count(dup.h) AS n_dup_spans,
+        |  FLOOR((CAST(count(dup.h) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
+        |FROM g LEFT JOIN dup USING (h)
+        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
 
     "doc_len_quantiles" ->
       """WITH t AS (

@@ -1,0 +1,72 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Cross-document repeated-span detection — the exact-substring duplication
+ * signal of Lee et al., "Deduplicating Training Data Makes Language Models
+ * Better" (2022), in its standard n-gram-hash approximation: a token
+ * position is *duplicated* when the n-gram starting there also occurs in
+ * at least one OTHER document. Corpora duplicate at span granularity
+ * (boilerplate headers, license blocks, quoted passages) long before
+ * whole documents collide, so per-document duplicated-span fractions are
+ * the filter signal document-level dedup cannot see.
+ *
+ * Definitions (pinned for the oracle twin):
+ *  - spans = the `len − n + 1` sliding n-grams over [[TextAnalysis.tokens]]
+ *    (the canonical tokenizer); docs with fewer than `n` tokens have no
+ *    spans and are dropped;
+ *  - a span is duplicated iff its n-gram text occurs in ≥ 2 DISTINCT
+ *    documents (within-doc repetition alone does not count — that is
+ *    [[TextAnalysis]] repetition's job);
+ *  - `dup_frac` = duplicated spans ÷ spans, 6-dp floor-quantized (one
+ *    integer division — engine-exact).
+ *
+ * Scale shape: n-grams are keyed by `md5` of the span text (md5 is
+ *the   same bytes in every engine, so the oracle reproduces the keys
+ * without shipping span text through the shuffle — 16-byte keys instead
+ * of ~100-byte strings). The corpus-duplicate set is one hash aggregate
+ * over the gram stream with map-side combine (`approx`: the aggregate
+ * emits only hashes seen in ≥2 docs, so the second-pass semi-join
+ * broadcast-or-shuffles the DUPLICATED subset, typically a small
+ * fraction of the vocabulary); per-doc fractions are one more hash
+ * aggregate. Nothing is quadratic and no driver-side state exists, so
+ * the plan survives a 100× scale-up as two shuffles keyed by (hash) and
+ * (doc) — the same shape the published suffix-array pipelines reduce to
+ * when implemented over MapReduce-style engines.
+ */
+object DupSpans {
+
+  /** Per-document duplicated-span stats. Output: `idCol`, `n_spans`,
+    * `n_dup_spans`, `dup_frac` (6-dp). */
+  def duplicatedSpans(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__len", size(col("__toks")))
+      .filter(col("__len") >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, __len - ${n - 1}), i -> array_join(slice(__toks, i, $n), ' '))"))
+        .as("__g"))
+      .select(col(idCol), md5(col("__g")).as("__h"))
+    // Hashes occurring in >= 2 distinct docs. count(distinct) here is
+    // exact but two-phase; the partial aggregate still combines map-side
+    // on __h, so the shuffle is gram-vocabulary-sized.
+    val dup = grams.groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("__h"))
+    val r6: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    grams
+      .join(dup.withColumn("__dup", lit(1L)), Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        coalesce(sum(col("__dup")), lit(0L)).as("n_dup_spans"))
+      .select(col(idCol), col("n_spans"), col("n_dup_spans"),
+        r6(col("n_dup_spans").cast("double") / col("n_spans")).as("dup_frac"))
+  }
+}
