@@ -51,21 +51,24 @@ object DupSpans {
         s"transform(sequence(1, __len - ${n - 1}), i -> array_join(slice(__toks, i, $n), ' '))"))
         .as("__g"))
       .select(col(idCol), md5(col("__g")).as("__h"))
-    // Hashes occurring in >= 2 distinct docs. count(distinct) here is
-    // exact but two-phase; the partial aggregate still combines map-side
-    // on __h, so the shuffle is gram-vocabulary-sized.
-    val dup = grams.groupBy(col("__h"))
-      .agg(countDistinct(col(idCol)).as("__nd"))
+    // Collapse to (doc, hash, positions) FIRST: the explode runs once, the
+    // partial aggregate combines map-side, and the (doc, hash) shuffle
+    // carries at most one row per distinct gram per doc. On those
+    // pre-deduped rows "occurs in >= 2 distinct docs" is a plain count.
+    val gcnt = grams.groupBy(col(idCol), col("__h"))
+      .agg(count(lit(1)).as("__c"))
+    val dup = gcnt.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= 2)
       .select(col("__h"))
     val r6: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       c => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
-    grams
+    gcnt
       .join(dup.withColumn("__dup", lit(1L)), Seq("__h"), "left")
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_spans"),
-        coalesce(sum(col("__dup")), lit(0L)).as("n_dup_spans"))
+        sum(col("__c")).as("n_spans"),
+        coalesce(sum(col("__c") * col("__dup")), lit(0L)).as("n_dup_spans"))
       .select(col(idCol), col("n_spans"), col("n_dup_spans"),
         r6(col("n_dup_spans").cast("double") / col("n_spans")).as("dup_frac"))
   }
