@@ -945,6 +945,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The fix-side twin: CUT every token covered by a cross-document
+    // duplicated 5-gram from every doc except the gram's canonical owner
+    // (min doc id) — exactly one copy of each duplicated passage survives
+    // corpus-wide. Pure integer/string arithmetic; coverage merges
+    // overlapping spans per-token.
+    "dedup_span_cut" -> ((s, dir) => {
+      graft.text.DupSpans.cutDuplicatedSpans(docsParallel(s, dir),
+          "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact corpus length quantiles (linear interpolation at p·(n−1) —
     // the same formula in Spark's percentile and DuckDB's quantile_cont).
     // Exact percentile sorts per group; for a single global group that is
@@ -2484,6 +2495,31 @@ object SparkEntry {
         |  FLOOR((CAST(count(dup.h) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
         |FROM g LEFT JOIN dup USING (h)
         |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_span_cut" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+4], ' ')) AS h
+        |  FROM tk, unnest(range(1, len(toks) - 3)) AS u(i)
+        |  WHERE len(toks) >= 5
+        |), own AS (
+        |  SELECT h, min(doc_id) AS owner
+        |  FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        |), cov AS (
+        |  SELECT DISTINCT g.doc_id, j AS i
+        |  FROM g JOIN own USING (h), unnest(range(g.pos, g.pos + 5)) AS v(j)
+        |  WHERE g.doc_id <> own.owner
+        |), tok AS (
+        |  SELECT doc_id, i, toks[i] AS tok
+        |  FROM tk, unnest(range(1, len(toks) + 1)) AS v(i)
+        |)
+        |SELECT tok.doc_id, count(*) AS n_tokens, count(cov.i) AS n_cut,
+        |  coalesce(string_agg(CASE WHEN cov.i IS NULL THEN tok.tok END, ' ' ORDER BY tok.i), '') AS text_clean
+        |FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.i
+        |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
 
     "doc_len_quantiles" ->
       """WITH t AS (

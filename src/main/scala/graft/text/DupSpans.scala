@@ -72,4 +72,64 @@ object DupSpans {
       .select(col(idCol), col("n_spans"), col("n_dup_spans"),
         r6(col("n_dup_spans").cast("double") / col("n_spans")).as("dup_frac"))
   }
+
+  /**
+   * The fix-side twin of [[duplicatedSpans]] — Lee et al.'s span CUT:
+   * every token covered by a cross-document duplicated n-gram is removed
+   * from every document EXCEPT the span's canonical owner (the smallest
+   * doc id containing the gram — deterministic, and exactly one copy of
+   * each duplicated passage survives corpus-wide). Overlapping duplicated
+   * spans merge naturally: coverage is per-token, not per-span.
+   *
+   * Output: `idCol`, `n_tokens` (before), `n_cut` (tokens removed),
+   * `text_clean` — the kept tokens of the CANONICAL tokenization
+   * (lowercased, whitespace-normalized) joined by single spaces; empty
+   * string when everything was cut. Documents shorter than `n` tokens
+   * pass through untouched. Integer/string arithmetic only — the oracle
+   * twin is cell-exact with no float discipline needed.
+   *
+   * Scale shape: gram hashes shuffle once keyed by hash (min-doc + count
+   * aggregate, map-side combined), duplicated-owner rows join back to the
+   * gram stream by hash, coverage explodes ≤ n rows per duplicated
+   * position and collapses to (doc, token-index) distinct; the rebuild is
+   * one aggregate keyed by doc whose state is bounded by document length
+   * (same bound as the tokenizer itself). Nothing is quadratic and no
+   * driver-side state exists.
+   */
+  def cutDuplicatedSpans(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val grams = toks
+      .withColumn("__len", size(col("__toks")))
+      .filter(col("__len") >= n)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(1, __len - ${n - 1}), i -> array_join(slice(__toks, i, $n), ' '))"))
+        .as(Seq("__p0", "__g")))
+      // posexplode is 0-based; token indices are 1-based throughout
+      .select(col(idCol), (col("__p0") + 1).as("__pos"), md5(col("__g")).as("__h"))
+    val owners = grams.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("__owner"), countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("__h"), col("__owner"))
+    // Token indices covered by a duplicated gram this doc does not own.
+    val covered = grams
+      .join(owners, Seq("__h"))
+      .filter(col(idCol) =!= col("__owner"))
+      .select(col(idCol),
+        explode(expr(s"sequence(__pos, __pos + ${n - 1})")).as("__i"))
+      .distinct()
+    toks
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("__i0", "__t")))
+      .select(col(idCol), (col("__i0") + 1).as("__i"), col("__t"))
+      .join(covered.withColumn("__cut", lit(1L)), Seq(idCol, "__i"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        coalesce(sum(col("__cut")), lit(0L)).as("n_cut"),
+        array_join(transform(array_sort(collect_list(
+          when(col("__cut").isNull, struct(col("__i"), col("__t"))))),
+          e => e.getField("__t")), " ").as("text_clean"))
+  }
 }

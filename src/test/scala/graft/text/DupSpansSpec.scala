@@ -52,4 +52,50 @@ class DupSpansSpec extends SparkSpec {
     assert(got(1L) === ((3L, 3L, 1.0)))
     assert(got(2L) === ((3L, 3L, 1.0)))
   }
+
+  private def runCut(docs: Seq[(Long, String)], n: Int = 5) =
+    DupSpans.cutDuplicatedSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_cut"),
+          r.getAs[String]("text_clean")))).toMap
+
+  test("cut: canonical owner keeps the span, the other doc loses it") {
+    val got = runCut(Seq(
+      (1L, "a b c d e f"),
+      (2L, "x a b c d e y")))
+    // Doc 1 (min id) owns "a b c d e": untouched.
+    assert(got(1L) === ((6L, 0L, "a b c d e f")))
+    // Doc 2 loses tokens 2-6; "x" and "y" survive.
+    assert(got(2L) === ((7L, 5L, "x y")))
+  }
+
+  test("cut: overlapping duplicated spans merge per-token") {
+    // Doc 2 shares both "a b c d e" (pos 1) and "b c d e f" (pos 2):
+    // coverage is tokens 1-6 merged, not 10.
+    val got = runCut(Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f g")))
+    assert(got(2L) === ((7L, 6L, "g")))
+  }
+
+  test("cut: everything removed yields empty text, short docs untouched") {
+    val text = "one two three four five"
+    val got = runCut(Seq((1L, text), (2L, text), (3L, "tiny doc")))
+    assert(got(1L) === ((5L, 0L, text)))
+    assert(got(2L) === ((5L, 5L, "")))
+    assert(got(3L) === ((2L, 0L, "tiny doc")))
+  }
+
+  test("cut: ownership is per-gram, so a middle doc can both keep and lose") {
+    // "a b c d e" occurs in docs 1+2 (owner 1); "v w x y z" in docs 2+3
+    // (owner 2): doc 2 loses the first span but keeps the second.
+    val got = runCut(Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e v w x y z"),
+      (3L, "v w x y z")))
+    assert(got(1L) === ((5L, 0L, "a b c d e")))
+    assert(got(2L) === ((10L, 5L, "v w x y z")))
+    assert(got(3L) === ((5L, 5L, "")))
+  }
 }
