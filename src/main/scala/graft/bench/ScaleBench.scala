@@ -26,10 +26,15 @@ import org.apache.spark.sql.functions._
 object ScaleBench {
   // The families whose scale behavior the design document argues for.
   // dedup_clusters is the CC consumer; bm25_index_topk the pruned-postings
-  // path; sparse_knn the newest corpus-exploding kernel.
+  // path; sparse_knn the newest corpus-exploding kernel. The span pair is
+  // the round-11 addition: N-clone amplification makes EVERY gram
+  // cross-document duplicated — the worst case for the duplicate-set join
+  // — and the design claims cost stays linear (no bucket self-join
+  // anywhere in the plan).
   private val queryNames = Seq(
     "dedup_exact", "dedup_minhash", "dedup_near_keep", "dedup_clusters",
-    "winnow_pairs", "bm25_topk", "bm25_index_topk", "knn_topk", "sparse_knn")
+    "winnow_pairs", "bm25_topk", "bm25_index_topk", "knn_topk", "sparse_knn",
+    "doc_dup_spans", "dedup_span_cut")
 
   private val Stride = 10_000_000L // far above any fixture id
 

@@ -23,16 +23,15 @@ import org.apache.spark.sql.functions._
  *  - `dup_frac` = duplicated spans ÷ spans, 6-dp floor-quantized (one
  *    integer division — engine-exact).
  *
- * Scale shape: n-grams are keyed by `md5` of the span text (md5 is
- *the   same bytes in every engine, so the oracle reproduces the keys
- * without shipping span text through the shuffle — 16-byte keys instead
- * of ~100-byte strings). The corpus-duplicate set is one hash aggregate
- * over the gram stream with map-side combine (`approx`: the aggregate
- * emits only hashes seen in ≥2 docs, so the second-pass semi-join
- * broadcast-or-shuffles the DUPLICATED subset, typically a small
- * fraction of the vocabulary); per-doc fractions are one more hash
- * aggregate. Nothing is quadratic and no driver-side state exists, so
- * the plan survives a 100× scale-up as two shuffles keyed by (hash) and
+ * Scale shape: n-grams are keyed by `md5` of the span text (the same
+ * bytes in every engine, so the oracle reproduces the keys without
+ * shipping span text through the shuffle — 16-byte keys instead of
+ * ~100-byte strings). Grams collapse to (doc, hash, positions) with
+ * map-side combine before anything shuffles; the duplicate set is one
+ * count over those pre-deduped rows and only the DUPLICATED subset —
+ * typically a small fraction of the gram vocabulary — flows into the
+ * join back. Nothing is quadratic and no driver-side state exists, so
+ * the plan survives a 100× scale-up as shuffles keyed by (hash) and
  * (doc) — the same shape the published suffix-array pipelines reduce to
  * when implemented over MapReduce-style engines.
  */
