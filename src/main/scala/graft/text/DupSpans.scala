@@ -81,11 +81,15 @@ object DupSpans {
    * spans merge naturally: coverage is per-token, not per-span.
    *
    * Output: `idCol`, `n_tokens` (before), `n_cut` (tokens removed),
-   * `text_clean` — the kept tokens of the CANONICAL tokenization
-   * (lowercased, whitespace-normalized) joined by single spaces; empty
-   * string when everything was cut. Documents shorter than `n` tokens
-   * pass through untouched. Integer/string arithmetic only — the oracle
-   * twin is cell-exact with no float discipline needed.
+   * `text_clean` — the kept tokens joined by single spaces (empty string
+   * when everything was cut): by default the CANONICAL tokenization
+   * (lowercased, whitespace-normalized; the oracle-pinned form), or the
+   * original-case tokens when `preserveCase` — gram KEYS always fold, so
+   * detection is case-insensitive either way, and folding never moves
+   * whitespace, so the two token sequences index identically. Documents
+   * shorter than `n` tokens pass through untouched. Integer/string
+   * arithmetic only — the oracle twin is cell-exact with no float
+   * discipline needed.
    *
    * Scale shape: gram hashes shuffle once keyed by hash (min-doc + count
    * aggregate, map-side combined), duplicated-owner rows join back to the
@@ -96,10 +100,15 @@ object DupSpans {
    * driver-side state exists.
    */
   def cutDuplicatedSpans(
-      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String, n: Int,
+      preserveCase: Boolean = false): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    val rebuildToks =
+      if (preserveCase) filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+      else TextAnalysis.tokens(col(textCol))
     val toks = docs
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"),
+        rebuildToks.as("__rtoks"))
     val grams = toks
       .withColumn("__len", size(col("__toks")))
       .filter(col("__len") >= n)
@@ -120,7 +129,7 @@ object DupSpans {
         explode(expr(s"sequence(__pos, __pos + ${n - 1})")).as("__i"))
       .distinct()
     toks
-      .select(col(idCol), posexplode(col("__toks")).as(Seq("__i0", "__t")))
+      .select(col(idCol), posexplode(col("__rtoks")).as(Seq("__i0", "__t")))
       .select(col(idCol), (col("__i0") + 1).as("__i"), col("__t"))
       .join(covered.withColumn("__cut", lit(1L)), Seq(idCol, "__i"), "left")
       .groupBy(col(idCol))

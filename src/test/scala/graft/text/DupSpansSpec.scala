@@ -87,6 +87,19 @@ class DupSpansSpec extends SparkSpec {
     assert(got(3L) === ((2L, 0L, "tiny doc")))
   }
 
+  test("cut: preserveCase rebuilds original-case tokens, detection stays folded") {
+    val got = DupSpans.cutDuplicatedSpans(
+      Seq((1L, "A B C D E f"), (2L, "X a b c D e Y")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 5, preserveCase = true)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_cut"), r.getAs[String]("text_clean")))).toMap
+    // The folded gram "a b c d e" matches across both docs; doc 1 (owner)
+    // keeps its original casing, doc 2 keeps its survivors' casing.
+    assert(got(1L) === ((0L, "A B C D E f")))
+    assert(got(2L) === ((5L, "X Y")))
+  }
+
   test("cut: ownership is per-gram, so a middle doc can both keep and lose") {
     // "a b c d e" occurs in docs 1+2 (owner 1); "v w x y z" in docs 2+3
     // (owner 2): doc 2 loses the first span but keeps the second.
