@@ -956,6 +956,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Index-backed span cut (build-once/query-many sibling of
+    // index_near_keep / bm25_index_topk): ownership read from the
+    // persisted hash-partitioned gram table instead of recomputing the
+    // corpus kernel — output identical by construction, shares
+    // dedup_span_cut's oracle.
+    "index_span_cut" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      val fp = corpusFingerprint(Tables.documents(s, dir), col("doc_id"), col("text"))
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_span_${fp}_n5_b64").toString
+      val idx = graft.index.SpanIndex(s, root, "documents")
+      if (!idx.exists) idx.build(docs, "doc_id", "text", n = 5)
+      idx.cut(docs, "doc_id", "text", batchIsIndexed = true)
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact corpus length quantiles (linear interpolation at p·(n−1) —
     // the same formula in Spark's percentile and DuckDB's quantile_cont).
     // Exact percentile sorts per group; for a single global group that is
@@ -2496,30 +2512,11 @@ object SparkEntry {
         |FROM g LEFT JOIN dup USING (h)
         |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
 
-    "dedup_span_cut" ->
-      """WITH tk AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |  FROM documents
-        |), g AS (
-        |  SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+4], ' ')) AS h
-        |  FROM tk, unnest(range(1, len(toks) - 3)) AS u(i)
-        |  WHERE len(toks) >= 5
-        |), own AS (
-        |  SELECT h, min(doc_id) AS owner
-        |  FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
-        |), cov AS (
-        |  SELECT DISTINCT g.doc_id, j AS i
-        |  FROM g JOIN own USING (h), unnest(range(g.pos, g.pos + 5)) AS v(j)
-        |  WHERE g.doc_id <> own.owner
-        |), tok AS (
-        |  SELECT doc_id, i, toks[i] AS tok
-        |  FROM tk, unnest(range(1, len(toks) + 1)) AS v(i)
-        |)
-        |SELECT tok.doc_id, count(*) AS n_tokens, count(cov.i) AS n_cut,
-        |  coalesce(string_agg(CASE WHEN cov.i IS NULL THEN tok.tok END, ' ' ORDER BY tok.i), '') AS text_clean
-        |FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.i
-        |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
+    "dedup_span_cut" -> spanCutSql,
+
+    // the index-backed path is output-identical by construction (shared
+    // cut kernel + ownership from the persisted gram table) — same oracle
+    "index_span_cut" -> spanCutSql,
 
     "doc_len_quantiles" ->
       """WITH t AS (
@@ -3350,6 +3347,35 @@ object SparkEntry {
          |  rel AS score
          |FROM sel$k ORDER BY query_id, mmr_rank""".stripMargin
   }
+
+  /** Span-cut oracle — shared verbatim by `dedup_span_cut` and
+    * `index_span_cut` (both route through `DupSpans.cutWithOwners` with
+    * identical ownership, so their outputs are identical by
+    * construction). */
+  private def spanCutSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+4], ' ')) AS h
+      |  FROM tk, unnest(range(1, len(toks) - 3)) AS u(i)
+      |  WHERE len(toks) >= 5
+      |), own AS (
+      |  SELECT h, min(doc_id) AS owner
+      |  FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+      |), cov AS (
+      |  SELECT DISTINCT g.doc_id, j AS i
+      |  FROM g JOIN own USING (h), unnest(range(g.pos, g.pos + 5)) AS v(j)
+      |  WHERE g.doc_id <> own.owner
+      |), tok AS (
+      |  SELECT doc_id, i, toks[i] AS tok
+      |  FROM tk, unnest(range(1, len(toks) + 1)) AS v(i)
+      |)
+      |SELECT tok.doc_id, count(*) AS n_tokens, count(cov.i) AS n_cut,
+      |  coalesce(string_agg(CASE WHEN cov.i IS NULL THEN tok.tok END, ' ' ORDER BY tok.i), '') AS text_clean
+      |FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.i
+      |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin
 
   /** Engine-stable BM25 idf CTE chain, spliced after a `dft(term, df)`
     * CTE in a `WITH RECURSIVE` query: binds `idf(qid, term, idf)` for the

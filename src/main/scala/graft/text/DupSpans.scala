@@ -103,13 +103,22 @@ object DupSpans {
       docs: DataFrame, idCol: String, textCol: String, n: Int,
       preserveCase: Boolean = false): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val rebuildToks =
-      if (preserveCase) filter(split(col(textCol), "\\s+"), t => length(t) > 0)
-      else TextAnalysis.tokens(col(textCol))
-    val toks = docs
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"),
-        rebuildToks.as("__rtoks"))
-    val grams = toks
+    val grams = gramFrame(docs, idCol, textCol, n)
+    val owners = grams.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("__owner"), countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("__h"), col("__owner"))
+    cutWithOwners(docs, idCol, textCol, n, grams, owners, preserveCase)
+  }
+
+  /** The positioned gram stream: `(idCol, __pos, __h)` with 1-based token
+    * positions and md5-of-span-text keys. Shared by the self-contained
+    * [[cutDuplicatedSpans]] and the persisted
+    * [[graft.index.SpanIndex]], so both derive identical keys. */
+  private[graft] def gramFrame(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .withColumn("__len", size(col("__toks")))
       .filter(col("__len") >= n)
       .select(col(idCol), posexplode(expr(
@@ -117,10 +126,19 @@ object DupSpans {
         .as(Seq("__p0", "__g")))
       // posexplode is 0-based; token indices are 1-based throughout
       .select(col(idCol), (col("__p0") + 1).as("__pos"), md5(col("__g")).as("__h"))
-    val owners = grams.groupBy(col("__h"))
-      .agg(min(col(idCol)).as("__owner"), countDistinct(col(idCol)).as("__nd"))
-      .filter(col("__nd") >= 2)
-      .select(col("__h"), col("__owner"))
+
+  /** Shared cut kernel: given the doc frame, ITS gram stream and an
+    * ownership table `(__h, __owner)` covering every duplicated gram,
+    * remove covered tokens from every doc that is not the gram's owner
+    * and rebuild. Both the direct operator and the index-backed path end
+    * here, so their outputs are identical by construction. */
+  private[graft] def cutWithOwners(
+      docs: DataFrame, idCol: String, textCol: String, n: Int,
+      grams: DataFrame, owners: DataFrame,
+      preserveCase: Boolean): DataFrame = {
+    val rebuildToks =
+      if (preserveCase) filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+      else TextAnalysis.tokens(col(textCol))
     // Token indices covered by a duplicated gram this doc does not own.
     val covered = grams
       .join(owners, Seq("__h"))
@@ -128,8 +146,8 @@ object DupSpans {
       .select(col(idCol),
         explode(expr(s"sequence(__pos, __pos + ${n - 1})")).as("__i"))
       .distinct()
-    toks
-      .select(col(idCol), posexplode(col("__rtoks")).as(Seq("__i0", "__t")))
+    docs
+      .select(col(idCol), posexplode(rebuildToks).as(Seq("__i0", "__t")))
       .select(col(idCol), (col("__i0") + 1).as("__i"), col("__t"))
       .join(covered.withColumn("__cut", lit(1L)), Seq(idCol, "__i"), "left")
       .groupBy(col(idCol))
