@@ -66,6 +66,53 @@ class SpanIndex(
 
   private def buckets: Int = metaField(readMetaJson(), "buckets").toInt
 
+  /** Admit a batch: merge its gram statistics into the stored table —
+    * the step AFTER [[cut]] in an admission pipeline, so later batches
+    * dedup against this one too. The merge is one batch-sized aggregate
+    * full-outer-joined into the gram table (O(stored vocabulary), never a
+    * corpus rescan): `n_docs` adds the batch's distinct-doc counts and
+    * ownership keeps the stored owner when present (its copy is already
+    * committed) — under the disjoint-and-higher-id batch contract this
+    * equals the min-doc-id owner a full rebuild over the union would
+    * pick, so an upserted index IS the rebuilt index (pinned in
+    * SpanIndexSpec). Single-writer; `exists` is false for the whole
+    * refresh window (FsArtifact protocol). */
+  def upsert(batch: DataFrame, idCol: String, textCol: String): Unit = {
+    require(exists, s"span index $name does not exist - build() it first")
+    val m = readMetaJson()
+    val nGram = metaField(m, "n").toInt
+    val b = metaField(m, "buckets").toInt
+    invalidateMeta()
+    val delta = DupSpans.gramFrame(batch, idCol, textCol, nGram)
+      .groupBy(col("__h"))
+      .agg(min(col(idCol)).as("__bowner"),
+        countDistinct(col(idCol)).as("__bnd"))
+    val merged = spark.read.parquet(gramsPath)
+      .join(delta, col("h") === col("__h"), "full_outer")
+      .select(
+        coalesce(col("h"), col("__h")).as("h"),
+        coalesce(col("owner"), col("__bowner")).as("owner"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("__bnd"), lit(0L)))
+          .as("n_docs"))
+      .withColumn("bucket", bucketOf(col("h"), b))
+    overwriteViaShadow(new Path(gramsPath), merged, partitionBy = Some("bucket"))
+    writeMetaJson(s"""{"n":$nGram,"buckets":$b}""")
+  }
+
+  private def overwriteViaShadow(target: Path, rows: DataFrame,
+      partitionBy: Option[String]): Unit = {
+    val shadow = new Path(base, target.getName + "_shadow")
+    fs.delete(shadow, true)
+    val w = rows.write.mode(SaveMode.Overwrite)
+    partitionBy.fold(w)(w.partitionBy(_)).parquet(shadow.toString)
+    val old = new Path(base, target.getName + "_old")
+    fs.delete(old, true)
+    require(fs.rename(target, old), s"could not stage old ${target.getName} of $name")
+    require(fs.rename(shadow, target), s"could not swap new ${target.getName} of $name")
+    fs.delete(old, true)
+    ()
+  }
+
   /** Cut duplicated spans from `batch` against the indexed corpus; output
     * schema and semantics of [[DupSpans.cutDuplicatedSpans]]. */
   def cut(batch: DataFrame, idCol: String, textCol: String,

@@ -58,6 +58,29 @@ class SpanIndexSpec extends SparkSpec {
     assert(got(201L) === 6L)
   }
 
+  test("upserted index equals a rebuild over the union") {
+    val docs = corpus.toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "zz a b c d e f zz"),
+      (101L, "m n o p q r"),
+      (102L, "m n o p q r s")).toDF("doc_id", "text")
+    val upserted = SpanIndex(spark, tmpRoot(), "docs")
+      .build(docs, "doc_id", "text", n = 5, buckets = 8)
+    upserted.upsert(batch, "doc_id", "text")
+    val rebuilt = SpanIndex(spark, tmpRoot(), "docs")
+      .build(docs.unionByName(batch), "doc_id", "text", n = 5, buckets = 8)
+    val probe = Seq((500L, "a b c d e f m n o p q r brand new tail here ok"))
+      .toDF("doc_id", "text")
+    def cutRows(ix: SpanIndex) =
+      ix.cut(probe, "doc_id", "text").collect().map(_.toSeq).toSet
+    assert(cutRows(upserted) === cutRows(rebuilt))
+    // Later batches now dedup against the admitted one: 101's span is
+    // owned by the index after upsert, so a repeat gets cut.
+    val repeat = Seq((600L, "m n o p q r")).toDF("doc_id", "text")
+    val got = upserted.cut(repeat, "doc_id", "text").collect().head
+    assert(got.getAs[Long]("n_cut") === 6L)
+  }
+
   test("cut before build fails loudly; meta pins gram size") {
     val root = tmpRoot()
     val idx = SpanIndex(spark, root, "docs")
