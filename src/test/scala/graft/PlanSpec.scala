@@ -217,6 +217,29 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final aggregation in:\n$p")
   }
 
+  test("dedup_span_cut: no self-join of the gram stream, rebuild is partial+final") {
+    val p = plan("dedup_span_cut")
+    // The design claim the 30x amplification run validates: duplication
+    // can never square because no plan node joins the gram stream to
+    // itself — ownership is an aggregate, coverage a hash join against it.
+    assert(!p.contains("SortMergeJoin"),
+      s"gram/ownership joins must stay hash joins:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no product joins anywhere in the span plan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size +
+      "ObjectHashAggregate".r.findAllIn(p).size +
+      "SortAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregation in:\n$p")
+  }
+
+  test("index_span_cut: ownership comes from the artifact scan, not a recompute") {
+    val p = plan("index_span_cut")
+    assert(p.contains("Scan parquet") && p.contains("n_docs"),
+      s"ownership must be read from the persisted gram table:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no product joins in the index cut:\n$p")
+  }
+
   test("rebalanced: extra exchange ONLY when the scan has fewer splits than cores") {
     val par = spark.sparkContext.defaultParallelism
     // already-wide input: must come back untouched (the 100 TB path)
