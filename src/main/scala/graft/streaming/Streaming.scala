@@ -156,6 +156,57 @@ object Streaming {
       .start()
 
   /**
+   * Streaming SPAN-CUT admission: each micro-batch is cut against the
+   * persisted [[graft.index.SpanIndex]] — tokens covered by an n-gram the
+   * admitted corpus (or an earlier doc of the same batch) already
+   * contains are removed, the cleaned rows append to `cleanDir`, and the
+   * index upserts with the CLEANED text's grams so later batches dedup
+   * against exactly what was committed. The continuous form of
+   * `index_span_cut`, and the span-level sibling of [[admitStream]]
+   * (which rejects whole near-duplicate documents; this keeps every
+   * document but strips its duplicated passages).
+   *
+   * Per micro-batch (foreachBatch; the artifact IS the state): replay
+   * guard by key against `cleanDir`, [[graft.index.SpanIndex.cut]] in
+   * foreign-batch mode, append, [[graft.index.SpanIndex.upsert]] — all
+   * O(batch) plus the bucket-pruned gram-table join. Output schema:
+   * `idCol`, `n_tokens`, `n_cut`, `textCol` (the cleaned text).
+   * Single-writer contract per index/cleanDir, and batch ids must be
+   * disjoint from the indexed corpus (the index ownership contract).
+   */
+  def cutStream(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: graft.index.SpanIndex,
+      cleanDir: String,
+      checkpointDir: String,
+      preserveCase: Boolean = false): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        // cleanDir is this sink's own output: empty until the first batch
+        // commits, so a failed read means "nothing admitted yet".
+        val fresh =
+          (try Some(spark.read.parquet(cleanDir).select(col(idCol)))
+          catch { case scala.util.control.NonFatal(_) => None })
+            .fold(batch)(seen => batch.join(seen, Seq(idCol), "left_anti"))
+        val cleaned = index.cut(fresh, idCol, textCol,
+            preserveCase = preserveCase)
+          .withColumnRenamed("text_clean", textCol)
+          .localCheckpoint(true)
+        if (!cleaned.isEmpty) {
+          cleaned.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(cleanDir)
+          index.upsert(cleaned, idCol, textCol)
+        }
+      }
+      .start()
+
+  /**
    * Streaming exact-dedup: drop rows whose key was already seen, keeping
    * state only within the watermark horizon — the streaming twin of
    * [[graft.dedup.Dedup.dropExactDuplicates]]. Unbounded dedup state is the

@@ -183,6 +183,48 @@ class StreamingSpec extends SparkSpec {
     assert(idx.signatures().count() == 4)
   }
 
+  test("span-cut admission: duplicated passages stripped, index tracks cleaned text") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_cut_stream").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+    val idx = graft.index.SpanIndex(spark, s"$tmp/idx", "corpus")
+      .build(corpus, "doc_id", "text", n = 5, buckets = 8)
+
+    val source = MemoryStream[(Long, String)]
+    val q = Streaming.cutStream(source.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", idx, s"$tmp/clean", s"$tmp/ckpt1")
+    source.addData(
+      // embeds corpus doc 1's full text -> those 9 tokens cut, tail kept
+      (10L, "the quick brown fox jumps over the lazy dog but what a tail"),
+      // novel -> untouched
+      (11L, "sphinx of black quartz judge my vow tonight"))
+    q.awaitTermination()
+    val clean = spark.read.parquet(s"$tmp/clean")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_cut"), r.getAs[String]("text")))).toMap
+    assert(clean(10L) === ((9L, "but what a tail")))
+    assert(clean(11L) === ((0L, "sphinx of black quartz judge my vow tonight")))
+
+    // The cleaned text was upserted: a later batch repeating doc 11's
+    // passage (admitted) OR doc 10's surviving tail (too short to gram at
+    // n=5... use 11) gets cut against the ADMITTED stream content.
+    val source2 = MemoryStream[(Long, String)]
+    val q2 = Streaming.cutStream(source2.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", idx, s"$tmp/clean", s"$tmp/ckpt2")
+    source2.addData(
+      (20L, "sphinx of black quartz judge my vow tonight"),
+      // replayed id -> dropped entirely (exactly-once by key)
+      (10L, "the quick brown fox jumps over the lazy dog but what a tail"))
+    q2.awaitTermination()
+    val clean2 = spark.read.parquet(s"$tmp/clean")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_cut"), r.getAs[String]("text")))).toMap
+    assert(clean2.keySet === Set(10L, 11L, 20L))
+    assert(clean2(20L) === ((8L, "")))
+  }
+
   test("file-source events stream: windowed agg over the fixture matches batch") {
     val streamDir = Files.createTempDirectory("graft_events_stream")
     Files.copy(Paths.get(s"${graft.TestSpark.sf0001}/events.parquet"),
