@@ -2350,6 +2350,8 @@ object SparkEntry {
 
     "dedup_jaccard_pairs" -> jaccardPairsOracle,
 
+    "winnow_pairs" -> winnowPairsSql,
+
     "dedup_minhash" -> jaccardPairsOracle,
 
     "edit_sim_pairs" ->
@@ -3376,6 +3378,87 @@ object SparkEntry {
       |  coalesce(string_agg(CASE WHEN cov.i IS NULL THEN tok.tok END, ' ' ORDER BY tok.i), '') AS text_clean
       |FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.i
       |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin
+
+  /** winnow_pairs oracle — exact SQL replay of the fused Karp-Rabin +
+    * murmur-mix + sliding-minimum winnowing kernel
+    * (`expr/Winnowing.scala`) at the query's pinned parameters
+    * (k=12, w=8, minShared=10, cap=10000). Java's wraparound 64-bit
+    * arithmetic is emulated over HUGEINT: values ride UNSIGNED in
+    * [0, 2⁶⁴); multiplies split the 64-bit constant into 32-bit halves so
+    * no intermediate exceeds the signed-128 range; xor drops to signed
+    * BIGINT (same bits) and returns. The selected-fingerprint SET is
+    * order-and-tie-rule independent (ties share the value), so a plain
+    * 8-wide window minimum over the SIGNED hash reproduces the
+    * monotonic-deque selection exactly. Validated cell-exact against the
+    * kernel on the full sf0.01 fixture. */
+  private def winnowPairsSql: String = {
+    val u64 = "CAST('18446744073709551616' AS HUGEINT)"
+    def signed(v: String) =
+      s"(CASE WHEN $v >= CAST('9223372036854775808' AS HUGEINT) " +
+        s"THEN CAST($v - $u64 AS BIGINT) ELSE CAST($v AS BIGINT) END)"
+    def uns(v: String) =
+      s"(CASE WHEN $v < 0 THEN CAST($v AS HUGEINT) + $u64 ELSE CAST($v AS HUGEINT) END)"
+    // x ^ (x >>> 33): the shift is an exact HUGEINT division (x is
+    // non-negative), xor runs on the identical signed-BIGINT bits.
+    def uxorsh(v: String) = uns(s"xor(${signed(v)}, CAST($v // 8589934592 AS BIGINT))")
+    // x * C mod 2^64 with C = ch·2³² + cl: each partial fits HUGEINT.
+    def umul(v: String, ch: Long, cl: Long) =
+      s"((($v * $cl) % $u64 + (($v * $ch) % 4294967296) * 4294967296) % $u64)"
+    // 257^j mod 2^64 for j = 11..0 — the Karp-Rabin base powers.
+    val pows = Seq("5462812792530078465", "8706299010550139393",
+        "2617856364451727617", "584403925891549185", "74051159531521793",
+        "288136807515649", "1121154893057", "4362470401", "16974593",
+        "66049", "257", "1")
+      .map(p => s"CAST('$p' AS HUGEINT)").mkString("[", ", ", "]")
+    s"""WITH reps AS (
+       |  SELECT min(doc_id) AS id, text, count(*) AS fam
+       |  FROM documents GROUP BY text
+       |), codes AS (
+       |  SELECT id, fam, len(text) AS n,
+       |    list_transform(range(1, len(text) + 1), i -> unicode(substr(text, i, 1))) AS cs
+       |  FROM reps WHERE len(text) >= 12
+       |), g0 AS (
+       |  SELECT id, fam, i, n - 11 AS grams,
+       |    list_sum(list_transform(range(0, 12),
+       |      j -> CAST(cs[i + j] AS HUGEINT) * ($pows)[j + 1])) % $u64 AS x
+       |  FROM codes, unnest(range(1, n - 10)) AS u(i)
+       |), m1 AS (SELECT id, fam, i, grams, ${uxorsh("x")} AS x FROM g0
+       |), m2 AS (SELECT id, fam, i, grams, ${umul("x", 4283543511L, 3981806797L)} AS x FROM m1
+       |), m3 AS (SELECT id, fam, i, grams, ${uxorsh("x")} AS x FROM m2
+       |), m4 AS (SELECT id, fam, i, grams, ${umul("x", 3301882366L, 444984403L)} AS x FROM m3
+       |), m5 AS (SELECT id, fam, i, grams, ${uxorsh("x")} AS x FROM m4
+       |), hashes AS (SELECT id, fam, i, grams, ${signed("x")} AS fp FROM m5
+       |), winmin AS (
+       |  SELECT id, fam, i, grams,
+       |    min(fp) OVER (PARTITION BY id ORDER BY i ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS mn
+       |  FROM hashes
+       |), fps AS (
+       |  SELECT DISTINCT id, fam, mn AS fp FROM winmin WHERE i >= 8 OR i = grams
+       |), oversized AS (
+       |  SELECT fp FROM fps GROUP BY fp HAVING sum(fam) > 10000
+       |), capped AS (
+       |  SELECT fps.id, fps.fp FROM fps LEFT JOIN oversized USING (fp)
+       |  WHERE oversized.fp IS NULL
+       |), repPairs AS (
+       |  SELECT l.id AS ra, r.id AS rb, count(*) AS n_shared
+       |  FROM capped l JOIN capped r ON l.fp = r.fp AND l.id < r.id
+       |  GROUP BY 1, 2 HAVING count(*) >= 10
+       |), members AS (
+       |  SELECT d.doc_id AS mid, r.id AS rid FROM documents d JOIN reps r USING (text)
+       |), crossp AS (
+       |  SELECT least(ma.mid, mb.mid) AS id_a, greatest(ma.mid, mb.mid) AS id_b, p.n_shared
+       |  FROM repPairs p JOIN members ma ON ma.rid = p.ra JOIN members mb ON mb.rid = p.rb
+       |), selfShared AS (
+       |  SELECT id AS rid, count(*) AS n_shared FROM capped GROUP BY id HAVING count(*) >= 10
+       |), within AS (
+       |  SELECT a.mid AS id_a, b.mid AS id_b, s.n_shared
+       |  FROM members a JOIN members b ON a.rid = b.rid AND a.mid < b.mid
+       |  JOIN selfShared s ON s.rid = a.rid
+       |)
+       |SELECT id_a, id_b, n_shared FROM crossp
+       |UNION ALL SELECT id_a, id_b, n_shared FROM within
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** Engine-stable BM25 idf CTE chain, spliced after a `dft(term, df)`
     * CTE in a `WITH RECURSIVE` query: binds `idf(qid, term, idf)` for the

@@ -14,7 +14,9 @@ class SparkEntrySpec extends SparkSpec {
 
   test("rows-only queries are the documented hash-dependent set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val expected = Set("corpus_uuid", "simhash_pairs", "winnow_pairs",
+    // winnow_pairs graduated to a full oracle in round 11: the kernel's
+    // wraparound-64-bit arithmetic is SQL-replayable over HUGEINT.
+    val expected = Set("corpus_uuid", "simhash_pairs",
       "ann_recall", "ivf_recall", "ivf_partitioned_recall", "ivf_int8_recall",
       "ivf_pq_recall", "ivf_binary_recall",
       "quant_recall", "embed_corpus", "embed_knn", "multimodal_knn",
