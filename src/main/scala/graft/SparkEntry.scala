@@ -1403,8 +1403,9 @@ object SparkEntry {
         "vec_id", "embedding", k = 10, n = 20)
     }),
 
-    // SimHash near-dups: fingerprints depend on xxhash64 → no cross-engine
-    // SQL twin (rows-only driver check); semantics pinned in DedupSpec.
+    // SimHash near-dups: FNV-1a token hashes + Charikar bit votes — fully
+    // deterministic integer arithmetic, replayed in SQL by the oracle
+    // (simhashPairsSql); semantics also pinned in DedupSpec.
     "simhash_pairs" -> ((s, dir) => {
       Dedup.simHashNearDups(docsParallel(s, dir), "doc_id", "text",
           maxHamming = 3)
@@ -2351,6 +2352,8 @@ object SparkEntry {
     "dedup_jaccard_pairs" -> jaccardPairsOracle,
 
     "winnow_pairs" -> winnowPairsSql,
+
+    "simhash_pairs" -> simhashPairsSql,
 
     "dedup_minhash" -> jaccardPairsOracle,
 
@@ -3391,19 +3394,28 @@ object SparkEntry {
     * 8-wide window minimum over the SIGNED hash reproduces the
     * monotonic-deque selection exactly. Validated cell-exact against the
     * kernel on the full sf0.01 fixture. */
+  // --- wraparound-64-bit arithmetic emulated in DuckDB SQL over HUGEINT:
+  // values ride UNSIGNED in [0, 2⁶⁴); multiplies split the 64-bit constant
+  // into 32-bit halves so no intermediate exceeds the signed-128 range;
+  // xor drops to the identical signed-BIGINT bits and returns. Shared by
+  // the winnowing and simhash kernel replays. ---
+  private val u64 = "CAST('18446744073709551616' AS HUGEINT)"
+  private def u64Signed(v: String) =
+    s"(CASE WHEN $v >= CAST('9223372036854775808' AS HUGEINT) " +
+      s"THEN CAST($v - $u64 AS BIGINT) ELSE CAST($v AS BIGINT) END)"
+  private def u64Uns(v: String) =
+    s"(CASE WHEN $v < 0 THEN CAST($v AS HUGEINT) + $u64 ELSE CAST($v AS HUGEINT) END)"
+  /** x * C mod 2⁶⁴ with C = ch·2³² + cl. */
+  private def u64MulC(v: String, ch: Long, cl: Long) =
+    s"((($v * $cl) % $u64 + (($v * $ch) % 4294967296) * 4294967296) % $u64)"
+
   private def winnowPairsSql: String = {
-    val u64 = "CAST('18446744073709551616' AS HUGEINT)"
-    def signed(v: String) =
-      s"(CASE WHEN $v >= CAST('9223372036854775808' AS HUGEINT) " +
-        s"THEN CAST($v - $u64 AS BIGINT) ELSE CAST($v AS BIGINT) END)"
-    def uns(v: String) =
-      s"(CASE WHEN $v < 0 THEN CAST($v AS HUGEINT) + $u64 ELSE CAST($v AS HUGEINT) END)"
+    def signed(v: String) = u64Signed(v)
+    def uns(v: String) = u64Uns(v)
     // x ^ (x >>> 33): the shift is an exact HUGEINT division (x is
     // non-negative), xor runs on the identical signed-BIGINT bits.
     def uxorsh(v: String) = uns(s"xor(${signed(v)}, CAST($v // 8589934592 AS BIGINT))")
-    // x * C mod 2^64 with C = ch·2³² + cl: each partial fits HUGEINT.
-    def umul(v: String, ch: Long, cl: Long) =
-      s"((($v * $cl) % $u64 + (($v * $ch) % 4294967296) * 4294967296) % $u64)"
+    def umul(v: String, ch: Long, cl: Long) = u64MulC(v, ch, cl)
     // 257^j mod 2^64 for j = 11..0 — the Karp-Rabin base powers.
     val pows = Seq("5462812792530078465", "8706299010550139393",
         "2617856364451727617", "584403925891549185", "74051159531521793",
@@ -3457,6 +3469,58 @@ object SparkEntry {
        |)
        |SELECT id_a, id_b, n_shared FROM crossp
        |UNION ALL SELECT id_a, id_b, n_shared FROM within
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** simhash_pairs oracle — exact SQL replay of the FNV-1a-64 + Charikar
+    * SimHash kernel (`expr/SimHash.scala`) and the quarter-banded
+    * candidate join (`Dedup.simHashNearDups`, maxHamming=3, cap=10000).
+    * The per-token FNV fold runs as a `list_reduce` over character codes
+    * (the fixture tokenizer lowercases ASCII, so UTF-8 bytes = code
+    * points); bit votes, quarter keys and Hamming verify are plain
+    * integer SQL. Validated cell-exact against the kernel on the full
+    * sf0.01 fixture. */
+  private def simhashPairsSql: String = {
+    // FNV-1a step: acc' = ((acc ^ byte) · 0x100000001b3) mod 2⁶⁴.
+    val step = u64MulC(
+      u64Uns(s"xor(${u64Signed("acc")}, CAST(c AS BIGINT))"), 256L, 435L)
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS t
+       |  FROM documents
+       |), th AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(CAST('14695981039346656037' AS HUGEINT),
+       |        list_transform(range(1, len(t) + 1), i -> CAST(unicode(substr(t, i, 1)) AS HUGEINT))),
+       |      (acc, c) -> $step) AS h
+       |  FROM tok
+       |), bits AS (
+       |  SELECT doc_id, b,
+       |    CASE WHEN sum(CASE WHEN (h // (CAST(1 AS HUGEINT) << b)) % 2 = 1 THEN 1 ELSE -1 END) > 0
+       |      THEN CAST(1 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS bit
+       |  FROM th, unnest(range(0, 64)) AS u(b)
+       |  GROUP BY doc_id, b
+       |), fps0 AS (
+       |  SELECT doc_id, sum(bit * (CAST(1 AS HUGEINT) << b)) AS fpu FROM bits GROUP BY doc_id
+       |), fps AS (
+       |  SELECT d.doc_id AS id, coalesce(f.fpu, CAST(0 AS HUGEINT)) AS fpu,
+       |    ${u64Signed("coalesce(f.fpu, CAST(0 AS HUGEINT))")} AS fp
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN fps0 f USING (doc_id)
+       |), banded0 AS (
+       |  SELECT id, fp, q, CAST((fpu // (CAST(1 AS HUGEINT) << (16 * q))) % 65536 AS BIGINT) AS qh
+       |  FROM fps, unnest(range(0, 4)) AS u(q)
+       |), oversized AS (
+       |  SELECT q, qh FROM banded0 GROUP BY q, qh HAVING count(*) > 10000
+       |), banded AS (
+       |  SELECT b.* FROM banded0 b LEFT JOIN oversized o ON b.q = o.q AND b.qh = o.qh
+       |  WHERE o.qh IS NULL
+       |), cand AS (
+       |  SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.fp AS fa, r.fp AS fb
+       |  FROM banded l JOIN banded r ON l.q = r.q AND l.qh = r.qh AND l.id < r.id
+       |)
+       |SELECT id_a, id_b, bit_count(xor(fa, fb)) AS hamming
+       |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
   }
 

@@ -14,9 +14,10 @@ class SparkEntrySpec extends SparkSpec {
 
   test("rows-only queries are the documented hash-dependent set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // winnow_pairs graduated to a full oracle in round 11: the kernel's
-    // wraparound-64-bit arithmetic is SQL-replayable over HUGEINT.
-    val expected = Set("corpus_uuid", "simhash_pairs",
+    // winnow_pairs and simhash_pairs graduated to full oracles in round
+    // 11: both kernels are wraparound-64-bit integer arithmetic,
+    // SQL-replayable over HUGEINT.
+    val expected = Set("corpus_uuid",
       "ann_recall", "ivf_recall", "ivf_partitioned_recall", "ivf_int8_recall",
       "ivf_pq_recall", "ivf_binary_recall",
       "quant_recall", "embed_corpus", "embed_knn", "multimodal_knn",
