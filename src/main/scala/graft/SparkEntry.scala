@@ -930,7 +930,14 @@ object SparkEntry {
     // and a broadcast join over a builtin-codegen bigram stream — no UDF,
     // no corpus shuffle.
     "doc_perplexity" -> ((s, dir) => {
+      // Wire format is INTEGER-ONLY (doc_id, n_bigrams, q20_bits): the
+      // driver's gate hash-compares cells against a DuckDB replay, and a
+      // double derived from a HUGEINT aggregate proved environment-
+      // sensitive (hash-red r9–r11 despite local cell-exactness). The
+      // q20 fixed-point score is exact in BIGINT on both engines by
+      // construction; readers derive bits_per_char = q20_bits/n/2²⁰.
       graft.text.Perplexity.bitsPerChar(docsParallel(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"), col("q20_bits"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2496,8 +2503,7 @@ object SparkEntry {
         |  SELECT tf.doc_id, SUM(tf.tf * model.qlog) AS sq, SUM(tf.tf) AS n
         |  FROM tf JOIN model USING (bg) GROUP BY tf.doc_id
         |)
-        |SELECT doc_id, n AS n_bigrams,
-        |  FLOOR((-(CAST(sq AS DOUBLE) / (n * 1048576.0))) * 1000000.0 + 0.5) / 1000000.0 AS bits_per_char
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams, CAST(-sq AS BIGINT) AS q20_bits
         |FROM s ORDER BY doc_id""".stripMargin,
 
     "doc_dup_spans" ->

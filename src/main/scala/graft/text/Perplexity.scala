@@ -44,7 +44,11 @@ object Perplexity {
     floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
 
   /** Per-document bits-per-transition under the corpus-trained bigram LM.
-    * Output: `doc_id`-named id column, `n_bigrams`, `bits_per_char`. */
+    * Output: `doc_id`-named id column, `n_bigrams`, `q20_bits` (the EXACT
+    * integer −Σ tf·qlog — the score in q20 fixed point, the column to
+    * hash-compare cross-engine), and `bits_per_char` (the human-readable
+    * double, q20_bits / n_bigrams / 2²⁰, floor-quantized to 6 dp; derived,
+    * not part of the exact wire contract). */
   def bitsPerChar(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val big = docs
       .select(col(idCol), lower(col(textCol)).as("__t"))
@@ -72,8 +76,9 @@ object Perplexity {
         sum(col("tf")).as("n_bigrams"),
         sum(col("tf") * col("qlog")).as("__sq"))
       .select(col(idCol), col("n_bigrams"),
-        r6(-(col("__sq").cast("double") /
-          (col("n_bigrams").cast("double") * lit(graft.expr.DetMath.Q.toDouble))))
+        (-col("__sq")).cast("long").as("q20_bits"),
+        r6((-col("__sq")).cast("double") /
+          col("n_bigrams").cast("double") / lit(graft.expr.DetMath.Q.toDouble))
           .as("bits_per_char"))
   }
 }

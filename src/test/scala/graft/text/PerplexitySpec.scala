@@ -50,6 +50,20 @@ class PerplexitySpec extends SparkSpec {
     assert(got(2L)._2 === r6(-(qAB.toDouble / 1048576.0)))
   }
 
+  test("q20_bits is the exact integer score; bits_per_char derives from it") {
+    val docs = Seq((1L, "aab"), (2L, "ab")).toDF("doc_id", "text")
+    val got = Perplexity.bitsPerChar(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("q20_bits"),
+          r.getAs[Double]("bits_per_char"))).toMap
+    val qAA = q20(2, 5)
+    val qAB = q20(3, 5)
+    assert(got(1L)._2 === -(qAA + qAB)) // qlogs are negative → q20_bits positive
+    assert(got(2L)._2 === -qAB)
+    for ((_, (n, q, b)) <- got)
+      assert(b === r6(q.toDouble / n.toDouble / 1048576.0))
+  }
+
   test("uppercase folds into the same model as lowercase") {
     val a = Seq((1L, "The Cat"), (2L, "the cat")).toDF("doc_id", "text")
     val res = Perplexity.bitsPerChar(a, "doc_id", "text").collect()
