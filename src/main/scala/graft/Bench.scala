@@ -84,7 +84,14 @@ object Bench {
     val perQueryPasses = headline.keys.map { name =>
       name -> (Seq(pass1(name), pass2(name)) ++ pass3.get(name))
     }.toSeq
-    val results = perQueryPasses.map { case (name, ps) => name -> ps.min }
+    // Errored queries are excluded from `queries` and the headline total
+    // entirely — their samples are exception latencies, not runs, and a
+    // consumer comparing totals without checking `errors` must never read
+    // a broken query as a 50 ms improvement (the round-10 failure mode).
+    // Their raw samples stay visible in `passes` for forensics.
+    val results = perQueryPasses.collect {
+      case (name, ps) if !errors.contains(name) => name -> ps.min
+    }
     def jNum(d: Double): String = "%.4f".format(d)
     val qs = results.map { case (k, v) => s"\"$k\":${jNum(v)}" }
       .mkString("{", ",", "}")

@@ -80,6 +80,27 @@ object SparkEntry {
   private def docsParallel(s: SparkSession, dir: String): DataFrame =
     rebalanced(Tables.documents(s, dir), s)
 
+  /** Encoding guard for oracles whose SQL twin folds Unicode CODE POINTS
+    * while the Scala kernel folds UTF-8 bytes (winnow) or UTF-16 units
+    * (simhash): the two agree exactly on ASCII and silently diverge on
+    * anything else, so a non-ASCII doc in a future fixture must fail the
+    * query LOUDLY (driver records `err`) instead of coin-flipping the
+    * hash compare. One cheap short-circuiting scan, memoized per dir. */
+  private val asciiChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def requireAsciiFixture(
+      s: SparkSession, dir: String, query: String): Unit =
+    if (!asciiChecked.contains(dir)) {
+      val nonAscii = Tables.documents(s, dir)
+        .filter(col("text").rlike("[^\\x00-\\x7F]")).limit(1).count()
+      require(nonAscii == 0L,
+        s"$query: its DuckDB oracle replays the hash fold over Unicode " +
+          "code points and is encoding-faithful only for ASCII text, but " +
+          s"$dir/documents contains non-ASCII documents — extend the SQL " +
+          "twin to the kernel's byte/code-unit fold before trusting it")
+      asciiChecked.add(dir)
+    }
+
   /** Corpus content fingerprint for keying tmpdir artifact caches: one
     * cheap hash pass, order-independent and overflow-free (bit_xor; a sum
     * would trip the ANSI long-overflow check). Ids are unique so nothing
@@ -1414,6 +1435,7 @@ object SparkEntry {
     // deterministic integer arithmetic, replayed in SQL by the oracle
     // (simhashPairsSql); semantics also pinned in DedupSpec.
     "simhash_pairs" -> ((s, dir) => {
+      requireAsciiFixture(s, dir, "simhash_pairs")
       Dedup.simHashNearDups(docsParallel(s, dir), "doc_id", "text",
           maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
@@ -1429,6 +1451,7 @@ object SparkEntry {
     // bimodal — incidental short runs share 3-5, true near-dups 10+ (the
     // pair set then matches the jaccard-0.8 dedup_minhash family).
     "winnow_pairs" -> ((s, dir) => {
+      requireAsciiFixture(s, dir, "winnow_pairs")
       Dedup.winnowNearDups(docsParallel(s, dir), "doc_id", "text",
           k = 12, w = 8, minShared = 10)
         .orderBy(col("id_a"), col("id_b"))

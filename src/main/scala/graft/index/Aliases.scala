@@ -65,16 +65,29 @@ object Aliases {
       regPath(root).getParent, s"._aliases.json.tmp-${java.util.UUID.randomUUID}")
     var renamed = false
     try {
-      val out = f.create(tmp, true)
-      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
       if ("file" == f.getUri.getScheme) {
-        java.nio.file.Files.move(
+        // The whole file:// path stays in java.nio: writing the temp file
+        // through f.create would go through Hadoop's ChecksumFileSystem,
+        // whose .crc sidecar the nio move below would orphan on EVERY
+        // successful write — and a stale ._aliases.json.crc left by any
+        // earlier checksummed-FS write makes every subsequent f.open throw
+        // ChecksumException. So: nio write, drop any stale destination
+        // sidecar, nio atomic move.
+        val dst = java.nio.file.Paths.get(regPath(root).toUri.getPath)
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.write(
           java.nio.file.Paths.get(tmp.toUri.getPath),
-          java.nio.file.Paths.get(regPath(root).toUri.getPath),
+          json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.deleteIfExists(
+          dst.resolveSibling("." + dst.getFileName.toString + ".crc"))
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp.toUri.getPath), dst,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       } else {
+        val out = f.create(tmp, true)
+        try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
         org.apache.hadoop.fs.FileContext
           .getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
           .rename(tmp, regPath(root), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
@@ -83,6 +96,7 @@ object Aliases {
     } finally {
       // A failed write or rename must not leak the UUID-named temp file —
       // repeated failures would accumulate garbage in the registry root.
+      // (f.delete on a ChecksumFileSystem also removes the .crc sidecar.)
       if (!renamed) {
         try f.delete(tmp, false)
         catch { case scala.util.control.NonFatal(_) => () }

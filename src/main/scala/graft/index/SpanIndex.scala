@@ -19,8 +19,9 @@ import graft.text.DupSpans
  * by `bucket` = xxhash64(h) mod `buckets`) + `_meta.json` (n, buckets —
  * pinned so a cut can never mix gram sizes with a mismatched artifact).
  * The partitioning is what makes the artifact an index rather than a
- * cached table: the cut joins on (bucket, h), so dynamic partition
- * pruning skips every shard the batch's grams don't hash into.
+ * cached table: a foreign-batch cut joins on (bucket, h), so dynamic
+ * partition pruning skips every shard the batch's grams don't hash into
+ * (a batchIsIndexed cut necessarily reads all buckets — see [[cut]]).
  *
  * Two cut modes (see [[cut]]):
  *  - `batchIsIndexed = true` — the batch IS the indexed corpus
@@ -126,8 +127,11 @@ class SpanIndex(
     val owners =
       if (batchIsIndexed)
         // Ownership verbatim from the artifact: bit-identical to the
-        // direct operator over the same corpus. Join on (bucket, h) so
-        // dynamic partition pruning can skip unmatched shards.
+        // direct operator over the same corpus. This path reads ALL
+        // buckets by design — the batch IS the indexed corpus, so its
+        // grams hash into every shard and partition pruning has nothing
+        // to skip (unlike the foreign path below, where a small batch
+        // touches few buckets and the (bucket, h) join prunes the rest).
         stored.filter(col("n_docs") >= 2)
           .select(col("h").as("__h"), col("owner").as("__owner"))
       else {

@@ -148,9 +148,17 @@ object Streaming {
         val admitted = inBatch.join(matched, Seq(idCol), "left_anti")
           .localCheckpoint(true)
         if (!admitted.isEmpty) {
+          // Upsert BEFORE append: the append is the commit point (the
+          // replay guard keys on admittedDir). A crash between the two
+          // then replays the batch — benign, because self-candidates are
+          // id-filtered, exact-verify reads text from the not-yet-appended
+          // corpus, and MinHashIndex.upsert is idempotent by key. The
+          // reverse order's crash left admitted ids with no signatures:
+          // the guard dropped them on restart and the index permanently
+          // missed their bands (later duplicates sailed through).
+          index.upsert(admitted, idCol, textCol)
           admitted.write.mode(org.apache.spark.sql.SaveMode.Append)
             .parquet(admittedDir)
-          index.upsert(admitted, idCol, textCol)
         }
       }
       .start()
@@ -199,9 +207,19 @@ object Streaming {
           .withColumnRenamed("text_clean", textCol)
           .localCheckpoint(true)
         if (!cleaned.isEmpty) {
+          // Upsert BEFORE append (the append commits the batch for the
+          // replay guard). A crash between the two replays the batch
+          // against an index that already holds the cleaned grams — the
+          // cut is unchanged because ownership coalesce keeps the stored
+          // owner and cutWithOwners exempts a gram's owner, so each doc
+          // keeps exactly what it kept the first time; the re-upsert only
+          // inflates n_docs for this batch's grams (harmless in foreign
+          // mode, which tests presence). The reverse order's crash left
+          // cleaned ids committed with their grams permanently missing —
+          // later duplicates of admitted passages were never cut.
+          index.upsert(cleaned, idCol, textCol)
           cleaned.write.mode(org.apache.spark.sql.SaveMode.Append)
             .parquet(cleanDir)
-          index.upsert(cleaned, idCol, textCol)
         }
       }
       .start()

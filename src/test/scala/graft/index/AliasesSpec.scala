@@ -27,6 +27,25 @@ class AliasesSpec extends SparkSpec {
     assert(Aliases.resolve(spark, root, "docs") === "docs")
   }
 
+  test("writes leave no .crc sidecars or tmp residue; stale sidecars are healed") {
+    val root = tmpRoot
+    mkColl(root, "docs_v1")
+    mkColl(root, "docs_v2")
+    Aliases.set(spark, root, "docs", "docs_v1")
+    def residue() = new java.io.File(root).listFiles.map(_.getName)
+      .filter(n => n.endsWith(".crc") || n.contains(".tmp-")).toSeq
+    assert(residue() === Seq.empty)
+    // Simulate a registry last written by a checksummed-FS path: a stale
+    // sidecar whose checksum no longer matches the bytes the next write
+    // lands. The next write must heal it, and list() must keep working.
+    val crc = java.nio.file.Paths.get(root, "._aliases.json.crc")
+    Files.write(crc, Array[Byte](1, 2, 3, 4))
+    Aliases.set(spark, root, "docs2", "docs_v2")
+    assert(residue() === Seq.empty)
+    assert(Aliases.list(spark, root) ===
+      Map("docs" -> "docs_v1", "docs2" -> "docs_v2"))
+  }
+
   test("open() reads through the alias; repoint switches readers atomically") {
     val root = tmpRoot
     val v1 = mkColl(root, "docs_v1")
