@@ -117,6 +117,42 @@ object SparkEntry {
   private def embParallel(s: SparkSession, dir: String): DataFrame =
     rebalanced(Tables.embeddings(s, dir), s)
 
+  /** Execution-time floor assertion for the recall-scalar quality gates
+    * (ivf/quant/ann recall queries): the driver can't oracle a seeded
+    * KMeans/LSH recall value, so a silent degradation would read as just
+    * "a lower number" in an artifact nobody diffs. Inlining the check into
+    * the RESULT column (not a separate select that column pruning would
+    * drop) makes a sub-floor recall throw at execution time — the driver
+    * records `err` and the row goes red instead of green-with-garbage.
+    * Floors mirror the value-level specs (IvfCollectionSpec, AnnSpec,
+    * QuantizeSpec); RecallFloorSpec proves the forced-low path throws. */
+  private[graft] def recallFloor(
+      recall: DataFrame, floor: Double, q: String): DataFrame =
+    recall.select(
+      when(col("recall_at_k") < floor, raise_error(
+        concat(lit(s"$q: recall_at_k "), col("recall_at_k").cast("string"),
+          lit(s" is below the pinned floor $floor — quality regression, " +
+            "not a valid result"))))
+      .otherwise(col("recall_at_k")).as("recall_at_k"))
+
+  /** Memoized LSH near-dup pair mining shared by the dedup family
+    * (dedup_minhash, edit_sim_pairs, dedup_clusters, dedup_near_keep):
+    * [[Dedup.minHashNearDups]] returns a MATERIALIZED frame
+    * (localCheckpoint blocks), so the corpus-wide tokenize+shingle+MinHash
+    * kernel — the dominant cost of all four queries — runs once per
+    * (context, dir) and every consumer composes over the computed pair
+    * set, exactly as a production curation pipeline would. Keyed by
+    * applicationId because checkpoint blocks die with their context: a
+    * fresh session re-mines rather than dereferencing dead blocks.
+    * Determinism is untouched — consumers see the identical frame the
+    * self-contained calls would compute. */
+  private val minedPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private def minedNearDupPairs(s: SparkSession, dir: String): DataFrame =
+    minedPairsCache.computeIfAbsent((s.sparkContext.applicationId, dir),
+      _ => Dedup.minHashNearDups(docsParallel(s, dir), "doc_id", "text",
+        n = 3, numHashes = 128, bands = 32, threshold = 0.8))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------------------------
     // A-group: relational aggregation (SURVEY §2.4; partial+final hash agg)
@@ -727,8 +763,7 @@ object SparkEntry {
     }),
 
     "dedup_minhash" -> ((s, dir) => {
-      Dedup.minHashNearDups(docsParallel(s, dir), "doc_id", "text",
-          n = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      minedNearDupPairs(s, dir)
         .withColumn("jaccard", r6(col("jaccard")))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -740,16 +775,9 @@ object SparkEntry {
     // Pairwise cost is O(len²) but runs only on verified near-dup PAIRS
     // (corpus-size-independent set), never the corpus.
     "edit_sim_pairs" -> ((s, dir) => {
-      val pairs = Dedup.minHashNearDups(docsParallel(s, dir), "doc_id", "text",
-          n = 3, numHashes = 128, bands = 32, threshold = 0.8)
-        .select(col("id_a"), col("id_b"))
-      val ta = Tables.documents(s, dir).select(col("doc_id").as("id_a"), col("text").as("__ta"))
-      val tb = Tables.documents(s, dir).select(col("doc_id").as("id_b"), col("text").as("__tb"))
-      pairs.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
-        .withColumn("lev", levenshtein(col("__ta"), col("__tb")))
-        .select(col("id_a"), col("id_b"), col("lev"),
-          r6(lit(1.0) - col("lev").cast("double") /
-            greatest(length(col("__ta")), length(col("__tb")))).as("edit_sim"))
+      Dedup.editSimilarity(minedNearDupPairs(s, dir),
+          Tables.documents(s, dir), "doc_id", "text")
+        .withColumn("edit_sim", r6(col("edit_sim")))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -757,24 +785,22 @@ object SparkEntry {
     // with pointer jumping over the LSH pair output (the keeper-selection
     // step of a corpus dedup pipeline). Oracle: recursive-CTE transitive
     // closure over the same exact-Jaccard pair set (LSH recall is 1 on
-    // this corpus — see dedup_minhash). Driver queries are deliberately
-    // self-contained, so this re-mines pairs; pipelines running the dedup
-    // family together amortize the kernel through the persisted
-    // graft.index.MinHashIndex artifact instead.
+    // this corpus — see dedup_minhash). The mined pair set comes from the
+    // shared memoized pass (minedNearDupPairs) — the in-session analog of
+    // the persisted graft.index.MinHashIndex artifact for pipelines that
+    // run the dedup family together.
     "dedup_clusters" -> ((s, dir) => {
-      val docs = docsParallel(s, dir)
-      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
-        n = 3, numHashes = 128, bands = 32, threshold = 0.8)
-      Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id",
-          pairs, "id_a", "id_b")
+      Dedup.connectedComponents(
+          docsParallel(s, dir).select(col("doc_id")), "doc_id",
+          minedNearDupPairs(s, dir), "id_a", "id_b")
         .orderBy(col("id"))
     }),
 
     // End-to-end near-dup removal: pairs → clusters → keep min-id
     // representative per cluster + all unclustered docs.
     "dedup_near_keep" -> ((s, dir) => {
-      Dedup.dropNearDuplicates(docsParallel(s, dir), "doc_id", "text",
-          n = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      Dedup.dropNearDuplicates(docsParallel(s, dir), "doc_id",
+          minedNearDupPairs(s, dir))
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     }),
@@ -1057,8 +1083,10 @@ object SparkEntry {
 
     // ------------------------------------------------------------------
     // ANN quality gate: recall@10 of the SRP-LSH join vs the exact kNN
-    // join, as a single scalar row. LSH signatures are xxhash-seeded →
-    // no SQL twin (rows-only driver check); AnnSpec pins a lower bound.
+    // join, as a single scalar row. Full DuckDB twin (annRecallSql): the
+    // splitmix64 plane derivation replays in HUGEINT mod-2⁶⁴ SQL and the
+    // projection sums via ordered list_reduce; AnnSpec additionally pins
+    // a recall floor and candidate-set ceiling.
     // Config note: the fixture embeddings are near-isotropic (top-10
     // neighbor cosines ≈ 0.22–0.47), so signature selectivity is bought
     // with recall. bits=8/tables=64 measures recall ≈ 0.73 with a
@@ -1076,11 +1104,13 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id").as("result_id"))
       val approx = Ann.knnJoinLsh(q, "vec_id", "embedding",
           emb, "vec_id", "embedding", k = 10, bits = annRecallBits, tables = annRecallTables,
-          maxBucketSize = 10000)
+          roundScoreTo = Some(6), maxBucketSize = 10000)
         .select(col("query_id"), col("vec_id").as("result_id"), lit(1).as("__found"))
-      exact.join(approx, Seq("query_id", "result_id"), "left")
-        .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
-          .as("recall_at_k"))
+      recallFloor(
+        exact.join(approx, Seq("query_id", "result_id"), "left")
+          .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
+            .as("recall_at_k")),
+        floor = 0.5, q = "ann_recall")
     }),
 
     // Int8 scalar quantization quality gate: recall@10 of exact search
@@ -1102,9 +1132,11 @@ object SparkEntry {
       val quant = Knn.knnJoin(qCodes, "vec_id", "code",
           codes, "vec_id", "code", k = 10, metric = "int8", roundScoreTo = Some(6))
         .select(col("query_id"), col("vec_id").as("result_id"), lit(1).as("__found"))
-      exact.join(quant, Seq("query_id", "result_id"), "left")
-        .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
-          .as("recall_at_k"))
+      recallFloor(
+        exact.join(quant, Seq("query_id", "result_id"), "left")
+          .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
+            .as("recall_at_k")),
+        floor = 0.9, q = "quant_recall")
     }),
 
     // ------------------------------------------------------------------
@@ -1159,9 +1191,11 @@ object SparkEntry {
       val approx = graft.search.Ivf.knnJoinIvf(q, "vec_id", "embedding",
           emb, "vec_id", "embedding", k = 10, centroids = cents, nProbe = 4)
         .select(col("query_id"), col("vec_id").as("result_id"), lit(1).as("__found"))
-      exact.join(approx, Seq("query_id", "result_id"), "left")
-        .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
-          .as("recall_at_k"))
+      recallFloor(
+        exact.join(approx, Seq("query_id", "result_id"), "left")
+          .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
+            .as("recall_at_k")),
+        floor = 0.3, q = "ivf_recall")
     }),
 
     // The PERSISTED pruning path at the driver surface: the same recall@10
@@ -1190,9 +1224,11 @@ object SparkEntry {
       val approx = ivfc.query(q, "vec_id", "embedding", "vec_id", "embedding",
           k = 10, nProbe = 4, roundScoreTo = Some(6))
         .select(col("query_id"), col("vec_id").as("result_id"), lit(1).as("__found"))
-      exact.join(approx, Seq("query_id", "result_id"), "left")
-        .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
-          .as("recall_at_k"))
+      recallFloor(
+        exact.join(approx, Seq("query_id", "result_id"), "left")
+          .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
+            .as("recall_at_k")),
+        floor = 0.3, q = "ivf_partitioned_recall")
     }),
 
     // The COMPRESSED persisted pruning path: same recall@10 measurement,
@@ -1217,9 +1253,11 @@ object SparkEntry {
       val approx = ivfc.query(q, "vec_id", "embedding", "vec_id", "embedding",
           k = 10, nProbe = 4, roundScoreTo = Some(6))
         .select(col("query_id"), col("vec_id").as("result_id"), lit(1).as("__found"))
-      exact.join(approx, Seq("query_id", "result_id"), "left")
-        .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
-          .as("recall_at_k"))
+      recallFloor(
+        exact.join(approx, Seq("query_id", "result_id"), "left")
+          .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
+            .as("recall_at_k")),
+        floor = 0.3, q = "ivf_int8_recall")
     }),
 
     // The MAXIMALLY-compressed persisted pruning path: IVF-PQ (Jégou 2011)
@@ -1244,9 +1282,11 @@ object SparkEntry {
       val approx = ivfc.query(q, "vec_id", "embedding", "vec_id", "embedding",
           k = 10, nProbe = 4, roundScoreTo = Some(6))
         .select(col("query_id"), col("vec_id").as("result_id"), lit(1).as("__found"))
-      exact.join(approx, Seq("query_id", "result_id"), "left")
-        .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
-          .as("recall_at_k"))
+      recallFloor(
+        exact.join(approx, Seq("query_id", "result_id"), "left")
+          .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
+            .as("recall_at_k")),
+        floor = 0.2, q = "ivf_pq_recall")
     }),
 
     // The bandwidth-extreme pruning path: IVF-binary stores 1 BIT per
@@ -1271,9 +1311,11 @@ object SparkEntry {
           k = 10, nProbe = 4, roundScoreTo = Some(6),
           rescore = Some(emb), oversample = 4)
         .select(col("query_id"), col("vec_id").as("result_id"), lit(1).as("__found"))
-      exact.join(approx, Seq("query_id", "result_id"), "left")
-        .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
-          .as("recall_at_k"))
+      recallFloor(
+        exact.join(approx, Seq("query_id", "result_id"), "left")
+          .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
+            .as("recall_at_k")),
+        floor = 0.3, q = "ivf_binary_recall")
     }),
 
     // BM25 full-text retrieval (Okapi ranking) — the lexical half of
@@ -2384,6 +2426,10 @@ object SparkEntry {
     "winnow_pairs" -> winnowPairsSql,
 
     "simhash_pairs" -> simhashPairsSql,
+
+    "ann_recall" -> annRecallSql,
+
+    "corpus_uuid" -> corpusUuidSql,
 
     "dedup_minhash" -> jaccardPairsOracle,
 
@@ -3551,6 +3597,182 @@ object SparkEntry {
        |SELECT id_a, id_b, bit_count(xor(fa, fb)) AS hamming
        |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** ann_recall oracle — exact SQL replay of the SRP-LSH pipeline
+    * (`Ann.knnJoinLsh` over `expr/HyperplaneSig.scala`): the splitmix64
+    * plane-sign derivation runs in HUGEINT mod-2⁶⁴ arithmetic (the
+    * winnow/simhash wraparound idioms), the per-(table,bit) projection
+    * replays the kernel's sequential double accumulation via an ordered
+    * `list_reduce` (list_transform preserves index order, list_reduce
+    * folds left-to-right — the same IEEE addition sequence as the Scala
+    * while-loop), and candidate mining + top-k ranking are plain SQL.
+    * Sign decisions depend on FP only through `s > 0` on sums whose
+    * magnitude is O(1) — a flip would need a sum within ~1e-16 of zero.
+    * All decimal constants are derived from the Scala hex literals at
+    * build time (no hand conversion). Validated cell-exact against the
+    * kernel on the full sf0.01 fixture. */
+  private def annRecallSql: String = {
+    def uns(l: Long) = java.lang.Long.toUnsignedString(l)
+    def uxorsh(v: String, shift: Int) =
+      u64Uns(s"xor(${u64Signed(v)}, CAST($v // ${1L << shift} AS BIGINT))")
+    def umul(v: String, c: Long) = u64MulC(v, c >>> 32, c & 0xffffffffL)
+    // HyperplaneOps key mix: seed·C1 + bit·C2 + dim, then splitmix64.
+    val c1 = 0x517cc1b7L
+    val c2 = uns(0x2545F4914F6CDD1DL)
+    val golden = uns(0x9e3779b97f4a7c15L)
+    val (m1, m2) = (0xbf58476d1ce4e5b9L, 0x94d049bb133111ebL)
+    val (tables, bits) = (annRecallTables, annRecallBits)
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  ORDER BY md5('graft42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 500
+       |), exact AS (
+       |  SELECT query_id, result_id FROM (
+       |    SELECT q.qid AS query_id, c.vec_id AS result_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid
+       |        ORDER BY ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC,
+       |                 c.vec_id ASC) AS rank
+       |    FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.qid
+       |  ) WHERE rank <= 10
+       |), k0 AS (
+       |  SELECT t, b, d,
+       |    (CAST(42 + t * 1000003 AS HUGEINT) * $c1
+       |     + CAST(b AS HUGEINT) * CAST('$c2' AS HUGEINT)
+       |     + d) % $u64 AS x
+       |  FROM unnest(range(0, $tables)) AS ut(t),
+       |       unnest(range(0, $bits)) AS ub(b),
+       |       unnest(range(0, (SELECT max(len(embedding)) FROM embeddings))) AS ud(d)
+       |), k1 AS (SELECT t, b, d, (x + CAST('$golden' AS HUGEINT)) % $u64 AS x FROM k0
+       |), k2 AS (SELECT t, b, d, ${uxorsh("x", 30)} AS x FROM k1
+       |), k3 AS (SELECT t, b, d, ${umul("x", m1)} AS x FROM k2
+       |), k4 AS (SELECT t, b, d, ${uxorsh("x", 27)} AS x FROM k3
+       |), k5 AS (SELECT t, b, d, ${umul("x", m2)} AS x FROM k4
+       |), k6 AS (SELECT t, b, d, ${uxorsh("x", 31)} AS x FROM k5
+       |), planes AS (
+       |  SELECT t, b, list(CASE WHEN x % 2 = 0 THEN 1.0 ELSE -1.0 END ORDER BY d) AS sgns
+       |  FROM k6 GROUP BY t, b
+       |), proj AS (
+       |  SELECT e.vec_id, p.t, p.b,
+       |    list_reduce(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> p.sgns[i] * CAST(e.embedding[i] AS DOUBLE)), (a, x) -> a + x) AS s
+       |  FROM embeddings e CROSS JOIN planes p
+       |), sig AS (
+       |  SELECT vec_id, t,
+       |    CAST(SUM(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM proj GROUP BY vec_id, t
+       |), oversized AS (
+       |  SELECT t, sig FROM sig GROUP BY t, sig HAVING count(*) > 10000
+       |), csig AS (
+       |  SELECT s.* FROM sig s LEFT JOIN oversized o ON s.t = o.t AND s.sig = o.sig
+       |  WHERE o.sig IS NULL
+       |), cand AS (
+       |  SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS cid
+       |  FROM (SELECT s.* FROM sig s JOIN q ON q.qid = s.vec_id) qs
+       |  JOIN csig cs ON qs.t = cs.t AND qs.sig = cs.sig
+       |), approx AS (
+       |  SELECT query_id, cid AS result_id FROM (
+       |    SELECT cand.query_id, cand.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY cand.query_id
+       |        ORDER BY ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(cv.embedding AS DOUBLE[])), 6) DESC,
+       |                 cand.cid ASC) AS rank
+       |    FROM cand JOIN embeddings cv ON cv.vec_id = cand.cid
+       |    JOIN q ON q.qid = cand.query_id
+       |    WHERE cand.cid <> cand.query_id
+       |  ) WHERE rank <= 10
+       |)
+       |SELECT CAST(SUM(CASE WHEN a.result_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall_at_k
+       |FROM exact e LEFT JOIN approx a ON a.query_id = e.query_id AND a.result_id = e.result_id""".stripMargin
+  }
+
+  /** corpus_uuid oracle — full SHA-1 replayed in recursive DuckDB SQL
+    * (driver DuckDB has no sha1()). Exactness is structural: SHA-1 is pure
+    * 32-bit integer arithmetic, replayed here in BIGINT mod-2³² — no FP
+    * anywhere. The query's uuid5 input is the DNS namespace (16 bytes) +
+    * the decimal rendering of doc_id (≤ 20 ASCII bytes), so the padded
+    * message is ALWAYS one 64-byte block (≤ 55 payload bytes) — the replay
+    * is single-block by construction, not by fixture luck. The w-schedule
+    * extension and the 80 compression rounds each run as a lockstep
+    * recursive CTE over all docs; version/variant bit surgery and hex
+    * formatting are plain list SQL. Validated against RFC 4122 uuid5 on
+    * the full sf0.01 fixture (kernel: `expr/Uuid5.scala:22-66`). */
+  private def corpusUuidSql: String = {
+    val m32 = 4294967296L
+    def rotl(x: String, n: Int) =
+      s"((($x) * ${1L << n}) % $m32 + (($x) // ${1L << (32 - n)}))"
+    val ns = Seq(0x6b, 0xa7, 0xb8, 0x10, 0x9d, 0xad, 0x11, 0xd1,
+      0x80, 0xb4, 0x00, 0xc0, 0x4f, 0xd4, 0x30, 0xc8).mkString("[", ", ", "]")
+    s"""WITH RECURSIVE msg AS (
+       |  SELECT doc_id,
+       |    $ns ||
+       |    list_transform(range(1, len(CAST(doc_id AS VARCHAR)) + 1),
+       |      i -> unicode(substr(CAST(doc_id AS VARCHAR), i, 1))) ||
+       |    [128] ||
+       |    list_transform(range(0, 39 - len(CAST(doc_id AS VARCHAR))), i -> 0) ||
+       |    [0, 0, 0, 0, 0, 0, ((16 + len(CAST(doc_id AS VARCHAR))) * 8) // 256,
+       |     ((16 + len(CAST(doc_id AS VARCHAR))) * 8) % 256] AS m
+       |  FROM documents
+       |), w16 AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 16),
+       |      j -> m[4*j + 1] * 16777216 + m[4*j + 2] * 65536 + m[4*j + 3] * 256 + m[4*j + 4]) AS w
+       |  FROM msg
+       |), wext AS (
+       |  SELECT doc_id, 16 AS i, w FROM w16
+       |  UNION ALL
+       |  SELECT doc_id, i + 1,
+       |    w || [${rotl("xor(xor(w[i - 2], w[i - 7]), xor(w[i - 13], w[i - 15]))", 1)}]
+       |  FROM wext WHERE i < 80
+       |), wfull AS (
+       |  SELECT doc_id, w FROM wext WHERE i = 80
+       |), rounds AS (
+       |  SELECT doc_id, 0 AS t,
+       |    CAST(1732584193 AS BIGINT) AS a, CAST(4023233417 AS BIGINT) AS b,
+       |    CAST(2562383102 AS BIGINT) AS c, CAST(271733878 AS BIGINT) AS d,
+       |    CAST(3285377520 AS BIGINT) AS e, w
+       |  FROM wfull
+       |  UNION ALL
+       |  SELECT doc_id, t + 1,
+       |    (${rotl("a", 5)}
+       |     + CASE WHEN t < 20 THEN (b & c) | ((4294967295 - b) & d)
+       |            WHEN t < 40 THEN xor(xor(b, c), d)
+       |            WHEN t < 60 THEN (b & c) | (b & d) | (c & d)
+       |            ELSE xor(xor(b, c), d) END
+       |     + e + w[t + 1]
+       |     + CASE WHEN t < 20 THEN 1518500249 WHEN t < 40 THEN 1859775393
+       |            WHEN t < 60 THEN 2400959708 ELSE 3395469782 END) % $m32 AS a,
+       |    a AS b, ${rotl("b", 30)} AS c, c AS d, d AS e, w
+       |  FROM rounds WHERE t < 80
+       |), dig AS (
+       |  SELECT doc_id,
+       |    (1732584193 + a) % $m32 AS h0, (4023233417 + b) % $m32 AS h1,
+       |    (2562383102 + c) % $m32 AS h2, (271733878 + d) % $m32 AS h3,
+       |    (3285377520 + e) % $m32 AS h4
+       |  FROM rounds WHERE t = 80
+       |), bytes AS (
+       |  SELECT doc_id,
+       |    [h0 // 16777216, (h0 // 65536) % 256, (h0 // 256) % 256, h0 % 256,
+       |     h1 // 16777216, (h1 // 65536) % 256, (h1 // 256) % 256, h1 % 256,
+       |     h2 // 16777216, (h2 // 65536) % 256, (h2 // 256) % 256, h2 % 256,
+       |     h3 // 16777216, (h3 // 65536) % 256, (h3 // 256) % 256, h3 % 256] AS hb
+       |  FROM dig
+       |), fixed AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, 17),
+       |      i -> CASE WHEN i = 7 THEN (hb[i] % 16) | 80
+       |                WHEN i = 9 THEN (hb[i] % 64) | 128
+       |                ELSE hb[i] END) AS fb
+       |  FROM bytes
+       |), hx AS (
+       |  SELECT doc_id,
+       |    list_transform(fb, x -> substr('0123456789abcdef', CAST(x // 16 AS INT) + 1, 1) ||
+       |                            substr('0123456789abcdef', CAST(x % 16 AS INT) + 1, 1)) AS h
+       |  FROM fixed
+       |)
+       |SELECT doc_id,
+       |  h[1] || h[2] || h[3] || h[4] || '-' || h[5] || h[6] || '-' ||
+       |  h[7] || h[8] || '-' || h[9] || h[10] || '-' ||
+       |  h[11] || h[12] || h[13] || h[14] || h[15] || h[16] AS code_uuid
+       |FROM hx ORDER BY doc_id""".stripMargin
   }
 
   /** Engine-stable BM25 idf CTE chain, spliced after a `dft(term, df)`

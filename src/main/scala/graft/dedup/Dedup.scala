@@ -435,9 +435,23 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.7,
-      maxBucketSize: Int = 10000): DataFrame = {
-    val pairs = minHashNearDups(df, idCol, textCol, n, numHashes, bands,
-      threshold, maxBucketSize)
+      maxBucketSize: Int = 10000): DataFrame =
+    dropNearDuplicates(df, idCol,
+      minHashNearDups(df, idCol, textCol, n, numHashes, bands,
+        threshold, maxBucketSize))
+
+  /**
+   * Near-duplicate removal from a PRECOMPUTED pair frame — the
+   * pipeline-amortized entry point: a curation run that also wants the
+   * pairs (for edit-similarity verification, cluster inspection, audit
+   * logs) mines them once with [[minHashNearDups]] and feeds the same
+   * frame here and to [[editSimilarity]], instead of paying the
+   * corpus-wide shingle+MinHash kernel per consumer.
+   *
+   * @param pairs (id_a, id_b) near-dup pairs in `df`'s id space
+   */
+  def dropNearDuplicates(
+      df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val comps = connectedComponents(df.select(col(idCol)), idCol,
       pairs, "id_a", "id_b")
     // Drop the DUPLICATES (clustered non-representatives), not keep the
@@ -448,6 +462,31 @@ object Dedup {
     // scan shuffle-free.
     val dupes = comps.filter(col("id") =!= col("component")).select(col("id"))
     df.join(dupes, df(idCol) === dupes("id"), "left_anti")
+  }
+
+  /**
+   * Character-level edit-distance verification over a mined pair set: the
+   * cheap "is it a rename / literal-change clone" (type-2) check layered
+   * on a bag-of-shingles miner. Pairwise cost is O(len_a·len_b) but runs
+   * ONLY on the supplied pairs — a candidate-bounded set independent of
+   * corpus size — never the corpus; the two text joins are id-keyed and
+   * AQE-broadcastable when the pair set is small.
+   *
+   * @param pairs (id_a, id_b) — e.g. [[minHashNearDups]] output
+   * @return (id_a, id_b, lev, edit_sim) with
+   *         edit_sim = 1 - lev / max(len_a, len_b)
+   */
+  def editSimilarity(
+      pairs: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val ta = docs.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
+    val tb = docs.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(ta, Seq("id_a")).join(tb, Seq("id_b"))
+      .withColumn("lev", levenshtein(col("__ta"), col("__tb")))
+      .select(col("id_a"), col("id_b"), col("lev"),
+        (lit(1.0) - col("lev").cast("double") /
+          greatest(length(col("__ta")), length(col("__tb")))).as("edit_sim"))
   }
 
   /**

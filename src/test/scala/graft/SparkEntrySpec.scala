@@ -15,10 +15,14 @@ class SparkEntrySpec extends SparkSpec {
   test("rows-only queries are the documented hash-dependent set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // winnow_pairs and simhash_pairs graduated to full oracles in round
-    // 11: both kernels are wraparound-64-bit integer arithmetic,
-    // SQL-replayable over HUGEINT.
-    val expected = Set("corpus_uuid",
-      "ann_recall", "ivf_recall", "ivf_partitioned_recall", "ivf_int8_recall",
+    // 11 (wraparound-64-bit integer kernels, SQL-replayable over
+    // HUGEINT); ann_recall (splitmix64 SRP plane replay) and corpus_uuid
+    // (recursive-SQL SHA-1) followed in round 12. What remains is
+    // genuinely non-replayable: seeded-KMeans recall scalars (floor-
+    // asserted at execution time instead), MurmurHash3 TF-IDF embeddings,
+    // the multimodal byte kernel, and an approx quantile sketch.
+    val expected = Set(
+      "ivf_recall", "ivf_partitioned_recall", "ivf_int8_recall",
       "ivf_pq_recall", "ivf_binary_recall",
       "quant_recall", "embed_corpus", "embed_knn", "multimodal_knn",
       "doc_len_quantiles_approx")
