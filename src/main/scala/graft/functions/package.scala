@@ -73,9 +73,20 @@ package object functions {
     col(NearestCentroids(ex(a), centroids, nProbe))
 
   /** L2-normalized byte-value histogram (array<float> of length buckets)
-    * of a binary column — the multimodal feature-extraction stub kernel. */
+    * of a binary column — the modality-agnostic multimodal feature
+    * kernel (any bytes; see image_grid_features for real image decode). */
   def byte_histogram(a: Column, buckets: Int): Column =
     col(ByteHistogram(ex(a), buckets))
+
+  /** Decoded image metadata (struct(width, height, format)) of a binary
+    * column via the JDK's ImageIO; NULL when undecodable. */
+  def image_meta(a: Column): Column = col(ImageMeta(ex(a)))
+
+  /** Mean-RGB g×g thumbnail features (array<float> of 3·grid², [0,1]) of
+    * an image binary column — REAL decode via ImageIO; NULL when
+    * undecodable. See [[graft.expr.ImageOps]]. */
+  def image_grid_features(a: Column, grid: Int): Column =
+    col(ImageGridFeatures(ex(a), grid))
 
   /** Int8-quantize an array<float> column to binary codes (4x smaller;
     * symmetric per-vector scale, which cancels under cosine). */
@@ -223,6 +234,10 @@ package object functions {
         litInt("min_hash_band_keys", "bands")(es(2))), "built-in")
     reg.createOrReplaceTempFunction("byte_histogram",
       es => ByteHistogram(es(0), litInt("byte_histogram", "buckets")(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("image_meta",
+      es => ImageMeta(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("image_grid_features",
+      es => ImageGridFeatures(es(0), litInt("image_grid_features", "grid")(es(1))), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_sig",
       es => HyperplaneSig(es(0), litInt("hyperplane_sig", "bits")(es(1)),
         litLong("hyperplane_sig", "seed")(es(2))), "built-in")

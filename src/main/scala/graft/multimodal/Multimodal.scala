@@ -9,14 +9,18 @@ import org.apache.spark.sql.functions._
  * through the SAME vector machinery (knn join, LSH near-dup, collections)
  * once a feature extractor maps them to `array<float>`.
  *
- * The real decoders (JPEG/PNG, PCM, video frame sampling) are not
- * available in this environment — `extractFeatures` is therefore a
- * DETERMINISTIC STUB: an L2-normalized byte histogram
- * ([[graft.expr.ByteHistogram]]). Swapping it for a real decoder changes
- * ONE expression; the schema, partitioning, and downstream plumbing are
- * the production shape:
+ * Two feature paths:
+ *  - IMAGES decode for real via the JDK's ImageIO (PNG/BMP/GIF/JPEG —
+ *    ships with the JRE): [[imageMeta]] / [[extractImageFeatures]]
+ *    ([[graft.expr.ImageOps]], mean-RGB grid thumbnail features).
+ *  - other modalities (audio PCM, video frame sampling — codecs genuinely
+ *    absent here) keep the DETERMINISTIC byte-histogram kernel
+ *    ([[graft.expr.ByteHistogram]]) behind [[extractFeatures]]; swapping
+ *    in a real codec changes ONE expression.
+ * Shared physical shape either way:
  *  - payloads are map-side only — a binary column never rides a shuffle
- *    in this module (features are 4·buckets bytes instead of the media);
+ *    in this module (features are a few hundred bytes instead of the
+ *    media);
  *  - CPU-heavy extraction parallelizes per input split (repartition after
  *    a skinny scan if the source collapses to few splits).
  */
@@ -38,12 +42,29 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("media"),
       mediaMeta(lit("text/plain"), encode(col(textCol), "UTF-8")).as("meta"))
 
-  /** STUB decode+embed: binary payload -> array<float> feature vector.
-    * Deterministic byte-histogram kernel; replace with a real decoder to
-    * productionize — every downstream consumer (knn, near-dup, IVF) is
-    * agnostic to how the vector was produced. */
+  /** Modality-agnostic decode+embed: binary payload -> array<float>
+    * feature vector via the deterministic byte-histogram kernel — the
+    * path for payloads without a JVM codec (audio/video). Every
+    * downstream consumer (knn, near-dup, IVF) is agnostic to how the
+    * vector was produced; image payloads should prefer
+    * [[extractImageFeatures]] (real decode). */
   def extractFeatures(df: DataFrame, mediaCol: String, featCol: String,
       buckets: Int = 64): DataFrame =
     df.withColumn(featCol,
       graft.functions.byte_histogram(col(mediaCol), buckets))
+
+  /** Decoded image metadata (width, height, sniffed format) — NULL rows
+    * are undecodable payloads; quarantine with `WHERE meta IS NULL`
+    * rather than letting one corrupt crawl image kill a 100 TB stage. */
+  def imageMeta(media: Column): Column = graft.functions.image_meta(media)
+
+  /** REAL image decode+embed (JDK ImageIO): mean-RGB g×g thumbnail
+    * features, 3·grid² floats in [0,1]. Deterministic for lossless
+    * formats (PNG/BMP/GIF); JPEG rasters are decoder-defined, so pipelines
+    * needing bit-stable features should transcode first. Undecodable
+    * payloads yield NULL features. */
+  def extractImageFeatures(df: DataFrame, mediaCol: String, featCol: String,
+      grid: Int = 4): DataFrame =
+    df.withColumn(featCol,
+      graft.functions.image_grid_features(col(mediaCol), grid))
 }

@@ -1,0 +1,100 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.search.Knn
+
+/** Real image decode (graft.expr.ImageOps via JDK ImageIO): PNG fixtures
+  * are ENCODED in-test (ImageIO writer → bytes), decoded by the
+  * expression, and checked against the known raster — no external image
+  * files, fully deterministic (PNG is lossless). */
+class ImageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def png(w: Int, h: Int)(color: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, color(x, y))
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private val red = 0xff0000
+  private val green = 0x00ff00
+  private val blue = 0x0000ff
+
+  test("image_meta decodes width/height and sniffs the format") {
+    val rows = Seq(
+      (1L, png(8, 6)((_, _) => red)),
+      (2L, "definitely not an image".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "media")
+    val m = rows.select($"id", Multimodal.imageMeta($"media").as("meta"))
+      .orderBy($"id").collect()
+    val ok = m(0).getStruct(1)
+    assert(ok.getInt(0) == 8 && ok.getInt(1) == 6)
+    assert(ok.getString(2) == "image/png")
+    assert(m(1).isNullAt(1), "garbage bytes must decode to NULL, not throw")
+    assert(m(2).isNullAt(1), "null payload stays NULL")
+  }
+
+  test("image_grid_features: exact mean-RGB cells on a known raster") {
+    // left half pure red, right half pure blue; 2x2 grid on an 8x8 image
+    // puts cell columns cleanly inside one half each.
+    val rows = Seq((1L, png(8, 8)((x, _) => if (x < 4) red else blue)))
+      .toDF("id", "media")
+    val f = Multimodal.extractImageFeatures(rows, "media", "feat", grid = 2)
+      .select($"feat").head().getSeq[Float](0)
+    assert(f.length == 12)
+    // cells row-major: (0,0)=red, (0,1)=blue, (1,0)=red, (1,1)=blue
+    def cell(i: Int) = f.slice(3 * i, 3 * i + 3).toList
+    assert(cell(0) == List(1f, 0f, 0f) && cell(2) == List(1f, 0f, 0f))
+    assert(cell(1) == List(0f, 0f, 1f) && cell(3) == List(0f, 0f, 1f))
+  }
+
+  test("grid binning averages within cells (gradient raster)") {
+    // 4x1 image [black, black, white, white], grid 2 -> cells avg 0 and 1
+    val rows = Seq((1L, png(4, 1)((x, _) => if (x < 2) 0x000000 else 0xffffff)))
+      .toDF("id", "media")
+    val f = Multimodal.extractImageFeatures(rows, "media", "feat", grid = 2)
+      .select($"feat").head().getSeq[Float](0)
+    // 2x2 grid over h=1: both grid rows map to the same pixel row; cell
+    // (0,*) gets all pixels, cell (1,*) is empty -> zeros.
+    assert(f.slice(0, 3).forall(_ == 0f))   // left cell: black
+    assert(f.slice(3, 6).forall(_ == 1f))   // right cell: white
+    assert(f.slice(6, 12).forall(_ == 0f))  // empty grid row -> zeros
+  }
+
+  test("end-to-end: pack images -> real decode features -> knn neighbors") {
+    val media = Seq(
+      (1L, png(16, 16)((_, _) => red)),
+      (2L, png(16, 16)((x, y) => if ((x + y) % 8 == 0) 0xee0000 else red)),
+      (3L, png(16, 16)((_, _) => green)),
+      (4L, png(16, 16)((x, y) => if ((x + y) % 8 == 0) 0x00ee00 else green)),
+      (5L, png(16, 16)((_, _) => blue))).toDF("doc_id", "media")
+    val feats = Multimodal.extractImageFeatures(media, "media", "feat", grid = 4)
+      .select($"doc_id", $"feat")
+    val nn = Knn.knnJoin(feats, "doc_id", "feat", feats, "doc_id", "feat",
+        k = 1, roundScoreTo = Some(6))
+      .select($"query_id", $"doc_id".as("nn")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nn(1L) == 2L && nn(2L) == 1L, "near-identical reds pair up")
+    assert(nn(3L) == 4L && nn(4L) == 3L, "near-identical greens pair up")
+  }
+
+  test("SQL registration: image_meta / image_grid_features callable from SQL") {
+    graft.functions.registerAll(spark)
+    Seq((1L, png(2, 2)((_, _) => red))).toDF("id", "media")
+      .createOrReplaceTempView("imgs")
+    val r = spark.sql(
+      """SELECT image_meta(media).width AS w,
+        |       size(image_grid_features(media, 1)) AS n FROM imgs""".stripMargin)
+      .head()
+    assert(r.getInt(0) == 2 && r.getInt(1) == 3)
+  }
+}
