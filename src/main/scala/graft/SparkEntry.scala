@@ -1142,10 +1142,13 @@ object SparkEntry {
     // ------------------------------------------------------------------
     // E1 (SURVEY §2.8): text→vector embedding — TF-IDF pipeline behind the
     // Embedder trait (the reference's SentenceTransformer stand-in,
-    // bcb_utils.py:101). Feature hashing + IDF aren't SQL-expressible →
-    // rows-only driver checks; EmbedderSpec pins semantics.
+    // bcb_utils.py:101). Round 12: the embedder is engine-stable end to
+    // end (FNV-1a hashing, q20 idf, fixed accumulation orders — see
+    // graft.embed.TfIdfEmbedder), so BOTH queries carry full DuckDB
+    // oracles (embedTfidfCtes); EmbedderSpec pins semantics.
     // ------------------------------------------------------------------
     "embed_corpus" -> ((s, dir) => {
+      requireAsciiFixture(s, dir, "embed_corpus")
       val docs = docsParallel(s, dir)
       val model = new graft.embed.TfIdfEmbedder(dim = 256).fit(docs, "text")
       model.transform(docs, "text", "embedding")
@@ -1161,6 +1164,7 @@ object SparkEntry {
     // TF-IDF transform runs once (same scoped-persist shape as the dedup
     // operators), with the small top-k result materialized eagerly.
     "embed_knn" -> ((s, dir) => {
+      requireAsciiFixture(s, dir, "embed_knn")
       val docs = docsParallel(s, dir)
       val model = new graft.embed.TfIdfEmbedder(dim = 256).fit(docs, "text")
       val vecs = model.transform(docs, "text", "vec").select(col("doc_id"), col("vec"))
@@ -1572,7 +1576,9 @@ object SparkEntry {
     // Multimodal columns: media as opaque binary + typed metadata struct
     // (graft.multimodal). media_meta is the oracle-checked schema slice;
     // multimodal_knn runs the full binary→features→knn pipeline with the
-    // deterministic stub extractor (rows-only: byte kernel not in SQL).
+    // deterministic byte-histogram extractor — round 12: full DuckDB twin
+    // (multimodalKnnSql replays the histogram kernel over the text bytes;
+    // ASCII-guarded since the SQL folds code points).
     // ------------------------------------------------------------------
     "media_meta" -> ((s, dir) => {
       Multimodal.packText(Tables.documents(s, dir), "doc_id", "text")
@@ -1582,6 +1588,7 @@ object SparkEntry {
     }),
 
     "multimodal_knn" -> ((s, dir) => {
+      requireAsciiFixture(s, dir, "multimodal_knn")
       val media = Multimodal.packText(docsParallel(s, dir), "doc_id", "text")
       val feats = Multimodal.extractFeatures(media, "media", "feat", buckets = 64)
         .select(col("doc_id"), col("feat"))
@@ -2430,6 +2437,12 @@ object SparkEntry {
     "ann_recall" -> annRecallSql,
 
     "corpus_uuid" -> corpusUuidSql,
+
+    "embed_corpus" -> embedCorpusSql,
+
+    "embed_knn" -> embedKnnSql,
+
+    "multimodal_knn" -> multimodalKnnSql,
 
     "dedup_minhash" -> jaccardPairsOracle,
 
@@ -3774,6 +3787,135 @@ object SparkEntry {
        |  h[11] || h[12] || h[13] || h[14] || h[15] || h[16] AS code_uuid
        |FROM hx ORDER BY doc_id""".stripMargin
   }
+
+  /** Shared TF-IDF embedding replay for the `embed_*` oracles — the exact
+    * SQL twin of [[graft.embed.TfIdfEmbedder]] (dim 256, normalized):
+    * per-token FNV-1a-64 fold (the simhash oracle's HUGEINT wraparound
+    * idiom) → unsigned mod-256 buckets → tf / df aggregates → q20 idf
+    * (`DetMath.duckdbLog2q20` + the shared 6-dp ln quantization) → dense
+    * vector assembly via an ordered grid join → sequential sum-of-squares
+    * normalize → float32 cast. Every FP step is correctly-rounded IEEE
+    * arithmetic in both engines; binds `vec(doc_id, v REAL[])`. Must be
+    * spliced into a `WITH RECURSIVE` chain. */
+  private def embedTfidfCtes: String = {
+    val fnvStep = u64MulC(
+      u64Uns(s"xor(${u64Signed("acc")}, CAST(c AS BIGINT))"), 256L, 435L)
+    s"""tok AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS t
+       |  FROM documents
+       |), th AS (
+       |  SELECT doc_id,
+       |    CAST(list_reduce(
+       |      list_prepend(CAST('14695981039346656037' AS HUGEINT),
+       |        list_transform(range(1, len(t) + 1), i -> CAST(unicode(substr(t, i, 1)) AS HUGEINT))),
+       |      (acc, c) -> $fnvStep) % 256 AS INT) AS b
+       |  FROM tok
+       |), tfb AS (
+       |  SELECT doc_id, b, count(*) AS tf FROM th GROUP BY doc_id, b
+       |), dfb AS (
+       |  SELECT b, count(DISTINCT doc_id) AS df FROM th GROUP BY b
+       |), esrc AS (
+       |  SELECT dfb.b, CAST(cnt.m + 1 AS BIGINT) AS num,
+       |    CAST(dfb.df + 1 AS BIGINT) AS den
+       |  FROM dfb CROSS JOIN (SELECT count(*) AS m FROM documents) cnt
+       |), """.stripMargin +
+      graft.expr.DetMath.duckdbLog2q20("esrc", "eqlg", "b") +
+    s""", eidf AS (
+       |  SELECT b,
+       |    FLOOR((qlog / 1048576.0) * ${graft.expr.DetMath.Ln2} * 1000000.0 + 0.5) / 1000000.0 AS idf
+       |  FROM eqlg
+       |), egrid AS (
+       |  SELECT d.doc_id, i
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d, unnest(range(0, 256)) AS u(i)
+       |), evals AS (
+       |  SELECT tfb.doc_id, tfb.b AS i, tfb.tf * eidf.idf AS v
+       |  FROM tfb JOIN eidf USING (b)
+       |), edense AS (
+       |  SELECT g.doc_id, list(coalesce(e.v, 0.0) ORDER BY g.i) AS vd
+       |  FROM egrid g LEFT JOIN evals e ON e.doc_id = g.doc_id AND e.i = g.i
+       |  GROUP BY g.doc_id
+       |), enrm AS (
+       |  SELECT doc_id, vd,
+       |    sqrt(list_reduce(list_transform(vd, x -> x * x), (a, b) -> a + b)) AS nm
+       |  FROM edense
+       |), vec AS (
+       |  SELECT doc_id,
+       |    CASE WHEN nm = 0 THEN list_transform(vd, x -> CAST(0.0 AS REAL))
+       |         ELSE list_transform(vd, x -> CAST(x / nm AS REAL)) END AS v
+       |  FROM enrm
+       |)""".stripMargin
+  }
+
+  private def embedCorpusSql: String =
+    s"""WITH RECURSIVE $embedTfidfCtes
+       |SELECT doc_id, 256 AS dim,
+       |  FLOOR(sqrt(list_reduce(list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |    (a, b) -> a + b)) * 1000000.0 + 0.5) / 1000000.0 AS norm
+       |FROM vec ORDER BY doc_id""".stripMargin
+
+  private def embedKnnSql: String =
+    s"""WITH RECURSIVE $embedTfidfCtes, q AS (
+       |  SELECT doc_id AS qid, v AS qv FROM vec
+       |  ORDER BY md5('graft42:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 100
+       |), scored AS (
+       |  SELECT q.qid AS query_id, c.doc_id AS result_id,
+       |    ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.v AS DOUBLE[])), 6) AS score
+       |  FROM q CROSS JOIN vec c WHERE c.doc_id <> q.qid
+       |), ranked AS (
+       |  SELECT query_id, result_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, result_id, rank, score FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** multimodal_knn oracle — SQL replay of the byte-histogram feature
+    * kernel (`expr/ByteHistogram.scala`: bucket = (byte·64)»8 = byte÷4
+    * for 64 buckets, L2-normalized via `count · (1/√Σcount²)` — the
+    * kernel multiplies by the reciprocal, so the twin does too; every
+    * step correctly-rounded IEEE) + the seeded-sample top-5 cosine join.
+    * The media payload is the document text's UTF-8 bytes (packText), so
+    * the SQL folds code points — ASCII-guarded like winnow/simhash. */
+  private def multimodalKnnSql: String =
+    s"""WITH hist AS (
+       |  SELECT doc_id, b, count(*) AS n FROM (
+       |    SELECT doc_id,
+       |      unicode(substr(text, i, 1)) // 4 AS b
+       |    FROM documents, unnest(range(1, len(text) + 1)) AS u(i)
+       |  ) GROUP BY doc_id, b
+       |), hgrid AS (
+       |  SELECT d.doc_id, i
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d, unnest(range(0, 64)) AS u(i)
+       |), hdense AS (
+       |  SELECT g.doc_id, list(CAST(coalesce(h.n, 0) AS DOUBLE) ORDER BY g.i) AS cd
+       |  FROM hgrid g LEFT JOIN hist h ON h.doc_id = g.doc_id AND h.b = g.i
+       |  GROUP BY g.doc_id
+       |), hvec AS (
+       |  SELECT doc_id,
+       |    CASE WHEN inv IS NULL THEN list_transform(cd, x -> CAST(0.0 AS REAL))
+       |         ELSE list_transform(cd, x -> CAST(x * inv AS REAL)) END AS v
+       |  FROM (
+       |    SELECT doc_id, cd,
+       |      CASE WHEN ss = 0 THEN NULL ELSE 1.0 / sqrt(ss) END AS inv
+       |    FROM (SELECT doc_id, cd,
+       |      list_reduce(list_transform(cd, x -> x * x), (a, b) -> a + b) AS ss
+       |      FROM hdense)
+       |  )
+       |), q AS (
+       |  SELECT doc_id AS qid, v AS qv FROM hvec
+       |  ORDER BY md5('graft42:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 50
+       |), scored AS (
+       |  SELECT q.qid AS query_id, c.doc_id AS result_id,
+       |    ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.v AS DOUBLE[])), 6) AS score
+       |  FROM q CROSS JOIN hvec c WHERE c.doc_id <> q.qid
+       |), ranked AS (
+       |  SELECT query_id, result_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, result_id, rank, score FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
 
   /** Engine-stable BM25 idf CTE chain, spliced after a `dft(term, df)`
     * CTE in a `WITH RECURSIVE` query: binds `idf(qid, term, idf)` for the

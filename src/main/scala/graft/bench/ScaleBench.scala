@@ -85,6 +85,44 @@ object ScaleBench {
       docs, "doc_id", pairs, "id_a", "id_b")
     val nComponents = labels.select(col("component")).distinct().count()
 
+    // Streaming span-cut ADMISSION at the largest factor — the round-11
+    // family's only unit-scale-tested surface. A stable reference corpus
+    // (the EVEN-doc_id half of the original fixture — so the stream
+    // carries both corpus-duplicated grams, cut via the bucket-pruned
+    // (bucket, h) foreign join, and corpus-novel grams that only
+    // duplicate within/across batches, cut via batch-min ownership plus
+    // the per-batch upsert) persists a SpanIndex; the replica remainder
+    // of the amplified corpus streams in as foreign AvailableNow
+    // micro-batches (disjoint higher ids — the admission id contract).
+    val spanRoot = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_scale_spanadmit_x${factors.max}")
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(spanRoot.toString), true)
+    val corpusDocs = graft.Tables.documents(spark, srcDir)
+      .filter(col("doc_id") % 2 === 0)
+    val tb0 = System.nanoTime()
+    val spanIdx = graft.index.SpanIndex(spark, s"$spanRoot/index", "documents")
+    spanIdx.build(corpusDocs, "doc_id", "text", n = 5)
+    val buildSecs = (System.nanoTime() - tb0) / 1e9
+    val corpusCount = corpusDocs.count()
+    val docSchema = spark.read.parquet(s"$maxDir/documents.parquet").schema
+    val incoming = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(s"$maxDir/documents.parquet")
+      .filter(col("doc_id") >= Stride) // replicas only: ids disjoint & higher
+    val ta0 = System.nanoTime()
+    val sq = graft.streaming.Streaming.cutStream(incoming, "doc_id", "text",
+      spanIdx, cleanDir = s"$spanRoot/clean", checkpointDir = s"$spanRoot/ckpt")
+    sq.awaitTermination()
+    val admitSecs = (System.nanoTime() - ta0) / 1e9
+    val admitBatches = sq.recentProgress.count(_.numInputRows > 0)
+    val admittedDf = spark.read.parquet(s"$spanRoot/clean")
+    val admitted = admittedDf.count()
+    val fullyCut = admittedDf.filter(length(col("text")) === 0).count()
+    System.err.println(f"span admit done: build=$buildSecs%.2f " +
+      f"admit=$admitSecs%.2f batches=$admitBatches admitted=$admitted fully_cut=$fullyCut")
+
     val factorJson = perFactor.map { case (n, (nd, nv, times)) =>
       s""""$n":{"n_docs":$nd,"n_vecs":$nv,"queries":{""" +
         times.map { case (q, t) => s""""$q":${jNum(t)}""" }.mkString(",") + "}}"
@@ -93,7 +131,10 @@ object ScaleBench {
       s""""factors":${factors.mkString("[", ",", "]")},""" +
       s""""per_factor":$factorJson,""" +
       s""""cc":{"factor":${factors.max},"edges":$edgeCount,"rounds":$rounds,""" +
-      s""""components":$nComponents,"driver_threshold":${1L << 20}}}"""
+      s""""components":$nComponents,"driver_threshold":${1L << 20}},""" +
+      s""""span_admit":{"factor":${factors.max},"corpus_docs":$corpusCount,""" +
+      s""""build_s":${jNum(buildSecs)},"admit_s":${jNum(admitSecs)},""" +
+      s""""batches":$admitBatches,"admitted":$admitted,"fully_cut":$fullyCut}}"""
     println(line)
     try {
       val out = java.nio.file.Paths.get(
@@ -110,8 +151,11 @@ object ScaleBench {
     * exact N-clone families). Cached under java.io.tmpdir per (src, N). */
   private def amplified(spark: SparkSession, srcDir: String, n: Int): String = {
     if (n == 1) return srcDir
+    // v2: write 16 files per table (the fixture collapses to one split,
+    // which would make the admission stream below a single micro-batch
+    // and serialize every scan until the rebalance guard kicks in).
     val out = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_scale_${new java.io.File(srcDir).getName}_x$n")
+      s"graft_scale_${new java.io.File(srcDir).getName}_x${n}_v2")
     val marker = new java.io.File(out, "_SCALE_OK")
     if (marker.exists) return out.toString
     def amplify(table: String, idCol: String): Unit = {
@@ -119,6 +163,7 @@ object ScaleBench {
       base.crossJoin(broadcast(spark.range(n).toDF("__rep")))
         .withColumn(idCol, col(idCol) + col("__rep") * lit(Stride))
         .drop("__rep")
+        .repartition(16)
         .write.mode("overwrite").parquet(s"$out/$table.parquet")
     }
     amplify("documents", "doc_id")

@@ -68,6 +68,41 @@ object DetMath {
     norm.getField("e").cast("bigint") * lit(Q) + frac.getField("acc")
   }
 
+  /** Scalar (driver-side) twin of [[log2q20]] — the identical
+    * shift-and-square algorithm as a plain loop, for model-fit code that
+    * computes a vocabulary-sized idf table once on the driver. Same
+    * correctly-rounded IEEE ops ⇒ same integer as the Column kernel and
+    * the DuckDB fragment, bit for bit. */
+  def log2q20Long(num: Long, den: Long): Long = {
+    require(num > 0 && den > 0, s"log2q20 domain: positive ints, got $num/$den")
+    var m = num.toDouble / den.toDouble
+    var e = 0L
+    var it = 0
+    while (it < 64) {
+      if (m >= 2.0) { m *= 0.5; e += 1 }
+      else if (m < 1.0) { m *= 2.0; e -= 1 }
+      it += 1
+    }
+    var acc = 0L
+    it = 0
+    while (it < 20) {
+      m = m * m
+      if (m >= 2.0) { m *= 0.5; acc = acc * 2 + 1 } else acc = acc * 2
+      it += 1
+    }
+    e * Q + acc
+  }
+
+  /** The engines' shared ln-2 literal (see bm25 idf); kept in one place so
+    * Scala kernels and SQL twins can never drift. */
+  val Ln2: Double = 0.6931471805599453
+
+  /** 6-dp natural log from a q20 binary log: the exact arithmetic the
+    * bm25/keywords/perplexity SQL twins perform —
+    * `floor((q/2²⁰)·ln2·10⁶ + 0.5)/10⁶`, every step correctly rounded. */
+  def ln6FromQ20(q: Long): Double =
+    math.floor((q / 1048576.0) * Ln2 * 1000000.0 + 0.5) / 1000000.0
+
   /**
    * The DuckDB twin of [[log2q20]] as a `WITH RECURSIVE` fragment: binds
    * `<out>` = table (`<keyCols>`, `qlog`) given `<src>` = table

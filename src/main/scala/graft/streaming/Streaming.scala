@@ -197,10 +197,18 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         // cleanDir is this sink's own output: empty until the first batch
-        // commits, so a failed read means "nothing admitted yet".
+        // commits, so "nothing there yet" means "nothing admitted yet".
+        // The existence pre-check keeps the expected first-batch miss out
+        // of the error log (Spark logs the FileNotFound at ERROR before
+        // a catch would see it); the try stays for the dir-exists-but-
+        // empty race a concurrent cleaner could leave.
+        val cleanPath = new org.apache.hadoop.fs.Path(cleanDir)
+        val cleanFs = cleanPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val fresh =
-          (try Some(spark.read.parquet(cleanDir).select(col(idCol)))
-          catch { case scala.util.control.NonFatal(_) => None })
+          (if (!cleanFs.exists(cleanPath)) None
+          else
+            try Some(spark.read.parquet(cleanDir).select(col(idCol)))
+            catch { case scala.util.control.NonFatal(_) => None })
             .fold(batch)(seen => batch.join(seen, Seq(idCol), "left_anti"))
         val cleaned = index.cut(fresh, idCol, textCol,
             preserveCase = preserveCase)

@@ -16,15 +16,16 @@ class SparkEntrySpec extends SparkSpec {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // winnow_pairs and simhash_pairs graduated to full oracles in round
     // 11 (wraparound-64-bit integer kernels, SQL-replayable over
-    // HUGEINT); ann_recall (splitmix64 SRP plane replay) and corpus_uuid
-    // (recursive-SQL SHA-1) followed in round 12. What remains is
-    // genuinely non-replayable: seeded-KMeans recall scalars (floor-
-    // asserted at execution time instead), MurmurHash3 TF-IDF embeddings,
-    // the multimodal byte kernel, and an approx quantile sketch.
+    // HUGEINT); round 12 added ann_recall (splitmix64 SRP plane replay),
+    // corpus_uuid (recursive-SQL SHA-1), and embed_corpus/embed_knn (the
+    // engine-stable FNV+q20 TF-IDF embedder). What remains is genuinely
+    // non-replayable: seeded-KMeans recall scalars (floor-asserted at
+    // execution time instead), the multimodal byte kernel, and an approx
+    // quantile sketch.
     val expected = Set(
       "ivf_recall", "ivf_partitioned_recall", "ivf_int8_recall",
       "ivf_pq_recall", "ivf_binary_recall",
-      "quant_recall", "embed_corpus", "embed_knn", "multimodal_knn",
+      "quant_recall",
       "doc_len_quantiles_approx")
     assert(rowsOnly == expected,
       s"rows-only set changed: extra=${rowsOnly -- expected} missing=${expected -- rowsOnly}")
