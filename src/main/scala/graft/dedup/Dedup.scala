@@ -96,6 +96,127 @@ object Dedup {
   }
 
   /**
+   * EXACT all-pairs n-gram Jaccard join at scale — prefix filtering in the
+   * AllPairs/PPJoin family (Bayardo et al. WWW'07, Xiao et al. WWW'08; the
+   * distributed shape follows Vernica et al. SIGMOD'10): identical output
+   * to [[ngramJaccardPairs]] with NO O(n²) cross join. Use this when LSH's
+   * probabilistic recall ([[minHashNearDups]]) isn't acceptable — exact
+   * contracts, legal/contamination audits — at the cost of a candidate set
+   * that grows with corpus self-similarity.
+   *
+   * How: tokens get a global rarest-first order (ascending document
+   * frequency, token tie-break); a doc of size L needs only its first
+   * p = L − ⌈t·L⌉ + 1 ordered tokens ("prefix") indexed, because two docs
+   * with J ≥ t must share a token within both prefixes (prefix-filter
+   * theorem — each qualifying pair's required overlap ⌈t/(1+t)(|x|+|y|)⌉
+   * is ≥ ⌈t·|x|⌉ given the length filter |y| ≥ t·|x|, so these prefixes
+   * are supersets of the canonical per-pair ones). Candidates = prefix
+   * token equi-join + symmetric length filter; exact shingle Jaccard
+   * verifies candidates only. Every FP bound is epsilon-RELAXED
+   * (floor(t·L − 1e-9)) so binary-representation drift can only lengthen
+   * a prefix, never drop a qualifying pair — slack makes extra
+   * candidates, the verify step keeps the result exact.
+   *
+   * Scale shape: the df table is a map-side-combined vocab aggregate; the
+   * ordering join shuffles (id, tok) by token (AQE broadcasts the df table
+   * when it's small); the prefix self-join carries only ~⌈(1−t)·L⌉+1
+   * tokens per doc — at t = 0.8 that's ≤ a fifth of the token stream, and
+   * rarest-first ordering keeps equi-join buckets near-singleton (a token
+   * with df = d contributes ≤ d² candidate slots but prefix membership
+   * skews hard toward rare tokens). The exact-collapse pre-pass (same as
+   * [[minHashNearDups]]) keeps the self-join independent of the corpus's
+   * duplication factor.
+   *
+   * @return (id_a, id_b, jaccard), id_a < id_b, jaccard ≥ threshold —
+   *         computed eagerly, equal to [[ngramJaccardPairs]] on the same
+   *         input.
+   */
+  def jaccardJoinPrefix(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      collapseExact: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val eps = 1e-9
+    val hashed = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .withColumn("__h", md5(col("__text")))
+    val reps =
+      if (collapseExact)
+        hashed.groupBy(col("__h"))
+          .agg(min(col("id")).as("id"), first(col("__text")).as("__text"),
+            count(lit(1)).as("__fam"))
+      else hashed.withColumn("__fam", lit(1L))
+    val withSh = reps
+      .select(col("id"), shingles(col("__text"), n).as("sh"), col("__fam"))
+      .withColumn("len", size(col("sh")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val toks = withSh.select(col("id"), col("len"), explode(col("sh")).as("tok"))
+      val dfTab = toks.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+      // Rarest-first prefix per doc: sort (df, tok) structs, keep the
+      // first p. Any CONSISTENT global order is correct; df-ascending is
+      // the selectivity heuristic that makes the equi-join cheap.
+      // Per-doc rank in the global order via a row_number window (the
+      // per-doc partitions are doc-sized — this is NOT a corpus-wide
+      // window) — measurably cheaper than collecting, sorting, slicing
+      // and re-exploding per-doc arrays for the same one shuffle by id.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("__df"), col("tok"))
+      val pe = toks.join(dfTab, Seq("tok"))
+        .withColumn("pos", row_number().over(w) - 1)
+        .filter(col("pos") <
+          (col("len") - floor(col("len") * threshold - eps)).cast("int"))
+        .select(col("id"), col("len"), col("pos"), col("tok"))
+      // Positional filter (the PPJoin refinement): every common token of a
+      // pair sits at-or-after its first shared prefix token's positions
+      // (i, j) in the sorted orders, so overlap ≤ min(|x|−i, |y|−j); a
+      // qualifying pair needs overlap ≥ t/(1+t)·(|x|+|y|), and its FIRST
+      // shared token — the one with the largest bound — must clear it.
+      // Kills the candidates where two long docs merely share one rare
+      // token deep in both prefixes.
+      val frac = threshold / (1.0 + threshold)
+      val cand = pe.as("l").join(pe.as("r"),
+          col("l.tok") === col("r.tok") && col("l.id") < col("r.id") &&
+          col("r.len") >= col("l.len") * threshold - eps &&
+          col("l.len") >= col("r.len") * threshold - eps &&
+          least(col("l.len") - col("l.pos"), col("r.len") - col("r.pos")) >=
+            (col("l.len") + col("r.len")) * frac - eps)
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        .distinct()
+      val repPairs = cand
+        .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+      if (!collapseExact) repPairs.localCheckpoint(true)
+      else {
+        val members = hashed
+          .join(reps.select(col("__h"), col("id").as("__rid")), Seq("__h"))
+          .select(col("id"), col("__rid"))
+        val cross = repPairs
+          .join(members.select(col("__rid").as("id_a"), col("id").as("__ma")), Seq("id_a"))
+          .join(members.select(col("__rid").as("id_b"), col("id").as("__mb")), Seq("id_b"))
+          .select(least(col("__ma"), col("__mb")).as("id_a"),
+            greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
+        // Within-family pairs: identical texts have J = 1 (≥ any valid
+        // threshold) whenever they have shingles at all — the exact path
+        // never drops docs, so no band-survival caveat applies here.
+        val fams = withSh.filter(col("__fam") >= 2 && size(col("sh")) > 0)
+          .select(col("id").as("__rid"), lit(1.0).as("jaccard"))
+        val within = members.as("a")
+          .join(members.as("b"),
+            col("a.__rid") === col("b.__rid") && col("a.id") < col("b.id"))
+          .select(col("a.__rid").as("__rid"), col("a.id").as("id_a"),
+            col("b.id").as("id_b"))
+          .join(fams, Seq("__rid"))
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+        cross.unionByName(within).localCheckpoint(true)
+      }
+    } finally withSh.unpersist(false)
+  }
+
+  /**
    * MinHash signature: element j = min over shingles of g_j(s) = h1+j·h2
    * (Kirsch-Mitzenmacher over xxhash64). One fused map-side kernel
    * ([[graft.expr.MinHashSig]]): two byte passes per shingle total — a
