@@ -768,6 +768,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // EXACT similarity join at scale: prefix-filtered AllPairs-family
+    // join (Dedup.jaccardJoinPrefix) — guaranteed-complete pair set, no
+    // LSH miss probability, no O(n²) cross join. Shares the all-pairs
+    // oracle: output identity with the reference IS the contract.
+    "jaccard_join_pairs" -> ((s, dir) => {
+      Dedup.jaccardJoinPrefix(docsParallel(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .withColumn("jaccard", r6(col("jaccard")))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Type-2-style verification of the near-dup candidates: character
     // edit distance (codegen'd levenshtein) and normalized edit
     // similarity over the LSH-mined pair set — the cheap "is it a rename/
@@ -1600,6 +1611,34 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // REAL audio decode over synthesized PCM WAV payloads (no audio files
+    // ship in this container): synth_wav builds a seeded all-integer
+    // sawtooth clip per doc, javax.sound decodes it back, and the oracle
+    // replays the generating formula symbolically — a true round-trip
+    // check of container parse + sample decode + envelope kernel. The
+    // envelope rides the integer-only wire format (per-window |sample|
+    // sums, the doc_perplexity playbook), keeping doubles off the wire.
+    "audio_meta_decode" -> ((s, dir) => {
+      val media = Tables.documents(s, dir).select(col("doc_id"),
+        graft.functions.synth_wav(col("doc_id"),
+          (lit(800) + (col("doc_id") % 7) * 160).cast("int"), lit(8000)).as("media"))
+      media.select(col("doc_id"), Multimodal.audioMeta(col("media")).as("m"))
+        .select(col("doc_id"), col("m.sample_rate").as("sample_rate"),
+          col("m.channels").as("channels"), col("m.bits").as("bits"),
+          col("m.n_frames").as("n_frames"), col("m.format").as("format"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "audio_env" -> ((s, dir) => {
+      val media = Tables.documents(s, dir).select(col("doc_id"),
+        graft.functions.synth_wav(col("doc_id"),
+          (lit(800) + (col("doc_id") % 7) * 160).cast("int"), lit(8000)).as("media"))
+      media.select(col("doc_id"),
+          posexplode(graft.functions.audio_env_sums(col("media"), 8)))
+        .select(col("doc_id"), col("pos").as("w"), col("col").as("sum_abs"))
+        .orderBy(col("doc_id"), col("w"))
+    }),
+
     // ------------------------------------------------------------------
     // Streaming surface, batch-checked: the SAME windowed event-time
     // aggregation graft.streaming drives through a real StreamingQuery
@@ -2430,6 +2469,9 @@ object SparkEntry {
 
     "dedup_jaccard_pairs" -> jaccardPairsOracle,
 
+    // prefix-filtered exact join: same semantics, same oracle
+    "jaccard_join_pairs" -> jaccardPairsOracle,
+
     "winnow_pairs" -> winnowPairsSql,
 
     "simhash_pairs" -> simhashPairsSql,
@@ -2779,6 +2821,32 @@ object SparkEntry {
       """SELECT doc_id, 'text/plain' AS kind,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Audio round-trip twins: the WAV payload is synthesized from an
+    // all-integer formula (graft.expr.AudioOps.synthWav — sawtooth,
+    // period 3 + doc_id mod 29, sample (((i%p)*2048)/p − 1024)*16), so
+    // the oracle replays the formula symbolically; Spark's side actually
+    // encodes the container and decodes it through javax.sound. Integer
+    // division is trunc-vs-floor-identical here (all operands
+    // non-negative).
+    "audio_meta_decode" ->
+      """SELECT doc_id, 8000 AS sample_rate, 1 AS channels, 16 AS bits,
+        |  CAST(800 + (doc_id % 7) * 160 AS BIGINT) AS n_frames,
+        |  'audio/wav' AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "audio_env" ->
+      """WITH docs AS (
+        |  SELECT doc_id, CAST(800 + (doc_id % 7) * 160 AS BIGINT) AS n,
+        |         CAST(3 + (doc_id % 29) AS BIGINT) AS p
+        |  FROM documents
+        |), samples AS (
+        |  SELECT d.doc_id, CAST((u.i * 8) // d.n AS INT) AS w,
+        |         ABS((((u.i % d.p) * 2048) // d.p - 1024) * 16) AS a
+        |  FROM docs d, unnest(range(0, d.n)) AS u(i)
+        |)
+        |SELECT doc_id, w, CAST(SUM(a) AS BIGINT) AS sum_abs
+        |FROM samples GROUP BY doc_id, w ORDER BY doc_id, w""".stripMargin,
 
     "text_stats" ->
       """SELECT doc_id,

@@ -88,6 +88,28 @@ package object functions {
   def image_grid_features(a: Column, grid: Int): Column =
     col(ImageGridFeatures(ex(a), grid))
 
+  /** Decoded audio metadata (struct(sample_rate, channels, bits, n_frames,
+    * format)) of a binary column via the JDK's javax.sound (WAV/AIFF/AU);
+    * NULL when undecodable. */
+  def audio_meta(a: Column): Column = col(AudioMeta(ex(a)))
+
+  /** Per-window |sample| sums (array<long> of length windows) of an audio
+    * binary column — the exact-integer energy-envelope core; NULL when
+    * undecodable. See [[graft.expr.AudioOps]]. */
+  def audio_env_sums(a: Column, windows: Int): Column =
+    col(AudioEnvSums(ex(a), windows))
+
+  /** Mean-|amplitude| energy envelope (array<float> of length windows,
+    * [0,1]) of an audio binary column — REAL decode via javax.sound; NULL
+    * when undecodable. */
+  def audio_envelope(a: Column, windows: Int): Column =
+    col(AudioEnvelope(ex(a), windows))
+
+  /** Deterministic PCM16 mono WAV bytes from (seed, n_samples,
+    * sample_rate) — fixture synthesis / smoke-test utility. */
+  def synth_wav(seed: Column, nSamples: Column, sampleRate: Column): Column =
+    col(SynthWav(ex(seed), ex(nSamples), ex(sampleRate)))
+
   /** Int8-quantize an array<float> column to binary codes (4x smaller;
     * symmetric per-vector scale, which cancels under cosine). */
   def quantize_int8(a: Column): Column = col(QuantizeInt8(ex(a)))
@@ -238,6 +260,14 @@ package object functions {
       es => ImageMeta(es(0)), "built-in")
     reg.createOrReplaceTempFunction("image_grid_features",
       es => ImageGridFeatures(es(0), litInt("image_grid_features", "grid")(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("audio_meta",
+      es => AudioMeta(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("audio_env_sums",
+      es => AudioEnvSums(es(0), litInt("audio_env_sums", "windows")(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("audio_envelope",
+      es => AudioEnvelope(es(0), litInt("audio_envelope", "windows")(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("synth_wav",
+      es => SynthWav(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_sig",
       es => HyperplaneSig(es(0), litInt("hyperplane_sig", "bits")(es(1)),
         litLong("hyperplane_sig", "seed")(es(2))), "built-in")

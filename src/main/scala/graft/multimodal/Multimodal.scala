@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
  *  - IMAGES decode for real via the JDK's ImageIO (PNG/BMP/GIF/JPEG —
  *    ships with the JRE): [[imageMeta]] / [[extractImageFeatures]]
  *    ([[graft.expr.ImageOps]], mean-RGB grid thumbnail features).
- *  - other modalities (audio PCM, video frame sampling — codecs genuinely
- *    absent here) keep the DETERMINISTIC byte-histogram kernel
- *    ([[graft.expr.ByteHistogram]]) behind [[extractFeatures]]; swapping
- *    in a real codec changes ONE expression.
+ *  - AUDIO decodes for real via the JDK's javax.sound (WAV/AIFF/AU PCM):
+ *    [[audioMeta]] / [[extractAudioFeatures]] ([[graft.expr.AudioOps]],
+ *    mean-|amplitude| energy-envelope features).
+ *  - remaining modalities (compressed audio, video frame sampling —
+ *    codecs genuinely absent in the JRE) keep the DETERMINISTIC
+ *    byte-histogram kernel ([[graft.expr.ByteHistogram]]) behind
+ *    [[extractFeatures]]; swapping in a real codec changes ONE
+ *    expression.
  * Shared physical shape either way:
  *  - payloads are map-side only — a binary column never rides a shuffle
  *    in this module (features are a few hundred bytes instead of the
@@ -67,4 +71,18 @@ object Multimodal {
       grid: Int = 4): DataFrame =
     df.withColumn(featCol,
       graft.functions.image_grid_features(col(mediaCol), grid))
+
+  /** Decoded audio metadata (sample rate, channels, bits, frame count,
+    * container format) — NULL rows are undecodable payloads; quarantine
+    * with `WHERE meta IS NULL` like the image path. */
+  def audioMeta(media: Column): Column = graft.functions.audio_meta(media)
+
+  /** REAL audio decode+embed (JDK javax.sound): mean-|amplitude| energy
+    * envelope, `windows` floats in [0,1]. Exact for PCM containers
+    * (WAV/AIFF/AU, any JDK-convertible width/law); undecodable payloads
+    * yield NULL features. */
+  def extractAudioFeatures(df: DataFrame, mediaCol: String, featCol: String,
+      windows: Int = 16): DataFrame =
+    df.withColumn(featCol,
+      graft.functions.audio_envelope(col(mediaCol), windows))
 }
