@@ -31,10 +31,15 @@ object ScaleBench {
   // cross-document duplicated — the worst case for the duplicate-set join
   // — and the design claims cost stays linear (no bucket self-join
   // anywhere in the plan).
+  // jaccard_join_pairs is the round-12 exact prefix-filter join: N-clone
+  // amplification is its worst case on paper (every family multiplies
+  // every prefix-token bucket by N), and the design claims the
+  // exact-collapse pre-pass keeps MINING constant-cost while only the
+  // (output-sized) family expansion scales — ~N²/2 pair rows per family.
   private val queryNames = Seq(
     "dedup_exact", "dedup_minhash", "dedup_near_keep", "dedup_clusters",
     "winnow_pairs", "bm25_topk", "bm25_index_topk", "knn_topk", "sparse_knn",
-    "doc_dup_spans", "dedup_span_cut")
+    "doc_dup_spans", "dedup_span_cut", "jaccard_join_pairs")
 
   private val Stride = 10_000_000L // far above any fixture id
 

@@ -77,6 +77,18 @@ class JaccardJoinSpec extends SparkSpec {
     }
   }
 
+  test("exact pairs compose with the pairs-accepting removal API") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 39).map(i => s"w$i") :+ "X").mkString(" ")
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val df = docs(1L -> base, 2L -> near, 3L -> other, 4L -> base)
+    val pairs = Dedup.jaccardJoinPrefix(df, "doc_id", "text", n = 3, threshold = 0.7)
+    val kept = Dedup.dropNearDuplicates(df, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L),
+      "guaranteed-complete dedup: cluster {1,2,4} keeps min id, 3 unclustered")
+  }
+
   test("tolerates empty corpora, empty docs, and null text") {
     val empty = docs()
     assert(Dedup.jaccardJoinPrefix(empty, "doc_id", "text").count() == 0)

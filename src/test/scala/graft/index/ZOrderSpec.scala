@@ -1,0 +1,84 @@
+package graft.index
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Z-order clustered writes: the Morton interleave math is pinned exactly,
+  * and the LAYOUT claim is measured — after writeClustered, per-FILE
+  * min/max ranges are narrow on BOTH clustered dimensions (that is what
+  * parquet footer pruning consumes), where single-column range
+  * partitioning is narrow on one and full-width on the other. */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue: exact Morton interleave on pinned inputs") {
+    // 2 cols x 2 bits over range [0,3]: bucket == value. bit b of col i
+    // -> position b*2+i. (x=1,y=0) -> 0b01=1; (0,1) -> 0b10=2; (3,3) -> 0b1111=15;
+    // (2,1) -> x bits {1}->pos2, y bits {0}->pos1 -> 0b0110=6.
+    val df = Seq((1L, 0L), (0L, 1L), (3L, 3L), (2L, 1L)).toDF("x", "y")
+    val z = df.select(ZOrder.zValue(Seq($"x", $"y"),
+      Seq((0.0, 3.0), (0.0, 3.0)), bits = 2).as("z")).as[Long].collect()
+    assert(z.toSeq == Seq(1L, 2L, 15L, 6L))
+  }
+
+  test("zValue: z-adjacency tracks spatial adjacency (locality smoke)") {
+    // Points on a 16x16 grid: sort by z, successive points must stay
+    // spatially close on average — the curve property pruning relies on.
+    val pts = for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong)
+    val df = pts.toDF("x", "y")
+    val sorted = df.select($"x", $"y", ZOrder.zValue(Seq($"x", $"y"),
+        Seq((0.0, 15.0), (0.0, 15.0)), bits = 4).as("z"))
+      .orderBy($"z").collect()
+    assert(sorted.map(_.getLong(2)).toSeq == (0L until 256L), "z is a bijection on the grid")
+    val hops = sorted.sliding(2).map { w =>
+      math.abs(w(1).getLong(0) - w(0).getLong(0)) +
+        math.abs(w(1).getLong(1) - w(0).getLong(1))
+    }.toSeq
+    assert(hops.sum.toDouble / hops.size < 2.5,
+      s"mean Manhattan hop along the curve should be small, got ${hops.sum.toDouble / hops.size}")
+  }
+
+  test("zValue: nulls propagate, constant range degrades to bucket 0") {
+    val df = Seq((Some(1L), 5L), (None, 5L)).toDF("x", "y")
+    val z = df.select(ZOrder.zValue(Seq($"x", $"y"),
+      Seq((0.0, 3.0), (5.0, 5.0)), bits = 2).as("z")).collect()
+    assert(z(0).getLong(0) == 1L, "y constant -> only x contributes")
+    assert(z(1).isNullAt(0), "null input -> null z")
+  }
+
+  test("writeClustered: per-file ranges narrow on BOTH dimensions") {
+    // 64x64 grid of (u, t) points — e.g. (user, time). Cluster into 16
+    // files; every file should cover a small rectangle: per-file range
+    // well under half the domain on BOTH axes. A t-only range partition
+    // would put the FULL u-domain in every file.
+    val pts = for (u <- 0 until 64; t <- 0 until 64) yield (u.toLong, t.toLong)
+    val df = pts.toDF("u", "t").repartition(8) // scrambled input layout
+    val out = Files.createTempDirectory("graft_zorder").toString
+    ZOrder.writeClustered(df, Seq("u", "t"), out, numFiles = 16)
+    val perFile = spark.read.parquet(out)
+      .withColumn("f", input_file_name())
+      .groupBy($"f")
+      .agg((max($"u") - min($"u")).as("du"), (max($"t") - min($"t")).as("dt"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(perFile.length >= 8, s"expected >=8 files, got ${perFile.length}")
+    assert(perFile.map(_.getAs[Long]("n")).sum == 64L * 64L, "no rows lost")
+    val maxDu = perFile.map(_.getAs[Long]("du")).max
+    val maxDt = perFile.map(_.getAs[Long]("dt")).max
+    assert(maxDu <= 32 && maxDt <= 32,
+      s"files must tile small rectangles: worst du=$maxDu dt=$maxDt of 63")
+    // and the round-trip preserves content
+    val got = spark.read.parquet(out).as[(Long, Long)].collect().toSet
+    assert(got == pts.toSet)
+  }
+
+  test("writeClustered tolerates empty input and all-null columns") {
+    val out = Files.createTempDirectory("graft_zorder_empty").toString
+    ZOrder.writeClustered(Seq.empty[(Long, Long)].toDF("u", "t"),
+      Seq("u", "t"), out, numFiles = 2)
+    assert(spark.read.parquet(out).count() == 0)
+  }
+}
