@@ -161,4 +161,36 @@ object KernelProperties extends Properties("graft.kernels") {
         val best = scores.max
         got == scores.indexWhere(_ == best)
     }
+
+  property("prefix+positional filter never loses a qualifying Jaccard pair") =
+    // The completeness theorem Dedup.jaccardJoinPrefix rests on, under an
+    // ARBITRARY consistent global token order (the implementation's
+    // df-ascending order is just one instance): if J(x,y) >= t then some
+    // token common to both ordered prefixes (length L - floor(t*L - eps))
+    // passes the positional overlap bound min(|x|-i, |y|-j) >=
+    // t/(1+t)*(|x|+|y|) - eps. Exercises the epsilon-relaxed FP bounds at
+    // threshold boundaries (small sets make J land exactly on t often).
+    forAll(
+      Gen.chooseNum(1L, Long.MaxValue),                   // order-permutation seed
+      Gen.nonEmptyListOf(Gen.chooseNum(0, 30)).map(_.toSet),
+      Gen.nonEmptyListOf(Gen.chooseNum(0, 30)).map(_.toSet),
+      Gen.oneOf(0.5, 0.6, 2.0 / 3.0, 0.75, 0.8, 0.9, 1.0)) { (seed, x, y, t) =>
+      val eps = 1e-9
+      val rnd = new scala.util.Random(seed)
+      val order = rnd.shuffle((0 to 30).toVector).zipWithIndex.toMap
+      val inter = (x intersect y).size.toDouble
+      val j = inter / (x union y).size
+      if (j < t) true
+      else {
+        val (sx, sy) = (x.toSeq.sortBy(order), y.toSeq.sortBy(order))
+        val (lx, ly) = (sx.length, sy.length)
+        def prefLen(l: Int) = l - math.floor(t * l - eps).toInt
+        val px = sx.take(prefLen(lx)).zipWithIndex.toMap
+        val py = sy.take(prefLen(ly)).zipWithIndex.toMap
+        val req = t / (1.0 + t) * (lx + ly) - eps
+        (px.keySet intersect py.keySet).exists { w =>
+          math.min(lx - px(w), ly - py(w)) >= req
+        }
+      }
+    }
 }
