@@ -127,16 +127,24 @@ object Dedup {
    * [[minHashNearDups]]) keeps the self-join independent of the corpus's
    * duplication factor.
    *
+   * @param maxTokenBucket skew valve, default OFF (`Int.MaxValue` =
+   *        exact): prefix-token buckets whose document count (family-
+   *        weighted) exceeds the cap are dropped from candidate
+   *        generation — bounding the equi-join on boilerplate-saturated
+   *        corpora at a DOCUMENTED completeness trade, the same contract
+   *        as every LSH bucket guard in this module.
    * @return (id_a, id_b, jaccard), id_a < id_b, jaccard ≥ threshold —
-   *         computed eagerly, equal to [[ngramJaccardPairs]] on the same
-   *         input.
+   *         computed eagerly; equal to [[ngramJaccardPairs]] on the same
+   *         input at the default (exact) cap.
    */
   def jaccardJoinPrefix(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
-      collapseExact: Boolean = true): DataFrame = {
+      collapseExact: Boolean = true,
+      maxTokenBucket: Int = Int.MaxValue): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
+    require(maxTokenBucket >= 1, s"maxTokenBucket must be >= 1, got $maxTokenBucket")
     val eps = 1e-9
     val hashed = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .withColumn("__h", md5(col("__text")))
@@ -162,11 +170,28 @@ object Dedup {
       // and re-exploding per-doc arrays for the same one shuffle by id.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("id")).orderBy(col("__df"), col("tok"))
-      val pe = toks.join(dfTab, Seq("tok"))
+      val peAll = toks.join(dfTab, Seq("tok"))
         .withColumn("pos", row_number().over(w) - 1)
         .filter(col("pos") <
           (col("len") - floor(col("len") * threshold - eps)).cast("int"))
         .select(col("id"), col("len"), col("pos"), col("tok"))
+      // Skew valve, default OFF (exact): a prefix-token bucket shared by B
+      // docs joins B² candidate slots — on a boilerplate-heavy corpus
+      // where even PREFIX tokens (rarest-first!) are ubiquitous, a cap
+      // bounds the join at a DOCUMENTED completeness trade: pairs whose
+      // every qualifying shared prefix token was dropped are missed
+      // (same contract as every LSH bucket guard here). Bucket size
+      // counts DOCUMENTS via the family weight, mirroring cappedBands.
+      val pe =
+        if (maxTokenBucket == Int.MaxValue) peAll
+        else {
+          val fams = withSh.select(col("id"), col("__fam"))
+          val sizes = peAll.join(fams, Seq("id"))
+            .groupBy(col("tok")).agg(sum(col("__fam")).as("count"))
+          val oversized = sizes.filter(col("count") > maxTokenBucket)
+            .select(col("tok"))
+          peAll.join(broadcast(oversized), Seq("tok"), "left_anti")
+        }
       // Positional filter (the PPJoin refinement): every common token of a
       // pair sits at-or-after its first shared prefix token's positions
       // (i, j) in the sorted orders, so overlap ≤ min(|x|−i, |y|−j); a
@@ -200,9 +225,13 @@ object Dedup {
           .select(least(col("__ma"), col("__mb")).as("id_a"),
             greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
         // Within-family pairs: identical texts have J = 1 (≥ any valid
-        // threshold) whenever they have shingles at all — the exact path
-        // never drops docs, so no band-survival caveat applies here.
+        // threshold) whenever they have shingles at all. Gated on the rep
+        // SURVIVING the token-bucket cap (mirrors the LSH band-survival
+        // rule): with the default cap this is every shingled rep (prefix
+        // length ≥ 1), so the gate is a no-op on the exact path.
+        val survived = pe.select(col("id").as("__srid")).distinct()
         val fams = withSh.filter(col("__fam") >= 2 && size(col("sh")) > 0)
+          .join(survived, col("id") === col("__srid"))
           .select(col("id").as("__rid"), lit(1.0).as("jaccard"))
         val within = members.as("a")
           .join(members.as("b"),

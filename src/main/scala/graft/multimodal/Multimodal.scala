@@ -72,6 +72,32 @@ object Multimodal {
     df.withColumn(featCol,
       graft.functions.image_grid_features(col(mediaCol), grid))
 
+  /** Frame-sample PLUMBING for video payloads: k evenly-spaced "frames"
+    * per payload, each reduced to a feature vector, emitted as
+    * (…, frame_idx, featCol) rows. No JVM video codec exists in this
+    * container, so the DECODE IS A DOCUMENTED STUB: a "frame" is the
+    * byte stripe [i·len/k, (i+1)·len/k) and its feature the byte
+    * histogram. The Spark-side shape is the real contract — binary in,
+    * k feature rows out, everything map-side in one projection (the
+    * payload never rides a shuffle; k small vectors do), empty stripes
+    * (len < k) yield zero vectors rather than dropping indices. A real
+    * codec changes ONE lambda: stripe→decoded-frame-features. */
+  def sampleFrameFeatures(df: DataFrame, mediaCol: String, featCol: String,
+      k: Int, buckets: Int = 64): DataFrame = {
+    require(k >= 1 && k <= 4096, s"k must be in [1,4096], got $k")
+    val len = octet_length(col(mediaCol)).cast("long")
+    val frames = transform(sequence(lit(0L), lit(k - 1L)), i => {
+      // Column./ is DOUBLE division in Spark SQL — floor keeps the stripe
+      // bounds exact integers
+      val start = floor(len * i / k).cast("long")
+      val end = floor(len * (i + lit(1L)) / k).cast("long")
+      graft.functions.byte_histogram(
+        col(mediaCol).substr(start + lit(1L), end - start), buckets)
+    })
+    df.select((df.columns.filter(_ != mediaCol).map(col) :+
+      posexplode(frames).as(Seq("frame_idx", featCol))): _*)
+  }
+
   /** Decoded audio metadata (sample rate, channels, bits, frame count,
     * container format) — NULL rows are undecodable payloads; quarantine
     * with `WHERE meta IS NULL` like the image path. */

@@ -77,6 +77,23 @@ class JaccardJoinSpec extends SparkSpec {
     }
   }
 
+  test("maxTokenBucket valve drops saturated buckets; default stays exact") {
+    // Every doc shares ALL tokens with every other (boilerplate corpus):
+    // each prefix token's bucket holds every doc. cap=2 < 4 docs drops
+    // every bucket -> no pairs (documented trade); the default cap keeps
+    // the full exact pair set, including within-family expansion.
+    val text = (1 to 20).map(i => s"b$i").mkString(" ")
+    val df = docs(1L -> text, 2L -> text, 3L -> text, 4L -> text)
+    val exact = collectPairs(
+      Dedup.jaccardJoinPrefix(df, "doc_id", "text", n = 3, threshold = 0.8))
+    assert(exact.map(p => (p._1, p._2)) ==
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    val capped = collectPairs(Dedup.jaccardJoinPrefix(df, "doc_id", "text",
+      n = 3, threshold = 0.8, maxTokenBucket = 2))
+    assert(capped.isEmpty,
+      "cap below the family size must drop the bucket AND the within-family expansion")
+  }
+
   test("exact pairs compose with the pairs-accepting removal API") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val near = ((1 to 39).map(i => s"w$i") :+ "X").mkString(" ")

@@ -34,6 +34,29 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(n - 1.0) < 1e-5)
   }
 
+  test("sampleFrameFeatures: k stripe rows per payload, map-side, stub-decode") {
+    import spark.implicits._
+    // payload of 8 bytes, k=4 -> stripes of 2; stripe content differs so
+    // frame features differ; len < k pads with zero vectors.
+    val media = Seq(
+      (1L, Array[Byte](0, 0, -1, -1, 0, 0, -1, -1)),
+      (2L, Array[Byte](7))).toDF("doc_id", "media")
+    val out = Multimodal.sampleFrameFeatures(media, "media", "feat", k = 4, buckets = 4)
+    assert(out.columns.toSeq == Seq("doc_id", "frame_idx", "feat"))
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getSeq[Float](2))).sortBy(p => (p._1, p._2))
+    assert(rows.length == 8, "k rows per payload, none dropped")
+    val d1 = rows.filter(_._1 == 1L)
+    assert(d1(0)._3 == Seq(1f, 0f, 0f, 0f), "bytes 0x00 -> bucket 0")
+    assert(d1(1)._3 == Seq(0f, 0f, 0f, 1f), "bytes 0xff -> top bucket")
+    assert(d1(0)._3 == d1(2)._3 && d1(1)._3 == d1(3)._3, "periodic payload -> periodic frames")
+    val d2 = rows.filter(_._1 == 2L)
+    // floor binning: stripe i covers [len*i/k, len*(i+1)/k) — for len=1,
+    // k=4 only stripe 3 is non-empty (1*4/4 = 1)
+    assert(d2(3)._3.exists(_ > 0f), "last stripe holds the only byte")
+    assert(d2.take(3).forall(_._3.forall(_ == 0f)), "empty stripes -> zero vectors, indices kept")
+  }
+
   test("binary -> features -> knn pipeline: self is rank-1 at score 1") {
     val feats = Multimodal.extractFeatures(
         Multimodal.packText(docs, "doc_id", "text"), "media", "feat", buckets = 32)
