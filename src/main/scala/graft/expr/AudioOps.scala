@@ -150,7 +150,7 @@ object AudioOps {
     * replay the waveform symbolically. period p = 3 + (seed mod 29);
     * sample(i) = (((i mod p)·2048)/p − 1024)·16 ∈ [−16384, 16368]. */
   def synthWav(seed: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
-    require(nSamples >= 0 && sampleRate > 0,
+    require(nSamples >= 0 && nSamples <= (Int.MaxValue - 44) / 2 && sampleRate > 0,
       s"synth_wav: nSamples=$nSamples sampleRate=$sampleRate out of range")
     val p = 3 + java.lang.Math.floorMod(seed, 29L).toInt
     val dataLen = nSamples * 2

@@ -94,8 +94,12 @@ object Multimodal {
       graft.functions.byte_histogram(
         col(mediaCol).substr(start + lit(1L), end - start), buckets)
     })
+    // NULL payloads must not smuggle null elements into the
+    // containsNull=false feature array — a null media column yields a
+    // null frame ARRAY, which posexplode drops (no rows for that doc)
     df.select((df.columns.filter(_ != mediaCol).map(col) :+
-      posexplode(frames).as(Seq("frame_idx", featCol))): _*)
+      posexplode(when(col(mediaCol).isNotNull, frames))
+        .as(Seq("frame_idx", featCol))): _*)
   }
 
   /** Decoded audio metadata (sample rate, channels, bits, frame count,

@@ -55,6 +55,12 @@ class MultimodalSpec extends SparkSpec {
     // k=4 only stripe 3 is non-empty (1*4/4 = 1)
     assert(d2(3)._3.exists(_ > 0f), "last stripe holds the only byte")
     assert(d2.take(3).forall(_._3.forall(_ == 0f)), "empty stripes -> zero vectors, indices kept")
+    // null payload -> zero frame rows, never null feature elements
+    val withNull = media.union(
+      Seq((3L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "media"))
+    val n3 = Multimodal.sampleFrameFeatures(withNull, "media", "feat", k = 4, buckets = 4)
+      .filter($"doc_id" === 3L).count()
+    assert(n3 == 0L, "null payload contributes no frame rows")
   }
 
   test("binary -> features -> knn pipeline: self is rank-1 at score 1") {
