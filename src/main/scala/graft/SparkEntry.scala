@@ -1611,6 +1611,25 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Video frame-sample PLUMBING, oracle-checked: k byte stripes per
+    // payload reduced to L2-normalized byte histograms (the documented
+    // stub decode — no JRE video codec), replayed exactly in SQL. The
+    // twin reproduces the substr stripe RANGES (floor(L·f/k) bounds —
+    // NOT per-element floor binning, which differs at non-divisible
+    // lengths); ss sums are exact integers in double so accumulation
+    // order is moot; wire = float-cast value rounded to 6dp, the
+    // multimodal_knn contract. ASCII-guarded (SQL folds code points).
+    "frame_hist" -> ((s, dir) => {
+      requireAsciiFixture(s, dir, "frame_hist")
+      val media = Multimodal.packText(Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.sampleFrameFeatures(media, "media", "feat", k = 4, buckets = 8)
+        .select(col("doc_id"), col("frame_idx"),
+          posexplode(col("feat")).as(Seq("b", "v")))
+        .select(col("doc_id"), col("frame_idx"), col("b"),
+          r6(col("v").cast("double")).as("v"))
+        .orderBy(col("doc_id"), col("frame_idx"), col("b"))
+    }),
+
     // REAL audio decode over synthesized PCM WAV payloads (no audio files
     // ship in this container): synth_wav builds a seeded all-integer
     // sawtooth clip per doc, javax.sound decodes it back, and the oracle
@@ -2821,6 +2840,37 @@ object SparkEntry {
       """SELECT doc_id, 'text/plain' AS kind,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "frame_hist" ->
+      """WITH docs AS (SELECT doc_id, len(text) AS L, text FROM documents),
+        |frames AS (
+        |  SELECT d.doc_id, ff.f, (d.L * ff.f) // 4 AS s, (d.L * (ff.f + 1)) // 4 AS e
+        |  FROM docs d, unnest(range(0, 4)) AS ff(f)
+        |), chars AS (
+        |  SELECT doc_id, i, unicode(substr(text, CAST(i + 1 AS INT), 1)) // 32 AS b
+        |  FROM docs, unnest(range(0, L)) AS u(i)
+        |), hist AS (
+        |  SELECT c.doc_id, f.f, c.b, count(*) AS n
+        |  FROM chars c JOIN frames f
+        |    ON f.doc_id = c.doc_id AND c.i >= f.s AND c.i < f.e
+        |  GROUP BY 1, 2, 3
+        |), grid AS (
+        |  SELECT d.doc_id, ff.f, bb.b
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d,
+        |    unnest(range(0, 4)) AS ff(f), unnest(range(0, 8)) AS bb(b)
+        |), dense AS (
+        |  SELECT g.doc_id, g.f, g.b, CAST(coalesce(h.n, 0) AS DOUBLE) AS n
+        |  FROM grid g LEFT JOIN hist h
+        |    ON h.doc_id = g.doc_id AND h.f = g.f AND h.b = g.b
+        |), ssq AS (
+        |  SELECT doc_id, f, sum(n * n) AS ss FROM dense GROUP BY 1, 2
+        |)
+        |SELECT d.doc_id, CAST(d.f AS INT) AS frame_idx, CAST(d.b AS INT) AS b,
+        |  FLOOR(CAST(CAST(CASE WHEN s.ss = 0 THEN 0.0
+        |    ELSE d.n * (1.0 / sqrt(s.ss)) END AS REAL) AS DOUBLE) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS v
+        |FROM dense d JOIN ssq s ON s.doc_id = d.doc_id AND s.f = d.f
+        |ORDER BY d.doc_id, frame_idx, b""".stripMargin,
 
     // Audio round-trip twins: the WAV payload is synthesized from an
     // all-integer formula (graft.expr.AudioOps.synthWav — sawtooth,
