@@ -255,6 +255,19 @@ object SparkEntry {
         .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
     }),
 
+    // CUBE completes the grouping-sets surface next to ROLLUP: all four
+    // (type, day) aggregation levels in ONE pass — Spark's Expand plans a
+    // single shuffle over the grouping-set-expanded rows, not four jobs.
+    "events_cube" -> ((s, dir) => {
+      Streaming.eventsBatch(s, dir)
+        .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("value"))
+        .cube(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+    }),
+
     // Overlapping token-window chunking (32-token windows, stride 16) —
     // the pre-embedding step of a training/RAG pipeline. Chunk text rides
     // as md5 so the compare stays cell-sized; per-row compute only, no
@@ -2103,6 +2116,13 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+
+    "events_cube" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY CUBE(event_type, strftime(ts, '%Y-%m-%d'))
         |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
 
     "doc_chunks" ->
