@@ -153,6 +153,16 @@ object SparkEntry {
       _ => Dedup.minHashNearDups(docsParallel(s, dir), "doc_id", "text",
         n = 3, numHashes = 128, bands = 32, threshold = 0.8))
 
+  /** BPE merge list per (app, dir) — training is a driver-side loop over
+    * a bounded seeded sample (the production shape; see graft.text.Bpe),
+    * memoized so bench warmup+passes train once. */
+  private val bpeMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), graft.text.Bpe.Merges]()
+  private def bpeMerges(s: SparkSession, dir: String): graft.text.Bpe.Merges =
+    bpeMergesCache.computeIfAbsent((s.sparkContext.applicationId, dir),
+      _ => graft.text.Bpe.train(Tables.documents(s, dir), "doc_id", "text",
+        numMerges = 64, sampleSize = 200))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------------------------
     // A-group: relational aggregation (SURVEY §2.4; partial+final hash agg)
@@ -1541,6 +1551,23 @@ object SparkEntry {
         r6(TextAnalysis.avgTokenLen(col("text"))).as("avg_token_len"),
         r6(TextAnalysis.punctRatio(col("text"))).as("punct_ratio"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // REAL learned-subword tokenization (graft.text.Bpe): merges trained
+    // driver-side on a bounded seeded sample (64 merges, 200 docs — the
+    // production sample-train/map-encode split), corpus encoded in one
+    // map-side codegen'd pass. Rows-only by design: replaying the
+    // iterative merge training in SQL is not feasible (each round's
+    // argmax depends on the previous merge), the same justification as
+    // the seeded-KMeans recall scalars; BpeSpec pins training and
+    // encoding against the hand-computed classic reference.
+    "bpe_tokens" -> ((s, dir) => {
+      val m = bpeMerges(s, dir)
+      Tables.documents(s, dir).select(col("doc_id"),
+          graft.text.Bpe.tokenCount(col("text"), m).as("n_subwords"),
+          substring(md5(concat_ws("",
+            graft.text.Bpe.encode(col("text"), m))), 1, 16).as("sub_fp"))
         .orderBy(col("doc_id"))
     }),
 

@@ -20,13 +20,16 @@ class SparkEntrySpec extends SparkSpec {
     // corpus_uuid (recursive-SQL SHA-1), and embed_corpus/embed_knn (the
     // engine-stable FNV+q20 TF-IDF embedder). What remains is genuinely
     // non-replayable: seeded-KMeans recall scalars (floor-asserted at
-    // execution time instead), the multimodal byte kernel, and an approx
-    // quantile sketch.
+    // execution time instead), an approx quantile sketch, and BPE
+    // subword counts (iterative merge training — each round's argmax
+    // depends on the previous merge — cannot replay in SQL; BpeSpec
+    // pins the classic hand-computed reference instead).
     val expected = Set(
       "ivf_recall", "ivf_partitioned_recall", "ivf_int8_recall",
       "ivf_pq_recall", "ivf_binary_recall",
       "quant_recall",
-      "doc_len_quantiles_approx")
+      "doc_len_quantiles_approx",
+      "bpe_tokens")
     assert(rowsOnly == expected,
       s"rows-only set changed: extra=${rowsOnly -- expected} missing=${expected -- rowsOnly}")
   }
