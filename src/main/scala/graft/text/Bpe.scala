@@ -114,4 +114,21 @@ object Bpe {
     * sampling operators should consume for model-real costs. */
   def tokenCount(text: Column, merges: Merges): Column =
     size(encode(text, merges))
+
+  /** Persist the merge list (rank, left, right) as a tiny parquet
+    * artifact — train once, encode from any later job/session; the same
+    * build-once/use-many contract as the index family. Works on any
+    * Hadoop filesystem the session resolves. */
+  def save(spark: org.apache.spark.sql.SparkSession, merges: Merges,
+      path: String): Unit = {
+    import spark.implicits._
+    merges.pairs.zipWithIndex
+      .map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Merges =
+    Merges(spark.read.parquet(path).orderBy(col("rank")).collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq)
 }

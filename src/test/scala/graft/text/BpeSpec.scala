@@ -68,6 +68,13 @@ class BpeSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("merge list round-trips through the parquet artifact") {
+    val m = Bpe.train(corpus, "doc_id", "text", numMerges = 4, sampleSize = 1000)
+    val path = java.nio.file.Files.createTempDirectory("graft_bpe").toString + "/merges"
+    Bpe.save(spark, m, path)
+    assert(Bpe.load(spark, path) == m)
+  }
+
   test("packing composes with BPE counts (model-real token budgets)") {
     val m = Bpe.train(corpus, "doc_id", "text", numMerges = 4, sampleSize = 1000)
     val docs = Seq((1L, "lowest newest"), (2L, "widest"), (3L, "low low low"))
