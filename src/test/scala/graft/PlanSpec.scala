@@ -240,6 +240,27 @@ class PlanSpec extends SparkSpec {
       s"no product joins in the index cut:\n$p")
   }
 
+  test("audio_env: scan reads ONLY doc_id (payloads are synthesized, never stored)") {
+    val p = plan("audio_env")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"audio synthesis+decode must not drag any other column through the scan:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"map-side decode: only the output sort may exchange:\n$p")
+  }
+
+  test("frame_hist: map-side stripes — only the output sort exchanges") {
+    val p = plan("frame_hist")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"stripe features are one projection; no shuffle below the sort:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("bpe_tokens: encode is one map-side pass — only the output sort exchanges") {
+    val p = plan("bpe_tokens")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"the merge list is a plan constant; encoding must not shuffle:\n$p")
+  }
+
   test("rebalanced: extra exchange ONLY when the scan has fewer splits than cores") {
     val par = spark.sparkContext.defaultParallelism
     // already-wide input: must come back untouched (the 100 TB path)
