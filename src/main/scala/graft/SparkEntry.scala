@@ -906,6 +906,32 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("eval_id"))
     }),
 
+    // Leakage-free train/val/test split: the split is a salted-md5 hash of
+    // the near-dup COMPONENT (shared memoized pair mining), so a cluster
+    // can never straddle a boundary — near-duplicates of training docs
+    // cannot leak into eval. Oracle: recursive-CTE closure + the identical
+    // first-8-hex/2^32 uniform convention as weighted_sample.
+    "split_leakfree" -> ((s, dir) => {
+      graft.dedup.Splits.leakFreeSplits(
+          docsParallel(s, dir), "doc_id",
+          minedNearDupPairs(s, dir), "id_a", "id_b")
+        .orderBy(col("id"))
+    }),
+
+    // Token-budget selection: the best-quality slice whose inclusive
+    // running token total fits a fixed budget. Exact two-phase prefix sum
+    // (6-dp quality buckets → bounded cumulative sweep → one straddling
+    // bucket's fine pass) — no corpus-sized single-partition window.
+    "budget_select" -> ((s, dir) => {
+      graft.text.Selection.tokenBudgetSelect(
+          Tables.documents(s, dir), "doc_id",
+          TextAnalysis.qualityScore(col("text")),
+          TextAnalysis.tokenCount(col("text")),
+          budget = 10000L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // T2 extension: per-class balanced sample — constant quota per lang
     // under the same salted-md5 order as the global seeded sample.
     "stratified_sample" -> ((s, dir) => {
@@ -2567,6 +2593,35 @@ object SparkEntry {
         |ORDER BY sel.id_a, sel.id_b""".stripMargin),
 
     "dedup_clusters" -> dedupClustersOracle,
+
+    // same component closure; split = salted-md5 uniform of the COMPONENT
+    // (identical hex-prefix convention as weighted_sample) → any near-dup
+    // cluster lands whole in one split by construction
+    "split_leakfree" ->
+      ("WITH RECURSIVE " + componentClosureCte + """
+        |SELECT id, component,
+        |  CASE
+        |    WHEN CAST(CAST(('0x' || substr(md5('graft42:' || CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 < 0.8 THEN 'train'
+        |    WHEN CAST(CAST(('0x' || substr(md5('graft42:' || CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 < 0.9 THEN 'val'
+        |    ELSE 'test'
+        |  END AS split
+        |FROM comp ORDER BY id""".stripMargin),
+
+    // inclusive prefix-sum cutoff over (quality desc, id asc) — the naive
+    // global-window definition; the Spark side's two-phase bucket plan is
+    // output-identical by construction (buckets never split rounded-quality
+    // ties)
+    "budget_select" ->
+      ("WITH " + qualityCte + """
+        |, d AS (
+        |  SELECT q.doc_id, q.quality, h.n_tok AS n_tokens
+        |  FROM q JOIN h ON q.doc_id = h.doc_id
+        |), sel AS (
+        |  SELECT doc_id, quality, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT doc_id, quality, n_tokens FROM sel WHERE cum <= 10000
+        |ORDER BY doc_id""".stripMargin),
 
     "dedup_near_keep" ->
       ("WITH RECURSIVE " + componentClosureCte + "\n" +

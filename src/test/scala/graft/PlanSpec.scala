@@ -261,6 +261,27 @@ class PlanSpec extends SparkSpec {
       s"the merge list is a plan constant; encoding must not shuffle:\n$p")
   }
 
+  test("budget_select: single-partition windows only over the bounded bucket table") {
+    val p = plan("budget_select")
+    // The two cumulative sweeps (whole/boundary decisions — AQE reuses the
+    // shared bucket-agg exchange at runtime) run on the ≤10^6-row bucket
+    // table; the corpus-sized fine window must be PARTITIONED by the
+    // bucket key, never global.
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 2,
+      s"only the bucket-table sweeps may single-partition:\n$p")
+    assert("windowspecdefinition\\(__qb#\\d+L, id#\\d+L ASC".r.findFirstIn(p).isDefined,
+      s"the fine prefix sum must be partitioned by the bucket key:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct"),
+      s"bucket decisions are broadcast-sized by construction:\n$p")
+  }
+
+  test("split_leakfree: label join broadcasts, no product joins") {
+    val p = plan("split_leakfree")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
+      s"component labels join the corpus by id — broadcast on the driver-CC path:\n$p")
+  }
+
   test("rebalanced: extra exchange ONLY when the scan has fewer splits than cores") {
     val par = spark.sparkContext.defaultParallelism
     // already-wide input: must come back untouched (the 100 TB path)

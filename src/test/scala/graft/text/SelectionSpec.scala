@@ -1,0 +1,72 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (id, quality, tokens) triples
+  private def corpus(rows: (Long, Double, Long)*): DataFrame =
+    rows.toDF("doc_id", "q", "n")
+
+  private def select(df: DataFrame, budget: Long): Seq[(Long, Double, Long)] =
+    Selection.tokenBudgetSelect(df, "doc_id", col("q"), col("n"), budget)
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+
+  /** The definitional single-window reference the two-phase plan must equal. */
+  private def naive(rows: Seq[(Long, Double, Long)], budget: Long): Seq[(Long, Double, Long)] = {
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val ordered = rows.map { case (id, q, n) => (id, r6(q), n) }
+      .sortBy { case (id, q, _) => (-q, id) }
+    var cum = 0L
+    ordered.flatMap { case t @ (_, _, n) =>
+      cum += n; if (cum <= budget) Some(t) else None
+    }.sortBy(_._1)
+  }
+
+  test("tokenBudgetSelect equals the inclusive global prefix-sum definition") {
+    val rows = Seq(
+      (1L, 0.9, 40L), (2L, 0.9, 40L), (3L, 0.85, 30L),
+      (4L, 0.5, 100L), (5L, 0.5, 10L), (6L, 0.5, 10L),
+      (7L, 0.1, 5L), (8L, 0.0, 1L), (9L, 0.45, 0L), (10L, 0.05, 0L))
+    for (budget <- Seq(0L, 39L, 40L, 80L, 110L, 120L, 200L, 221L, 235L, 236L, 1000L))
+      assert(select(corpus(rows: _*), budget) == naive(rows, budget),
+        s"budget=$budget")
+  }
+
+  test("boundary bucket: rounded-quality ties are cut by id, lower ids first") {
+    // one bucket (q=0.5) of four 10-token docs straddling the budget
+    val rows = Seq((9L, 0.5, 10L), (3L, 0.5, 10L), (5L, 0.5, 10L), (7L, 0.5, 10L))
+    assert(select(corpus(rows: _*), 25L).map(_._1) == Seq(3L, 5L))
+    assert(select(corpus(rows: _*), 30L).map(_._1) == Seq(3L, 5L, 7L))
+  }
+
+  test("quality quantization: values rounding to the same 6-dp bucket tie") {
+    // 0.1234564 and 0.1234556 both round to 0.123456 -> same bucket, id order
+    val rows = Seq((2L, 0.1234564, 10L), (1L, 0.1234556, 10L))
+    assert(select(corpus(rows: _*), 10L).map(_._1) == Seq(1L))
+    assert(select(corpus(rows: _*), 20L).map(_._1) == Seq(1L, 2L))
+    // emitted quality is the rounded sort key
+    assert(select(corpus(rows: _*), 20L).map(_._2).distinct == Seq(0.123456))
+  }
+
+  test("randomized: two-phase equals naive on 300 docs across budgets") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 300L).map(id =>
+      (id, rnd.nextInt(1000) / 1000.0, 1L + rnd.nextInt(50).toLong))
+    val df = corpus(rows: _*)
+    val total = rows.map(_._3).sum
+    for (budget <- Seq(0L, total / 10, total / 3, total / 2, total - 1, total, total + 10))
+      assert(select(df, budget) == naive(rows, budget), s"budget=$budget")
+  }
+
+  test("empty corpus and zero budget are empty, full budget keeps everything") {
+    assert(select(corpus(), 100L).isEmpty)
+    val rows = Seq((1L, 0.3, 5L), (2L, 0.7, 5L))
+    assert(select(corpus(rows: _*), 0L).isEmpty)
+    assert(select(corpus(rows: _*), 10L).map(_._1) == Seq(1L, 2L))
+  }
+}
