@@ -50,8 +50,22 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     val headline = SparkEntry.queries
       .filterNot { case (name, _) => skipAtBenchScale(name) }
+    // Force FULL evaluation through the built-in `noop` sink. Timing
+    // `.count()` lets Catalyst prune every column a count doesn't need —
+    // a projection-only query (lang_id, bpe_tokens, doc_redact, …)
+    // collapses to a parquet row-count scan and benches as a ~90 ms no-op
+    // regardless of what its expressions cost (measured: bpe_tokens flat
+    // at 0.1 s across a 30x corpus sweep because the encode was never
+    // run). The noop write materializes every output row with every
+    // column evaluated and discards it — the standard Spark benchmarking
+    // sink — so map-side queries are finally measured. Aggregating /
+    // joining queries were always fully measured (a count can't prune
+    // through them); their timings just gain the small final-projection
+    // cost this had been hiding.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     headline.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     // A query that throws must surface as an error, not a fast "timing":
     // round 10's fixture drift broke 12 queries and the bench recorded
@@ -60,7 +74,7 @@ object Bench {
     def timeOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => errors += name }
+      try { run(fn(spark, sfDir)) } catch { case _: Throwable => errors += name }
       (System.nanoTime() - t0) / 1e9
     }
     def timedPass(): Map[String, Double] =

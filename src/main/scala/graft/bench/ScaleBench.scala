@@ -36,10 +36,14 @@ object ScaleBench {
   // every prefix-token bucket by N), and the design claims the
   // exact-collapse pre-pass keeps MINING constant-cost while only the
   // (output-sized) family expansion scales — ~N²/2 pair rows per family.
+  // bpe_tokens and frame_hist are the round-12 map-side families: encode
+  // cost should be strictly linear in corpus size (training is
+  // sample-bounded and memoized; stripe features are one projection).
   private val queryNames = Seq(
     "dedup_exact", "dedup_minhash", "dedup_near_keep", "dedup_clusters",
     "winnow_pairs", "bm25_topk", "bm25_index_topk", "knn_topk", "sparse_knn",
-    "doc_dup_spans", "dedup_span_cut", "jaccard_join_pairs")
+    "doc_dup_spans", "dedup_span_cut", "jaccard_join_pairs",
+    "bpe_tokens", "frame_hist")
 
   private val Stride = 10_000_000L // far above any fixture id
 
@@ -64,12 +68,18 @@ object ScaleBench {
       val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
       val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
       val fns = queryNames.map(q => q -> graft.SparkEntry.queries(q))
+      // Full evaluation via the noop sink — same rationale as graft.Bench:
+      // a count() would let Catalyst prune projection-only query bodies
+      // (bpe_tokens' encode, frame_hist's stripe features) down to a
+      // row-count scan, and the sweep would "measure" a no-op flat in N.
+      def run(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
       fns.foreach { case (_, fn) => // warmup: JIT, codegen, artifact builds
-        try fn(spark, dir).count() catch { case _: Throwable => () }
+        try run(fn(spark, dir)) catch { case _: Throwable => () }
       }
       def pass(): Map[String, Double] = fns.map { case (q, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, dir).count() catch { case _: Throwable => () }
+        try run(fn(spark, dir)) catch { case _: Throwable => () }
         q -> (System.nanoTime() - t0) / 1e9
       }.toMap
       val (p1, p2) = (pass(), pass())
