@@ -163,6 +163,18 @@ object SparkEntry {
       _ => graft.text.Bpe.train(Tables.documents(s, dir), "doc_id", "text",
         numMerges = 64, sampleSize = 200))
 
+  /** Release the per-dir memoized state (mined pair checkpoint blocks +
+    * BPE merge lists). Long-lived sessions iterating over many corpus
+    * dirs — the amplified scale sweep is one — would otherwise pin one
+    * materialized corpus-wide pair frame per dir for the application's
+    * lifetime. */
+  private[graft] def evictDirCaches(s: SparkSession, dir: String): Unit = {
+    val key = (s.sparkContext.applicationId, dir)
+    Option(minedPairsCache.remove(key)).foreach(
+      org.apache.spark.sql.GraftInternal.unpersistLocalCheckpoint)
+    bpeMergesCache.remove(key)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------------------------
     // A-group: relational aggregation (SURVEY §2.4; partial+final hash agg)

@@ -39,11 +39,16 @@ object ScaleBench {
   // bpe_tokens and frame_hist are the round-12 map-side families: encode
   // cost should be strictly linear in corpus size (training is
   // sample-bounded and memoized; stripe features are one projection).
+  // budget_select's claim is that the cumulative sweep is bounded by the
+  // 6-dp bucket table, never the corpus — its wall-clock should track the
+  // two quality scans (linear), with the N-clone amplification adding no
+  // new buckets. split_leakfree rides the shared pair mining + CC and adds
+  // only a map-side hash: it should shadow dedup_clusters' trend.
   private val queryNames = Seq(
     "dedup_exact", "dedup_minhash", "dedup_near_keep", "dedup_clusters",
     "winnow_pairs", "bm25_topk", "bm25_index_topk", "knn_topk", "sparse_knn",
     "doc_dup_spans", "dedup_span_cut", "jaccard_join_pairs",
-    "bpe_tokens", "frame_hist")
+    "bpe_tokens", "frame_hist", "budget_select", "split_leakfree")
 
   private val Stride = 10_000_000L // far above any fixture id
 
@@ -77,16 +82,27 @@ object ScaleBench {
       fns.foreach { case (_, fn) => // warmup: JIT, codegen, artifact builds
         try run(fn(spark, dir)) catch { case _: Throwable => () }
       }
+      // A throwing query must surface in `errors`, never as a fast
+      // "timing" — the same contract graft.Bench enforces since the
+      // round-10 fixture incident (exception latencies read as 10x
+      // speedups otherwise).
+      val errs = scala.collection.mutable.TreeSet[String]()
       def pass(): Map[String, Double] = fns.map { case (q, fn) =>
         val t0 = System.nanoTime()
-        try run(fn(spark, dir)) catch { case _: Throwable => () }
+        try run(fn(spark, dir)) catch { case _: Throwable => errs += q }
         q -> (System.nanoTime() - t0) / 1e9
       }.toMap
       val (p1, p2) = (pass(), pass())
-      val times = queryNames.map(q => q -> math.min(p1(q), p2(q)))
+      val times = queryNames.filterNot(errs).map(q => q -> math.min(p1(q), p2(q)))
       System.err.println(s"factor $n done: " +
-        times.map { case (q, t) => f"$q=$t%.2f" }.mkString(" "))
-      n -> (nDocs, nVecs, times)
+        times.map { case (q, t) => f"$q=$t%.2f" }.mkString(" ") +
+        (if (errs.nonEmpty) s" ERRORS=${errs.mkString(",")}" else ""))
+      // Release this factor's memoized per-dir state (pair-frame
+      // checkpoint blocks, BPE merges) before moving to the next —
+      // otherwise every factor's materialized pair set stays pinned in
+      // executor memory for the whole sweep.
+      graft.SparkEntry.evictDirCaches(spark, dir)
+      n -> (nDocs, nVecs, times, errs.toSeq)
     }
 
     // Distributed-CC engagement at the largest factor: mine the same LSH
@@ -132,15 +148,21 @@ object ScaleBench {
     sq.awaitTermination()
     val admitSecs = (System.nanoTime() - ta0) / 1e9
     val admitBatches = sq.recentProgress.count(_.numInputRows > 0)
-    val admittedDf = spark.read.parquet(s"$spanRoot/clean")
-    val admitted = admittedDf.count()
-    val fullyCut = admittedDf.filter(length(col("text")) === 0).count()
+    // Zero admitted rows (e.g. a factors=[1] run, where the replica filter
+    // matches nothing) never creates cleanDir — don't lose the whole
+    // sweep's measurements to an AnalysisException on the read-back.
+    val (admitted, fullyCut) =
+      if (hfs.exists(new org.apache.hadoop.fs.Path(s"$spanRoot/clean"))) {
+        val admittedDf = spark.read.parquet(s"$spanRoot/clean")
+        (admittedDf.count(), admittedDf.filter(length(col("text")) === 0).count())
+      } else (0L, 0L)
     System.err.println(f"span admit done: build=$buildSecs%.2f " +
       f"admit=$admitSecs%.2f batches=$admitBatches admitted=$admitted fully_cut=$fullyCut")
 
-    val factorJson = perFactor.map { case (n, (nd, nv, times)) =>
+    val factorJson = perFactor.map { case (n, (nd, nv, times, errs)) =>
       s""""$n":{"n_docs":$nd,"n_vecs":$nv,"queries":{""" +
-        times.map { case (q, t) => s""""$q":${jNum(t)}""" }.mkString(",") + "}}"
+        times.map { case (q, t) => s""""$q":${jNum(t)}""" }.mkString(",") +
+        s"""},"errors":${errs.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"scale","sf_dir":"$srcDir","cores":$cpus,""" +
       s""""factors":${factors.mkString("[", ",", "]")},""" +

@@ -40,7 +40,10 @@ object Bpe {
     * [[TextAnalysis.tokenCount]], so BPE counts nest under word counts. */
   private[graft] def words(text: String): Seq[String] =
     if (text == null) Seq.empty
-    else text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    // Locale.ROOT: the default-locale toLowerCase diverges from Spark's
+    // locale-independent lower() on e.g. tr/az JVMs ('I' → dotless 'ı'),
+    // which would make merges and subword counts machine-dependent.
+    else text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).toSeq
 
   /** Train `numMerges` merges on a seeded sample of `df`. Deterministic:
     * sample selection is the salted-md5 order, pair counting is exact,

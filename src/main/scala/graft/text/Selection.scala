@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /**
  * Token-budget corpus selection: keep the best documents (by a quality
@@ -13,34 +14,45 @@ import org.apache.spark.sql.functions._
  * (`sum(tokens) over (order by quality desc, id)`), which Spark executes
  * as a single-partition window — the exact anti-pattern this engine's
  * plan guards exist to catch. This implementation computes the SAME
- * inclusive-prefix-sum cutoff exactly, in two bounded phases:
+ * inclusive-prefix-sum cutoff exactly, with every operator bounded:
  *
- *  1. *Bucket pass*: quantize the quality key to its 6-dp fixed-point
+ *  1. *Cell pass*: quantize the quality key to its 6-dp fixed-point
  *     integer (the repo's wire rounding, so bucket boundaries coincide
- *     with the oracle's rounded values) and hash-aggregate per-bucket
- *     token sums — one shuffle whose output is at most 10⁶+1 rows
- *     REGARDLESS of corpus size (quality ∈ [0,1] at 6 dp), so the
- *     cumulative sweep over the sorted bucket table is a bounded
- *     single-partition window over ≤10⁶ rows, not over the corpus.
- *  2. *Selection pass*: ONE more corpus scan broadcast-joins each row to
+ *     with the oracle's rounded values) and sub-divide each bucket into
+ *     ≤`idBands` deterministic id-range bands (width from the global
+ *     id min/max — a narrow id-only scan); hash-aggregate per-(bucket,
+ *     band) token sums. Rolled up to per-bucket totals, the cumulative
+ *     sweep runs over ≤10⁶ rows REGARDLESS of corpus size (quality ∈
+ *     [0,1] at 6 dp) — a bounded single-partition window, not the
+ *     corpus. The id-banding exists because a heavily-tied quality
+ *     column (e.g. a capped score where most of the corpus saturates)
+ *     can put nearly all documents into the ONE bucket that straddles
+ *     the budget cutoff; without bands, its in-bucket running sum would
+ *     degenerate to a single corpus-sized window partition. (Measured:
+ *     the 30× N-clone scale sweep — every quality duplicated 30-fold —
+ *     ran 15.9 s single-banded vs linear-trend multi-banded.)
+ *  2. *Selection pass*: one more corpus scan broadcast-joins each row to
  *     its bucket's decision (`__before` = tokens consumed by strictly
- *     better buckets), prunes rows whose bucket cannot contribute
- *     (neither fully inside the budget nor straddling it), and applies
- *     the in-bucket running sum over a window PARTITIONED by the bucket
- *     key (ordered by id). The window's input is only the candidate rows
- *     — roughly budget-sized, never the corpus — and the global
- *     prefix-sum rule decomposes exactly as `__before + run ≤ budget`
- *     for EVERY row (for a fully-fitting bucket, run ≤ bucket-sum, so
- *     the inequality holds automatically; for the one straddling bucket
- *     it is the fine cutoff).
+ *     better buckets) and, for the single straddling bucket, its band's
+ *     offset (`__sbBefore`, swept over ≤`idBands` rows); the running sum
+ *     window is PARTITIONED by (bucket, band) — partitions are
+ *     ~bucket/idBands sized even under total quality skew. The global
+ *     prefix-sum rule decomposes exactly as
+ *     `__before + __sbBefore + run ≤ budget`: for a fully-fitting
+ *     bucket the inequality holds automatically (run ≤ cell sum, so the
+ *     left side is ≤ the bucket's cumulative total ≤ budget — such rows
+ *     need no band offset at all), and for the straddling bucket it is
+ *     the exact fine cutoff since bands partition the bucket in id
+ *     order.
  *
  * A document is selected iff its inclusive running total over the order
  * (quality desc, id asc) is ≤ `budget` — bit-identical to the naive
  * global-window definition (ties inside a bucket are broken by id; buckets
  * never split ties because equal rounded quality means equal bucket).
- * Total cost: two corpus scans (bucket stats + selection), one bounded
- * broadcast, one candidate-sized shuffle — no corpus-sized global window
- * at any scale.
+ * Total cost: one narrow id-only scan, two full scans (cell stats +
+ * selection — the cell aggregate's exchange is reused by both of its
+ * consumers), one bounded broadcast, one candidate-sized shuffle. No
+ * corpus-sized single-partition operator at any scale or skew.
  */
 object Selection {
 
@@ -48,27 +60,62 @@ object Selection {
 
   /**
    * @param docs     one row per document
+   * @param idCol    unique document id; integral types get id-range
+   *                 banding (the skew defense above), other orderable
+   *                 types fall back to one band per bucket
    * @param quality  sort key in [0, 1] (higher = better), e.g.
    *                 [[TextAnalysis.qualityScore]]; quantized to 6 dp
    * @param tokens   per-document token count column (non-negative)
    * @param budget   inclusive token budget
+   * @param idBands  max id-range bands per quality bucket
    * @return (id, quality, n_tokens) of the selected documents — quality is
    *         the 6-dp rounded value the ordering used
    */
   def tokenBudgetSelect(
       docs: DataFrame, idCol: String,
-      quality: Column, tokens: Column, budget: Long): DataFrame = {
+      quality: Column, tokens: Column, budget: Long,
+      idBands: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = docs.select(
+    require(idBands > 0, s"idBands must be positive, got $idBands")
+    val integralId = docs.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+
+    // Deterministic order-aligned band: floor((id - min) / width) with
+    // width from the global id range — pure long arithmetic (`div`), no
+    // sampling, so the band of a row is identical in every plan that
+    // computes it (a range-repartition + partition-id scheme would not
+    // guarantee that across exchange-reuse boundaries).
+    val withBand =
+      if (!integralId) docs.withColumn("__sb", lit(0))
+      else {
+        val mm = docs.agg(min(col(idCol).cast("long")).as("__mn"),
+          max(col(idCol).cast("long")).as("__mx"))
+        // floor(double) banding: both passes evaluate the identical IEEE
+        // expression, so the band of a row is bit-stable; band boundaries
+        // only need to be deterministic and monotone in id, not exact.
+        val width = floor((col("__mx") - col("__mn")).cast("double") /
+          lit(idBands.toDouble)).cast("long") + lit(1L)
+        docs.crossJoin(broadcast(mm))
+          .withColumn("__sb",
+            floor((col(idCol).cast("long") - col("__mn")).cast("double") /
+              width.cast("double")).cast("int"))
+          .drop("__mn", "__mx")
+      }
+    val base = withBand.select(
       col(idCol).as("id"),
       floor(quality * lit(Fp) + lit(0.5)).cast("long").as("__qb"),
-      tokens.cast("long").as("n_tokens"))
+      tokens.cast("long").as("n_tokens"),
+      col("__sb"))
 
-    // Phase 1: per-bucket sums, then the bounded cumulative sweep. The
-    // single-partition window is over the BUCKET table (≤ Fp+1 rows by
-    // construction), which is also why the decision frame below may ride
-    // a broadcast join.
-    val buckets = base.groupBy(col("__qb")).agg(sum(col("n_tokens")).as("__bt"))
+    // Cell pass: per-(bucket, band) sums; bucket totals roll up from the
+    // cells (the cell aggregate's shuffle is shared with the straddle-band
+    // sweep below via exchange reuse). The bucket sweep's single-partition
+    // window is over the ≤Fp+1-row bucket table by construction.
+    val cells = base.groupBy(col("__qb"), col("__sb"))
+      .agg(sum(col("n_tokens")).as("__cbt"))
+    val buckets = cells.groupBy(col("__qb")).agg(sum(col("__cbt")).as("__bt"))
     val sweep = Window.orderBy(col("__qb").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val decided = buckets
@@ -76,16 +123,28 @@ object Selection {
       .select(col("__qb"), (col("__cum") - col("__bt")).as("__before"),
         col("__cum"))
 
-    // Phase 2: one selection scan. Candidate buckets either fit entirely
-    // (__cum ≤ budget) or straddle the cutoff (__before < budget < __cum);
-    // everything else is pruned before the window, so the fine prefix sum
-    // runs over ~budget-sized input partitioned by the bucket key.
-    val fine = Window.partitionBy(col("__qb")).orderBy(col("id"))
+    // Band offsets exist only for the (single) straddling bucket; the
+    // sweep input is ≤idBands rows.
+    val bandSweep = Window.orderBy(col("__sb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val straddleBands = cells
+      .join(broadcast(decided.filter(col("__cum") > budget && col("__before") < budget)
+        .select(col("__qb"))), Seq("__qb"))
+      .withColumn("__sbCum", sum(col("__cbt")).over(bandSweep))
+      .select(col("__qb"), col("__sb"),
+        (col("__sbCum") - col("__cbt")).as("__sbBefore"))
+
+    // Selection pass: candidate buckets either fit entirely or straddle;
+    // everything else is pruned before the window, whose partitions are
+    // (bucket, band)-sized.
+    val fine = Window.partitionBy(col("__qb"), col("__sb")).orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base.join(broadcast(decided), Seq("__qb"))
       .filter(col("__cum") <= budget || col("__before") < budget)
+      .join(broadcast(straddleBands), Seq("__qb", "__sb"), "left")
       .withColumn("__run", sum(col("n_tokens")).over(fine))
-      .filter(col("__before") + col("__run") <= budget)
+      .filter(col("__before") + coalesce(col("__sbBefore"), lit(0L)) +
+        col("__run") <= budget)
       .select(col("id"),
         (col("__qb").cast("double") / lit(Fp.toDouble)).as("quality"),
         col("n_tokens"))

@@ -261,16 +261,23 @@ class PlanSpec extends SparkSpec {
       s"the merge list is a plan constant; encoding must not shuffle:\n$p")
   }
 
-  test("budget_select: single-partition windows only over the bounded bucket table") {
+  test("budget_select: single-partition windows only over bounded frames") {
     val p = plan("budget_select")
-    // The two cumulative sweeps (whole/boundary decisions — AQE reuses the
-    // shared bucket-agg exchange at runtime) run on the ≤10^6-row bucket
-    // table; the corpus-sized fine window must be PARTITIONED by the
-    // bucket key, never global.
-    assert("Exchange SinglePartition".r.findAllIn(p).size <= 2,
-      s"only the bucket-table sweeps may single-partition:\n$p")
-    assert("windowspecdefinition\\(__qb#\\d+L, id#\\d+L ASC".r.findFirstIn(p).isDefined,
-      s"the fine prefix sum must be partitioned by the bucket key:\n$p")
+    // The cumulative sweeps run on the ≤10^6-row bucket table and the
+    // ≤idBands straddle-band table; the corpus-sized fine window must be
+    // PARTITIONED by (bucket, band), never global — the band key is the
+    // skew defense when one bucket holds most of the corpus. The static
+    // plan duplicates the shared sweep subtree per consumer (AQE's
+    // exchange reuse collapses them at runtime), so pin the window SPECS:
+    // every unpartitioned window may order only by the bounded __qb/__sb
+    // aggregate keys, never by a per-document column.
+    val unpartitioned = "windowspecdefinition\\((__\\w+|\\w+)#\\d+L? (ASC|DESC)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(unpartitioned.nonEmpty && unpartitioned.forall(Set("__qb", "__sb")),
+      s"unpartitioned sweeps must run over bucket/band aggregates only, got $unpartitioned:\n$p")
+    assert("windowspecdefinition\\(__qb#\\d+L, __sb#\\d+, id#\\d+L ASC".r
+      .findFirstIn(p).isDefined,
+      s"the fine prefix sum must be partitioned by (bucket, band):\n$p")
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
       !p.contains("CartesianProduct"),
       s"bucket decisions are broadcast-sized by construction:\n$p")

@@ -63,6 +63,43 @@ class SelectionSpec extends SparkSpec {
       assert(select(df, budget) == naive(rows, budget), s"budget=$budget")
   }
 
+  test("total quality skew: one bucket holds the corpus, id bands still cut exactly") {
+    // every doc ties at quality 0.5 -> ONE bucket straddles any partial
+    // budget; the id-band decomposition must reproduce the naive cutoff
+    // including sparse/unbalanced id spaces (ids cluster at both extremes)
+    val rows = (1L to 50L).map(id => (id, 0.5, 7L)) ++
+      (9000L to 9040L).map(id => (id, 0.5, 3L))
+    val df = corpus(rows: _*)
+    val total = rows.map(_._3).sum
+    for (budget <- Seq(0L, 6L, 7L, 100L, 349L, 350L, 353L, total - 1, total)) {
+      val got = Selection.tokenBudgetSelect(df, "doc_id", col("q"), col("n"),
+        budget, idBands = 8).as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+      assert(got == naive(rows, budget), s"budget=$budget")
+    }
+  }
+
+  test("randomized with few bands: banded result equals naive") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 200L).map(id =>
+      (id * 13 % 4096, rnd.nextInt(4) / 10.0, 1L + rnd.nextInt(20).toLong))
+      .distinctBy(_._1).map { case (id, q, n) => (id, q, n) }
+    val df = corpus(rows: _*)
+    val total = rows.map(_._3).sum
+    for (budget <- Seq(total / 7, total / 3, total / 2))
+      assert(Selection.tokenBudgetSelect(df, "doc_id", col("q"), col("n"),
+        budget, idBands = 3).as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+        == naive(rows, budget), s"budget=$budget")
+  }
+
+  test("non-integral id falls back to one band per bucket, same answer") {
+    val rows = Seq(("d", 0.5, 10L), ("a", 0.5, 10L), ("c", 0.9, 5L), ("b", 0.5, 10L))
+    val df = rows.toDF("doc_id", "q", "n")
+    val got = Selection.tokenBudgetSelect(df, "doc_id", col("q"), col("n"), 25L)
+      .as[(String, Double, Long)].collect().sortBy(_._1).toSeq
+    // order: c (0.9, 5) then a, b, d (0.5) by id -> c + a + b = 25
+    assert(got.map(_._1) == Seq("a", "b", "c"))
+  }
+
   test("empty corpus and zero budget are empty, full budget keeps everything") {
     assert(select(corpus(), 100L).isEmpty)
     val rows = Seq((1L, 0.3, 5L), (2L, 0.7, 5L))
