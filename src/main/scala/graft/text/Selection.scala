@@ -109,12 +109,18 @@ object Selection {
       tokens.cast("long").as("n_tokens"),
       col("__sb"))
 
-    // Cell pass: per-(bucket, band) sums; bucket totals roll up from the
-    // cells (the cell aggregate's shuffle is shared with the straddle-band
-    // sweep below via exchange reuse). The bucket sweep's single-partition
-    // window is over the ≤Fp+1-row bucket table by construction.
+    // Cell pass: per-(bucket, band) sums, MATERIALIZED via an eager
+    // localCheckpoint (the minedNearDupPairs precedent). The cell frame
+    // feeds three consumers (bucket rollup → sweep, straddle-band sweep,
+    // and both broadcast decision tables); without the checkpoint each
+    // broadcast subtree re-executes the corpus-wide quality scan beneath
+    // it — measured as 8 FileScans and a 24 s / 30× sweep number vs the
+    // two scans this design budgets. The checkpoint is bounded: one row
+    // per non-empty (bucket, band) cell — ≤ min(n_docs, (Fp+1)·idBands)
+    // narrow rows, distributed.
     val cells = base.groupBy(col("__qb"), col("__sb"))
       .agg(sum(col("n_tokens")).as("__cbt"))
+      .localCheckpoint(true)
     val buckets = cells.groupBy(col("__qb")).agg(sum(col("__cbt")).as("__bt"))
     val sweep = Window.orderBy(col("__qb").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
