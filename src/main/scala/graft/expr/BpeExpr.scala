@@ -28,7 +28,7 @@ final class BpeKernel(merges: Array[(String, String)]) extends Serializable {
   private def encodeWord(w: String): Array[String] = {
     val hit = cache.get(w)
     if (hit != null) return hit
-    var syms = w.map(_.toString).toArray
+    var syms = graft.text.Bpe.splitSymbols(w) // code points, not UTF-16 units
     var done = false
     while (!done && syms.length > 1) {
       // lowest-rank applicable pair, scanning adjacencies

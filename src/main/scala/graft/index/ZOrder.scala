@@ -35,8 +35,10 @@ object ZOrder {
     * each column is linearly bucketed into [0, 2^bits) using the provided
     * (min, max) and the buckets' bits are interleaved column-round-robin
     * (bit b of column i lands at position b·n + i). bits·n must fit a
-    * long; NULL in any column yields NULL (sorts first — callers wanting
-    * NULL-last should coalesce upstream). Pure builtin bit arithmetic —
+    * long; NULL — and NaN, which would otherwise silently bucket to the
+    * top because Spark's greatest/least order NaN above every double — in
+    * any column yields NULL (sorts first — callers wanting NULL-last
+    * should coalesce upstream). Pure builtin bit arithmetic —
     * whole-stage-codegen'd, no UDF. */
   def zValue(cols: Seq[Column], ranges: Seq[(Double, Double)], bits: Int): Column = {
     val n = cols.size
@@ -49,7 +51,7 @@ object ZOrder {
       // floor to [0, top]; constant range (hi == lo) puts everything at 0.
       // greatest/least SKIP nulls (they'd mask a null input as bucket 0),
       // so null propagation is explicit.
-      when(c.isNull, lit(null).cast("long")).otherwise(
+      when(c.isNull || isnan(c.cast("double")), lit(null).cast("long")).otherwise(
         least(lit(top), greatest(lit(0L),
           floor((c.cast("double") - lit(lo)) / lit(w) * lit(top.toDouble)).cast("long"))))
     }
@@ -69,9 +71,13 @@ object ZOrder {
   def writeClustered(df: DataFrame, cols: Seq[String], outDir: String,
       numFiles: Int, bits: Int = 12): Unit = {
     require(cols.nonEmpty, "writeClustered needs at least one cluster column")
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c).cast("double")).as(s"__min_$c"),
-        max(col(c).cast("double")).as(s"__max_$c")))
+    // NaN → NULL before the range agg: Spark's max treats NaN as the
+    // greatest double, so one NaN row would poison the whole range;
+    // NaN rows z-cluster as NULL (same contract as zValue).
+    val aggs = cols.flatMap { c =>
+      val cd = when(!isnan(col(c).cast("double")), col(c).cast("double"))
+      Seq(min(cd).as(s"__min_$c"), max(cd).as(s"__max_$c"))
+    }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     // empty input / all-null column -> null aggregates; any constant range
     // degrades that column to bucket 0 (still a valid layout)

@@ -45,6 +45,21 @@ object Bpe {
     // which would make merges and subword counts machine-dependent.
     else text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).toSeq
 
+  /** Initial symbol sequence of a word: one symbol per Unicode CODE POINT
+    * (not UTF-16 code unit — astral characters must stay whole symbols;
+    * lone surrogates would collide as replacement bytes in UTF8String and
+    * break the cross-engine replay, which iterates code points). */
+  private[graft] def splitSymbols(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
   /** Train `numMerges` merges on a seeded sample of `df`. Deterministic:
     * sample selection is the salted-md5 order, pair counting is exact,
     * and ties break lexicographically on (left, right). */
@@ -61,7 +76,7 @@ object Bpe {
       wordFreq.merge(w, 1L, (a, b) => a + b)))
     var symbols: Map[String, (Array[String], Long)] =
       wordFreq.entrySet().toArray(Array.empty[java.util.Map.Entry[String, Long]])
-        .map(e => e.getKey -> (e.getKey.map(_.toString).toArray, e.getValue))
+        .map(e => e.getKey -> (splitSymbols(e.getKey), e.getValue))
         .toMap
     val out = Seq.newBuilder[(String, String)]
     var m = 0

@@ -133,8 +133,13 @@ object Selection {
     // sweep input is ≤idBands rows.
     val bandSweep = Window.orderBy(col("__sb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // `__before <= budget` (not <): when preceding buckets consume EXACTLY
+    // the budget, this bucket's leading zero-token docs still satisfy the
+    // inclusive rule (cum == budget) and must stay selectable; the bucket
+    // is still unique — any earlier straddler would push this one's
+    // __before past the budget.
     val straddleBands = cells
-      .join(broadcast(decided.filter(col("__cum") > budget && col("__before") < budget)
+      .join(broadcast(decided.filter(col("__cum") > budget && col("__before") <= budget)
         .select(col("__qb"))), Seq("__qb"))
       .withColumn("__sbCum", sum(col("__cbt")).over(bandSweep))
       .select(col("__qb"), col("__sb"),
@@ -146,7 +151,7 @@ object Selection {
     val fine = Window.partitionBy(col("__qb"), col("__sb")).orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base.join(broadcast(decided), Seq("__qb"))
-      .filter(col("__cum") <= budget || col("__before") < budget)
+      .filter(col("__cum") <= budget || col("__before") <= budget)
       .join(broadcast(straddleBands), Seq("__qb", "__sb"), "left")
       .withColumn("__run", sum(col("n_tokens")).over(fine))
       .filter(col("__before") + coalesce(col("__sbBefore"), lit(0L)) +

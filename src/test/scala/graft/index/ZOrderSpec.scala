@@ -75,6 +75,30 @@ class ZOrderSpec extends SparkSpec {
     assert(got == pts.toSet)
   }
 
+  test("zValue: NaN buckets as NULL, not silently to the top") {
+    val df = Seq((Double.NaN, 3.0), (1.0, 3.0)).toDF("x", "y")
+    val z = df.select(ZOrder.zValue(Seq($"x", $"y"),
+      Seq((0.0, 3.0), (0.0, 3.0)), bits = 2).as("z")).collect()
+    assert(z(0).isNullAt(0), "NaN input -> null z (same contract as NULL)")
+    assert(!z(1).isNullAt(0))
+  }
+
+  test("writeClustered: a NaN row does not poison the min/max range") {
+    val out = Files.createTempDirectory("graft_zorder_nan").toString
+    val df = (Seq((Double.NaN, 0.0)) ++ (0 until 32).map(i => (i.toDouble, i.toDouble)))
+      .toDF("u", "t")
+    ZOrder.writeClustered(df, Seq("u", "t"), out, numFiles = 4)
+    val got = spark.read.parquet(out)
+    assert(got.count() == 33, "NaN row still written")
+    // the non-NaN rows must still cluster: files tile sub-ranges, which
+    // requires the range agg to have ignored the NaN (max would be NaN)
+    val perFile = got.filter(!isnan($"u"))
+      .withColumn("f", input_file_name()).groupBy($"f")
+      .agg((max($"u") - min($"u")).as("du")).collect()
+    assert(perFile.length >= 2 && perFile.map(_.getAs[Double]("du")).max < 31.0,
+      "files must still tile the u range despite the NaN row")
+  }
+
   test("writeClustered tolerates empty input and all-null columns") {
     val out = Files.createTempDirectory("graft_zorder_empty").toString
     ZOrder.writeClustered(Seq.empty[(Long, Long)].toDF("u", "t"),

@@ -68,6 +68,28 @@ class BpeSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("astral (non-BMP) characters stay whole symbols, never lone surrogates") {
+    // U+1F600 😀 and U+10348 𐍈 are outside the BMP: code-unit iteration
+    // would split them into surrogate halves that become replacement bytes
+    // in UTF8String and collide across distinct characters.
+    val astral = (Seq.fill(4)("😀😀ab") ++ // 😀😀ab x4
+      Seq.fill(2)("𐍈ab")) // 𐍈ab x2
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val m = Bpe.train(astral, "doc_id", "text", numMerges = 1, sampleSize = 100)
+    // (😀,😀) count 4 beats (a,b) count 6? no — (a,b)=6, (😀,😀)=4, (😀,a)=4,
+    // (𐍈,a)=2 -> best is (a,b); symbols must be the full astral chars
+    assert(m.pairs == Seq(("a", "b")))
+    val enc = Seq((1L, "😀ab 𐍈")).toDF("doc_id", "text")
+      .select(Bpe.encode($"text", m)).head().getSeq[String](0)
+    assert(enc == Seq("😀", "ab", "𐍈"),
+      "astral chars are single symbols; ab merges")
+    // distinct astral chars never collide in a fingerprint
+    val fp = Seq((1L, "😀"), (2L, "𐍈"))
+      .toDF("doc_id", "text")
+      .select(md5(concat_ws(" ", Bpe.encode($"text", m)))).collect()
+    assert(fp(0).getString(0) != fp(1).getString(0))
+  }
+
   test("merge list round-trips through the parquet artifact") {
     val m = Bpe.train(corpus, "doc_id", "text", numMerges = 4, sampleSize = 1000)
     val path = java.nio.file.Files.createTempDirectory("graft_bpe").toString + "/merges"

@@ -100,6 +100,19 @@ class SelectionSpec extends SparkSpec {
     assert(got.map(_._1) == Seq("a", "b", "c"))
   }
 
+  test("exact-budget boundary: zero-token docs in the next bucket stay selected") {
+    // better buckets consume EXACTLY the budget; the following bucket's
+    // leading zero-token docs still satisfy the inclusive rule (cum ==
+    // budget) and must not be dropped by a strict __before < budget prune
+    val rows = Seq((1L, 0.9, 50L), (2L, 0.5, 0L), (3L, 0.5, 10L), (4L, 0.5, 0L))
+    assert(select(corpus(rows: _*), 50L) == naive(rows, 50L))
+    assert(select(corpus(rows: _*), 50L).map(_._1) == Seq(1L, 2L))
+    // and with the zero-token bucket entirely zero: all of it selected
+    val rows2 = Seq((1L, 0.9, 50L), (2L, 0.5, 0L), (3L, 0.5, 0L), (4L, 0.1, 1L))
+    assert(select(corpus(rows2: _*), 50L) == naive(rows2, 50L))
+    assert(select(corpus(rows2: _*), 50L).map(_._1) == Seq(1L, 2L, 3L))
+  }
+
   test("empty corpus and zero budget are empty, full budget keeps everything") {
     assert(select(corpus(), 100L).isEmpty)
     val rows = Seq((1L, 0.3, 5L), (2L, 0.7, 5L))
