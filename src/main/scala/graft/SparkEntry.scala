@@ -1689,9 +1689,12 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // Video frame-sample PLUMBING, oracle-checked: k byte stripes per
-    // payload reduced to L2-normalized byte histograms (the documented
-    // stub decode — no JRE video codec), replayed exactly in SQL. The
+    // Byte-stripe frame sampling — the codec-less fallback path
+    // (Multimodal.sampleFrameFeatures; inter-frame codecs like H.264
+    // have no JRE decoder): k byte stripes per payload reduced to
+    // L2-normalized byte histograms, replayed exactly in SQL. MJPEG
+    // payloads take the REAL decode path — video_meta / video_frames
+    // below. The
     // twin reproduces the substr stripe RANGES (floor(L·f/k) bounds —
     // NOT per-element floor binning, which differs at non-divisible
     // lengths); ss sums are exact integers in double so accumulation
@@ -1734,6 +1737,39 @@ object SparkEntry {
           posexplode(graft.functions.audio_env_sums(col("media"), 8)))
         .select(col("doc_id"), col("pos").as("w"), col("col").as("sum_abs"))
         .orderBy(col("doc_id"), col("w"))
+    }),
+
+    // REAL video frame decode over synthesized MJPEG payloads (the
+    // synth_wav playbook for video): synth_mjpeg hand-encodes k
+    // solid-gray baseline JPEG frames per doc (single-component, all-ones
+    // quant, DC-only blocks — bit-exact through any conformant decoder),
+    // mjpeg_frames splits the stream on SOI/EOI markers, ImageIO decodes
+    // each frame for real, and the oracle replays the generating formula
+    // symbolically (gray of frame f = 16 + (doc_id·31 + f·7) mod 225) —
+    // a true round-trip of container split + entropy decode + IDCT +
+    // grid-feature kernel. No stub anywhere on this path.
+    "video_meta" -> ((s, dir) => {
+      val media = Tables.documents(s, dir).select(col("doc_id"),
+        graft.functions.synth_mjpeg(col("doc_id"),
+          (lit(2) + col("doc_id") % 3).cast("int"), lit(16)).as("media"))
+      Multimodal.videoFrameMeta(media, "media")
+        .select(col("doc_id"), col("frame_idx"),
+          col("frame_meta.width").as("width"),
+          col("frame_meta.height").as("height"),
+          col("frame_meta.format").as("format"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    "video_frames" -> ((s, dir) => {
+      val media = Tables.documents(s, dir).select(col("doc_id"),
+        graft.functions.synth_mjpeg(col("doc_id"),
+          (lit(2) + col("doc_id") % 3).cast("int"), lit(16)).as("media"))
+      Multimodal.sampleVideoFrameFeatures(media, "media", "feat", grid = 1)
+        .select(col("doc_id"), col("frame_idx"),
+          posexplode(col("feat")).as(Seq("b", "v")))
+        .select(col("doc_id"), col("frame_idx"), col("b"),
+          r6(col("v").cast("double")).as("v"))
+        .orderBy(col("doc_id"), col("frame_idx"), col("b"))
     }),
 
     // ------------------------------------------------------------------
@@ -2998,6 +3034,29 @@ object SparkEntry {
         |  CAST(800 + (doc_id % 7) * 160 AS BIGINT) AS n_frames,
         |  'audio/wav' AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Video round-trip twins: the MJPEG payload is hand-encoded from an
+    // all-integer formula (graft.expr.VideoOps — solid gray per frame,
+    // g = 16 + (doc_id·31 + f·7) mod 225, frames = 2 + doc_id mod 3), so
+    // the oracle replays the formula symbolically; Spark's side actually
+    // encodes the JPEG container, splits it on markers, and decodes it
+    // through ImageIO. All operands non-negative, so % == floorMod.
+    "video_meta" ->
+      """SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  16 AS width, 16 AS height, 'image/jpeg' AS format
+        |FROM documents, unnest(range(0, 2 + doc_id % 3)) AS u(f)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "video_frames" ->
+      """WITH frames AS (
+        |  SELECT doc_id, f, 16 + (doc_id * 31 + f * 7) % 225 AS g
+        |  FROM documents, unnest(range(0, 2 + doc_id % 3)) AS u(f)
+        |)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(b AS INT) AS b,
+        |  FLOOR(CAST(CAST(g / 255.0 AS REAL) AS DOUBLE) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS v
+        |FROM frames, unnest(range(0, 3)) AS bb(b)
+        |ORDER BY doc_id, frame_idx, b""".stripMargin,
 
     "audio_env" ->
       """WITH docs AS (

@@ -72,16 +72,30 @@ object ImageOps {
     val h = img.getHeight
     val sums = new Array[Double](3 * grid * grid)
     val counts = new Array[Long](grid * grid)
+    // Single-band (grayscale) rasters read RAW samples: getRGB would run
+    // the linear-gray→sRGB ICC conversion (16 → 71), which is neither the
+    // stored pixel value nor replayable float math. r = g = b = sample.
+    val grayRaster =
+      if (img.getRaster.getNumBands == 1 &&
+          img.getColorModel.getComponentSize(0) == 8) img.getRaster
+      else null
     var y = 0
     while (y < h) {
       val cy = y * grid / h
       var x = 0
       while (x < w) {
         val cell = cy * grid + x * grid / w
-        val rgb = img.getRGB(x, y) // sRGB, alpha premultiplication undone
-        sums(3 * cell) += (rgb >>> 16) & 0xff
-        sums(3 * cell + 1) += (rgb >>> 8) & 0xff
-        sums(3 * cell + 2) += rgb & 0xff
+        if (grayRaster != null) {
+          val v = grayRaster.getSample(x, y, 0)
+          sums(3 * cell) += v
+          sums(3 * cell + 1) += v
+          sums(3 * cell + 2) += v
+        } else {
+          val rgb = img.getRGB(x, y) // sRGB, alpha premultiplication undone
+          sums(3 * cell) += (rgb >>> 16) & 0xff
+          sums(3 * cell + 1) += (rgb >>> 8) & 0xff
+          sums(3 * cell + 2) += rgb & 0xff
+        }
         counts(cell) += 1L
         x += 1
       }

@@ -110,6 +110,17 @@ package object functions {
   def synth_wav(seed: Column, nSamples: Column, sampleRate: Column): Column =
     col(SynthWav(ex(seed), ex(nSamples), ex(sampleRate)))
 
+  /** Complete JPEG frames (array<binary>) of an MJPEG binary column,
+    * split on SOI/EOI markers — the REAL video frame path (each frame
+    * then decodes through ImageIO, e.g. [[image_grid_features]]). See
+    * [[graft.expr.VideoOps]]. */
+  def mjpeg_frames(a: Column): Column = col(MjpegFrames(ex(a)))
+
+  /** Deterministic solid-gray MJPEG bytes from (seed, n_frames, size) —
+    * fixture synthesis / smoke-test utility. */
+  def synth_mjpeg(seed: Column, nFrames: Column, size: Column): Column =
+    col(SynthMjpeg(ex(seed), ex(nFrames), ex(size)))
+
   /** Int8-quantize an array<float> column to binary codes (4x smaller;
     * symmetric per-vector scale, which cancels under cosine). */
   def quantize_int8(a: Column): Column = col(QuantizeInt8(ex(a)))
@@ -268,6 +279,10 @@ package object functions {
       es => AudioEnvelope(es(0), litInt("audio_envelope", "windows")(es(1))), "built-in")
     reg.createOrReplaceTempFunction("synth_wav",
       es => SynthWav(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("mjpeg_frames",
+      es => MjpegFrames(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("synth_mjpeg",
+      es => SynthMjpeg(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_sig",
       es => HyperplaneSig(es(0), litInt("hyperplane_sig", "bits")(es(1)),
         litLong("hyperplane_sig", "seed")(es(2))), "built-in")

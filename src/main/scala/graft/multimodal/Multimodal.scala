@@ -16,10 +16,16 @@ import org.apache.spark.sql.functions._
  *  - AUDIO decodes for real via the JDK's javax.sound (WAV/AIFF/AU PCM):
  *    [[audioMeta]] / [[extractAudioFeatures]] ([[graft.expr.AudioOps]],
  *    mean-|amplitude| energy-envelope features).
- *  - remaining modalities (compressed audio, video frame sampling —
- *    codecs genuinely absent in the JRE) keep the DETERMINISTIC
- *    byte-histogram kernel ([[graft.expr.ByteHistogram]]) behind
- *    [[extractFeatures]]; swapping in a real codec changes ONE
+ *  - VIDEO decodes for real via Motion-JPEG: the stream splits into
+ *    complete JPEG frames on SOI/EOI markers ([[graft.expr.VideoOps]])
+ *    and each frame decodes through the same ImageIO path —
+ *    [[sampleVideoFrameFeatures]]. Containers needing inter-frame
+ *    codecs (H.264/VP9 — genuinely absent in the JRE) fall back to the
+ *    byte-stripe path below.
+ *  - remaining modalities (compressed audio, inter-frame video) keep
+ *    the DETERMINISTIC byte-histogram kernel
+ *    ([[graft.expr.ByteHistogram]]) behind [[extractFeatures]] /
+ *    [[sampleFrameFeatures]]; swapping in a codec changes ONE
  *    expression.
  * Shared physical shape either way:
  *  - payloads are map-side only — a binary column never rides a shuffle
@@ -48,10 +54,11 @@ object Multimodal {
 
   /** Modality-agnostic decode+embed: binary payload -> array<float>
     * feature vector via the deterministic byte-histogram kernel — the
-    * path for payloads without a JVM codec (audio/video). Every
-    * downstream consumer (knn, near-dup, IVF) is agnostic to how the
-    * vector was produced; image payloads should prefer
-    * [[extractImageFeatures]] (real decode). */
+    * path for payloads without a JVM codec (compressed audio,
+    * inter-frame video). Every downstream consumer (knn, near-dup, IVF)
+    * is agnostic to how the vector was produced; images, PCM audio, and
+    * MJPEG video have real decode paths ([[extractImageFeatures]],
+    * [[extractAudioFeatures]], [[sampleVideoFrameFeatures]]). */
   def extractFeatures(df: DataFrame, mediaCol: String, featCol: String,
       buckets: Int = 64): DataFrame =
     df.withColumn(featCol,
@@ -72,16 +79,42 @@ object Multimodal {
     df.withColumn(featCol,
       graft.functions.image_grid_features(col(mediaCol), grid))
 
-  /** Frame-sample PLUMBING for video payloads: k evenly-spaced "frames"
-    * per payload, each reduced to a feature vector, emitted as
-    * (…, frame_idx, featCol) rows. No JVM video codec exists in this
-    * container, so the DECODE IS A DOCUMENTED STUB: a "frame" is the
-    * byte stripe [i·len/k, (i+1)·len/k) and its feature the byte
-    * histogram. The Spark-side shape is the real contract — binary in,
-    * k feature rows out, everything map-side in one projection (the
-    * payload never rides a shuffle; k small vectors do), empty stripes
-    * (len < k) yield zero vectors rather than dropping indices. A real
-    * codec changes ONE lambda: stripe→decoded-frame-features. */
+  /** REAL video frame decode+embed (Motion-JPEG via the JDK's ImageIO):
+    * the payload splits into complete JPEG frames on SOI/EOI markers and
+    * each frame reduces to mean-RGB g×g thumbnail features — one row per
+    * (doc, frame_idx). Everything map-side in one projection: the video
+    * payload never rides a shuffle, only the small per-frame vectors do.
+    * Undecodable frames yield NULL features (quarantine downstream, same
+    * contract as the image path); a NULL payload yields no rows. Exact
+    * for frames whose blocks are DC-only (e.g. the solid-frame fixture —
+    * a flat block's IDCT is exact in every conformant decoder); general
+    * JPEG rasters are decoder-defined, the image-path caveat. */
+  def sampleVideoFrameFeatures(df: DataFrame, mediaCol: String,
+      featCol: String, grid: Int = 4): DataFrame =
+    df.select((df.columns.filter(_ != mediaCol).map(col) :+
+      posexplode(graft.functions.mjpeg_frames(col(mediaCol)))
+        .as(Seq("frame_idx", "__frame"))): _*)
+      .withColumn(featCol, graft.functions.image_grid_features(col("__frame"), grid))
+      .drop("__frame")
+
+  /** Per-frame decoded metadata (width, height, format) for an MJPEG
+    * payload — one row per (doc, frame_idx); NULL meta = corrupt frame. */
+  def videoFrameMeta(df: DataFrame, mediaCol: String): DataFrame =
+    df.select((df.columns.filter(_ != mediaCol).map(col) :+
+      posexplode(graft.functions.mjpeg_frames(col(mediaCol)))
+        .as(Seq("frame_idx", "__frame"))): _*)
+      .withColumn("frame_meta", graft.functions.image_meta(col("__frame")))
+      .drop("__frame")
+
+  /** Byte-stripe frame sampling — the CODEC-LESS fallback for payloads
+    * whose container the JRE cannot decode (H.264/VP9 video, MP3/Opus
+    * audio): k evenly-spaced byte stripes [i·len/k, (i+1)·len/k), each
+    * reduced to its byte histogram — deterministic content features
+    * without decoding, emitted as (…, frame_idx, featCol) rows. Same
+    * physical shape as the real path (map-side, one projection, payload
+    * never shuffles); empty stripes (len < k) yield zero vectors rather
+    * than dropping indices. MJPEG payloads should use
+    * [[sampleVideoFrameFeatures]] (real decode). */
   def sampleFrameFeatures(df: DataFrame, mediaCol: String, featCol: String,
       k: Int, buckets: Int = 64): DataFrame = {
     require(k >= 1 && k <= 4096, s"k must be in [1,4096], got $k")
