@@ -19,18 +19,27 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
  *  1. *Cell pass*: quantize the quality key to its 6-dp fixed-point
  *     integer (the repo's wire rounding, so bucket boundaries coincide
  *     with the oracle's rounded values) and sub-divide each bucket into
- *     ≤`idBands` deterministic id-range bands (width from the global
- *     id min/max — a narrow id-only scan); hash-aggregate per-(bucket,
- *     band) token sums. Rolled up to per-bucket totals, the cumulative
- *     sweep runs over ≤10⁶ rows REGARDLESS of corpus size (quality ∈
- *     [0,1] at 6 dp) — a bounded single-partition window, not the
- *     corpus. The id-banding exists because a heavily-tied quality
- *     column (e.g. a capped score where most of the corpus saturates)
- *     can put nearly all documents into the ONE bucket that straddles
- *     the budget cutoff; without bands, its in-bucket running sum would
- *     degenerate to a single corpus-sized window partition. (Measured:
- *     the 30× N-clone scale sweep — every quality duplicated 30-fold —
- *     ran 15.9 s single-banded vs linear-trend multi-banded.)
+ *     ≤`idBands` deterministic id bands whose boundaries come from
+ *     SAMPLED ID QUANTILES (one narrow id-only approxQuantile pass,
+ *     collected once driver-side — ≤`idBands` doubles — and embedded as
+ *     plan literals); hash-aggregate per-(bucket, band) token sums.
+ *     Rolled up to per-bucket totals, the cumulative sweep runs over
+ *     ≤10⁶ rows REGARDLESS of corpus size (quality ∈ [0,1] at 6 dp) — a
+ *     bounded single-partition window, not the corpus. The id-banding
+ *     exists because a heavily-tied quality column (e.g. a capped score
+ *     where most of the corpus saturates) can put nearly all documents
+ *     into the ONE bucket that straddles the budget cutoff; without
+ *     bands, its in-bucket running sum would degenerate to a single
+ *     corpus-sized window partition. (Measured: the 30× N-clone scale
+ *     sweep — every quality duplicated 30-fold — ran 15.9 s
+ *     single-banded vs linear-trend multi-banded.) QUANTILE boundaries
+ *     rather than global-[min,max] range slices: a clustered id space
+ *     (snowflake ids from one epoch inside a wide long range) collapses
+ *     range bands into one, re-creating the corpus-sized partition,
+ *     while quantile bands stay ~1/idBands-sized under ANY id
+ *     distribution. Bands stay monotone in id (quantiles of an ordered
+ *     key), which the fine cutoff's id ordering requires — hash bands
+ *     would be cheaper but break it.
  *  2. *Selection pass*: one more corpus scan broadcast-joins each row to
  *     its bucket's decision (`__before` = tokens consumed by strictly
  *     better buckets) and, for the single straddling bucket, its band's
@@ -58,9 +67,39 @@ object Selection {
 
   private val Fp = 1000000L // 6-dp fixed point — matches the oracle wire rounding
 
+  /** Distinct, sorted id-quantile band boundaries (≤ idBands−1 doubles):
+    * one narrow approxQuantile scan, a bounded driver-side collect.
+    * Approximation error only skews band SIZES slightly — correctness
+    * needs boundaries that are deterministic within the call and
+    * monotone in id, both of which literals trivially are. Long→double
+    * is monotone (non-strict), so ids beyond 2⁵³ can only COARSEN bands,
+    * never misorder them. */
+  private[text] def idBandBoundaries(
+      docs: DataFrame, idCol: String, idBands: Int): Array[Double] =
+    if (idBands <= 1) Array.empty
+    else docs.stat.approxQuantile(idCol,
+        (1 until idBands).map(_.toDouble / idBands).toArray,
+        0.25 / idBands)
+      .distinct.sorted
+
+  /** Band of an id under sorted boundaries: a BALANCED when-tree binary
+    * search — O(log idBands) codegen'd comparisons per row, no lateral
+    * O(idBands) scan. Ties at a boundary go right; any fixed rule works
+    * because both passes evaluate this identical expression. */
+  private[text] def bandColumn(id: Column, bnds: Array[Double]): Column = {
+    val d = id.cast("double")
+    def tree(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo)
+      else {
+        val mid = (lo + hi - 1) / 2
+        when(d < lit(bnds(mid)), tree(lo, mid)).otherwise(tree(mid + 1, hi))
+      }
+    if (bnds.isEmpty) lit(0) else tree(0, bnds.length)
+  }
+
   /**
    * @param docs     one row per document
-   * @param idCol    unique document id; integral types get id-range
+   * @param idCol    unique document id; integral types get id-quantile
    *                 banding (the skew defense above), other orderable
    *                 types fall back to one band per bucket
    * @param quality  sort key in [0, 1] (higher = better), e.g.
@@ -82,26 +121,18 @@ object Selection {
       case _ => false
     }
 
-    // Deterministic order-aligned band: floor((id - min) / width) with
-    // width from the global id range — pure long arithmetic (`div`), no
-    // sampling, so the band of a row is identical in every plan that
-    // computes it (a range-repartition + partition-id scheme would not
-    // guarantee that across exchange-reuse boundaries).
+    // Deterministic order-aligned bands from sampled id quantiles: the
+    // boundaries are computed ONCE (a bounded driver collect) and ride
+    // both passes as the SAME plan literals, so the band of a row is
+    // bit-stable across every plan that computes it (a range-repartition
+    // + partition-id scheme would not guarantee that across
+    // exchange-reuse boundaries, and a per-pass sample could disagree
+    // with itself).
     val withBand =
       if (!integralId) docs.withColumn("__sb", lit(0))
       else {
-        val mm = docs.agg(min(col(idCol).cast("long")).as("__mn"),
-          max(col(idCol).cast("long")).as("__mx"))
-        // floor(double) banding: both passes evaluate the identical IEEE
-        // expression, so the band of a row is bit-stable; band boundaries
-        // only need to be deterministic and monotone in id, not exact.
-        val width = floor((col("__mx") - col("__mn")).cast("double") /
-          lit(idBands.toDouble)).cast("long") + lit(1L)
-        docs.crossJoin(broadcast(mm))
-          .withColumn("__sb",
-            floor((col(idCol).cast("long") - col("__mn")).cast("double") /
-              width.cast("double")).cast("int"))
-          .drop("__mn", "__mx")
+        val bnds = idBandBoundaries(docs, idCol, idBands)
+        docs.withColumn("__sb", bandColumn(col(idCol), bnds))
       }
     val base = withBand.select(
       col(idCol).as("id"),

@@ -100,6 +100,32 @@ class SelectionSpec extends SparkSpec {
     assert(got.map(_._1) == Seq("a", "b", "c"))
   }
 
+  test("clustered id space: quantile bands still split a tied-quality bucket") {
+    // ids packed into a sliver of the long range (one snowflake epoch):
+    // global-[min,max] range bands would collapse every row into band 0,
+    // re-creating the corpus-sized window partition under total quality
+    // skew. Quantile boundaries must keep (bucket, band) cells ~n/idBands.
+    val base = Long.MaxValue / 2
+    val rows = (0L until 4000L).map(i => (base + i, 0.5, 3L)) ++
+      Seq((1L, 0.5, 3L), (Long.MaxValue - 7, 0.5, 3L)) // two far outliers
+    val df = corpus(rows: _*)
+    val idBands = 16
+    val bnds = Selection.idBandBoundaries(df, "doc_id", idBands)
+    assert(bnds.length >= idBands / 2,
+      s"clustered ids must still yield many distinct boundaries, got ${bnds.length}")
+    val sizes = df.select(Selection.bandColumn(col("doc_id"), bnds).as("b"))
+      .groupBy($"b").count().collect().map(_.getLong(1))
+    assert(sizes.length >= idBands / 2, s"got ${sizes.length} non-empty bands")
+    assert(sizes.max <= 4L * rows.size / idBands,
+      s"worst band ${sizes.max} of ${rows.size} rows across $idBands bands")
+    // and the selection output is still exactly the naive definition
+    val total = rows.map(_._3).sum
+    for (budget <- Seq(total / 3, total / 2, total - 1))
+      assert(Selection.tokenBudgetSelect(df, "doc_id", col("q"), col("n"),
+        budget, idBands = idBands).as[(Long, Double, Long)].collect()
+        .sortBy(_._1).toSeq == naive(rows, budget), s"budget=$budget")
+  }
+
   test("exact-budget boundary: zero-token docs in the next bucket stay selected") {
     // better buckets consume EXACTLY the budget; the following bucket's
     // leading zero-token docs still satisfy the inclusive rule (cum ==
