@@ -119,7 +119,11 @@ object Bench {
     val errorsJson = errors.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadsJson = passLoads.map(jNum).mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${jNum(total)},"unit":"sec","queries":$qs,"passes":$passesJson,"pass_load_avg_1m":$loadsJson,"disputed":$disputedJson,"errors":$errorsJson,"sf":"$sfDir","cores":$cpus,"load_avg_1m":${jNum(loadAvg)}}"""
+    // Data-skipping evidence for the zorder_scan entry: files read vs
+    // files total under its two-column predicate, captured from the last
+    // executed plan (0/0 if the query never ran or errored).
+    val (zTotal, zRead) = SparkEntry.lastZorderScanStats
+    val line = s"""{"metric":"total","value":${jNum(total)},"unit":"sec","queries":$qs,"passes":$passesJson,"pass_load_avg_1m":$loadsJson,"disputed":$disputedJson,"errors":$errorsJson,"zorder_scan_files":{"total":$zTotal,"read":$zRead},"sf":"$sfDir","cores":$cpus,"load_avg_1m":${jNum(loadAvg)}}"""
     println(line)
     // Durable copy: the driver snapshots only the tail of stdout (~2000
     // chars), which the full self-adjudicating line can overflow (BENCH_r06

@@ -7,7 +7,7 @@ import graft.dedup.{Dedup, SemDedup}
 import graft.ingest.{CloneGraph, Corpus}
 import graft.metrics.IrMetrics
 import graft.multimodal.Multimodal
-import graft.search.{Ann, Knn}
+import graft.search.{Ann, Knn, LatticeKmeans}
 import graft.streaming.Streaming
 import graft.text.TextAnalysis
 
@@ -80,26 +80,11 @@ object SparkEntry {
   private def docsParallel(s: SparkSession, dir: String): DataFrame =
     rebalanced(Tables.documents(s, dir), s)
 
-  /** Encoding guard for oracles whose SQL twin folds Unicode CODE POINTS
-    * while the Scala kernel folds UTF-8 bytes (winnow) or UTF-16 units
-    * (simhash): the two agree exactly on ASCII and silently diverge on
-    * anything else, so a non-ASCII doc in a future fixture must fail the
-    * query LOUDLY (driver records `err`) instead of coin-flipping the
-    * hash compare. One cheap short-circuiting scan, memoized per dir. */
-  private val asciiChecked =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def requireAsciiFixture(
-      s: SparkSession, dir: String, query: String): Unit =
-    if (!asciiChecked.contains(dir)) {
-      val nonAscii = Tables.documents(s, dir)
-        .filter(col("text").rlike("[^\\x00-\\x7F]")).limit(1).count()
-      require(nonAscii == 0L,
-        s"$query: its DuckDB oracle replays the hash fold over Unicode " +
-          "code points and is encoding-faithful only for ASCII text, but " +
-          s"$dir/documents contains non-ASCII documents — extend the SQL " +
-          "twin to the kernel's byte/code-unit fold before trusting it")
-      asciiChecked.add(dir)
-    }
+  // The round-13 requireAsciiFixture guard is RETIRED (round 14): the
+  // formerly code-point-folding oracle twins (winnow/simhash/embed/bpe/
+  // multimodal/frame_hist) now emulate the kernels' exact UTF-8-byte /
+  // UTF-16-unit views via sqlUtf8Bytes/sqlUtf16Units, so they hold on any
+  // Unicode fixture (tools/nonascii_check.py replays them on one).
 
   /** Corpus content fingerprint for keying tmpdir artifact caches: one
     * cheap hash pass, order-independent and overflow-free (bit_xor; a sum
@@ -172,11 +157,20 @@ object SparkEntry {
     * dirs — the amplified scale sweep is one — would otherwise pin one
     * materialized corpus-wide pair frame per dir for the application's
     * lifetime. */
+  /** (files_total, files_read) of the most recent zorder_scan plan — the
+    * bench main records it in the artifact so the pruning ratio is
+    * visible per round, not just asserted in specs. */
+  private val zorderStats =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+  private[graft] def lastZorderScanStats: (Int, Int) = zorderStats.get
+
+  private[graft] def evictMinedPairs(s: SparkSession, dir: String): Unit =
+    Option(minedPairsCache.remove((s.sparkContext.applicationId, dir)))
+      .foreach(org.apache.spark.sql.GraftInternal.unpersistLocalCheckpoint)
+
   private[graft] def evictDirCaches(s: SparkSession, dir: String): Unit = {
-    val key = (s.sparkContext.applicationId, dir)
-    Option(minedPairsCache.remove(key)).foreach(
-      org.apache.spark.sql.GraftInternal.unpersistLocalCheckpoint)
-    bpeMergesCache.remove(key)
+    evictMinedPairs(s, dir)
+    bpeMergesCache.remove((s.sparkContext.applicationId, dir))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -807,6 +801,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Honest bench attribution for the shared mining: this entry EVICTS
+    // the memoized pair frame and re-mines, so the corpus-wide
+    // tokenize+shingle+MinHash kernel — paid in untimed warmup for every
+    // other dedup-family query — is timed as its own named entry, and
+    // dedup_minhash's ~0.07 s reads as "marginal over shared mining".
+    // Output (and oracle) identical to dedup_minhash by construction.
+    "pair_mining" -> ((s, dir) => {
+      evictMinedPairs(s, dir)
+      minedNearDupPairs(s, dir)
+        .withColumn("jaccard", r6(col("jaccard")))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // EXACT similarity join at scale: prefix-filtered AllPairs-family
     // join (Dedup.jaccardJoinPrefix) — guaranteed-complete pair set, no
     // LSH miss probability, no O(n²) cross join. Shares the all-pairs
@@ -946,6 +953,32 @@ object SparkEntry {
           budget = 10000L)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
+    }),
+
+    // Z-order clustered scan: events rewritten once (artifact keyed by
+    // corpus fingerprint) into Morton-clustered files with a per-file
+    // min/max skipping manifest, then a two-column range predicate reads
+    // only the files whose hyper-rectangle intersects it (ZOrder
+    // .readPruned re-applies the exact predicate on top — pruning is a
+    // strict superset, so the oracle is a plain filter over the original
+    // table). Files-read vs files-total lands in the bench artifact via
+    // lastZorderScanStats.
+    "zorder_scan" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val fp = corpusFingerprint(ev, col("event_id"), col("user_id"), col("value"))
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_zorder_${fp}_uv_f48_b12").toString
+      if (!graft.index.ZOrder.hasManifest(s, root))
+        graft.index.ZOrder.writeClustered(ev, Seq("user_id", "value"), root,
+          numFiles = 48)
+      // pruning ranges are CLOSED and must contain the predicate: value
+      // prunes on [50, 80] ⊇ the half-open [50, 80) filtered below
+      val (cands, total, read) = graft.index.ZOrder.readPruned(s, root,
+        Seq(("user_id", 100.0, 199.0), ("value", 50.0, 80.0)))
+      zorderStats.set((total, read))
+      cands.filter(col("user_id").between(100L, 199L) &&
+          col("value") >= 50.0 && col("value") < 80.0)
+        .select(col("event_id")).orderBy(col("event_id"))
     }),
 
     // T2 extension: per-class balanced sample — constant quota per lang
@@ -1224,7 +1257,6 @@ object SparkEntry {
     // oracles (embedTfidfCtes); EmbedderSpec pins semantics.
     // ------------------------------------------------------------------
     "embed_corpus" -> ((s, dir) => {
-      requireAsciiFixture(s, dir, "embed_corpus")
       val docs = docsParallel(s, dir)
       val model = new graft.embed.TfIdfEmbedder(dim = 256).fit(docs, "text")
       model.transform(docs, "text", "embedding")
@@ -1240,7 +1272,6 @@ object SparkEntry {
     // TF-IDF transform runs once (same scoped-persist shape as the dedup
     // operators), with the small top-k result materialized eagerly.
     "embed_knn" -> ((s, dir) => {
-      requireAsciiFixture(s, dir, "embed_knn")
       val docs = docsParallel(s, dir)
       val model = new graft.embed.TfIdfEmbedder(dim = 256).fit(docs, "text")
       val vecs = model.transform(docs, "text", "vec").select(col("doc_id"), col("vec"))
@@ -1257,19 +1288,23 @@ object SparkEntry {
     }),
 
     // IVF quality gate: recall@10 of the inverted-file probe join vs exact
-    // kNN (KMeans cells aren't SQL-expressible → rows-only; IvfSpec proves
-    // full-probe ≡ exact bit-for-bit). Bench cost is dominated by the
-    // exact comparator + capped KMeans training — both intrinsic to a
-    // recall measurement, not the probe path being measured.
+    // kNN. GRADUATED to a full DuckDB oracle (round 14, the BPE playbook):
+    // centroid training is LatticeKmeans — bounded seeded sample, exact
+    // integer Lloyd rounds, dyadic float centroids — so the oracle replays
+    // training as 8 materialized CTE rounds, then cosine probe routing and
+    // r6 scoring over the identical doubles (ivfRecallSql). The recall
+    // floor stays as the quality gate; IvfSpec proves full-probe ≡ exact.
     "ivf_recall" -> ((s, dir) => {
       val emb = embParallel(s, dir)
       val q = knnQueries(s, dir)
-      val cents = graft.search.Ivf.trainCentroids(emb, "embedding", nList = 16, seed = 42L)
+      val cents = graft.search.Ivf.trainCentroids(emb, "vec_id", "embedding",
+        nList = 16, seed = 42L)
       val exact = Knn.knnJoin(q, "vec_id", "embedding",
           emb, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
         .select(col("query_id"), col("vec_id").as("result_id"))
       val approx = graft.search.Ivf.knnJoinIvf(q, "vec_id", "embedding",
-          emb, "vec_id", "embedding", k = 10, centroids = cents, nProbe = 4)
+          emb, "vec_id", "embedding", k = 10, centroids = cents, nProbe = 4,
+          roundScoreTo = Some(6))
         .select(col("query_id"), col("vec_id").as("result_id"), lit(1).as("__found"))
       recallFloor(
         exact.join(approx, Seq("query_id", "result_id"), "left")
@@ -1295,7 +1330,7 @@ object SparkEntry {
       // built under older (or pre-versioning) routing arithmetic misses
       // instead of tripping the collection's version guard.
       val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_ivfcol_${fp}_nl16_s42_rv${graft.index.IvfCollection.RoutingVersion}").toString
+        s"graft_ivfcol_${fp}_nl16_s42_lk1_rv${graft.index.IvfCollection.RoutingVersion}").toString
       val ivfc = graft.index.IvfCollection(s, root, "embeddings")
       if (!ivfc.exists) ivfc.build(emb, "vec_id", "embedding", nList = 16, seed = 42L)
       val exact = Knn.knnJoin(q, "vec_id", "embedding",
@@ -1323,7 +1358,7 @@ object SparkEntry {
       val q = knnQueries(s, dir)
       val fp = corpusFingerprint(Tables.embeddings(s, dir), col("vec_id"), col("embedding"))
       val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_ivfcol8_${fp}_nl16_s42_rv${graft.index.IvfCollection.RoutingVersion}").toString
+        s"graft_ivfcol8_${fp}_nl16_s42_lk1_rv${graft.index.IvfCollection.RoutingVersion}").toString
       val ivfc = graft.index.IvfCollection(s, root, "embeddings")
       if (!ivfc.exists) ivfc.build(emb, "vec_id", "embedding", nList = 16, seed = 42L,
         int8 = true)
@@ -1352,7 +1387,7 @@ object SparkEntry {
       val q = knnQueries(s, dir)
       val fp = corpusFingerprint(Tables.embeddings(s, dir), col("vec_id"), col("embedding"))
       val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_ivfcolpq_${fp}_nl16_s42_m8_rv${graft.index.IvfCollection.RoutingVersion}").toString
+        s"graft_ivfcolpq_${fp}_nl16_s42_m8_lk1_rv${graft.index.IvfCollection.RoutingVersion}").toString
       val ivfc = graft.index.IvfCollection(s, root, "embeddings")
       if (!ivfc.exists) ivfc.build(emb, "vec_id", "embedding", nList = 16, seed = 42L,
         pq = true, pqM = 8, pqCodebookSize = 256)
@@ -1380,7 +1415,7 @@ object SparkEntry {
       val q = knnQueries(s, dir)
       val fp = corpusFingerprint(Tables.embeddings(s, dir), col("vec_id"), col("embedding"))
       val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_ivfcolbin_${fp}_nl16_s42_rv${graft.index.IvfCollection.RoutingVersion}").toString
+        s"graft_ivfcolbin_${fp}_nl16_s42_lk1_rv${graft.index.IvfCollection.RoutingVersion}").toString
       val ivfc = graft.index.IvfCollection(s, root, "embeddings")
       if (!ivfc.exists) ivfc.build(emb, "vec_id", "embedding", nList = 16, seed = 42L,
         binary = true)
@@ -1557,7 +1592,6 @@ object SparkEntry {
     // deterministic integer arithmetic, replayed in SQL by the oracle
     // (simhashPairsSql); semantics also pinned in DedupSpec.
     "simhash_pairs" -> ((s, dir) => {
-      requireAsciiFixture(s, dir, "simhash_pairs")
       Dedup.simHashNearDups(docsParallel(s, dir), "doc_id", "text",
           maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
@@ -1573,7 +1607,6 @@ object SparkEntry {
     // bimodal — incidental short runs share 3-5, true near-dups 10+ (the
     // pair set then matches the jaccard-0.8 dedup_minhash family).
     "winnow_pairs" -> ((s, dir) => {
-      requireAsciiFixture(s, dir, "winnow_pairs")
       Dedup.winnowNearDups(docsParallel(s, dir), "doc_id", "text",
           k = 12, w = 8, minShared = 10)
         .orderBy(col("id_a"), col("id_b"))
@@ -1605,17 +1638,20 @@ object SparkEntry {
     // symbol string, where replace() IS the left-to-right merge pass),
     // and the encode replays as a recursive CTE applying the
     // lowest-ranked contained merge until none applies — see
-    // bpeReplaySql. ASCII-guarded: the SQL tie-break orders UTF-8 bytes
-    // (= code points) where Scala orders UTF-16 units, and lower()
-    // semantics differ outside ASCII. BpeSpec still pins training and
-    // encoding against the hand-computed classic reference.
+    // bpeReplaySql. Encoding-faithful since round 14: the SQL tie-break
+    // orders UTF-16 code-unit lists (sqlUtf16Units), matching Scala's
+    // String.compareTo on any Unicode text. BpeSpec still pins training
+    // and encoding against the hand-computed classic reference.
     "bpe_tokens" -> ((s, dir) => {
-      requireAsciiFixture(s, dir, "bpe_tokens")
       val m = bpeMerges(s, dir)
+      // coalesce: the kernel null-propagates (NULL text -> NULL count) but
+      // the oracle's LEFT JOIN + COALESCE treats NULL text as zero words;
+      // '' encodes to the empty token list, matching the oracle exactly
+      val t = coalesce(col("text"), lit(""))
       Tables.documents(s, dir).select(col("doc_id"),
-          graft.text.Bpe.tokenCount(col("text"), m).as("n_subwords"),
+          graft.text.Bpe.tokenCount(t, m).as("n_subwords"),
           substring(md5(concat_ws("\u0001",
-            graft.text.Bpe.encode(col("text"), m))), 1, 16).as("sub_fp"))
+            graft.text.Bpe.encode(t, m))), 1, 16).as("sub_fp"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1625,12 +1661,12 @@ object SparkEntry {
     // learned segmentation; this entry is the one the round-13 verdict
     // named as the encode-half graduation deliverable.
     "bpe_encode" -> ((s, dir) => {
-      requireAsciiFixture(s, dir, "bpe_encode")
       val m = bpeMerges(s, dir)
+      val t = coalesce(col("text"), lit("")) // NULL text = zero words (oracle parity)
       Tables.documents(s, dir).select(col("doc_id"),
-          graft.text.Bpe.tokenCount(col("text"), m).as("n_subwords"),
+          graft.text.Bpe.tokenCount(t, m).as("n_subwords"),
           substring(md5(concat_ws(" ",
-            graft.text.Bpe.encode(col("text"), m))), 1, 16).as("seg_fp"))
+            graft.text.Bpe.encode(t, m))), 1, 16).as("seg_fp"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1691,8 +1727,8 @@ object SparkEntry {
     // (graft.multimodal). media_meta is the oracle-checked schema slice;
     // multimodal_knn runs the full binary→features→knn pipeline with the
     // deterministic byte-histogram extractor — round 12: full DuckDB twin
-    // (multimodalKnnSql replays the histogram kernel over the text bytes;
-    // ASCII-guarded since the SQL folds code points).
+    // (multimodalKnnSql replays the histogram kernel over the text's
+    // exact UTF-8 bytes — encoding-faithful on any Unicode fixture).
     // ------------------------------------------------------------------
     "media_meta" -> ((s, dir) => {
       Multimodal.packText(Tables.documents(s, dir), "doc_id", "text")
@@ -1702,7 +1738,6 @@ object SparkEntry {
     }),
 
     "multimodal_knn" -> ((s, dir) => {
-      requireAsciiFixture(s, dir, "multimodal_knn")
       val media = Multimodal.packText(docsParallel(s, dir), "doc_id", "text")
       val feats = Multimodal.extractFeatures(media, "media", "feat", buckets = 64)
         .select(col("doc_id"), col("feat"))
@@ -1724,9 +1759,9 @@ object SparkEntry {
     // NOT per-element floor binning, which differs at non-divisible
     // lengths); ss sums are exact integers in double so accumulation
     // order is moot; wire = float-cast value rounded to 6dp, the
-    // multimodal_knn contract. ASCII-guarded (SQL folds code points).
+    // multimodal_knn contract. Stripes and bins run over the payload's
+    // exact UTF-8 bytes in both engines (encoding-faithful).
     "frame_hist" -> ((s, dir) => {
-      requireAsciiFixture(s, dir, "frame_hist")
       val media = Multimodal.packText(Tables.documents(s, dir), "doc_id", "text")
       Multimodal.sampleFrameFeatures(media, "media", "feat", k = 4, buckets = 8)
         .select(col("doc_id"), col("frame_idx"),
@@ -2652,6 +2687,24 @@ object SparkEntry {
     "multimodal_knn" -> multimodalKnnSql,
 
     "dedup_minhash" -> jaccardPairsOracle,
+    // pair_mining = dedup_minhash re-mined after cache eviction (a bench
+    // attribution entry); identical output, identical oracle.
+    "pair_mining" -> jaccardPairsOracle,
+
+    // ivf_recall: the full training+routing+scoring replay (ivfRecallSql);
+    // ivf_partitioned_recall runs the identical pipeline through the
+    // persisted cell-partitioned layout, so it shares the oracle verbatim.
+    "ivf_recall" -> ivfRecallSql(nList = 16, nProbe = 4, iters = 8,
+      sampleN = 2048, k = 10, nQueries = 500, salt = "graftivf42:"),
+    "ivf_partitioned_recall" -> ivfRecallSql(nList = 16, nProbe = 4, iters = 8,
+      sampleN = 2048, k = 10, nQueries = 500, salt = "graftivf42:"),
+
+    // zorder_scan re-applies its exact predicate after file pruning, so
+    // the clustered+pruned read must equal a plain filter on the source.
+    "zorder_scan" ->
+      """SELECT event_id FROM events
+        |WHERE user_id BETWEEN 100 AND 199 AND value >= 50.0 AND value < 80.0
+        |ORDER BY event_id""".stripMargin,
 
     "edit_sim_pairs" ->
       ("WITH " + jaccardShinglesCte + """, sel AS (
@@ -3017,12 +3070,15 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "frame_hist" ->
-      """WITH docs AS (SELECT doc_id, len(text) AS L, text FROM documents),
+      // stripes and histograms run over the payload's UTF-8 BYTES
+      // (packText): L is the BYTE length and each byte bins at byte//32
+      """WITH docs AS (SELECT doc_id, strlen(text) AS L, text FROM documents),
         |frames AS (
         |  SELECT d.doc_id, ff.f, (d.L * ff.f) // 4 AS s, (d.L * (ff.f + 1)) // 4 AS e
         |  FROM docs d, unnest(range(0, 4)) AS ff(f)
         |), chars AS (
-        |  SELECT doc_id, i, unicode(substr(text, CAST(i + 1 AS INT), 1)) // 32 AS b
+        |  SELECT doc_id, i,
+        |    CAST(('0x' || substr(hex(encode(text)), CAST(2 * i + 1 AS INT), 2)) AS INT) // 32 AS b
         |  FROM docs, unnest(range(0, L)) AS u(i)
         |), hist AS (
         |  SELECT c.doc_id, f.f, c.b, count(*) AS n
@@ -3824,6 +3880,36 @@ object SparkEntry {
   private def u64MulC(v: String, ch: Long, cl: Long) =
     s"((($v * $cl) % $u64 + (($v * $ch) % 4294967296) * 4294967296) % $u64)"
 
+  // --- Encoding-faithful character access (round 14, retiring the ASCII
+  // fixture guard): the kernels fold UTF-8 BYTES (simhash/TF-IDF token
+  // FNV, byte-histogram features) or UTF-16 CODE UNITS (winnowing's
+  // charAt Karp-Rabin, Java-string tie-breaks), while naive SQL folds
+  // CODE POINTS — identical on ASCII, divergent beyond. These helpers
+  // emulate the exact Java views in DuckDB, so the twins hold on any
+  // Unicode text. (Residual caveat, documented not guarded: lower() —
+  // DuckDB's utf8proc maps code-point-wise where Java applies full case
+  // mapping; they agree on every simple-mapping character and diverge on
+  // the handful of full-mapping ones, e.g. U+0130.) ---
+
+  /** UTF-8 bytes of VARCHAR `s` as a DuckDB list of INTs (one per byte):
+    * hex(encode(s)) parsed in 2-char pairs — encode() is DuckDB's
+    * VARCHAR→UTF-8-BLOB, so this is the exact `String.getBytes(UTF_8)` /
+    * UTF8String byte sequence the kernels fold. */
+  private def sqlUtf8Bytes(s: String): String =
+    s"list_transform(range(0, strlen($s)), j -> " +
+      s"CAST(('0x' || substr(hex(encode($s)), CAST(2 * j + 1 AS INT), 2)) AS INT))"
+
+  /** UTF-16 code units of VARCHAR `s` as a DuckDB list of INTs — each
+    * code point expanded to its surrogate pair above U+FFFF; the exact
+    * Java `charAt` sequence, and (as a list) the exact Java
+    * `String.compareTo` sort key, since DuckDB orders lists
+    * lexicographically element-wise. */
+  private def sqlUtf16Units(s: String): String =
+    s"flatten(list_transform(" +
+      s"list_transform(range(1, len($s) + 1), i -> unicode(substr($s, CAST(i AS INT), 1)))," +
+      s" cp -> CASE WHEN cp < 65536 THEN [cp] " +
+      s"ELSE [55296 + (cp - 65536) // 1024, 56320 + (cp - 65536) % 1024] END))"
+
   private def winnowPairsSql: String = {
     def signed(v: String) = u64Signed(v)
     def uns(v: String) = u64Uns(v)
@@ -3840,10 +3926,12 @@ object SparkEntry {
     s"""WITH reps AS (
        |  SELECT min(doc_id) AS id, text, count(*) AS fam
        |  FROM documents GROUP BY text
+       |), codes0 AS (
+       |  -- the kernel's Karp-Rabin folds charAt = UTF-16 code units, and
+       |  -- its length/gram counts are UTF-16 lengths
+       |  SELECT id, fam, ${sqlUtf16Units("text")} AS cs FROM reps
        |), codes AS (
-       |  SELECT id, fam, len(text) AS n,
-       |    list_transform(range(1, len(text) + 1), i -> unicode(substr(text, i, 1))) AS cs
-       |  FROM reps WHERE len(text) >= 12
+       |  SELECT id, fam, len(cs) AS n, cs FROM codes0 WHERE len(cs) >= 12
        |), g0 AS (
        |  SELECT id, fam, i, n - 11 AS grams,
        |    list_sum(list_transform(range(0, 12),
@@ -3890,11 +3978,11 @@ object SparkEntry {
   /** simhash_pairs oracle — exact SQL replay of the FNV-1a-64 + Charikar
     * SimHash kernel (`expr/SimHash.scala`) and the quarter-banded
     * candidate join (`Dedup.simHashNearDups`, maxHamming=3, cap=10000).
-    * The per-token FNV fold runs as a `list_reduce` over character codes
-    * (the fixture tokenizer lowercases ASCII, so UTF-8 bytes = code
-    * points); bit votes, quarter keys and Hamming verify are plain
-    * integer SQL. Validated cell-exact against the kernel on the full
-    * sf0.01 fixture. */
+    * The per-token FNV fold runs as a `list_reduce` over the token's
+    * exact UTF-8 bytes (sqlUtf8Bytes — the kernel folds
+    * UTF8String.getBytes); bit votes, quarter keys and Hamming verify are
+    * plain integer SQL. Validated cell-exact against the kernel on the
+    * full sf0.01 fixture. */
   private def simhashPairsSql: String = {
     // FNV-1a step: acc' = ((acc ^ byte) · 0x100000001b3) mod 2⁶⁴.
     val step = u64MulC(
@@ -3904,10 +3992,11 @@ object SparkEntry {
        |    unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS t
        |  FROM documents
        |), th AS (
+       |  -- FNV-1a folds the token's UTF-8 BYTES (UTF8String.getBytes)
        |  SELECT doc_id,
        |    list_reduce(
        |      list_prepend(CAST('14695981039346656037' AS HUGEINT),
-       |        list_transform(range(1, len(t) + 1), i -> CAST(unicode(substr(t, i, 1)) AS HUGEINT))),
+       |        list_transform(${sqlUtf8Bytes("t")}, c -> CAST(c AS HUGEINT))),
        |      (acc, c) -> $step) AS h
        |  FROM tok
        |), bits AS (
@@ -3967,8 +4056,128 @@ object SparkEntry {
     * word surfaces exactly once in the final set.
     *
     * Validated cell-exact (both columns, all docs) against the kernel on
-    * the full sf0.01 fixture; ASCII-guarded at the query site (tie-break
-    * byte-order and lower() semantics diverge outside ASCII). */
+    * the full sf0.01 fixture; tie-breaks order UTF-16 code-unit lists
+    * (sqlUtf16Units), matching Java string order on any Unicode text. */
+  /** ivf_recall / ivf_partitioned_recall oracle — full DuckDB replay of
+    * the IVF pipeline (round 14, the BPE playbook applied to KMeans):
+    *
+    * TRAINING ([[graft.search.LatticeKmeans]]): the 2048-vector salted-md5
+    * sample is quantized to the 2⁻²⁰ integer lattice
+    * (`CAST(FLOOR(x*1048576 + 0.5) AS BIGINT)` over the exact
+    * float→double values — bit-identical to the Scala quantizer), Forgy
+    * init takes the first nList DISTINCT lattice points in sample order,
+    * and each of the `iters` Lloyd rounds is one MATERIALIZED CTE pair:
+    * assignment = argmin of the exact integer squared L2 (ROW_NUMBER over
+    * dist ASC, cell ASC — the kernel's strict-< keeps the lowest cell on
+    * ties), mean = the positive-offset truncating division
+    * `(2s + n + 2n·2²²)//(2n) − 2²²` (DuckDB `//` truncates like Java `/`;
+    * the offset makes truncation = floor in both). Empty cells keep the
+    * previous centroid via LEFT JOIN + COALESCE.
+    *
+    * ROUTING: centroids exit the lattice as `c/1048576.0` — dyadic
+    * rationals exact in float32 AND double, so
+    * `list_inner_product(v, cd)/sqrt(list_inner_product(cd, cd))`
+    * computes the identical doubles as [[graft.expr.NearestCentroidOps]]
+    * (same sequential summation as the green knn cosine oracles; ties →
+    * lower cell). Corpus rows take their top-1 cell, queries probe the
+    * top-nProbe.
+    *
+    * SCORING: cosine r6 + (score DESC, id ASC) top-k — verbatim the
+    * hash-green knn_topk contract. recall = found/|exact|, one double
+    * division (the playbook's single-correctly-rounded-op rule). */
+  private def ivfRecallSql(
+      nList: Int, nProbe: Int, iters: Int, sampleN: Int,
+      k: Int, nQueries: Int, salt: String): String = {
+    val off = LatticeKmeans.Scale * 4 // 2^22, matches LatticeKmeans.Off
+    val rounds = (0 until iters).map { i =>
+      s"""asg$i AS MATERIALIZED (
+         |  SELECT vec_id, q, cell FROM (
+         |    SELECT l.vec_id, l.q, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY l.vec_id ORDER BY
+         |        list_sum(list_transform(list_zip(l.q, c.c),
+         |          p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, c.cell ASC) AS rk
+         |    FROM lat l CROSS JOIN cent$i c
+         |  ) WHERE rk = 1
+         |), sums$i AS (
+         |  SELECT a.cell, u.d, CAST(SUM(a.q[CAST(u.d + 1 AS INT)]) AS BIGINT) AS s,
+         |    COUNT(*) AS n
+         |  FROM asg$i a, unnest(range(0, len(a.q))) AS u(d)
+         |  GROUP BY a.cell, u.d
+         |), cent${i + 1} AS MATERIALIZED (
+         |  SELECT c.cell, COALESCE(m.c2, c.c) AS c
+         |  FROM cent$i c LEFT JOIN (
+         |    SELECT cell, list((2*s + n + 2*n*$off) // (2*n) - $off ORDER BY d) AS c2
+         |    FROM sums$i GROUP BY cell
+         |  ) m USING (cell)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH lat AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    row_number() OVER (ORDER BY md5('$salt' || CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(FLOOR(x * ${LatticeKmeans.Scale} + 0.5) AS BIGINT)) AS q
+       |  FROM (
+       |    SELECT vec_id, embedding FROM embeddings
+       |    ORDER BY md5('$salt' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $sampleN
+       |  )
+       |), cent0 AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY rn) - 1 AS INT) AS cell, q AS c
+       |  FROM (SELECT q, min(rn) AS rn FROM lat GROUP BY q ORDER BY rn LIMIT $nList)
+       |), $rounds, cnorm AS MATERIALIZED (
+       |  SELECT cell, cd, sqrt(list_inner_product(cd, cd)) AS nrm FROM (
+       |    SELECT cell,
+       |      list_transform(c, x -> CAST(x AS DOUBLE) / ${LatticeKmeans.Scale}.0) AS cd
+       |    FROM cent$iters
+       |  )
+       |), corpcell AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, ct.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        (CASE WHEN ct.nrm > 0 THEN
+       |          list_inner_product(CAST(e.embedding AS DOUBLE[]), ct.cd) / ct.nrm
+       |         ELSE 0 END) DESC, ct.cell ASC) AS rk
+       |    FROM embeddings e CROSS JOIN cnorm ct
+       |  ) WHERE rk = 1
+       |), qs AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  ORDER BY md5('graft42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $nQueries
+       |), probes AS (
+       |  SELECT qid, qv, cell FROM (
+       |    SELECT q.qid, q.qv, ct.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |        (CASE WHEN ct.nrm > 0 THEN
+       |          list_inner_product(CAST(q.qv AS DOUBLE[]), ct.cd) / ct.nrm
+       |         ELSE 0 END) DESC, ct.cell ASC) AS rk
+       |    FROM qs q CROSS JOIN cnorm ct
+       |  ) WHERE rk <= $nProbe
+       |), approx AS MATERIALIZED (
+       |  SELECT query_id, result_id FROM (
+       |    SELECT p.qid AS query_id, e.vec_id AS result_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+       |        ROUND(list_cosine_similarity(CAST(p.qv AS DOUBLE[]),
+       |          CAST(e.embedding AS DOUBLE[])), 6) DESC, e.vec_id ASC) AS rank
+       |    FROM probes p
+       |    JOIN (SELECT emb.vec_id, emb.embedding, cc.cell
+       |          FROM embeddings emb JOIN corpcell cc USING (vec_id)) e
+       |      ON p.cell = e.cell
+       |    WHERE e.vec_id <> p.qid
+       |  ) WHERE rank <= $k
+       |), exact AS (
+       |  SELECT query_id, result_id FROM (
+       |    SELECT q.qid AS query_id, c.vec_id AS result_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |        ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+       |          CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id ASC) AS rank
+       |    FROM qs q CROSS JOIN embeddings c
+       |    WHERE c.vec_id <> q.qid
+       |  ) WHERE rank <= $k
+       |)
+       |SELECT CAST(CAST(SUM(CASE WHEN a.result_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |  / COUNT(*) AS recall_at_k
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.query_id = a.query_id AND e.result_id = a.result_id""".stripMargin
+  }
+
   private def bpeReplaySql(finalCols: String): String = {
     val rounds = (0 until bpeNumMerges).map { i =>
       s"""pairs$i AS MATERIALIZED (
@@ -3977,7 +4186,11 @@ object SparkEntry {
          |       unnest(range(1, len(l))) AS u(j)
          |  GROUP BY 1, 2
          |), best$i AS MATERIALIZED (
-         |  SELECT a, b FROM pairs$i ORDER BY c DESC, a, b LIMIT 1
+         |  -- tie-break is Java String.compareTo = UTF-16 code-unit order
+         |  -- (DuckDB's native string ORDER BY is UTF-8-byte = code-point
+         |  -- order, which flips for [U+E000,U+FFFF] vs astral symbols)
+         |  SELECT a, b FROM pairs$i
+         |  ORDER BY c DESC, ${sqlUtf16Units("a")}, ${sqlUtf16Units("b")} LIMIT 1
          |), st${i + 1} AS MATERIALIZED (
          |  SELECT w, freq,
          |    CASE WHEN (SELECT count(*) FROM best$i) = 0 THEN state
@@ -4229,10 +4442,11 @@ object SparkEntry {
        |    unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS t
        |  FROM documents
        |), th AS (
+       |  -- FNV-1a folds the token's UTF-8 BYTES (UTF8String.getBytes)
        |  SELECT doc_id,
        |    CAST(list_reduce(
        |      list_prepend(CAST('14695981039346656037' AS HUGEINT),
-       |        list_transform(range(1, len(t) + 1), i -> CAST(unicode(substr(t, i, 1)) AS HUGEINT))),
+       |        list_transform(${sqlUtf8Bytes("t")}, c -> CAST(c AS HUGEINT))),
        |      (acc, c) -> $fnvStep) % 256 AS INT) AS b
        |  FROM tok
        |), tfb AS (
@@ -4299,14 +4513,15 @@ object SparkEntry {
     * for 64 buckets, L2-normalized via `count · (1/√Σcount²)` — the
     * kernel multiplies by the reciprocal, so the twin does too; every
     * step correctly-rounded IEEE) + the seeded-sample top-5 cosine join.
-    * The media payload is the document text's UTF-8 bytes (packText), so
-    * the SQL folds code points — ASCII-guarded like winnow/simhash. */
+    * The media payload is the document text's UTF-8 bytes (packText),
+    * and the SQL folds those exact bytes (sqlUtf8Bytes). */
   private def multimodalKnnSql: String =
     s"""WITH hist AS (
+       |  -- the payload is the text's UTF-8 BYTES (packText); 64 buckets
+       |  -- -> bucket = byte // 4, exactly the kernel's (byte·64)»8
        |  SELECT doc_id, b, count(*) AS n FROM (
-       |    SELECT doc_id,
-       |      unicode(substr(text, i, 1)) // 4 AS b
-       |    FROM documents, unnest(range(1, len(text) + 1)) AS u(i)
+       |    SELECT doc_id, unnest(${sqlUtf8Bytes("text")}) // 4 AS b
+       |    FROM documents
        |  ) GROUP BY doc_id, b
        |), hgrid AS (
        |  SELECT d.doc_id, i

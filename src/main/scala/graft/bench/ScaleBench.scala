@@ -44,11 +44,17 @@ object ScaleBench {
   // two quality scans (linear), with the N-clone amplification adding no
   // new buckets. split_leakfree rides the shared pair mining + CC and adds
   // only a map-side hash: it should shadow dedup_clusters' trend.
+  // media_meta / audio_env / video_meta / video_frames are the round-14
+  // decode-family additions: synthesis + decode fuse into one map-side
+  // projection per doc, so the design claims STRICTLY LINEAR per-byte
+  // cost in N (no shuffle touches a payload; amplification multiplies
+  // docs, not per-doc decode work).
   private val queryNames = Seq(
     "dedup_exact", "dedup_minhash", "dedup_near_keep", "dedup_clusters",
     "winnow_pairs", "bm25_topk", "bm25_index_topk", "knn_topk", "sparse_knn",
     "doc_dup_spans", "dedup_span_cut", "jaccard_join_pairs",
-    "bpe_tokens", "frame_hist", "budget_select", "split_leakfree")
+    "bpe_tokens", "frame_hist", "budget_select", "split_leakfree",
+    "media_meta", "audio_env", "video_meta", "video_frames")
 
   private val Stride = 10_000_000L // far above any fixture id
 

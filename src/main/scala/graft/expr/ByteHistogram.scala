@@ -8,7 +8,9 @@ import org.apache.spark.sql.types._
 
 object ByteHistogramOps {
   /** L2-normalized byte-value histogram of a binary payload — the
-    * deterministic feature kernel behind the multimodal stub. */
+    * deterministic codec-less fallback feature for modalities with no
+    * JRE decoder (inter-frame video, compressed audio); real decodes
+    * live in [[ImageOps]]/[[AudioOps]]/[[VideoOps]]. */
   def histogram(bytes: Array[Byte], buckets: Int): ArrayData = {
     val counts = new Array[Double](buckets)
     var i = 0

@@ -75,9 +75,15 @@ object ImageOps {
     // Single-band (grayscale) rasters read RAW samples: getRGB would run
     // the linear-gray→sRGB ICC conversion (16 → 71), which is neither the
     // stored pixel value nor replayable float math. r = g = b = sample.
+    // Paletted images (GIF, indexed PNG/BMP) are ALSO single-band 8-bit,
+    // but the sample is a palette INDEX, not a gray value — they must
+    // take the getRGB path, which resolves the IndexColorModel.
+    val cm = img.getColorModel
     val grayRaster =
       if (img.getRaster.getNumBands == 1 &&
-          img.getColorModel.getComponentSize(0) == 8) img.getRaster
+          cm.getComponentSize(0) == 8 &&
+          cm.getColorSpace.getType == java.awt.color.ColorSpace.TYPE_GRAY &&
+          !cm.isInstanceOf[java.awt.image.IndexColorModel]) img.getRaster
       else null
     var y = 0
     while (y < h) {

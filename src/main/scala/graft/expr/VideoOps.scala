@@ -19,12 +19,14 @@ import org.apache.spark.sql.types._
  * video payload never rides a shuffle (it is reduced to k small feature
  * vectors before anything wide happens).
  *
- * Marker caveat (same as every MJPEG splitter): frames are delimited by
- * scanning for SOI (FFD8) / EOI (FFD9) byte pairs. Inside entropy-coded
- * scan data these cannot occur (JPEG stuffs 0x00 after literal 0xFF
- * bytes), but an APPn/COM segment payload could embed them; streams whose
- * frames carry such segments need a full segment-length parser. The
- * fixture synthesizer below emits no APPn payload bytes that collide.
+ * Frame delimiting is a real marker-segment parser, not a raw SOI/EOI
+ * byte scan: length-prefixed segments (APPn/COM/DQT/DHT/SOF/...) are
+ * skipped by their declared 2-byte length, so an EXIF (APP1) thumbnail —
+ * an embedded JPEG carrying its own SOI/EOI inside the segment payload,
+ * the common real-world case — cannot trigger a false frame boundary.
+ * Only entropy-coded scan data after SOS is byte-scanned, where a literal
+ * 0xFF is always stuffed with 0x00 (T.81 B.1.1.5) and RSTn markers
+ * continue the scan, so the first other marker genuinely ends it.
  *
  * Fixture synthesis ([[synthMjpeg]], the synth_wav playbook): frames are
  * hand-ENCODED baseline JPEGs of a solid gray, built so the decode is
@@ -163,11 +165,61 @@ object VideoOps {
     out.toByteArray
   }
 
+  private final val Truncated = -1
+  private final val Invalid = -2
+
+  /** End index (exclusive, past EOI) of the JPEG starting at `start`
+    * (which must point at SOI), walking marker segments by declared
+    * length; [[Truncated]] when input ends mid-frame, [[Invalid]] when
+    * the structure is not a JPEG (caller resumes its SOI scan). */
+  private def parseJpegEnd(b: Array[Byte], start: Int): Int = {
+    val n = b.length
+    @inline def u(i: Int): Int = b(i) & 0xff
+    var j = start + 2
+    while (true) {
+      if (j >= n) return Truncated
+      if (u(j) != 0xff) return Invalid
+      while (j < n && u(j) == 0xff) j += 1 // fill bytes (T.81 B.1.1.2)
+      if (j >= n) return Truncated
+      val m = u(j)
+      j += 1
+      if (m == 0xd9) return j // EOI
+      else if (m == 0xd8 || m == 0x00) return Invalid // nested SOI / stray stuffing
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) () // TEM / RSTn: standalone
+      else {
+        // every other marker carries a 2-byte big-endian length that
+        // includes itself — APPn/COM payloads (EXIF thumbnails!) are
+        // skipped wholesale here, never scanned for markers
+        if (j + 1 >= n) return Truncated
+        val len = (u(j) << 8) | u(j + 1)
+        if (len < 2) return Invalid
+        val isSos = m == 0xda
+        j += len
+        if (isSos) {
+          // entropy-coded scan data: 0xFF is either stuffed (FF 00),
+          // an RSTn that continues the scan, or the next real marker
+          var done = false
+          while (!done) {
+            if (j >= n - 1) return Truncated
+            if (u(j) == 0xff) {
+              val nx = u(j + 1)
+              if (nx == 0x00 || (nx >= 0xd0 && nx <= 0xd7)) j += 2
+              else if (nx == 0xff) j += 1 // fill
+              else done = true // marker starts at j
+            } else j += 1
+          }
+        }
+      }
+    }
+    Invalid // unreachable
+  }
+
   /** Split an MJPEG byte stream into its complete JPEG frames (SOI..EOI
-    * inclusive). Bytes outside any frame are skipped; a truncated final
-    * frame (SOI without EOI) is dropped rather than emitted broken.
-    * Returns null only for null input; an empty or frameless payload
-    * yields an empty array (no frames ≠ undecodable). */
+    * inclusive) with the segment parser above. Bytes outside any frame
+    * (including FFD8 runs that are not structurally JPEG) are skipped; a
+    * truncated final frame (SOI without EOI) is dropped rather than
+    * emitted broken. Returns null only for null input; an empty or
+    * frameless payload yields an empty array (no frames ≠ undecodable). */
   def splitFrames(bytes: Array[Byte]): ArrayData = {
     if (bytes == null) return null
     val frames = Array.newBuilder[Array[Byte]]
@@ -175,16 +227,12 @@ object VideoOps {
     val n = bytes.length
     while (i < n - 1) {
       if ((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xd8) {
-        var j = i + 2
-        var end = -1
-        while (end < 0 && j < n - 1) {
-          if ((bytes(j) & 0xff) == 0xff && (bytes(j + 1) & 0xff) == 0xd9) end = j + 2
-          else j += 1
-        }
+        val end = parseJpegEnd(bytes, i)
         if (end > 0) {
           frames += java.util.Arrays.copyOfRange(bytes, i, end)
           i = end
-        } else i = n // truncated tail frame: drop
+        } else if (end == Truncated) i = n // truncated tail frame: drop
+        else i += 2 // not actually a JPEG: resume the SOI scan past it
       } else i += 1
     }
     new GenericArrayData(frames.result().asInstanceOf[Array[AnyRef]])

@@ -58,7 +58,7 @@ class IvfCollection(
     require(Seq(int8, pq, binary).count(identity) <= 1,
       "pick ONE compression codec: int8, pq, or binary")
     invalidateMeta()
-    val centroids = Ivf.trainCentroids(corpus, vecCol, nList, seed)
+    val centroids = Ivf.trainCentroids(corpus, idCol, vecCol, nList, seed)
     val assigned = Ivf.assign(corpus.dropDuplicates(idCol), vecCol, centroids)
     val stored =
       if (int8) assigned

@@ -90,5 +90,89 @@ object ZOrder {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(outDir)
+    writeStatsManifest(df.sparkSession, outDir, cols)
+  }
+
+  /** Sidecar data-skipping manifest name. The leading underscore keeps
+    * Spark's parquet reader from treating it as data (same convention as
+    * `_SUCCESS`). */
+  private val ManifestName = "_graft_zstats.tsv"
+
+  /** Per-FILE min/max stats of the clustered columns, collected with one
+    * scan of the freshly-written (clustered, hence cheap) files and
+    * written as a tiny TSV sidecar — the lakehouse data-skipping pattern
+    * (Delta/Iceberg keep these in their transaction log; plain parquet
+    * keeps row-group stats in footers but Spark tasks every file before
+    * footers are read, so FILE-level pruning needs a manifest). Bounded:
+    * one row per (file, column), driver-collected. NaN is excluded from
+    * stats the same way as the range agg above (a NaN row would poison
+    * max and disable skipping for its file). */
+  private def writeStatsManifest(
+      spark: org.apache.spark.sql.SparkSession, outDir: String,
+      cols: Seq[String]): Unit = {
+    val written = spark.read.parquet(outDir)
+    val aggs = cols.flatMap { c =>
+      val cd = when(!isnan(col(c).cast("double")), col(c).cast("double"))
+      Seq(min(cd).as(s"__min_$c"), max(cd).as(s"__max_$c"))
+    }
+    val rows = written.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val sb = new StringBuilder
+    rows.foreach { r =>
+      val base = r.getString(0).split('/').last
+      cols.indices.foreach { i =>
+        if (!r.isNullAt(1 + 2 * i) && !r.isNullAt(2 + 2 * i))
+          sb.append(base).append('\t').append(cols(i)).append('\t')
+            .append(r.getDouble(1 + 2 * i)).append('\t')
+            .append(r.getDouble(2 + 2 * i)).append('\n')
+      }
+    }
+    val path = new org.apache.hadoop.fs.Path(outDir, ManifestName)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** True when `dir` holds a clustered write with a skipping manifest. */
+  def hasManifest(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir, ManifestName)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+  }
+
+  /** Read back a [[writeClustered]] directory pruning whole FILES whose
+    * manifest [min, max] is disjoint from every requested `(col, lo, hi)`
+    * closed range. Returns (candidate rows, filesTotal, filesRead).
+    *
+    * The result is a SUPERSET of the matching rows (file granularity, and
+    * all-null-column files are kept conservatively — their stats line is
+    * absent): the caller MUST re-apply its predicate on top; the pruning
+    * only shrinks the scan. Correct for range predicates because a row
+    * with NULL in a range-filtered column cannot match the predicate, so
+    * skipping a file whose non-null values are disjoint never drops a
+    * matching row. */
+  def readPruned(spark: org.apache.spark.sql.SparkSession, dir: String,
+      ranges: Seq[(String, Double, Double)]): (DataFrame, Int, Int) = {
+    val path = new org.apache.hadoop.fs.Path(dir, ManifestName)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    // file -> col -> (min, max)
+    val stats = text.linesIterator.filter(_.nonEmpty).toSeq
+      .map { l => val f = l.split('\t'); (f(0), f(1), f(2).toDouble, f(3).toDouble) }
+      .groupBy(_._1)
+      .map { case (f, ls) => f -> ls.map(t => t._2 -> (t._3, t._4)).toMap }
+    val total = stats.size
+    val kept = stats.filter { case (_, byCol) =>
+      ranges.forall { case (c, lo, hi) =>
+        byCol.get(c).forall { case (mn, mx) => !(mx < lo || mn > hi) }
+      }
+    }.keys.toSeq.sorted
+    val df =
+      if (kept.isEmpty) spark.read.parquet(dir).where(lit(false))
+      else spark.read.parquet(kept.map(f => s"$dir/$f"): _*)
+    (df, total, kept.size)
   }
 }

@@ -1,7 +1,5 @@
 package graft.search
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -11,8 +9,9 @@ import graft.functions.{nearest_centroids, top_k_rows}
  * IVF (inverted-file) approximate nearest-neighbor search — the
  * partition-pruning scale path next to [[Ann]]'s LSH.
  *
- * Train: MLlib KMeans (seeded) over a corpus sample → nList centroids.
- * Index: each corpus row assigned to its nearest centroid — pure map work
+ * Train: deterministic lattice KMeans ([[LatticeKmeans]]) over a bounded
+ * seeded corpus sample → nList centroids. Index: each corpus row assigned
+ * to its nearest centroid — pure map work
  * ([[graft.expr.NearestCentroids]], centroids ride the plan as a
  * constant). Query: probe the nProbe nearest cells only; ~nProbe/nList of
  * the corpus is scored instead of all of it.
@@ -26,23 +25,20 @@ import graft.functions.{nearest_centroids, top_k_rows}
  */
 object Ivf {
 
-  /** Seeded KMeans centroids over (a sample of) the corpus vectors. IVF
-    * cells only need a reasonable space partition, not converged clusters
-    * — a capped iteration count trains in a fraction of the default-20
-    * time with equivalent probe recall. */
+  /** Seeded centroids over a bounded sample of the corpus vectors —
+    * [[LatticeKmeans]], the deterministic engine-replayable trainer (the
+    * earlier MLlib KMeans delegate was retired: k-means‖ init and
+    * partition-order float means can't be replayed by an oracle). Needs
+    * `idCol` because deterministic sampling orders on a salted md5 of the
+    * row id. IVF cells only need a reasonable space partition, not
+    * converged clusters — a capped iteration count trains in a fraction
+    * of the converged time with equivalent probe recall. */
   def trainCentroids(
-      corpus: DataFrame, vecCol: String,
-      nList: Int, seed: Long = 42L, sampleFraction: Double = 1.0,
-      maxIter: Int = 8): Array[Array[Float]] = {
-    val sampled =
-      if (sampleFraction >= 1.0) corpus
-      else corpus.sample(withReplacement = false, sampleFraction, seed)
-    val train = sampled.select(array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("features")
-      .fit(train)
-    model.clusterCenters.map(_.toArray.map(_.toFloat))
-  }
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nList: Int, seed: Long = 42L, sampleN: Int = 2048,
+      maxIter: Int = 8): Array[Array[Float]] =
+    LatticeKmeans.train(corpus, idCol, vecCol, nList, iters = maxIter,
+      sampleN = sampleN, salt = s"graftivf$seed:")
 
   /** Corpus with its IVF cell id appended (map-side only). Always computes
     * from THESE centroids — a pre-existing `cellCol` (possibly from other

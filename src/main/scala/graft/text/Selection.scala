@@ -20,9 +20,10 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
  *     integer (the repo's wire rounding, so bucket boundaries coincide
  *     with the oracle's rounded values) and sub-divide each bucket into
  *     ≤`idBands` deterministic id bands whose boundaries come from
- *     SAMPLED ID QUANTILES (one narrow id-only approxQuantile pass,
- *     collected once driver-side — ≤`idBands` doubles — and embedded as
- *     plan literals); hash-aggregate per-(bucket, band) token sums.
+ *     SAMPLED ID QUANTILES (one narrow id-only reservoir-sample pass,
+ *     collected once driver-side — a bounded long sample, weighted
+ *     quantiles computed in the LONG domain — and embedded as plan
+ *     literals); hash-aggregate per-(bucket, band) token sums.
  *     Rolled up to per-bucket totals, the cumulative sweep runs over
  *     ≤10⁶ rows REGARDLESS of corpus size (quality ∈ [0,1] at 6 dp) — a
  *     bounded single-partition window, not the corpus. The id-banding
@@ -67,32 +68,77 @@ object Selection {
 
   private val Fp = 1000000L // 6-dp fixed point — matches the oracle wire rounding
 
-  /** Distinct, sorted id-quantile band boundaries (≤ idBands−1 doubles):
-    * one narrow approxQuantile scan, a bounded driver-side collect.
-    * Approximation error only skews band SIZES slightly — correctness
-    * needs boundaries that are deterministic within the call and
-    * monotone in id, both of which literals trivially are. Long→double
-    * is monotone (non-strict), so ids beyond 2⁵³ can only COARSEN bands,
-    * never misorder them. */
+  /** Distinct, sorted id-quantile band boundaries (≤ idBands−1 LONGS):
+    * one narrow id-only scan with a per-partition seeded reservoir, a
+    * bounded driver-side collect, exact weighted quantiles over the
+    * merged sample. Everything stays in the LONG domain end-to-end —
+    * `approxQuantile`/`percentile_approx` sketch in doubles, where a ULP
+    * at snowflake-id magnitude (≈2⁶²) is 512 and thousands of
+    * consecutive ids collapse onto a handful of representable values,
+    * silently degrading the skew defense to near-single-band.
+    * Approximation error in the SAMPLE only skews band sizes slightly —
+    * correctness needs boundaries that are deterministic within the
+    * call and monotone in id, both of which literals trivially are.
+    * Bounded: each partition keeps ≤4·idBands sampled ids (weighted by
+    * its true row count at merge time), so the collect is
+    * O(partitions · min(4·idBands, target/partitions)) longs. */
   private[text] def idBandBoundaries(
-      docs: DataFrame, idCol: String, idBands: Int): Array[Double] =
+      docs: DataFrame, idCol: String, idBands: Int): Array[Long] =
     if (idBands <= 1) Array.empty
-    else docs.stat.approxQuantile(idCol,
-        (1 until idBands).map(_.toDouble / idBands).toArray,
-        0.25 / idBands)
-      .distinct.sorted
+    else {
+      val ids = docs.select(col(idCol).cast(LongType).as("id"))
+        .filter(col("id").isNotNull)
+      val rdd = ids.queryExecution.toRdd // InternalRow, no row codec overhead
+      val nPart = math.max(1, rdd.getNumPartitions)
+      // target ~64 samples per requested boundary overall; clamp so a
+      // 10k-partition cluster scan still collects only O(100k) longs
+      val perPart = math.max(32, math.min(4 * idBands, 64 * idBands / nPart))
+      // (rowCount, reservoir) per partition — seeded by partition index,
+      // deterministic for a fixed input partitioning (the boundaries are
+      // computed ONCE and ride both passes as plan literals, so cross-plan
+      // stability is what matters, and literals trivially have it)
+      val parts = rdd.mapPartitionsWithIndex { (pi, it) =>
+        val rnd = new java.util.Random(0x9E3779B97F4A7C15L ^ pi.toLong)
+        val res = new Array[Long](perPart)
+        var n = 0L
+        while (it.hasNext) {
+          val v = it.next().getLong(0)
+          if (n < perPart) res(n.toInt) = v
+          else { val j = (rnd.nextDouble() * (n + 1)).toLong; if (j < perPart) res(j.toInt) = v }
+          n += 1
+        }
+        Iterator.single((n, res.take(math.min(n, perPart.toLong).toInt)))
+      }.collect()
+      val total = parts.map(_._1).sum
+      if (total == 0) Array.empty
+      else {
+        // weighted exact quantiles: each sampled id stands for n_p/k_p rows
+        val weighted = parts.filter(_._2.nonEmpty).flatMap { case (n, s) =>
+          val w = n.toDouble / s.length; s.map(v => (v, w))
+        }.sortBy(_._1)
+        val cum = weighted.scanLeft(0.0)(_ + _._2).tail
+        val tw = cum.last
+        (1 until idBands).map { i =>
+          val target = tw * i / idBands
+          val j = cum.indexWhere(_ >= target)
+          weighted(if (j < 0) weighted.length - 1 else j)._1
+        }.toArray.distinct.sorted
+      }
+    }
 
-  /** Band of an id under sorted boundaries: a BALANCED when-tree binary
-    * search — O(log idBands) codegen'd comparisons per row, no lateral
-    * O(idBands) scan. Ties at a boundary go right; any fixed rule works
-    * because both passes evaluate this identical expression. */
-  private[text] def bandColumn(id: Column, bnds: Array[Double]): Column = {
-    val d = id.cast("double")
+  /** Band of an id under sorted LONG boundaries: a BALANCED when-tree
+    * binary search — O(log idBands) codegen'd comparisons per row, no
+    * lateral O(idBands) scan. Comparisons are long-vs-long (no double
+    * round trip, exact at any magnitude). Ties at a boundary go right;
+    * any fixed rule works because both passes evaluate this identical
+    * expression. */
+  private[text] def bandColumn(id: Column, bnds: Array[Long]): Column = {
+    val v = id.cast(LongType)
     def tree(lo: Int, hi: Int): Column =
       if (lo == hi) lit(lo)
       else {
         val mid = (lo + hi - 1) / 2
-        when(d < lit(bnds(mid)), tree(lo, mid)).otherwise(tree(mid + 1, hi))
+        when(v < lit(bnds(mid)), tree(lo, mid)).otherwise(tree(mid + 1, hi))
       }
     if (bnds.isEmpty) lit(0) else tree(0, bnds.length)
   }

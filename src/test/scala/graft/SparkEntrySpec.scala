@@ -18,18 +18,20 @@ class SparkEntrySpec extends SparkSpec {
     // 11 (wraparound-64-bit integer kernels, SQL-replayable over
     // HUGEINT); round 12 added ann_recall (splitmix64 SRP plane replay),
     // corpus_uuid (recursive-SQL SHA-1), and embed_corpus/embed_knn (the
-    // engine-stable FNV+q20 TF-IDF embedder). What remains is genuinely
-    // non-replayable: seeded-KMeans recall scalars (floor-asserted at
-    // execution time instead), an approx quantile sketch, and BPE
-    // subword counts (iterative merge training — each round's argmax
-    // depends on the previous merge — cannot replay in SQL; BpeSpec
-    // pins the classic hand-computed reference instead).
+    // engine-stable FNV+q20 TF-IDF embedder); round 13 graduated BPE
+    // (training replayed as 64 materialized DuckDB CTE rounds, encode as
+    // a recursive lowest-ranked-merge CTE — SparkEntry.bpeReplaySql);
+    // round 14 graduated ivf_recall + ivf_partitioned_recall (MLlib
+    // KMeans replaced by the deterministic integer-lattice trainer
+    // LatticeKmeans, replayed as per-round CTEs — SparkEntry
+    // .ivfRecallSql; both recall floors retained). What remains is the
+    // compressed-codec recall set (int8/pq/binary quantization float
+    // steps still under graduation study) and an approx quantile sketch.
     val expected = Set(
-      "ivf_recall", "ivf_partitioned_recall", "ivf_int8_recall",
+      "ivf_int8_recall",
       "ivf_pq_recall", "ivf_binary_recall",
       "quant_recall",
-      "doc_len_quantiles_approx",
-      "bpe_tokens")
+      "doc_len_quantiles_approx")
     assert(rowsOnly == expected,
       s"rows-only set changed: extra=${rowsOnly -- expected} missing=${expected -- rowsOnly}")
   }

@@ -86,7 +86,7 @@ class SemDedupSpec extends SparkSpec {
   }
 
   test("works with trained KMeans centroids (the production path)") {
-    val trained = Ivf.trainCentroids(fixture, "vec", nList = 2, seed = 7L)
+    val trained = Ivf.trainCentroids(fixture, "id", "vec", nList = 2, seed = 7L)
     val pairs = SemDedup.cellNearDupPairs(fixture, "id", "vec", trained,
         threshold = 0.7, roundScoreTo = Some(6))
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet

@@ -50,6 +50,31 @@ class VideoSpec extends SparkSpec {
     assert(VideoOps.splitFrames(Array.empty[Byte]).numElements() == 0)
   }
 
+  test("APPn payload embedding a whole JPEG (EXIF thumbnail) does not split the frame") {
+    // Build a frame whose APP1 segment payload IS a complete smaller JPEG
+    // (the EXIF-thumbnail shape): a raw SOI/EOI byte scan would end the
+    // outer frame at the thumbnail's EOI and then emit corrupt sub-frames;
+    // the segment parser must skip the payload by its declared length.
+    val thumb = VideoOps.solidJpeg(10, 8) // carries its own SOI..EOI
+    val outer = VideoOps.solidJpeg(77, 16)
+    assert(outer(0) == 0xff.toByte && outer(1) == 0xd8.toByte)
+    val app1Len = 2 + 6 + thumb.length // length field + "Exif\0\0" + payload
+    assert(app1Len <= 0xffff)
+    val app1 = Array[Byte](0xff.toByte, 0xe1.toByte,
+      ((app1Len >> 8) & 0xff).toByte, (app1Len & 0xff).toByte,
+      'E', 'x', 'i', 'f', 0, 0) ++ thumb
+    val framed = outer.take(2) ++ app1 ++ outer.drop(2) // APP1 right after SOI
+    val second = VideoOps.solidJpeg(150, 16)
+    val got = VideoOps.splitFrames(framed ++ second)
+    assert(got.numElements() == 2,
+      s"expected 2 frames (thumbnail must not split), got ${got.numElements()}")
+    assert(java.util.Arrays.equals(got.getBinary(0), framed))
+    assert(java.util.Arrays.equals(got.getBinary(1), second))
+    // and the APP1-carrying frame still decodes to its own gray
+    val img = ImageIO.read(new ByteArrayInputStream(got.getBinary(0)))
+    assert(img.getRaster.getSample(5, 5, 0) == 77)
+  }
+
   test("synthMjpeg frame f decodes to frameGray(seed, f) — the oracle formula") {
     for (seed <- Seq(0L, 1L, 7L, 123456789L, -5L)) {
       val frames = VideoOps.splitFrames(VideoOps.synthMjpeg(seed, 4, 16))

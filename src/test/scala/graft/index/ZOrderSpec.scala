@@ -105,4 +105,47 @@ class ZOrderSpec extends SparkSpec {
       Seq("u", "t"), out, numFiles = 2)
     assert(spark.read.parquet(out).count() == 0)
   }
+
+  test("readPruned: two-column predicate skips most files, result exact") {
+    val pts = for (u <- 0 until 64; t <- 0 until 64) yield (u.toLong, t.toLong)
+    val df = pts.toDF("u", "t").repartition(8)
+    val out = Files.createTempDirectory("graft_zorder_prune").toString
+    ZOrder.writeClustered(df, Seq("u", "t"), out, numFiles = 16)
+    assert(ZOrder.hasManifest(spark, out))
+    val (cands, total, read) = ZOrder.readPruned(spark, out,
+      Seq(("u", 8.0, 15.0), ("t", 8.0, 15.0)))
+    assert(total >= 8, s"expected >=8 files, got $total")
+    assert(read < total, s"a corner predicate must skip files: $read of $total")
+    assert(read <= total / 2,
+      s"1/64 of the area should touch few tiles: $read of $total")
+    // candidates are a superset; re-applied predicate is exact
+    val got = cands.filter($"u".between(8L, 15L) && $"t".between(8L, 15L))
+      .as[(Long, Long)].collect().toSet
+    val want = pts.filter(p => p._1 >= 8 && p._1 <= 15 && p._2 >= 8 && p._2 <= 15).toSet
+    assert(got == want)
+  }
+
+  test("readPruned: disjoint predicate reads zero files but keeps the schema") {
+    val df = (0 until 32).map(i => (i.toLong, i.toLong)).toDF("u", "t")
+    val out = Files.createTempDirectory("graft_zorder_prune0").toString
+    ZOrder.writeClustered(df, Seq("u", "t"), out, numFiles = 4)
+    val (cands, total, read) = ZOrder.readPruned(spark, out,
+      Seq(("u", 1000.0, 2000.0)))
+    assert(read == 0 && total >= 1)
+    assert(cands.columns.toSeq == Seq("u", "t"))
+    assert(cands.count() == 0)
+  }
+
+  test("readPruned: files with only NULLs in a stat column are kept (conservative)") {
+    val df = Seq((Some(1.0), 1.0), (Some(2.0), 2.0), (None, 3.0), (None, 4.0))
+      .toDF("u", "t")
+    val out = Files.createTempDirectory("graft_zorder_prunenull").toString
+    ZOrder.writeClustered(df, Seq("u", "t"), out, numFiles = 2)
+    // predicate on u: the all-null-u file has no u stats line -> kept;
+    // re-applied predicate still yields the exact result
+    val (cands, _, _) = ZOrder.readPruned(spark, out, Seq(("u", 0.0, 10.0)))
+    val got = cands.filter($"u".between(0.0, 10.0)).select($"t")
+      .as[Double].collect().toSet
+    assert(got == Set(1.0, 2.0))
+  }
 }

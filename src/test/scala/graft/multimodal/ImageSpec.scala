@@ -87,6 +87,39 @@ class ImageSpec extends SparkSpec {
     assert(nn(3L) == 4L && nn(4L) == 3L, "near-identical greens pair up")
   }
 
+  test("paletted GIF resolves the palette, not the raw index") {
+    // GIF encodes through an IndexColorModel: the single-band raster
+    // stores palette INDICES, so the grayscale fast path must NOT match
+    // (index 0 could map to white). A solid-red GIF must come back as
+    // (1, 0, 0), which only happens if getRGB resolves the palette.
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, red)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "gif", out)
+    val decoded = ImageIO.read(new java.io.ByteArrayInputStream(out.toByteArray))
+    assert(decoded.getColorModel.isInstanceOf[java.awt.image.IndexColorModel],
+      "fixture must actually be paletted for this regression to bite")
+    val rows = Seq((1L, out.toByteArray)).toDF("id", "media")
+    val f = Multimodal.extractImageFeatures(rows, "media", "feat", grid = 1)
+      .select($"feat").head().getSeq[Float](0)
+    assert(f.toList == List(1f, 0f, 0f),
+      s"paletted red must decode to (1,0,0) through the palette, got $f")
+  }
+
+  test("true grayscale raster still takes the raw-sample path (no ICC shift)") {
+    val img = new BufferedImage(4, 4, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    for (y <- 0 until 4; x <- 0 until 4) raster.setSample(x, y, 0, 16)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    val rows = Seq((1L, out.toByteArray)).toDF("id", "media")
+    val f = Multimodal.extractImageFeatures(rows, "media", "feat", grid = 1)
+      .select($"feat").head().getSeq[Float](0)
+    // raw sample 16/255, NOT the linear-gray->sRGB ICC value (~71/255)
+    assert(f.forall(v => math.abs(v - 16f / 255f) < 1e-6f),
+      s"gray sample must be raw (16/255), got $f")
+  }
+
   test("SQL registration: image_meta / image_grid_features callable from SQL") {
     graft.functions.registerAll(spark)
     Seq((1L, png(2, 2)((_, _) => red))).toDF("id", "media")

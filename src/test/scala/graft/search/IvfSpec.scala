@@ -24,7 +24,7 @@ class IvfSpec extends SparkSpec {
   }
 
   test("knnJoinIvf: subset of exact with identical scores; full-probe = exact") {
-    val cents = Ivf.trainCentroids(emb, "embedding", nList = 4, seed = 42L)
+    val cents = Ivf.trainCentroids(emb, "vec_id", "embedding", nList = 4, seed = 42L)
     assert(cents.length == 4)
     val exact = Knn.knnJoin(emb, "vec_id", "embedding", emb, "vec_id", "embedding",
         k = 5, roundScoreTo = Some(6))
