@@ -1387,7 +1387,7 @@ object SparkEntry {
       val q = knnQueries(s, dir)
       val fp = corpusFingerprint(Tables.embeddings(s, dir), col("vec_id"), col("embedding"))
       val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_ivfcolpq_${fp}_nl16_s42_m8_lk1_rv${graft.index.IvfCollection.RoutingVersion}").toString
+        s"graft_ivfcolpq_${fp}_nl16_s42_m8_lk2_rv${graft.index.IvfCollection.RoutingVersion}").toString
       val ivfc = graft.index.IvfCollection(s, root, "embeddings")
       if (!ivfc.exists) ivfc.build(emb, "vec_id", "embedding", nList = 16, seed = 42L,
         pq = true, pqM = 8, pqCodebookSize = 256)
@@ -2698,6 +2698,14 @@ object SparkEntry {
       sampleN = 2048, k = 10, nQueries = 500, salt = "graftivf42:"),
     "ivf_partitioned_recall" -> ivfRecallSql(nList = 16, nProbe = 4, iters = 8,
       sampleN = 2048, k = 10, nQueries = 500, salt = "graftivf42:"),
+    "ivf_int8_recall" -> ivfInt8RecallSql(nList = 16, nProbe = 4, iters = 8,
+      sampleN = 2048, k = 10, nQueries = 500, salt = "graftivf42:"),
+    "ivf_binary_recall" -> ivfBinaryRecallSql(nList = 16, nProbe = 4, iters = 8,
+      sampleN = 2048, k = 10, oversample = 4, nQueries = 500, salt = "graftivf42:"),
+    "quant_recall" -> quantRecallSql(k = 10, nQueries = 500),
+    "ivf_pq_recall" -> ivfPqRecallSql(nList = 16, nProbe = 4, iters = 8,
+      sampleN = 2048, k = 10, nQueries = 500, salt = "graftivf42:",
+      m = 8, codebookSize = 256, pqIters = 8, dim = 64),
 
     // zorder_scan re-applies its exact predicate after file pruning, so
     // the clustered+pruned read must equal a plain filter on the source.
@@ -4087,7 +4095,30 @@ object SparkEntry {
     * division (the playbook's single-correctly-rounded-op rule). */
   private def ivfRecallSql(
       nList: Int, nProbe: Int, iters: Int, sampleN: Int,
-      k: Int, nQueries: Int, salt: String): String = {
+      k: Int, nQueries: Int, salt: String): String =
+    s"""${ivfPipelineCtes(nList, nProbe, iters, sampleN, nQueries, salt)}, approx AS MATERIALIZED (
+       |  SELECT query_id, result_id FROM (
+       |    SELECT p.qid AS query_id, e.vec_id AS result_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+       |        ROUND(list_cosine_similarity(CAST(p.qv AS DOUBLE[]),
+       |          CAST(e.embedding AS DOUBLE[])), 6) DESC, e.vec_id ASC) AS rank
+       |    FROM probes p
+       |    JOIN (SELECT emb.vec_id, emb.embedding, cc.cell
+       |          FROM embeddings emb JOIN corpcell cc USING (vec_id)) e
+       |      ON p.cell = e.cell
+       |    WHERE e.vec_id <> p.qid
+       |  ) WHERE rank <= $k
+       |), ${ivfExactCte(k)}
+       |${recallSelect}""".stripMargin
+
+  /** The shared IVF replay prefix (starts with WITH, ends after `probes`):
+    * lattice training rounds, dyadic centroids, cosine cell assignment of
+    * the corpus, the md5 query sample, and each query's top-nProbe probe
+    * cells. Scoring-specific tails (float cosine / int8 codes / binary
+    * sign sketch + rescore) append their own CTEs. */
+  private def ivfPipelineCtes(
+      nList: Int, nProbe: Int, iters: Int, sampleN: Int,
+      nQueries: Int, salt: String): String = {
     val off = LatticeKmeans.Scale * 4 // 2^22, matches LatticeKmeans.Off
     val rounds = (0 until iters).map { i =>
       s"""asg$i AS MATERIALIZED (
@@ -4150,19 +4181,13 @@ object SparkEntry {
        |         ELSE 0 END) DESC, ct.cell ASC) AS rk
        |    FROM qs q CROSS JOIN cnorm ct
        |  ) WHERE rk <= $nProbe
-       |), approx AS MATERIALIZED (
-       |  SELECT query_id, result_id FROM (
-       |    SELECT p.qid AS query_id, e.vec_id AS result_id,
-       |      ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
-       |        ROUND(list_cosine_similarity(CAST(p.qv AS DOUBLE[]),
-       |          CAST(e.embedding AS DOUBLE[])), 6) DESC, e.vec_id ASC) AS rank
-       |    FROM probes p
-       |    JOIN (SELECT emb.vec_id, emb.embedding, cc.cell
-       |          FROM embeddings emb JOIN corpcell cc USING (vec_id)) e
-       |      ON p.cell = e.cell
-       |    WHERE e.vec_id <> p.qid
-       |  ) WHERE rank <= $k
-       |), exact AS (
+       |)""".stripMargin
+  }
+
+  /** Exact-kNN CTE over the `qs` sample (the hash-green knn_topk
+    * contract: cosine r6, score DESC, id ASC, self excluded). */
+  private def ivfExactCte(k: Int): String =
+    s"""exact AS (
        |  SELECT query_id, result_id FROM (
        |    SELECT q.qid AS query_id, c.vec_id AS result_id,
        |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
@@ -4171,12 +4196,235 @@ object SparkEntry {
        |    FROM qs q CROSS JOIN embeddings c
        |    WHERE c.vec_id <> q.qid
        |  ) WHERE rank <= $k
-       |)
-       |SELECT CAST(CAST(SUM(CASE WHEN a.result_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
-       |  / COUNT(*) AS recall_at_k
-       |FROM exact e LEFT JOIN approx a
-       |  ON e.query_id = a.query_id AND e.result_id = a.result_id""".stripMargin
+       |)""".stripMargin
+
+  /** Int8 code CTEs over `embeddings` — exact replay of
+    * [[graft.expr.Int8VectorOps]]: scale inverse = one double division
+    * `127.0/max|v|`, code = round-half-up `FLOOR(x*inv + 0.5)` (Java
+    * `Math.round` is floor(x+0.5)), zero vector → all-zero codes; `cn`
+    * adds the exact integer squared norm for the code-vs-code cosine. */
+  private val int8CodeCtes: String =
+    """codes AS MATERIALIZED (
+      |  SELECT vec_id, CASE WHEN mx > 0 THEN
+      |      list_transform(v, x -> CAST(FLOOR(x * (127.0 / mx) + 0.5) AS BIGINT))
+      |    ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS c
+      |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |          list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS mx
+      |        FROM embeddings)
+      |), cn AS MATERIALIZED (
+      |  SELECT vec_id, c, CAST(list_sum(list_transform(c, x -> x*x)) AS BIGINT) AS n2
+      |  FROM codes
+      |)""".stripMargin
+
+  /** Code-vs-code int8 cosine (Int8VectorOps.cosine): integer dot over
+    * the two BIGINT code lists, one double division by the sqrt-norm
+    * product, 0.0 on either zero norm, rounded to the 6-dp wire. */
+  private def int8ScoreSql(qa: String, cb: String): String =
+    s"""ROUND(CASE WHEN $qa.n2 = 0 OR $cb.n2 = 0 THEN 0.0
+       |        ELSE CAST(list_sum(list_transform(list_zip($qa.c, $cb.c),
+       |               p -> p[1]*p[2])) AS DOUBLE)
+       |             / (sqrt(CAST($qa.n2 AS DOUBLE)) * sqrt(CAST($cb.n2 AS DOUBLE))) END, 6)""".stripMargin
+
+  /** quant_recall oracle: recall@10 of exact int8-code search vs exact
+    * float search — both fully replayable (codes from int8CodeCtes,
+    * scoring int8ScoreSql, exact side the knn_topk contract). */
+  private def quantRecallSql(k: Int, nQueries: Int): String =
+    s"""WITH qs AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  ORDER BY md5('graft42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $nQueries
+       |), $int8CodeCtes, approx AS MATERIALIZED (
+       |  SELECT query_id, result_id FROM (
+       |    SELECT q.qid AS query_id, cb.vec_id AS result_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |        ${int8ScoreSql("qa", "cb")} DESC, cb.vec_id ASC) AS rank
+       |    FROM qs q JOIN cn qa ON qa.vec_id = q.qid, cn cb
+       |    WHERE cb.vec_id <> q.qid
+       |  ) WHERE rank <= $k
+       |), ${ivfExactCte(k)}
+       |$recallSelect""".stripMargin
+
+  /** ivf_int8_recall oracle: the IVF pipeline (float routing on the
+    * lattice centroids) with code-vs-code int8 scoring inside the probed
+    * cells — compression loss and pruning loss compound, exactly the
+    * persisted IvfCollection int8 layout. */
+  private def ivfInt8RecallSql(
+      nList: Int, nProbe: Int, iters: Int, sampleN: Int,
+      k: Int, nQueries: Int, salt: String): String =
+    s"""${ivfPipelineCtes(nList, nProbe, iters, sampleN, nQueries, salt)}, $int8CodeCtes, approx AS MATERIALIZED (
+       |  SELECT query_id, result_id FROM (
+       |    SELECT p.qid AS query_id, e.vec_id AS result_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+       |        ${int8ScoreSql("qa", "e")} DESC, e.vec_id ASC) AS rank
+       |    FROM probes p
+       |    JOIN cn qa ON qa.vec_id = p.qid
+       |    JOIN (SELECT cc.vec_id, cc.cell, kk.c, kk.n2
+       |          FROM corpcell cc JOIN cn kk USING (vec_id)) e
+       |      ON p.cell = e.cell
+       |    WHERE e.vec_id <> p.qid
+       |  ) WHERE rank <= $k
+       |), ${ivfExactCte(k)}
+       |$recallSelect""".stripMargin
+
+  /** ivf_binary_recall oracle: sign-sketch candidate ranking (asymmetric
+    * [[graft.expr.BitVectorOps.cosine]] — float query vs the ±1
+    * reconstruction; every sign vector has norm √dim, so the RAW double
+    * signed sum ranks, id tie-break) over the probed cells, k·oversample
+    * candidates, then the exact-cosine r6 rescore to the final k —
+    * verbatim IvfCollection.query's rescore path. */
+  private def ivfBinaryRecallSql(
+      nList: Int, nProbe: Int, iters: Int, sampleN: Int,
+      k: Int, oversample: Int, nQueries: Int, salt: String): String =
+    s"""${ivfPipelineCtes(nList, nProbe, iters, sampleN, nQueries, salt)}, signs AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END) AS s
+       |  FROM embeddings
+       |), cand AS MATERIALIZED (
+       |  SELECT query_id, result_id FROM (
+       |    SELECT p.qid AS query_id, e.vec_id AS result_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+       |        (CASE WHEN p.nq = 0 THEN 0.0 ELSE
+       |          list_inner_product(CAST(p.qv AS DOUBLE[]), e.s)
+       |          / (sqrt(p.nq) * sqrt(CAST(len(p.qv) AS DOUBLE))) END) DESC,
+       |        e.vec_id ASC) AS rank
+       |    FROM (SELECT qid, qv, cell,
+       |            list_inner_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS nq
+       |          FROM probes) p
+       |    JOIN (SELECT cc.vec_id, cc.cell, sg.s
+       |          FROM corpcell cc JOIN signs sg USING (vec_id)) e
+       |      ON p.cell = e.cell
+       |    WHERE e.vec_id <> p.qid
+       |  ) WHERE rank <= ${k * oversample}
+       |), approx AS MATERIALIZED (
+       |  SELECT query_id, result_id FROM (
+       |    SELECT c.query_id, c.result_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+       |        ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+       |          CAST(f.embedding AS DOUBLE[])), 6) DESC, c.result_id ASC) AS rank
+       |    FROM cand c
+       |    JOIN qs q ON q.qid = c.query_id
+       |    JOIN embeddings f ON f.vec_id = c.result_id
+       |  ) WHERE rank <= $k
+       |), ${ivfExactCte(k)}
+       |$recallSelect""".stripMargin
+
+  /** ivf_pq_recall oracle — the deepest replay in the repo: IVF lattice
+    * training (ivfPipelineCtes) PLUS per-subspace PQ codebook training
+    * ([[graft.search.Pq.trainCodebooks]]: the `graftpq42:` lattice sample
+    * sliced into m subspaces, each trained m×iters materialized Lloyd-
+    * round CTEs exactly like the cell training), then:
+    * encode = per-(vector, subspace) argmin of the sequential-double L2
+    * to the dyadic sub-centroids (list_inner_product of the diff with
+    * itself — the kernel's `d += diff*diff` loop order; strict-< = lowest
+    * cell on ties); reconstruction = subspace-ordered concatenation of
+    * the chosen centroids with `nx` accumulated by an explicitly
+    * SEQUENTIAL list_reduce (the kernel's `nx += normSq(j)(c)` j-order);
+    * scoring = asymmetric ADC cosine `dot(q, recon)/(√nq·√nx)` rounded to
+    * the 6-dp wire, inside the probed cells ([[graft.expr.PqVectorOps
+    * .cosine]] verbatim). */
+  private def ivfPqRecallSql(
+      nList: Int, nProbe: Int, iters: Int, sampleN: Int,
+      k: Int, nQueries: Int, salt: String,
+      m: Int, codebookSize: Int, pqIters: Int, dim: Int): String = {
+    require(dim % m == 0)
+    val dsub = dim / m
+    val off = LatticeKmeans.Scale * 4
+    val pqSalt = "graftpq42:"
+    val subTraining = (0 until m).map { j =>
+      val lo = j * dsub + 1
+      val hi = (j + 1) * dsub
+      val rounds = (0 until pqIters).map { i =>
+        s"""s${j}asg$i AS MATERIALIZED (
+           |  SELECT rn, q, cell FROM (
+           |    SELECT l.rn, l.q, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY l.rn ORDER BY
+           |        list_sum(list_transform(list_zip(l.q, c.c),
+           |          p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, c.cell ASC) AS rk
+           |    FROM s${j}lat l CROSS JOIN s${j}cent$i c
+           |  ) WHERE rk = 1
+           |), s${j}sums$i AS (
+           |  SELECT a.cell, u.d, CAST(SUM(a.q[CAST(u.d + 1 AS INT)]) AS BIGINT) AS s,
+           |    COUNT(*) AS n
+           |  FROM s${j}asg$i a, unnest(range(0, len(a.q))) AS u(d)
+           |  GROUP BY a.cell, u.d
+           |), s${j}cent${i + 1} AS MATERIALIZED (
+           |  SELECT c.cell, COALESCE(mm.c2, c.c) AS c
+           |  FROM s${j}cent$i c LEFT JOIN (
+           |    SELECT cell, list((2*s + n + 2*n*$off) // (2*n) - $off ORDER BY d) AS c2
+           |    FROM s${j}sums$i GROUP BY cell
+           |  ) mm USING (cell)
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""s${j}lat AS MATERIALIZED (
+         |  SELECT rn, q[$lo:$hi] AS q FROM plat
+         |), s${j}cent0 AS MATERIALIZED (
+         |  SELECT CAST(row_number() OVER (ORDER BY rn) - 1 AS INT) AS cell, q AS c
+         |  FROM (SELECT q, min(rn) AS rn FROM s${j}lat GROUP BY q
+         |        ORDER BY rn LIMIT $codebookSize)
+         |), $rounds""".stripMargin
+    }.mkString(", ")
+    val cbUnion = (0 until m).map { j =>
+      s"SELECT $j AS sub, cell, list_transform(c, x -> CAST(x AS DOUBLE) / ${LatticeKmeans.Scale}.0) AS cd FROM s${j}cent$pqIters"
+    }.mkString(" UNION ALL ")
+    s"""${ivfPipelineCtes(nList, nProbe, iters, sampleN, nQueries, salt)}, plat AS MATERIALIZED (
+       |  SELECT row_number() OVER (
+       |      ORDER BY md5('$pqSalt' || CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(FLOOR(x * ${LatticeKmeans.Scale} + 0.5) AS BIGINT)) AS q
+       |  FROM (
+       |    SELECT vec_id, embedding FROM embeddings
+       |    ORDER BY md5('$pqSalt' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $sampleN
+       |  )
+       |), $subTraining, cbn AS MATERIALIZED (
+       |  SELECT sub, cell, cd, list_inner_product(cd, cd) AS ns FROM ($cbUnion)
+       |), pcode AS MATERIALIZED (
+       |  SELECT vec_id, sub, cell FROM (
+       |    SELECT vec_id, sub, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY
+       |        list_inner_product(df, df) ASC, cell ASC) AS rk
+       |    FROM (
+       |      SELECT e.vec_id, b.sub, b.cell,
+       |        list_transform(
+       |          list_zip(e.v[b.sub*$dsub+1 : (b.sub+1)*$dsub], b.cd),
+       |          p -> p[1]-p[2]) AS df
+       |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e
+       |      CROSS JOIN cbn b
+       |    )
+       |  ) WHERE rk = 1
+       |), precon AS MATERIALIZED (
+       |  SELECT p.vec_id, flatten(list(b.cd ORDER BY p.sub)) AS recon,
+       |    list_reduce(list_prepend(0.0, list(b.ns ORDER BY p.sub)),
+       |      (acc, x) -> acc + x) AS nx
+       |  FROM pcode p JOIN cbn b ON b.sub = p.sub AND b.cell = p.cell
+       |  GROUP BY p.vec_id
+       |), approx AS MATERIALIZED (
+       |  SELECT query_id, result_id FROM (
+       |    SELECT p.qid AS query_id, e.vec_id AS result_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+       |        ROUND(CASE WHEN p.nq = 0 OR e.nx = 0 THEN 0.0
+       |          ELSE list_inner_product(CAST(p.qv AS DOUBLE[]), e.recon)
+       |               / (sqrt(p.nq) * sqrt(e.nx)) END, 6) DESC,
+       |        e.vec_id ASC) AS rank
+       |    FROM (SELECT qid, qv, cell,
+       |            list_inner_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS nq
+       |          FROM probes) p
+       |    JOIN (SELECT cc.vec_id, cc.cell, r.recon, r.nx
+       |          FROM corpcell cc JOIN precon r USING (vec_id)) e
+       |      ON p.cell = e.cell
+       |    WHERE e.vec_id <> p.qid
+       |  ) WHERE rank <= $k
+       |), ${ivfExactCte(k)}
+       |$recallSelect""".stripMargin
   }
+
+  /** recall = |approx ∩ exact| / |exact|: one double division (the
+    * single-correctly-rounded-op rule), identical to the Spark side's
+    * `sum(found).cast(double) / count(*)`. */
+  private val recallSelect: String =
+    """SELECT CAST(CAST(SUM(CASE WHEN a.result_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+      |  / COUNT(*) AS recall_at_k
+      |FROM exact e LEFT JOIN approx a
+      |  ON e.query_id = a.query_id AND e.result_id = a.result_id""".stripMargin
 
   private def bpeReplaySql(finalCols: String): String = {
     val rounds = (0 until bpeNumMerges).map { i =>

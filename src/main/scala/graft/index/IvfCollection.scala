@@ -66,7 +66,7 @@ class IvfCollection(
         .withColumn(scaleCol(vecCol), int8_scale(col(vecCol)))
         .drop(vecCol)
       else if (pq) {
-        val cb = graft.search.Pq.trainCodebooks(corpus, vecCol, pqM,
+        val cb = graft.search.Pq.trainCodebooks(corpus, idCol, vecCol, pqM,
           pqCodebookSize, seed)
         writeCodebooks(cb)
         assigned

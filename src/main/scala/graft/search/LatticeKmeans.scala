@@ -100,12 +100,28 @@ object LatticeKmeans {
       k: Int, iters: Int, sampleN: Int, salt: String): Array[Array[Long]] = {
     require(k > 0 && iters >= 0 && sampleN >= k,
       s"need sampleN >= k > 0, iters >= 0; got k=$k iters=$iters sampleN=$sampleN")
-    // collect preserves the md5 order: orderBy+limit plans as
-    // TakeOrderedAndProject, whose result is sorted
+    lloyd(sampleLattice(corpus, idCol, vecCol, sampleN, salt), k, iters)
+  }
+
+  /** The bounded seeded sample as quantized lattice vectors, in salted-md5
+    * order (one narrow TakeOrderedAndProject scan; collect preserves the
+    * sort). Shared by [[train]] and [[Pq.trainCodebooks]] — PQ slices the
+    * same lattice sample into subspaces (quantization is per-component,
+    * so slicing commutes with it). */
+  private[graft] def sampleLattice(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      sampleN: Int, salt: String): Array[Array[Long]] = {
     val rows = Sampling.seeded(
         corpus.select(col(idCol), col(vecCol).as("__v")), idCol, sampleN, salt)
       .select(col("__v")).collect()
-    val qs = rows.map(r => quantize(r.getSeq[Float](0).toArray))
+    rows.map(r => quantize(r.getSeq[Float](0).toArray))
+  }
+
+  /** Forgy init + `iters` exact-integer Lloyd rounds over in-memory
+    * lattice points (the driver-side training core; bounded by
+    * construction — points come from [[sampleLattice]]). */
+  private[graft] def lloyd(
+      qs: Array[Array[Long]], k: Int, iters: Int): Array[Array[Long]] = {
     if (qs.isEmpty) return Array.empty
     val dim = qs(0).length
 

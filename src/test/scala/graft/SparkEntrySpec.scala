@@ -24,14 +24,14 @@ class SparkEntrySpec extends SparkSpec {
     // round 14 graduated ivf_recall + ivf_partitioned_recall (MLlib
     // KMeans replaced by the deterministic integer-lattice trainer
     // LatticeKmeans, replayed as per-round CTEs — SparkEntry
-    // .ivfRecallSql; both recall floors retained). What remains is the
-    // compressed-codec recall set (int8/pq/binary quantization float
-    // steps still under graduation study) and an approx quantile sketch.
-    val expected = Set(
-      "ivf_int8_recall",
-      "ivf_pq_recall", "ivf_binary_recall",
-      "quant_recall",
-      "doc_len_quantiles_approx")
+    // .ivfRecallSql; both recall floors retained), then the whole codec
+    // ladder: quant_recall / ivf_int8_recall (exact int8 code replay),
+    // ivf_binary_recall (sign-sketch candidates + rescore replay), and
+    // ivf_pq_recall (per-subspace PQ codebook training replayed as
+    // m x iters Lloyd-round CTEs + ADC reconstruction scoring). The one
+    // remaining rows-only query is the approx quantile sketch, whose
+    // output is definitionally sketch-dependent (t-digest internals).
+    val expected = Set("doc_len_quantiles_approx")
     assert(rowsOnly == expected,
       s"rows-only set changed: extra=${rowsOnly -- expected} missing=${expected -- rowsOnly}")
   }

@@ -47,15 +47,15 @@ class PqSpec extends SparkSpec {
 
   test("trained codebooks: subspace count, dims, determinism by seed") {
     val emb = graft.Tables.embeddings(spark, graft.TestSpark.sf0001)
-    val a = Pq.trainCodebooks(emb, "embedding", m = 8, codebookSize = 16, seed = 7L)
-    val b = Pq.trainCodebooks(emb, "embedding", m = 8, codebookSize = 16, seed = 7L)
+    val a = Pq.trainCodebooks(emb, "vec_id", "embedding", m = 8, codebookSize = 16, seed = 7L)
+    val b = Pq.trainCodebooks(emb, "vec_id", "embedding", m = 8, codebookSize = 16, seed = 7L)
     assert(a.length == 8)
     assert(a.forall(_.forall(_.length == 8))) // 64 / 8 subspace dims
     assert(a.map(_.map(_.toSeq).toSeq).toSeq == b.map(_.map(_.toSeq).toSeq).toSeq,
       "same seed must train identical codebooks")
     // dim not divisible -> loud failure
     intercept[IllegalArgumentException] {
-      Pq.trainCodebooks(emb, "embedding", m = 7)
+      Pq.trainCodebooks(emb, "vec_id", "embedding", m = 7)
     }
   }
 
