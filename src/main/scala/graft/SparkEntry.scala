@@ -2136,10 +2136,15 @@ object SparkEntry {
     }),
 
     // The 100 TB quantile path made concrete (not just documented): the
-    // mergeable single-pass GK sketch behind approx_percentile. Sketch
-    // internals aren't SQL-portable → rows-only driver check;
-    // TextAnalysisSpec pins the estimates against exact percentile_disc
-    // on the fixture.
+    // mergeable single-pass GK sketch behind approx_percentile. Round 14
+    // graduation: below the accuracy parameter (n ≤ 10000 — every oracle
+    // fixture) the GK summary never compresses, so the sketch answer IS
+    // the exact element at rank ceil(p·n) — a convention
+    // TextAnalysisSpec pins on awkward sizes (n = 3..50, where ceil(p·n)
+    // differs from other textbook quantile rules) and the DuckDB twin
+    // replays by rank. Above the accuracy the sketch approximates (the
+    // 100 TB point of the operator); the spec separately pins estimates
+    // within 5% of exact at fixture scale.
     "doc_len_quantiles_approx" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(TextAnalysis.tokenCount(col("text")).as("n"))
@@ -2300,6 +2305,22 @@ object SparkEntry {
         |  md5(array_to_string(toks[u.i*16+1 : u.i*16+32], ' ')) AS chunk_md5
         |FROM c, unnest(range(0, nc)) AS u(i)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // percentile_approx below its accuracy never compresses the GK
+    // summary -> exact element at rank ceil(p*n) (convention pinned by
+    // TextAnalysisSpec on awkward sizes); replayed here by rank.
+    "doc_len_quantiles_approx" ->
+      """WITH t AS (
+        |  SELECT len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS n
+        |  FROM documents
+        |), o AS (
+        |  SELECT n, row_number() OVER (ORDER BY n) AS r, count(*) OVER () AS cnt FROM t
+        |)
+        |SELECT
+        |  CAST(max(CASE WHEN r = CAST(ceil(0.25 * cnt) AS BIGINT) THEN n END) AS DOUBLE) AS p25,
+        |  CAST(max(CASE WHEN r = CAST(ceil(0.5 * cnt) AS BIGINT) THEN n END) AS DOUBLE) AS p50,
+        |  CAST(max(CASE WHEN r = CAST(ceil(0.75 * cnt) AS BIGINT) THEN n END) AS DOUBLE) AS p75
+        |FROM o""".stripMargin,
 
     "lang_len_quantiles" ->
       """WITH t AS (

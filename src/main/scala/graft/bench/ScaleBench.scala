@@ -48,13 +48,18 @@ object ScaleBench {
   // decode-family additions: synthesis + decode fuse into one map-side
   // projection per doc, so the design claims STRICTLY LINEAR per-byte
   // cost in N (no shuffle touches a payload; amplification multiplies
-  // docs, not per-doc decode work).
+  // docs, not per-doc decode work). ivf_partitioned_recall is the 100 TB
+  // scan-shape witness: the persisted cell-partitioned probe (build
+  // absorbed in warmup, fingerprint-keyed per factor) against the exact
+  // comparator — the exact side is the linear cost, the probe side reads
+  // ~nProbe/nList of the amplified corpus through static pruning.
   private val queryNames = Seq(
     "dedup_exact", "dedup_minhash", "dedup_near_keep", "dedup_clusters",
     "winnow_pairs", "bm25_topk", "bm25_index_topk", "knn_topk", "sparse_knn",
     "doc_dup_spans", "dedup_span_cut", "jaccard_join_pairs",
     "bpe_tokens", "frame_hist", "budget_select", "split_leakfree",
-    "media_meta", "audio_env", "video_meta", "video_frames")
+    "media_meta", "audio_env", "video_meta", "video_frames",
+    "ivf_partitioned_recall")
 
   private val Stride = 10_000_000L // far above any fixture id
 

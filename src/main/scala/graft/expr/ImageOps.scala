@@ -34,20 +34,47 @@ import org.apache.spark.unsafe.types.UTF8String
  * must not kill the stage — filter `IS NULL` downstream to quarantine.
  */
 object ImageOps {
+  // ImageIO defaults to DISK-backed stream caches (a temp file created
+  // and deleted per ImageIO.read / createImageInputStream call) — pure
+  // filesystem churn when every payload is already an in-memory byte
+  // array. One static switch to memory-cache streams; JVM-global, and
+  // strictly better for byte-array sources (javax.imageio caches exist
+  // for non-seekable file/network streams, which this engine never
+  // hands to ImageIO).
+  ImageIO.setUseCache(false)
+
   private def decode(bytes: Array[Byte]): BufferedImage =
     if (bytes == null || bytes.length == 0) null
     else
       try ImageIO.read(new ByteArrayInputStream(bytes))
       catch { case scala.util.control.NonFatal(_) => null }
 
-  /** (width, height, format-ish MIME guess) or null when undecodable. The
-    * format sniff reads magic bytes (cheap, decode-free); width/height
-    * come from the decoded raster so they are authoritative. */
+  /** (width, height, format-ish MIME guess) or null when unparseable.
+    * HEADER-ONLY: dimensions come from the codec header via
+    * `ImageReader.getWidth/getHeight(0)` — no pixel decode, no raster
+    * allocation. Metadata extraction over a 100 TB crawl must not pay
+    * entropy-decode + IDCT per object when the header already carries
+    * the answer (the r14 scale run showed full-decode metaRow going
+    * superlinear from allocation pressure; header reads are ~10× cheaper
+    * and flat). A payload whose header parses but whose scan data is
+    * corrupt now reports its header dims — callers that need decode
+    * VALIDATION use the feature kernels (NULL on decode failure), not
+    * the metadata probe. Format sniff reads magic bytes. */
   def metaRow(bytes: Array[Byte]): InternalRow = {
-    val img = decode(bytes)
-    if (img == null) null
-    else InternalRow(img.getWidth, img.getHeight,
-      UTF8String.fromString(sniffFormat(bytes)))
+    if (bytes == null || bytes.length == 0) return null
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true) // seekForwardOnly, ignoreMetadata
+          InternalRow(r.getWidth(0), r.getHeight(0),
+            UTF8String.fromString(sniffFormat(bytes)))
+        } finally r.dispose()
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => null }
   }
 
   private def sniffFormat(b: Array[Byte]): String =

@@ -26,12 +26,14 @@ class SparkEntrySpec extends SparkSpec {
     // LatticeKmeans, replayed as per-round CTEs — SparkEntry
     // .ivfRecallSql; both recall floors retained), then the whole codec
     // ladder: quant_recall / ivf_int8_recall (exact int8 code replay),
-    // ivf_binary_recall (sign-sketch candidates + rescore replay), and
+    // ivf_binary_recall (sign-sketch candidates + rescore replay),
     // ivf_pq_recall (per-subspace PQ codebook training replayed as
-    // m x iters Lloyd-round CTEs + ADC reconstruction scoring). The one
-    // remaining rows-only query is the approx quantile sketch, whose
-    // output is definitionally sketch-dependent (t-digest internals).
-    val expected = Set("doc_len_quantiles_approx")
+    // m x iters Lloyd-round CTEs + ADC reconstruction scoring), and
+    // finally doc_len_quantiles_approx (below its accuracy the GK
+    // summary never compresses — exact rank-ceil(p*n) replay, convention
+    // pinned in TextAnalysisSpec). EVERY query now carries a full DuckDB
+    // oracle.
+    val expected = Set.empty[String]
     assert(rowsOnly == expected,
       s"rows-only set changed: extra=${rowsOnly -- expected} missing=${expected -- rowsOnly}")
   }

@@ -186,6 +186,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("percentile_approx exact regime (n <= accuracy): element at rank ceil(p*n)") {
+    // The round-14 oracle for doc_len_quantiles_approx replays this rank
+    // convention in SQL; the sizes here are the awkward ones where
+    // ceil(p*n) DIFFERS from other textbook rules (e.g. n=3 p=0.75:
+    // ceil = 3rd element where quantile_disc-style floor(p*(n-1))+1
+    // picks the 2nd), so convention drift in a Spark upgrade fails here
+    // before it fails the driver compare.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, col, lit, percentile_approx}
+    for (n <- Seq(3, 4, 5, 7, 50)) {
+      val got = (1 to n).map(_.toLong).toDF("v")
+        .agg(percentile_approx(col("v"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("qs"))
+        .head().getSeq[Long](0)
+      val want = Seq(0.25, 0.5, 0.75).map(p => math.ceil(p * n).toLong)
+      assert(got == want, s"n=$n: got $got want $want (rank convention drift)")
+    }
+  }
+
   test("HLL distinct-token estimate within 5% of exact (the 100 TB vocab path)") {
     val toks = graft.Tables.documents(spark, graft.TestSpark.sf0001)
       .select(explode(TextAnalysis.tokens($"text")).as("token"))
