@@ -14,9 +14,11 @@ import graft.text.TextAnalysis
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every entry in `queries` has a DuckDB twin in `oracleSql` (same column
-  * names, floats rounded identically on both sides) unless the operator is
-  * not SQL-expressible cross-engine (hash-function-dependent ops), in which
-  * case the driver records a rows-only check and a ScalaTest covers it.
+  * names, floats rounded identically on both sides) — as of round 14 with
+  * NO exceptions: hash kernels replay over HUGEINT wraparound arithmetic,
+  * iterative trainers (BPE merges, lattice KMeans cells and PQ codebooks)
+  * replay as materialized per-round CTEs, and the GK quantile sketch is
+  * exact (rank ceil(p·n)) below its accuracy parameter.
   */
 object SparkEntry {
 
@@ -1225,10 +1227,10 @@ object SparkEntry {
     // Int8 scalar quantization quality gate: recall@10 of exact search
     // over the 4x-compressed int8 codes vs full-float exact search. The
     // quantized corpus is a pure map off the scan (no fit pass); scoring
-    // runs integer dot/norms on the codes. Rounding-dependent → rows-only
-    // (QuantizeSpec pins recall ≥ 0.9); the compression is the point: at
-    // 100 TB the code corpus is a quarter the bytes through scan, cache,
-    // and scoring.
+    // runs integer dot/norms on the codes. Full DuckDB oracle since r14
+    // (quantRecallSql: exact code + integer-cosine replay); QuantizeSpec
+    // pins recall ≥ 0.9. The compression is the point: at 100 TB the code
+    // corpus is a quarter the bytes through scan, cache, and scoring.
     "quant_recall" -> ((s, dir) => {
       import graft.functions.quantize_int8
       val emb = embParallel(s, dir)
@@ -1319,8 +1321,8 @@ object SparkEntry {
     // probed cell directories (static partition pruning — the 100 TB scan
     // shape, plan-asserted in IvfCollectionSpec). The artifact is keyed by
     // a corpus fingerprint and reused across calls (build-once/query-many,
-    // like index_near_keep); KMeans cells aren't SQL-expressible →
-    // rows-only.
+    // like index_near_keep). Identical output to ivf_recall by
+    // construction, so it shares ivfRecallSql verbatim (full oracle, r14).
     "ivf_partitioned_recall" -> ((s, dir) => {
       val emb = embParallel(s, dir)
       val q = knnQueries(s, dir)
@@ -1380,8 +1382,9 @@ object SparkEntry {
     // vs float (int8's 4x squared) — and scores the float query against
     // the codebook reconstruction (asymmetric: only the corpus side pays
     // quantization loss). recall@10 vs full-float exact kNN compounds
-    // cell-pruning + PQ loss; IvfCollectionSpec pins the floor. KMeans
-    // codebooks aren't SQL-expressible -> rows-only.
+    // cell-pruning + PQ loss; IvfCollectionSpec pins the floor. Full
+    // oracle since r14: lattice codebooks replay as m×iters Lloyd-round
+    // CTEs + ADC reconstruction scoring (ivfPqRecallSql).
     "ivf_pq_recall" -> ((s, dir) => {
       val emb = embParallel(s, dir)
       val q = knnQueries(s, dir)
@@ -1407,9 +1410,9 @@ object SparkEntry {
     // The bandwidth-extreme pruning path: IVF-binary stores 1 BIT per
     // dimension (32x, no codebooks) and recovers ranking quality by
     // rescoring k*oversample sign-sketch candidates at full precision —
-    // only |Q|*k*oversample rows ever touch float vectors. KMeans cells +
-    // sign-sketch candidate selection aren't SQL-expressible -> rows-only;
-    // IvfCollectionSpec pins the rescored recall floor.
+    // only |Q|*k*oversample rows ever touch float vectors. Full oracle
+    // since r14 (ivfBinaryRecallSql: sign-sketch candidates + rescore
+    // replay); IvfCollectionSpec pins the rescored recall floor.
     "ivf_binary_recall" -> ((s, dir) => {
       val emb = embParallel(s, dir)
       val q = knnQueries(s, dir)
@@ -1600,9 +1603,10 @@ object SparkEntry {
     // MOSS-winnowing near-dups (rolling-hash fingerprints): the POSITIONAL
     // dedup scheme — any shared ≥ w+k-1-char run guarantees a shared
     // fingerprint, catching lifted blocks that bag-of-shingles similarity
-    // dilutes. Rolling-hash values → no cross-engine SQL twin (rows-only);
-    // the winnowing guarantee, locality, and skew cap are pinned in
-    // WinnowingSpec/DedupSpec.
+    // dilutes. Full DuckDB oracle since r11 (winnowPairsSql replays the
+    // Karp-Rabin fold over HUGEINT; encoding-faithful via UTF-16 units
+    // since r14); the winnowing guarantee, locality, and skew cap are
+    // pinned in WinnowingSpec/DedupSpec.
     // minShared=10: on this corpus shared-fingerprint counts are cleanly
     // bimodal — incidental short runs share 3-5, true near-dups 10+ (the
     // pair set then matches the jaccard-0.8 dedup_minhash family).
@@ -2218,9 +2222,9 @@ object SparkEntry {
     }),
 
     // ------------------------------------------------------------------
-    // F1: deterministic UUIDv5 point identity over documents. Not
-    // SQL-expressible in DuckDB (no uuid5) → rows-only driver check;
-    // RFC 4122 vectors are pinned in ExpressionsSpec.
+    // F1: deterministic UUIDv5 point identity over documents. DuckDB has
+    // no uuid5, so the oracle (r12) replays the full SHA-1 in recursive
+    // SQL; RFC 4122 vectors are pinned in ExpressionsSpec.
     // ------------------------------------------------------------------
     "corpus_uuid" -> ((s, dir) => {
       Tables.documents(s, dir)

@@ -20,7 +20,7 @@ import graft.search.Ivf
  * LSH-global mining ([[graft.search.Ann.nearDupPairsLsh]]) shuffles every
  * bucket collision.
  *
- * Centroids come from the caller: [[Ivf.trainCentroids]] (seeded KMeans)
+ * Centroids come from the caller: [[Ivf.trainCentroids]] (deterministic lattice KMeans)
  * is the production path; any deterministic seed set (e.g. the embeddings
  * of K fixed documents) works and keeps the operator oracle-checkable
  * cross-engine. Routing reuses [[Ivf.assign]] — one map-side pass, the
