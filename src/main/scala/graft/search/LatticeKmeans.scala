@@ -114,7 +114,20 @@ object LatticeKmeans {
     val rows = Sampling.seeded(
         corpus.select(col(idCol), col(vecCol).as("__v")), idCol, sampleN, salt)
       .select(col("__v")).collect()
-    rows.map(r => quantize(r.getSeq[Float](0).toArray))
+    val qs = rows.map { r =>
+      require(!r.isNullAt(0),
+        s"$vecCol: NULL vector in the training sample — the deterministic " +
+          "sample is id-ordered, so a null cannot be silently skipped " +
+          "without diverging from the SQL replay; filter nulls upstream")
+      quantize(r.getSeq[Float](0).toArray)
+    }
+    qs.headOption.foreach { h =>
+      require(qs.forall(_.length == h.length),
+        s"$vecCol: ragged vector dims in the training sample " +
+          s"(expected ${h.length}) — mixed-dim corpora cannot share one " +
+          "centroid table")
+    }
+    qs
   }
 
   /** Forgy init + `iters` exact-integer Lloyd rounds over in-memory

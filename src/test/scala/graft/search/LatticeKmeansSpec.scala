@@ -58,6 +58,22 @@ class LatticeKmeansSpec extends SparkSpec {
     assert(asSets == Set(Seq(1.0f, 0f), Seq(0f, 1.0f)))
   }
 
+  test("null or ragged vectors in the sample fail loudly, not with an NPE") {
+    import spark.implicits._
+    val withNull = Seq((1L, Array(1.0f)), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("id", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      LatticeKmeans.train(withNull, "id", "v", k = 1, sampleN = 2)
+    }
+    assert(e1.getMessage.contains("NULL vector"))
+    val ragged = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f)))
+      .toDF("id", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      LatticeKmeans.train(ragged, "id", "v", k = 1, sampleN = 2)
+    }
+    assert(e2.getMessage.contains("ragged"))
+  }
+
   test("separated clusters recover their true means") {
     import spark.implicits._
     val pts = (0 until 50).map(i => (i.toLong, Array(10.0f + (i % 5) * 0.01f, 0f))) ++
