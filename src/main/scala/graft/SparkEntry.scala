@@ -957,6 +957,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The END-TO-END curation pass as ONE declarative plan — the
+    // composition story of the pipeline operators: exact dedup (keep
+    // lowest id per content) → quality gate (6-dp heuristic score ≥
+    // 0.45) → token-budget selection (greedy by quality under an 8k
+    // budget, the bounded-bucket sweep) → per-language batch packing
+    // (512-token bins). Catalyst sees the whole lineage, so column
+    // pruning reaches the scan once per stage chain, the dedup and
+    // packing windows shuffle only their key columns, and no stage
+    // materializes an intermediate. Every stage is individually
+    // hash-certified (dedup_keep_one / doc_quality / budget_select /
+    // pack_batches); this entry certifies their COMPOSITION.
+    "curation_pipeline" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      val deduped = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      val gated = deduped.filter(
+        r6(TextAnalysis.qualityScore(col("text"))) >= 0.45)
+      val selected = graft.text.Selection.tokenBudgetSelect(
+          gated, "doc_id",
+          TextAnalysis.qualityScore(col("text")),
+          TextAnalysis.tokenCount(col("text")),
+          budget = 8000L)
+        .withColumnRenamed("id", "doc_id")
+      val withLang = selected
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      graft.text.Packing.batches(withLang, Seq("lang"), "doc_id",
+          col("n_tokens"), budget = 512L)
+        .orderBy(col("lang"), col("batch_id"))
+    }),
+
     // Z-order clustered scan: events rewritten once (artifact keyed by
     // corpus fingerprint) into Morton-clustered files with a per-file
     // min/max skipping manifest, then a two-column range predicate reads
@@ -2781,6 +2810,38 @@ object SparkEntry {
         |  FROM d)
         |SELECT doc_id, quality, n_tokens FROM sel WHERE cum <= 10000
         |ORDER BY doc_id""".stripMargin),
+
+    // curation_pipeline: the composed twin chains the four certified
+    // stage oracles — md5-dedup QUALIFY, the shared qualityCte, the
+    // cum-≤-budget selection window, and the pack_batches bin formula —
+    // over each other's outputs.
+    "curation_pipeline" ->
+      ("WITH " + qualityCte + """
+        |, surv AS (
+        |  SELECT doc_id FROM documents
+        |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        |), g AS (
+        |  SELECT q.doc_id, q.quality, h.n_tok AS n_tokens
+        |  FROM q JOIN h ON q.doc_id = h.doc_id JOIN surv s ON s.doc_id = q.doc_id
+        |  WHERE q.quality >= 0.45
+        |), sel AS (
+        |  SELECT doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM g
+        |), wl AS (
+        |  SELECT k.doc_id, k.n_tokens, d.lang
+        |  FROM (SELECT doc_id, n_tokens FROM sel WHERE cum <= 8000) k
+        |  JOIN documents d USING (doc_id)
+        |), a AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |    CAST(FLOOR(CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS DOUBLE) / 512) AS BIGINT) AS batch_id
+        |  FROM wl
+        |)
+        |SELECT lang, batch_id, count(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM a GROUP BY lang, batch_id ORDER BY lang, batch_id""".stripMargin),
 
     "dedup_near_keep" ->
       ("WITH RECURSIVE " + componentClosureCte + "\n" +

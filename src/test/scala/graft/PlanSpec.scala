@@ -283,6 +283,20 @@ class PlanSpec extends SparkSpec {
       s"bucket decisions are broadcast-sized by construction:\n$p")
   }
 
+  test("curation_pipeline: composed stages fuse without product joins or global doc windows") {
+    val p = plan("curation_pipeline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"stage composition must stay equi-joined:\n$p")
+    // the dedup window partitions by the content hash, the packing window
+    // by lang — no corpus-global single-partition window over documents
+    // may appear (budget_select's bounded sweeps are the only
+    // unpartitioned windows, same invariant as its own spec)
+    val unpartitioned = "windowspecdefinition\\((__\\w+|\\w+)#\\d+L? (ASC|DESC)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(unpartitioned.forall(Set("__qb", "__sb")),
+      s"only the bounded bucket/band sweeps may run unpartitioned, got $unpartitioned:\n$p")
+  }
+
   test("split_leakfree: label join broadcasts, no product joins") {
     val p = plan("split_leakfree")
     assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
