@@ -120,9 +120,14 @@ object Bench {
     val loadsJson = passLoads.map(jNum).mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // Data-skipping evidence for the zorder_scan entry: files read vs
-    // files total under its two-column predicate, captured from the last
-    // executed plan (0/0 if the query never ran or errored).
-    val (zTotal, zRead) = SparkEntry.lastZorderScanStats
+    // files total under its two-column predicate. The stats are set at
+    // PLAN-BUILD time (readPruned runs during DataFrame construction), so
+    // an execution-time failure would still leave them populated — gate on
+    // the error set so a failed zorder_scan reports 0/0, never evidence
+    // for a run that didn't happen.
+    val (zTotal, zRead) =
+      if (errors.contains("zorder_scan")) (0, 0)
+      else SparkEntry.lastZorderScanStats
     val line = s"""{"metric":"total","value":${jNum(total)},"unit":"sec","queries":$qs,"passes":$passesJson,"pass_load_avg_1m":$loadsJson,"disputed":$disputedJson,"errors":$errorsJson,"zorder_scan_files":{"total":$zTotal,"read":$zRead},"sf":"$sfDir","cores":$cpus,"load_avg_1m":${jNum(loadAvg)}}"""
     println(line)
     // Durable copy: the driver snapshots only the tail of stdout (~2000

@@ -53,13 +53,17 @@ object ScaleBench {
   // absorbed in warmup, fingerprint-keyed per factor) against the exact
   // comparator — the exact side is the linear cost, the probe side reads
   // ~nProbe/nList of the amplified corpus through static pruning.
+  // curation_pipeline is the round-14 composed pass (near-dup gate →
+  // quality gate → budget select → pack): every stage is individually
+  // linear above, and the design claims composition adds NO new scaling
+  // term — its trend should track the sum of its stages, not a product.
   private val queryNames = Seq(
     "dedup_exact", "dedup_minhash", "dedup_near_keep", "dedup_clusters",
     "winnow_pairs", "bm25_topk", "bm25_index_topk", "knn_topk", "sparse_knn",
     "doc_dup_spans", "dedup_span_cut", "jaccard_join_pairs",
     "bpe_tokens", "frame_hist", "budget_select", "split_leakfree",
     "media_meta", "audio_env", "video_meta", "video_frames",
-    "ivf_partitioned_recall")
+    "ivf_partitioned_recall", "curation_pipeline")
 
   private val Stride = 10_000_000L // far above any fixture id
 

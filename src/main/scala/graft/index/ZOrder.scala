@@ -164,12 +164,22 @@ object ZOrder {
       .map { l => val f = l.split('\t'); (f(0), f(1), f(2).toDouble, f(3).toDouble) }
       .groupBy(_._1)
       .map { case (f, ls) => f -> ls.map(t => t._2 -> (t._3, t._4)).toMap }
-    val total = stats.size
-    val kept = stats.filter { case (_, byCol) =>
-      ranges.forall { case (c, lo, hi) =>
-        byCol.get(c).forall { case (mn, mx) => !(mx < lo || mn > hi) }
+    // Enumerate the actual data files: a file whose rows are all-NULL in
+    // every clustered column has NO manifest line at all, and the
+    // conservative-keep contract still applies to it. total therefore
+    // counts files on disk, not manifest entries.
+    val partFiles = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith(".") && n.endsWith(".parquet"))
+      .toSeq.sorted
+    val total = partFiles.size
+    val kept = partFiles.filter { f =>
+      stats.get(f).forall { byCol =>
+        ranges.forall { case (c, lo, hi) =>
+          byCol.get(c).forall { case (mn, mx) => !(mx < lo || mn > hi) }
+        }
       }
-    }.keys.toSeq.sorted
+    }
     val df =
       if (kept.isEmpty) spark.read.parquet(dir).where(lit(false))
       else spark.read.parquet(kept.map(f => s"$dir/$f"): _*)

@@ -48,4 +48,20 @@ class SparkEntrySpec extends SparkSpec {
       assert(n >= 0, s"$name failed at sf0.001")
     }
   }
+
+  test("full-case-mapping fixture fails LOUDLY, not as an opaque hash mismatch") {
+    // The byte/code-unit twins absorb every encoding divergence except
+    // one: Java's full case mapping vs utf8proc's code-point-wise
+    // lower() (U+0130, Final_Sigma U+03A3). A fixture containing one
+    // must produce a targeted error at the first lowercasing hash-fold
+    // query, not a red hash cell hours deep in forensics.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fullcase").toString
+    Seq((1L, "İstanbul borsası")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.queries("bpe_tokens")(spark, dir).count()
+    }
+    assert(e.getMessage.contains("full case mapping"), e.getMessage)
+  }
 }

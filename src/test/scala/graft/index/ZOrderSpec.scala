@@ -148,4 +148,33 @@ class ZOrderSpec extends SparkSpec {
       .as[Double].collect().toSet
     assert(got == Set(1.0, 2.0))
   }
+
+  test("readPruned: a file absent from the manifest is kept and counted") {
+    // A file whose rows are all-NULL in EVERY clustered column emits zero
+    // manifest lines (writeStatsManifest only writes non-null min/max), so
+    // it does not appear in the stats at all — e.g. a compaction landing
+    // null-heavy late rows. The conservative-keep contract must still
+    // hold: the file counts toward filesTotal and its rows survive.
+    val df = (0 until 32).map(i => (i.toLong, i.toLong)).toDF("u", "t")
+    val out = Files.createTempDirectory("graft_zorder_nomanifest").toString
+    ZOrder.writeClustered(df, Seq("u", "t"), out, numFiles = 4)
+    // Drop one extra part file with all-null clustered columns into the dir.
+    val extraDir = Files.createTempDirectory("graft_zorder_extra").toString
+    Seq((Option.empty[Long], Option.empty[Long]))
+      .toDF("u", "t").coalesce(1).write.mode("overwrite").parquet(extraDir)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val extra = fs.listStatus(new org.apache.hadoop.fs.Path(extraDir))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(extra, new org.apache.hadoop.fs.Path(out, "part-99999-extra.parquet"))
+    val (cands, total, read) = ZOrder.readPruned(spark, out, Seq(("u", 0.0, 5.0)))
+    assert(total >= 5, s"the extra file must count toward filesTotal, got $total")
+    assert(read >= 1)
+    // its (null, null) row is kept — no predicate evidence excludes it
+    assert(cands.filter($"u".isNull).count() == 1L)
+    // and a no-range read returns every row including the extra one
+    val (all, allTotal, allRead) = ZOrder.readPruned(spark, out, Seq.empty)
+    assert(allTotal == allRead)
+    assert(all.count() == 33L)
+  }
 }

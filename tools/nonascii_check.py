@@ -14,9 +14,11 @@ This tool proves that on a deliberately non-ASCII fixture:
  2. runs `graft.Verify` restricted to the eight queries;
  3. replays the oracle SQL in DuckDB via tools/oracle_check.py.
 
-Known, documented residual (not checked here): DuckDB lower() applies
-utf8proc's code-point-wise mapping where Java applies full case mapping —
-divergent only on full-mapping characters like U+0130; the fixture uses
+Known residual (not checked here, but GUARDED in the engine): DuckDB
+lower() applies utf8proc's code-point-wise mapping where Java applies full
+case mapping — divergent only on U+0130 and word-final U+03A3 under
+Locale.ROOT. SparkEntry.requireSimpleCaseFixture fails loudly on a fixture
+containing either (pinned by SparkEntrySpec); this fixture uses
 simple-mapping characters, as real corpora overwhelmingly do.
 
 Usage: python3 tools/nonascii_check.py [srcDir] (default /root/testdata/sf0.001)
