@@ -1052,7 +1052,7 @@ object SparkEntry {
     // digit ratio, repeated-token fraction — cheap codegen'd passes with
     // exact SQL twins.
     "doc_patterns" -> ((s, dir) => {
-      Tables.documents(s, dir).select(
+      docsParallel(s, dir).select(
         col("doc_id"),
         TextAnalysis.urlCount(col("text")).as("n_urls"),
         TextAnalysis.emailCount(col("text")).as("n_emails"),
@@ -1067,7 +1067,7 @@ object SparkEntry {
     // cascade actually fires on the fixture (an all-false column would mean
     // the patterns silently stopped matching).
     "doc_redact" -> ((s, dir) => {
-      Tables.documents(s, dir).select(
+      docsParallel(s, dir).select(
         col("doc_id"),
         TextAnalysis.redact(col("text")).as("redacted"),
         (TextAnalysis.redact(col("text")) =!= col("text")).as("changed"))
@@ -1684,7 +1684,7 @@ object SparkEntry {
     // column expressions with exact DuckDB twins.
     // ------------------------------------------------------------------
     "text_stats" -> ((s, dir) => {
-      Tables.documents(s, dir).select(
+      docsParallel(s, dir).select(
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         TextAnalysis.regexTokenCount(col("text")).as("n_lex_tokens"),
@@ -1738,13 +1738,13 @@ object SparkEntry {
     }),
 
     "lang_id" -> ((s, dir) => {
-      Tables.documents(s, dir)
+      docsParallel(s, dir)
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))
     }),
 
     "doc_quality" -> ((s, dir) => {
-      Tables.documents(s, dir)
+      docsParallel(s, dir)
         .select(col("doc_id"), r6(TextAnalysis.qualityScore(col("text"))).as("quality"))
         .orderBy(col("doc_id"))
     }),
@@ -1757,7 +1757,7 @@ object SparkEntry {
     // this is the cheap first cut that runs before any pairwise dedup.
     "doc_gopher" -> ((s, dir) => {
       val t = col("text")
-      Tables.documents(s, dir).select(
+      docsParallel(s, dir).select(
         col("doc_id"),
         TextAnalysis.tokenCount(t).as("n_words"),
         r6(TextAnalysis.avgTokenLen(t)).as("mean_word_len"),
@@ -1796,6 +1796,13 @@ object SparkEntry {
     // deterministic byte-histogram extractor — round 12: full DuckDB twin
     // (multimodalKnnSql replays the histogram kernel over the text's
     // exact UTF-8 bytes — encoding-faithful on any Unicode fixture).
+    // Guard policy (r14, measured at 30x): the FULL-decode queries
+    // (audio_env, audio_meta_decode, video_meta, video_frames) rebalance
+    // via docsParallel — per-row decode CPU dominates and serializes on
+    // an under-split scan; the header-only/stripe ones (media_meta,
+    // frame_hist) deliberately do NOT — their per-row cost is too small
+    // to repay the packText input shuffle (0.30→0.58 s regression when
+    // tried).
     // ------------------------------------------------------------------
     "media_meta" -> ((s, dir) => {
       Multimodal.packText(Tables.documents(s, dir), "doc_id", "text")
@@ -1848,7 +1855,7 @@ object SparkEntry {
     // envelope rides the integer-only wire format (per-window |sample|
     // sums, the doc_perplexity playbook), keeping doubles off the wire.
     "audio_meta_decode" -> ((s, dir) => {
-      val media = Tables.documents(s, dir).select(col("doc_id"),
+      val media = docsParallel(s, dir).select(col("doc_id"),
         graft.functions.synth_wav(col("doc_id"),
           (lit(800) + (col("doc_id") % 7) * 160).cast("int"), lit(8000)).as("media"))
       media.select(col("doc_id"), Multimodal.audioMeta(col("media")).as("m"))
@@ -1859,7 +1866,7 @@ object SparkEntry {
     }),
 
     "audio_env" -> ((s, dir) => {
-      val media = Tables.documents(s, dir).select(col("doc_id"),
+      val media = docsParallel(s, dir).select(col("doc_id"),
         graft.functions.synth_wav(col("doc_id"),
           (lit(800) + (col("doc_id") % 7) * 160).cast("int"), lit(8000)).as("media"))
       media.select(col("doc_id"),
@@ -1878,7 +1885,7 @@ object SparkEntry {
     // a true round-trip of container split + entropy decode + IDCT +
     // grid-feature kernel. No stub anywhere on this path.
     "video_meta" -> ((s, dir) => {
-      val media = Tables.documents(s, dir).select(col("doc_id"),
+      val media = docsParallel(s, dir).select(col("doc_id"),
         graft.functions.synth_mjpeg(col("doc_id"),
           (lit(2) + col("doc_id") % 3).cast("int"), lit(16)).as("media"))
       Multimodal.videoFrameMeta(media, "media")
@@ -1890,7 +1897,7 @@ object SparkEntry {
     }),
 
     "video_frames" -> ((s, dir) => {
-      val media = Tables.documents(s, dir).select(col("doc_id"),
+      val media = docsParallel(s, dir).select(col("doc_id"),
         graft.functions.synth_mjpeg(col("doc_id"),
           (lit(2) + col("doc_id") % 3).cast("int"), lit(16)).as("media"))
       Multimodal.sampleVideoFrameFeatures(media, "media", "feat", grid = 1)

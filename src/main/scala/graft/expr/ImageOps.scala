@@ -43,11 +43,103 @@ object ImageOps {
   // hands to ImageIO).
   ImageIO.setUseCache(false)
 
-  private def decode(bytes: Array[Byte]): BufferedImage =
-    if (bytes == null || bytes.length == 0) null
-    else
+  // --- Reader plumbing: NOT ImageIO.read. Every ImageIO.read call
+  // constructs a fresh ImageReader, and reader construction registers a
+  // cleanup record with sun.java2d.Disposer — a JVM-GLOBAL synchronized
+  // registry. At one reader per decoded frame a 32-thread executor
+  // serializes on that monitor (thread dumps during the 30x video sweep
+  // showed 26/32 task threads blocked in Disposer.add; decode itself
+  // scales near-linearly when the reader is reused). The fix: ONE reader
+  // per (thread, format), cached in a ThreadLocal and re-targeted with
+  // setInput per payload — the Disposer sees each reader once per thread
+  // lifetime instead of once per frame. The input side gets the same
+  // treatment: a minimal ImageInputStream over the byte array (below)
+  // instead of MemoryCacheImageInputStream, which both registers with the
+  // global StreamCloser and copies the bytes through its block cache.
+  // Unknown magic falls back to the stock ImageIO probe loop, so anything
+  // the JRE can read still decodes.
+
+  /** Random-access ImageInputStream DIRECTLY over a byte array: no
+    * per-call global registration (StreamCloser), no cache-block copy —
+    * ImageInputStreamImpl supplies seek/readBits on top of these two. */
+  private final class ByteArrayImageInputStream(buf: Array[Byte])
+      extends javax.imageio.stream.ImageInputStreamImpl {
+    override def read(): Int =
+      if (streamPos >= buf.length) -1
+      else { bitOffset = 0; val v = buf(streamPos.toInt) & 0xff; streamPos += 1; v }
+    override def read(b: Array[Byte], off: Int, len: Int): Int =
+      if (streamPos >= buf.length) -1
+      else {
+        bitOffset = 0
+        val n = math.min(len, buf.length - streamPos.toInt)
+        System.arraycopy(buf, streamPos.toInt, b, off, n)
+        streamPos += n
+        n
+      }
+    override def length(): Long = buf.length.toLong
+    override def isCached: Boolean = true
+    override def isCachedMemory: Boolean = true
+    // ImageInputStreamImpl declares a non-trivial finalize(), which makes
+    // EVERY stream construction register with the JVM's global Finalizer
+    // queue (synchronized — thread dumps showed 17/32 task threads parked
+    // in Finalizer.register during the 30x video sweep) and hands the
+    // single finalizer daemon one object per decoded frame. This stream
+    // holds no native or OS resource — close() is a no-op flag — so a
+    // TRIVIAL finalizer is correct, and an empty body is exactly how
+    // HotSpot is told not to register (is_empty_method check).
+    override protected def finalize(): Unit = ()
+  }
+
+  /** Format key for the reader cache, from the container magic; null for
+    * magic the cache doesn't know (→ stock ImageIO fallback). */
+  private def formatKey(b: Array[Byte]): String =
+    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+    else null
+
+  private val readerCache =
+    ThreadLocal.withInitial[java.util.HashMap[String, javax.imageio.ImageReader]](
+      () => new java.util.HashMap[String, javax.imageio.ImageReader]())
+
+  private def cachedReader(fmt: String): javax.imageio.ImageReader = {
+    val cache = readerCache.get()
+    var r = cache.get(fmt)
+    if (r == null) {
+      val it = ImageIO.getImageReadersByFormatName(fmt)
+      if (!it.hasNext) return null
+      r = it.next()
+      cache.put(fmt, r)
+    }
+    r
+  }
+
+  /** Drop a reader whose read threw — a decoder left mid-frame must not
+    * serve the next payload. */
+  private def evictReader(fmt: String, r: javax.imageio.ImageReader): Unit = {
+    readerCache.get().remove(fmt)
+    try r.dispose() catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  private def decode(bytes: Array[Byte]): BufferedImage = {
+    if (bytes == null || bytes.length == 0) return null
+    val fmt = formatKey(bytes)
+    val r = if (fmt == null) null else cachedReader(fmt)
+    if (r == null)
+      // unknown magic: stock probe loop (rare path, full generality)
       try ImageIO.read(new ByteArrayInputStream(bytes))
       catch { case scala.util.control.NonFatal(_) => null }
+    else {
+      val iis = new ByteArrayImageInputStream(bytes)
+      try {
+        r.setInput(iis, true, true) // seekForwardOnly, ignoreMetadata
+        r.read(0)
+      } catch {
+        case scala.util.control.NonFatal(_) => evictReader(fmt, r); null
+      } finally iis.close()
+    }
+  }
 
   /** (width, height, format-ish MIME guess) or null when unparseable.
     * HEADER-ONLY: dimensions come from the codec header via
@@ -62,19 +154,34 @@ object ImageOps {
     * the metadata probe. Format sniff reads magic bytes. */
   def metaRow(bytes: Array[Byte]): InternalRow = {
     if (bytes == null || bytes.length == 0) return null
-    try {
-      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    val fmt = formatKey(bytes)
+    if (fmt == null) {
+      // unknown magic: stock registry probe (rare path)
       try {
-        val readers = ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) return null
-        val r = readers.next()
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
         try {
-          r.setInput(iis, true, true) // seekForwardOnly, ignoreMetadata
-          InternalRow(r.getWidth(0), r.getHeight(0),
-            UTF8String.fromString(sniffFormat(bytes)))
-        } finally r.dispose()
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return null
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            InternalRow(r.getWidth(0), r.getHeight(0),
+              UTF8String.fromString(sniffFormat(bytes)))
+          } finally r.dispose()
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => null }
+    } else {
+      val r = cachedReader(fmt)
+      if (r == null) return null
+      val iis = new ByteArrayImageInputStream(bytes)
+      try {
+        r.setInput(iis, true, true) // seekForwardOnly, ignoreMetadata
+        InternalRow(r.getWidth(0), r.getHeight(0),
+          UTF8String.fromString(sniffFormat(bytes)))
+      } catch {
+        case scala.util.control.NonFatal(_) => evictReader(fmt, r); null
       } finally iis.close()
-    } catch { case scala.util.control.NonFatal(_) => null }
+    }
   }
 
   private def sniffFormat(b: Array[Byte]): String =

@@ -169,12 +169,12 @@ class PlanSpec extends SparkSpec {
 
   test("doc_gopher: single map-side pass — no exchange except the output sort") {
     val p = plan("doc_gopher")
-    // every rule is a per-row expression: the only allowed exchange is the
-    // range partitioning for the final ORDER BY
+    // every rule is a per-row expression: the only allowed exchanges are
+    // the range partitioning for the final ORDER BY and the scan-level
+    // parallelism rebalance (per-row rule cost serializes without it)
     assert(!p.contains("HashAggregate") && !p.contains("Window"),
       s"gopher rules must not aggregate or window:\n$p")
-    assert("Exchange".r.findAllIn(p).size <= 1,
-      s"expected at most the output-sort exchange in:\n$p")
+    assertMapSideDecode(p, "gopher rules")
   }
 
   test("doc_repetition: bigram mode via partial+final agg, line stats never shuffle text") {
@@ -240,18 +240,38 @@ class PlanSpec extends SparkSpec {
       s"no product joins in the index cut:\n$p")
   }
 
+  /** The decode-family contract after the round-14 parallelism fix: the
+    * payload (synthesized media / packed text) must never ride a shuffle,
+    * but the scan MAY rebalance BEFORE synthesis when the fixture
+    * collapses to fewer splits than cores (the docsParallel guard —
+    * without it 30x-amplified decode ran on one core, BENCH_SCALE.md).
+    * Encoded as: besides the output sort, the only allowed exchange is a
+    * RoundRobin sitting DIRECTLY above the scan, below every projection. */
+  private def assertMapSideDecode(p: String, what: String): Unit = {
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"$what must not hash-shuffle anything:\n$p")
+    assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1,
+      s"$what: only the output sort may range-exchange:\n$p")
+    val rr = p.indexOf("RoundRobinPartitioning")
+    if (rr >= 0) {
+      val below = p.substring(rr)
+      assert(!below.substring("RoundRobinPartitioning".length).contains("Exchange") &&
+        below.contains("FileScan"),
+        s"$what: the rebalance must sit directly above the scan (payloads " +
+          s"are computed AFTER it and must never ride it):\n$p")
+    }
+  }
+
   test("audio_env: scan reads ONLY doc_id (payloads are synthesized, never stored)") {
     val p = plan("audio_env")
     assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
       s"audio synthesis+decode must not drag any other column through the scan:\n$p")
-    assert("Exchange".r.findAllIn(p).size <= 1,
-      s"map-side decode: only the output sort may exchange:\n$p")
+    assertMapSideDecode(p, "map-side decode")
   }
 
   test("frame_hist: map-side stripes — only the output sort exchanges") {
     val p = plan("frame_hist")
-    assert("Exchange".r.findAllIn(p).size <= 1,
-      s"stripe features are one projection; no shuffle below the sort:\n$p")
+    assertMapSideDecode(p, "stripe features")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 

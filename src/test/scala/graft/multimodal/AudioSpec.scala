@@ -53,6 +53,41 @@ class AudioSpec extends SparkSpec {
     assert(m(3).isNullAt(1), "null payload stays NULL")
   }
 
+  test("AIFF and AU containers route through the magic dispatch") {
+    // The decode path dispatches readers on the 4-byte container magic
+    // (FORM / .snd) instead of AudioSystem's probe-every-reader loop —
+    // these containers prove the non-RIFF branches, and their big-endian
+    // samples exercise the cached-provider PCM conversion too.
+    def enc(t: AudioFileFormat.Type): Array[Byte] = {
+      val samples = Array[Short](100, -100, 3000, 7)
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f,
+        16, 1, 2, 8000f, true) // big-endian: AIFF's native byte order
+      val raw = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        raw(2 * i) = (s >> 8).toByte; raw(2 * i + 1) = s.toByte
+      }
+      val ais = new AudioInputStream(new ByteArrayInputStream(raw), fmt,
+        samples.length)
+      val out = new ByteArrayOutputStream()
+      AudioSystem.write(ais, t, out)
+      out.toByteArray
+    }
+    val rows = Seq(
+      (1L, enc(AudioFileFormat.Type.AIFF)),
+      (2L, enc(AudioFileFormat.Type.AU))).toDF("id", "media")
+    val m = rows.select($"id", Multimodal.audioMeta($"media").as("meta"),
+        graft.functions.audio_env_sums($"media", 1).as("sums"))
+      .orderBy($"id").collect()
+    val aiff = m(0).getStruct(1)
+    assert(aiff.getInt(0) == 8000 && aiff.getInt(1) == 1 &&
+      aiff.getLong(3) == 4L && aiff.getString(4) == "audio/aiff")
+    val au = m(1).getStruct(1)
+    assert(au.getInt(0) == 8000 && au.getString(4) == "audio/basic")
+    // 100+100+3000+7 regardless of container byte order
+    m.foreach(r => assert(r.getSeq[Long](2) == Seq(3207L),
+      s"big-endian samples must convert exactly, got ${r.getSeq[Long](2)}"))
+  }
+
   test("audio_env_sums: exact integer window sums on known samples") {
     // 8 mono samples, 2 windows -> [|1|+|-2|+|3|+|-4|, |10|+|-20|+|30|+|-40|]
     val rows = Seq((1L,
