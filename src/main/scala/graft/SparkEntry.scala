@@ -88,8 +88,11 @@ object SparkEntry {
   // UTF-16-unit views via sqlUtf8Bytes/sqlUtf16Units, so they hold on any
   // Unicode fixture (tools/nonascii_check.py replays them on one).
 
+  // keyed (applicationId, dir) like the sibling artifact caches, and
+  // cleared by evictDirCaches, so a dir regenerated within one JVM (the
+  // amplified-sweep pattern) cannot keep a stale clean verdict
   private val simpleCaseChecked =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
 
   /** Loud-failure successor to the retired ASCII guard, narrowed to the
     * ONE residual encoding divergence the byte/code-unit twins cannot
@@ -100,12 +103,23 @@ object SparkEntry {
     * Final_Sigma rule → ς at word end, utf8proc always → σ). A fixture
     * containing either would surface as an opaque hash mismatch hours
     * deep in forensics; this memoized one-pass scan turns it into a
-    * targeted error at the first lowercasing hash-fold query instead.
-    * (Σ is flagged in ANY position — conservative: only the word-final
-    * occurrence actually diverges.) */
+    * targeted error instead. Wired to EVERY query whose DuckDB twin
+    * lowercases (SparkEntrySpec pins the wiring against the `lower(`
+    * occurrences in oracleSql, so a new lowercasing twin cannot ship
+    * unguarded). (Σ is flagged in ANY position — conservative: only the
+    * word-final occurrence actually diverges.)
+    *
+    * Cost at scale: ONE extra text scan per (session, dir), short-circuit
+    * on first hit — bounded by the guarded query itself, which also scans
+    * the text. The guard protects the ORACLE-COMPARE contract; a
+    * production deployment that never diffs against DuckDB can set
+    * SPARK_GRAFT_SKIP_CASE_GUARD=1 to skip it (the engine's own answers
+    * are unaffected either way — only twin comparability is at stake). */
   private def requireSimpleCaseFixture(
-      s: SparkSession, dir: String, query: String): Unit =
-    if (!simpleCaseChecked.contains(dir)) {
+      s: SparkSession, dir: String, query: String): Unit = {
+    if (sys.env.get("SPARK_GRAFT_SKIP_CASE_GUARD").contains("1")) return
+    val key = (s.sparkContext.applicationId, dir)
+    if (!simpleCaseChecked.contains(key)) {
       val hits = Tables.documents(s, dir)
         .filter(col("text").rlike("[İΣ]")).limit(1).count()
       require(hits == 0L,
@@ -113,8 +127,9 @@ object SparkEntry {
           "code-point-wise mapping, but Java applies full case mapping — " +
           s"they diverge on U+0130/U+03A3 and $dir/documents contains one; " +
           "extend the SQL twin (emulate the full mapping) before trusting it")
-      simpleCaseChecked.add(dir)
+      simpleCaseChecked.add(key)
     }
+  }
 
   /** Corpus content fingerprint for keying tmpdir artifact caches: one
     * cheap hash pass, order-independent and overflow-free (bit_xor; a sum
@@ -201,6 +216,7 @@ object SparkEntry {
   private[graft] def evictDirCaches(s: SparkSession, dir: String): Unit = {
     evictMinedPairs(s, dir)
     bpeMergesCache.remove((s.sparkContext.applicationId, dir))
+    simpleCaseChecked.remove((s.sparkContext.applicationId, dir))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -278,6 +294,7 @@ object SparkEntry {
     // the mixture-balancing step of a training-data pipeline. The window
     // runs over the GROUPED frame (|sources| rows), not the corpus.
     "source_mix" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "source_mix")
       import org.apache.spark.sql.expressions.Window
       val per = docsParallel(s, dir).groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
@@ -323,6 +340,7 @@ object SparkEntry {
     // as md5 so the compare stays cell-sized; per-row compute only, no
     // shuffle below the output sort.
     "doc_chunks" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "doc_chunks")
       graft.text.Chunker.chunk(docsParallel(s, dir), Seq("doc_id"), "text",
           chunkSize = 32, stride = 16)
         .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
@@ -334,6 +352,7 @@ object SparkEntry {
     // (percentile ≡ quantile_cont interpolation; approx_percentile is the
     // documented 100 TB path, as in doc_len_quantiles).
     "lang_len_quantiles" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "lang_len_quantiles")
       Tables.documents(s, dir)
         .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n"))
         .groupBy(col("lang"))
@@ -819,6 +838,7 @@ object SparkEntry {
     }),
 
     "dedup_jaccard_pairs" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "dedup_jaccard_pairs")
       Dedup.ngramJaccardPairs(docsParallel(s, dir), "doc_id", "text",
           n = 3, threshold = 0.8)
         .withColumn("jaccard", r6(col("jaccard")))
@@ -826,6 +846,7 @@ object SparkEntry {
     }),
 
     "dedup_minhash" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "dedup_minhash")
       minedNearDupPairs(s, dir)
         .withColumn("jaccard", r6(col("jaccard")))
         .orderBy(col("id_a"), col("id_b"))
@@ -838,6 +859,7 @@ object SparkEntry {
     // dedup_minhash's ~0.07 s reads as "marginal over shared mining".
     // Output (and oracle) identical to dedup_minhash by construction.
     "pair_mining" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "pair_mining")
       evictMinedPairs(s, dir)
       minedNearDupPairs(s, dir)
         .withColumn("jaccard", r6(col("jaccard")))
@@ -849,6 +871,7 @@ object SparkEntry {
     // LSH miss probability, no O(n²) cross join. Shares the all-pairs
     // oracle: output identity with the reference IS the contract.
     "jaccard_join_pairs" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "jaccard_join_pairs")
       Dedup.jaccardJoinPrefix(docsParallel(s, dir), "doc_id", "text",
           n = 3, threshold = 0.8)
         .withColumn("jaccard", r6(col("jaccard")))
@@ -862,6 +885,7 @@ object SparkEntry {
     // Pairwise cost is O(len²) but runs only on verified near-dup PAIRS
     // (corpus-size-independent set), never the corpus.
     "edit_sim_pairs" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "edit_sim_pairs")
       Dedup.editSimilarity(minedNearDupPairs(s, dir),
           Tables.documents(s, dir), "doc_id", "text")
         .withColumn("edit_sim", r6(col("edit_sim")))
@@ -877,6 +901,7 @@ object SparkEntry {
     // the persisted graft.index.MinHashIndex artifact for pipelines that
     // run the dedup family together.
     "dedup_clusters" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "dedup_clusters")
       Dedup.connectedComponents(
           docsParallel(s, dir).select(col("doc_id")), "doc_id",
           minedNearDupPairs(s, dir), "id_a", "id_b")
@@ -886,6 +911,7 @@ object SparkEntry {
     // End-to-end near-dup removal: pairs → clusters → keep min-id
     // representative per cluster + all unclustered docs.
     "dedup_near_keep" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "dedup_near_keep")
       Dedup.dropNearDuplicates(docsParallel(s, dir), "doc_id",
           minedNearDupPairs(s, dir))
         .select(col("doc_id"), col("lang"), col("source"))
@@ -907,6 +933,7 @@ object SparkEntry {
     // scales with corpus bytes, the index read is ~constant per query. Not
     // a regression; see BASELINE.md's round-6 note.
     "index_near_keep" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "index_near_keep")
       val docs = docsParallel(s, dir)
       // The artifact root is keyed by a corpus CONTENT fingerprint (one
       // cheap hash pass — ~10× lighter than the shingle+MinHash kernel it
@@ -934,6 +961,7 @@ object SparkEntry {
     // batch×corpus Jaccard join (LSH recall is 1 at 0.8 on this corpus,
     // same argument as dedup_minhash).
     "batch_near_dup" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "batch_near_dup")
       val docs = docsParallel(s, dir)
       val fp = corpusFingerprint(Tables.documents(s, dir), col("doc_id"), col("text"))
       val root = new java.io.File(sys.props("java.io.tmpdir"),
@@ -952,6 +980,7 @@ object SparkEntry {
     // with any doc of a (seeded-sample stand-in) eval set. Eval shingles
     // broadcast; the corpus streams.
     "contamination" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "contamination")
       val docs = docsParallel(s, dir)
       val evalSet = graft.bench.Sampling.seeded(Tables.documents(s, dir), "doc_id", 50)
       Dedup.contaminationScan(docs, "doc_id", "text", evalSet, "doc_id", "text",
@@ -965,6 +994,7 @@ object SparkEntry {
     // cannot leak into eval. Oracle: recursive-CTE closure + the identical
     // first-8-hex/2^32 uniform convention as weighted_sample.
     "split_leakfree" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "split_leakfree")
       graft.dedup.Splits.leakFreeSplits(
           docsParallel(s, dir), "doc_id",
           minedNearDupPairs(s, dir), "id_a", "id_b")
@@ -976,6 +1006,7 @@ object SparkEntry {
     // (6-dp quality buckets → bounded cumulative sweep → one straddling
     // bucket's fine pass) — no corpus-sized single-partition window.
     "budget_select" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "budget_select")
       graft.text.Selection.tokenBudgetSelect(
           Tables.documents(s, dir), "doc_id",
           TextAnalysis.qualityScore(col("text")),
@@ -997,6 +1028,7 @@ object SparkEntry {
     // hash-certified (dedup_keep_one / doc_quality / budget_select /
     // pack_batches); this entry certifies their COMPOSITION.
     "curation_pipeline" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "curation_pipeline")
       val docs = docsParallel(s, dir)
       val deduped = Dedup.dropExactDuplicates(docs, "doc_id", "text")
       val gated = deduped.filter(
@@ -1052,6 +1084,7 @@ object SparkEntry {
     // digit ratio, repeated-token fraction — cheap codegen'd passes with
     // exact SQL twins.
     "doc_patterns" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "doc_patterns")
       docsParallel(s, dir).select(
         col("doc_id"),
         TextAnalysis.urlCount(col("text")).as("n_urls"),
@@ -1084,6 +1117,7 @@ object SparkEntry {
     // combine → per-doc max/sum, so the shuffle carries distinct bigrams
     // only, never positions.
     "doc_repetition" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "doc_repetition")
       val docs = docsParallel(s, dir)
       val lines = split(col("text"), "\n")
       val totalLineChars = aggregate(lines, lit(0), (acc, l) => acc + length(l))
@@ -1119,6 +1153,7 @@ object SparkEntry {
     // |vocab| rows, the sort keeps 50 per partition — both independent of
     // corpus row count.
     "vocab_topk" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "vocab_topk")
       docsParallel(s, dir)
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
@@ -1133,6 +1168,7 @@ object SparkEntry {
     // IDF, unlike BM25's query-term semi-join); per-doc top-3 windows over
     // document-length-bounded frames.
     "doc_keywords" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "doc_keywords")
       graft.text.Keywords.tfidfKeywords(docsParallel(s, dir),
           "doc_id", "text", topN = 3)
         .orderBy(col("doc_id"), col("kw_rank"))
@@ -1145,6 +1181,7 @@ object SparkEntry {
     // and a broadcast join over a builtin-codegen bigram stream — no UDF,
     // no corpus shuffle.
     "doc_perplexity" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "doc_perplexity")
       // Wire format is INTEGER-ONLY (doc_id, n_bigrams, q20_bits): the
       // driver's gate hash-compares cells against a DuckDB replay, and a
       // double derived from a HUGEINT aggregate proved environment-
@@ -1162,6 +1199,7 @@ object SparkEntry {
     // keyed by md5 (same bytes in every engine; 16-byte shuffle keys);
     // two hash aggregates + one semi-ish join, nothing quadratic.
     "doc_dup_spans" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "doc_dup_spans")
       graft.text.DupSpans.duplicatedSpans(docsParallel(s, dir),
           "doc_id", "text", n = 5)
         .orderBy(col("doc_id"))
@@ -1173,6 +1211,7 @@ object SparkEntry {
     // corpus-wide. Pure integer/string arithmetic; coverage merges
     // overlapping spans per-token.
     "dedup_span_cut" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "dedup_span_cut")
       graft.text.DupSpans.cutDuplicatedSpans(docsParallel(s, dir),
           "doc_id", "text", n = 5)
         .orderBy(col("doc_id"))
@@ -1184,6 +1223,7 @@ object SparkEntry {
     // corpus kernel — output identical by construction, shares
     // dedup_span_cut's oracle.
     "index_span_cut" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "index_span_cut")
       val docs = docsParallel(s, dir)
       val fp = corpusFingerprint(Tables.documents(s, dir), col("doc_id"), col("text"))
       val root = new java.io.File(sys.props("java.io.tmpdir"),
@@ -1200,6 +1240,7 @@ object SparkEntry {
     // one TakeOrdered-ish agg — at 100 TB use approx_percentile and drop
     // the oracle instead, documented here as the scale escape hatch.
     "doc_len_quantiles" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "doc_len_quantiles")
       Tables.documents(s, dir)
         .select(TextAnalysis.tokenCount(col("text")).as("n"))
         .agg(
@@ -1212,6 +1253,7 @@ object SparkEntry {
     // Token-length histogram: fixed arithmetic buckets of 50 tokens capped
     // at bucket 9 — one hash-agg pass, constant output size at any scale.
     "doc_len_hist" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "doc_len_hist")
       Tables.documents(s, dir)
         .select(least(floor(TextAnalysis.tokenCount(col("text")) / 50), lit(9))
           .cast("int").as("bucket"))
@@ -1501,6 +1543,7 @@ object SparkEntry {
     // bounded-heap top-k. The only transcendental (idf) is 6dp-quantized
     // at the source, so the DuckDB twin reproduces scores cell-exactly.
     "bm25_topk" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "bm25_topk")
       val docs = docsParallel(s, dir)
       val q = graft.bench.Sampling.seeded(Tables.documents(s, dir), "doc_id", 10)
       graft.search.Bm25.search(docs, "doc_id", "text", q, "doc_id", "text",
@@ -1516,6 +1559,7 @@ object SparkEntry {
     // one id domain, so the sampled query docs drive both sides and the
     // fused ranking is fully oracle-expressible.
     "hybrid_rrf" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "hybrid_rrf")
       val docs = docsParallel(s, dir)
       val emb = embParallel(s, dir)
       val qDocs = graft.bench.Sampling.seeded(Tables.documents(s, dir), "doc_id", 10)
@@ -1547,6 +1591,7 @@ object SparkEntry {
     // and a blowout identically). alpha = 0.5 is exactly representable in
     // binary, so the weighted contributions stay cross-engine exact.
     "hybrid_weighted" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "hybrid_weighted")
       val docs = docsParallel(s, dir)
       val emb = embParallel(s, dir)
       val qDocs = graft.bench.Sampling.seeded(Tables.documents(s, dir), "doc_id", 10)
@@ -1575,6 +1620,7 @@ object SparkEntry {
     // sf0.1 bench shows the amortized path near the self-contained one —
     // the crossover favors the index as the corpus grows.
     "bm25_index_topk" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "bm25_index_topk")
       val docs = docsParallel(s, dir)
       val fp = corpusFingerprint(Tables.documents(s, dir), col("doc_id"), col("text"))
       val root = new java.io.File(sys.props("java.io.tmpdir"),
@@ -1671,7 +1717,6 @@ object SparkEntry {
     // bimodal — incidental short runs share 3-5, true near-dups 10+ (the
     // pair set then matches the jaccard-0.8 dedup_minhash family).
     "winnow_pairs" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "winnow_pairs")
       Dedup.winnowNearDups(docsParallel(s, dir), "doc_id", "text",
           k = 12, w = 8, minShared = 10)
         .orderBy(col("id_a"), col("id_b"))
@@ -1684,6 +1729,7 @@ object SparkEntry {
     // column expressions with exact DuckDB twins.
     // ------------------------------------------------------------------
     "text_stats" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "text_stats")
       docsParallel(s, dir).select(
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
@@ -1738,12 +1784,14 @@ object SparkEntry {
     }),
 
     "lang_id" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "lang_id")
       docsParallel(s, dir)
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))
     }),
 
     "doc_quality" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "doc_quality")
       docsParallel(s, dir)
         .select(col("doc_id"), r6(TextAnalysis.qualityScore(col("text"))).as("quality"))
         .orderBy(col("doc_id"))
@@ -1756,6 +1804,7 @@ object SparkEntry {
     // division, so thresholds compare identically cross-engine). At 100 TB
     // this is the cheap first cut that runs before any pairwise dedup.
     "doc_gopher" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "doc_gopher")
       val t = col("text")
       docsParallel(s, dir).select(
         col("doc_id"),
@@ -1776,6 +1825,7 @@ object SparkEntry {
     // oracle on a second, unrelated grouping. Shuffle carries ≤ 3 rows per
     // (partition, lang) partial, corpus-size independent.
     "top_docs_per_lang" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "top_docs_per_lang")
       import graft.functions.top_k_rows
       val scored = docsParallel(s, dir).select(col("lang"), col("doc_id"),
         r6(TextAnalysis.qualityScore(col("text"))).as("quality"))
@@ -1812,7 +1862,6 @@ object SparkEntry {
     }),
 
     "multimodal_knn" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "multimodal_knn")
       val media = Multimodal.packText(docsParallel(s, dir), "doc_id", "text")
       val feats = Multimodal.extractFeatures(media, "media", "feat", buckets = 64)
         .select(col("doc_id"), col("feat"))
@@ -1837,7 +1886,6 @@ object SparkEntry {
     // multimodal_knn contract. Stripes and bins run over the payload's
     // exact UTF-8 bytes in both engines (encoding-faithful).
     "frame_hist" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "frame_hist")
       val media = Multimodal.packText(Tables.documents(s, dir), "doc_id", "text")
       Multimodal.sampleFrameFeatures(media, "media", "feat", k = 4, buckets = 8)
         .select(col("doc_id"), col("frame_idx"),
@@ -2024,6 +2072,7 @@ object SparkEntry {
     // minus the distinct exchange; TextAnalysisSpec pins the HLL estimate
     // within 5% of this exact value.
     "vocab_size" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "vocab_size")
       docsParallel(s, dir)
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
         .agg(countDistinct(col("token")).as("n_distinct"),
@@ -2090,6 +2139,7 @@ object SparkEntry {
     // curriculum/annealing data schedule. One lang-keyed exchange for the
     // window; the tier aggregate is partial map-side.
     "quality_tiers" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "quality_tiers")
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("lang")).orderBy(col("quality"), col("doc_id"))
       docsParallel(s, dir)
@@ -2110,6 +2160,7 @@ object SparkEntry {
     // left-semi/anti joins over the distinct sets — the exchange carries
     // distinct bigrams only, never the corpus.
     "vocab_overlap" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "vocab_overlap")
       def vocab(lang: String) = docsParallel(s, dir)
         .filter(col("lang") === lang)
         .select(explode(TextAnalysis.bigrams(col("text"))).as("bigram"))
@@ -2125,6 +2176,7 @@ object SparkEntry {
     // (per-language; exclusive-prefix-sum rule, see graft.text.Packing).
     // Emits the batch manifest a shard writer consumes.
     "pack_batches" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "pack_batches")
       graft.text.Packing.batches(docsParallel(s, dir), Seq("lang"), "doc_id",
           TextAnalysis.tokenCount(col("text")), budget = 512L)
         .orderBy(col("lang"), col("batch_id"))
@@ -2135,6 +2187,7 @@ object SparkEntry {
     // any engine with md5, layout-independent (unlike df.sample), pure
     // map-side filter (no shuffle at any scale).
     "weighted_sample" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "weighted_sample")
       graft.bench.Sampling.weighted(Tables.documents(s, dir), "doc_id",
           r6(TextAnalysis.qualityScore(col("text"))))
         .select(col("doc_id"), col("lang"), col("source"))
@@ -2146,6 +2199,7 @@ object SparkEntry {
     // trivial-variant duplicates raw-text hashing misses. Same map-side
     // digest + single hash-agg shuffle shape as dedup_exact.
     "normalize_dedup" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "normalize_dedup")
       docsParallel(s, dir)
         .select(md5(TextAnalysis.normalize(col("text"))).as("norm_hash"), col("doc_id"))
         .groupBy(col("norm_hash"))
@@ -2160,6 +2214,7 @@ object SparkEntry {
     // (bigram, partial_count) row per distinct bigram per map partition;
     // the global sort is top-20-bounded.
     "bigram_topk" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "bigram_topk")
       docsParallel(s, dir)
         .select(explode(TextAnalysis.bigrams(col("text"))).as("bigram"))
         .groupBy(col("bigram"))
@@ -2222,6 +2277,7 @@ object SparkEntry {
     // 100 TB point of the operator); the spec separately pins estimates
     // within 5% of exact at fixture scale.
     "doc_len_quantiles_approx" -> ((s, dir) => {
+      requireSimpleCaseFixture(s, dir, "doc_len_quantiles_approx")
       Tables.documents(s, dir)
         .select(TextAnalysis.tokenCount(col("text")).as("n"))
         .agg(percentile_approx(col("n"),

@@ -54,10 +54,13 @@ object AudioOps {
   // hot path. Unknown magic still tries every reader in provider order,
   // so anything the JRE can read still decodes.
 
+  // Loaded via the thread context classloader like AudioSystem's own
+  // registry, so application-classpath SPIs (an MP3/Vorbis decoder jar on
+  // the executor classpath) stay visible; parent delegation keeps the JDK
+  // readers in the list. Resolved once — executor threads share the
+  // application classloader, which is the point of the cache.
   private lazy val readers: IndexedSeq[AudioFileReader] = {
-    val it = java.util.ServiceLoader
-      .load(classOf[AudioFileReader], classOf[AudioFileReader].getClassLoader)
-      .iterator()
+    val it = java.util.ServiceLoader.load(classOf[AudioFileReader]).iterator()
     val b = Vector.newBuilder[AudioFileReader]
     while (it.hasNext) b += it.next()
     b.result()
@@ -65,9 +68,7 @@ object AudioOps {
 
   private lazy val converters: IndexedSeq[FormatConversionProvider] = {
     val it = java.util.ServiceLoader
-      .load(classOf[FormatConversionProvider],
-        classOf[FormatConversionProvider].getClassLoader)
-      .iterator()
+      .load(classOf[FormatConversionProvider]).iterator()
     val b = Vector.newBuilder[FormatConversionProvider]
     while (it.hasNext) b += it.next()
     b.result()
@@ -93,30 +94,26 @@ object AudioOps {
     if (picked.isEmpty) readers else picked
   }
 
-  /** First reader that accepts the payload wins — AudioSystem
-    * .getAudioInputStream semantics without its global registry lock. */
-  private def open(bytes: Array[Byte]): AudioInputStream = {
+  /** First candidate reader whose probe accepts the payload wins —
+    * AudioSystem's first-success semantics without its registry lock. */
+  private def firstSuccess[T](bytes: Array[Byte])(probe: AudioFileReader => T): T = {
     val cands = candidateReaders(bytes)
     var i = 0
     while (i < cands.size) {
-      try return cands(i).getAudioInputStream(new ByteArrayInputStream(bytes))
+      try return probe(cands(i))
       catch { case _: UnsupportedAudioFileException => () }
       i += 1
     }
     throw new UnsupportedAudioFileException("no reader accepts the payload")
   }
 
+  /** AudioSystem.getAudioInputStream without the registry lock. */
+  private def open(bytes: Array[Byte]): AudioInputStream =
+    firstSuccess(bytes)(_.getAudioInputStream(new ByteArrayInputStream(bytes)))
+
   /** AudioSystem.getAudioFileFormat without the registry lock. */
-  private def fileFormat(bytes: Array[Byte]): AudioFileFormat = {
-    val cands = candidateReaders(bytes)
-    var i = 0
-    while (i < cands.size) {
-      try return cands(i).getAudioFileFormat(new ByteArrayInputStream(bytes))
-      catch { case _: UnsupportedAudioFileException => () }
-      i += 1
-    }
-    throw new UnsupportedAudioFileException("no reader accepts the payload")
-  }
+  private def fileFormat(bytes: Array[Byte]): AudioFileFormat =
+    firstSuccess(bytes)(_.getAudioFileFormat(new ByteArrayInputStream(bytes)))
 
   /** AudioSystem.getAudioInputStream(target, source) without the registry
     * lock: first provider supporting the conversion wins. */

@@ -64,18 +64,26 @@ object ImageOps {
     * ImageInputStreamImpl supplies seek/readBits on top of these two. */
   private final class ByteArrayImageInputStream(buf: Array[Byte])
       extends javax.imageio.stream.ImageInputStreamImpl {
-    override def read(): Int =
+    // Contract parity with the JDK streams: bitOffset resets on EVERY
+    // read attempt (including at EOF), and a zero-length read returns 0
+    // before the EOF check.
+    override def read(): Int = {
+      bitOffset = 0
       if (streamPos >= buf.length) -1
-      else { bitOffset = 0; val v = buf(streamPos.toInt) & 0xff; streamPos += 1; v }
-    override def read(b: Array[Byte], off: Int, len: Int): Int =
-      if (streamPos >= buf.length) -1
+      else { val v = buf(streamPos.toInt) & 0xff; streamPos += 1; v }
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      java.util.Objects.checkFromIndexSize(off, len, b.length)
+      bitOffset = 0
+      if (len == 0) 0
+      else if (streamPos >= buf.length) -1
       else {
-        bitOffset = 0
         val n = math.min(len, buf.length - streamPos.toInt)
         System.arraycopy(buf, streamPos.toInt, b, off, n)
         streamPos += n
         n
       }
+    }
     override def length(): Long = buf.length.toLong
     override def isCached: Boolean = true
     override def isCachedMemory: Boolean = true
@@ -137,7 +145,12 @@ object ImageOps {
         r.read(0)
       } catch {
         case scala.util.control.NonFatal(_) => evictReader(fmt, r); null
-      } finally iis.close()
+      } finally {
+        // release the payload reference the cached reader would otherwise
+        // pin (one array per thread x format) for the thread's lifetime
+        try r.setInput(null) catch { case scala.util.control.NonFatal(_) => () }
+        iis.close()
+      }
     }
   }
 
@@ -180,7 +193,10 @@ object ImageOps {
           UTF8String.fromString(sniffFormat(bytes)))
       } catch {
         case scala.util.control.NonFatal(_) => evictReader(fmt, r); null
-      } finally iis.close()
+      } finally {
+        try r.setInput(null) catch { case scala.util.control.NonFatal(_) => () }
+        iis.close()
+      }
     }
   }
 

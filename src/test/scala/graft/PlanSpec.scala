@@ -254,11 +254,16 @@ class PlanSpec extends SparkSpec {
       s"$what: only the output sort may range-exchange:\n$p")
     val rr = p.indexOf("RoundRobinPartitioning")
     if (rr >= 0) {
-      val below = p.substring(rr)
-      assert(!below.substring("RoundRobinPartitioning".length).contains("Exchange") &&
-        below.contains("FileScan"),
+      val below = p.substring(rr + "RoundRobinPartitioning".length)
+      val scan = below.indexOf("FileScan")
+      assert(scan >= 0 && !below.contains("Exchange"),
         s"$what: the rebalance must sit directly above the scan (payloads " +
           s"are computed AFTER it and must never ride it):\n$p")
+      // nothing may compute between the rebalance and the scan — a
+      // Project there would mean the payload rides the shuffle
+      assert(!below.substring(0, scan).contains("Project"),
+        s"$what: a projection below the rebalance puts the payload on " +
+          s"the exchange:\n$p")
     }
   }
 

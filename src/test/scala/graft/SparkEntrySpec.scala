@@ -49,19 +49,34 @@ class SparkEntrySpec extends SparkSpec {
     }
   }
 
-  test("full-case-mapping fixture fails LOUDLY, not as an opaque hash mismatch") {
+  test("EVERY lowercasing oracle fails LOUDLY on a full-case-mapping fixture") {
     // The byte/code-unit twins absorb every encoding divergence except
     // one: Java's full case mapping vs utf8proc's code-point-wise
-    // lower() (U+0130, Final_Sigma U+03A3). A fixture containing one
-    // must produce a targeted error at the first lowercasing hash-fold
-    // query, not a red hash cell hours deep in forensics.
+    // lower() (U+0130, Final_Sigma U+03A3). The guard must be wired to
+    // every query whose DuckDB twin lowercases — enforced here at
+    // RUNTIME against the final oracle SQL strings (helper-built twins
+    // included), so a new lowercasing twin cannot ship unguarded: each
+    // must produce the targeted error, not a red hash cell hours deep
+    // in forensics.
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_fullcase").toString
     Seq((1L, "İstanbul borsası")).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val e = intercept[IllegalArgumentException] {
-      SparkEntry.queries("bpe_tokens")(spark, dir).count()
+    val lowercasing = SparkEntry.oracleSql.collect {
+      case (name, sql) if sql.contains("lower(") => name
+    }.toSeq.sorted
+    assert(lowercasing.size >= 25,
+      s"expected the known lowercasing-oracle family, got $lowercasing")
+    val unguarded = lowercasing.filter { name =>
+      try { SparkEntry.queries(name)(spark, dir).count(); true }
+      catch {
+        case e: IllegalArgumentException if e.getMessage.contains("full case mapping") => false
+        case other: Throwable =>
+          fail(s"$name reached past the guard (${other.getClass.getSimpleName}: " +
+            s"${other.getMessage.linesIterator.next()})")
+      }
     }
-    assert(e.getMessage.contains("full case mapping"), e.getMessage)
+    assert(unguarded.isEmpty,
+      s"lowercasing oracles whose query ran UNGUARDED on the İ fixture: $unguarded")
   }
 }
