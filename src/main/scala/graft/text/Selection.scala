@@ -59,10 +59,11 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
  * (quality desc, id asc) is ≤ `budget` — bit-identical to the naive
  * global-window definition (ties inside a bucket are broken by id; buckets
  * never split ties because equal rounded quality means equal bucket).
- * Total cost: one narrow id-only scan, two full scans (cell stats +
- * selection — the cell aggregate's exchange is reused by both of its
- * consumers), one bounded broadcast, one candidate-sized shuffle. No
- * corpus-sized single-partition operator at any scale or skew.
+ * Total cost: one narrow id-only scan, ONE full scan (the narrow
+ * quality/token projection is materialized once and re-read by the cell
+ * aggregate and the selection pass — see the checkpoint note at `base`),
+ * one bounded broadcast, one candidate-sized shuffle. No corpus-sized
+ * single-partition operator at any scale or skew.
  */
 object Selection {
 
@@ -180,24 +181,37 @@ object Selection {
         val bnds = idBandBoundaries(docs, idCol, idBands)
         docs.withColumn("__sb", bandColumn(col(idCol), bnds))
       }
+    // ONE wide scan, not two: the narrow (id, bucket, tokens, band)
+    // projection is MATERIALIZED via an eager localCheckpoint, so the
+    // text scan and the (expensive) per-row quality kernel run exactly
+    // once and every consumer — cell aggregate, both broadcast decision
+    // tables, and the selection window — reads the ~32 B/row narrow
+    // frame instead. (Exchange reuse cannot do this declaratively: the
+    // static planner plans each broadcast subtree separately — measured
+    // 4 FileScans / 26.9 s at 30× with a shared pre-partitioned base and
+    // no checkpoint, vs 2 scans / 16.8 s checkpointing cells only, vs
+    // 1 scan / 6.7 s with this design.) The storage cost is
+    // corpus-sized but NARROW — the 100 TB tradeoff is materializing
+    // ~32 B/row versus re-scanning the wide text and re-running the
+    // quality kernel per consumer; storage evicts LRU under pressure, so
+    // repeated calls soft-leak at worst.
     val base = withBand.select(
       col(idCol).as("id"),
       floor(quality * lit(Fp) + lit(0.5)).cast("long").as("__qb"),
       tokens.cast("long").as("n_tokens"),
       col("__sb"))
+      .localCheckpoint(true)
 
-    // Cell pass: per-(bucket, band) sums, MATERIALIZED via an eager
-    // localCheckpoint (the minedNearDupPairs precedent). The cell frame
-    // feeds three consumers (bucket rollup → sweep, straddle-band sweep,
-    // and both broadcast decision tables); without the checkpoint each
-    // broadcast subtree re-executes the corpus-wide quality scan beneath
-    // it — measured as 8 FileScans and a 24 s / 30× sweep number vs the
-    // two scans this design budgets. The checkpoint is bounded: one row
-    // per non-empty (bucket, band) cell — ≤ min(n_docs, (Fp+1)·idBands)
-    // narrow rows, distributed.
+    // Cell pass: per-(bucket, band) sums over the CHECKPOINTED base. The
+    // cell frame feeds three consumers (bucket rollup → sweep,
+    // straddle-band sweep, and both broadcast decision tables); each
+    // broadcast subtree re-executes this aggregate, but over the narrow
+    // materialized base — a cheap re-read, not the corpus-wide quality
+    // scan it used to be (the r12 measurement that motivated
+    // checkpointing here: 8 FileScans / 24 s at 30× — is now prevented
+    // one level down, at base).
     val cells = base.groupBy(col("__qb"), col("__sb"))
       .agg(sum(col("n_tokens")).as("__cbt"))
-      .localCheckpoint(true)
     val buckets = cells.groupBy(col("__qb")).agg(sum(col("__cbt")).as("__bt"))
     val sweep = Window.orderBy(col("__qb").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
