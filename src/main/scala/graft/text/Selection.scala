@@ -182,19 +182,28 @@ object Selection {
         docs.withColumn("__sb", bandColumn(col(idCol), bnds))
       }
     // ONE wide scan, not two: the narrow (id, bucket, tokens, band)
-    // projection is MATERIALIZED via an eager localCheckpoint, so the
-    // text scan and the (expensive) per-row quality kernel run exactly
-    // once and every consumer — cell aggregate, both broadcast decision
-    // tables, and the selection window — reads the ~32 B/row narrow
-    // frame instead. (Exchange reuse cannot do this declaratively: the
-    // static planner plans each broadcast subtree separately — measured
+    // projection is persisted and EAGERLY materialized, so the text scan
+    // and the (expensive) per-row quality kernel run exactly once and
+    // every consumer — cell aggregate, both broadcast decision tables,
+    // and the selection window — reads the ~32 B/row narrow frame
+    // instead. (Exchange reuse cannot do this declaratively: the static
+    // planner plans each broadcast subtree separately — measured
     // 4 FileScans / 26.9 s at 30× with a shared pre-partitioned base and
     // no checkpoint, vs 2 scans / 16.8 s checkpointing cells only, vs
-    // 1 scan / 6.7 s with this design.) The storage cost is
-    // corpus-sized but NARROW — the 100 TB tradeoff is materializing
-    // ~32 B/row versus re-scanning the wide text and re-running the
-    // quality kernel per consumer; storage evicts LRU under pressure, so
-    // repeated calls soft-leak at worst.
+    // 1 scan / 6.7 s materialized.) localCheckpoint — NOT persist() —
+    // deliberately: persist's CacheManager keys on the ANALYZED PLAN, so
+    // the cache outlives this call and a later call over the same path
+    // silently serves the old blocks even if the files were rewritten
+    // (stale answers), while also hiding the scan cost from any repeated
+    // measurement (tried: passes 2+ read the cross-call cache). A
+    // checkpoint is private to this invocation: fresh data every call,
+    // honest cost every call. The known trade: checkpointed blocks have
+    // no lineage, so at cluster scale a lost executor fails the job
+    // instead of recomputing — acceptable for a narrow frame consumed
+    // within the same query, the same exposure every shuffle's map
+    // output has without an external shuffle service. Storage cost is
+    // corpus-sized but narrow (~32 B/row vs re-running the quality
+    // kernel per consumer).
     val base = withBand.select(
       col(idCol).as("id"),
       floor(quality * lit(Fp) + lit(0.5)).cast("long").as("__qb"),
