@@ -54,8 +54,14 @@ object DupSpans {
     // partial aggregate combines map-side, and the (doc, hash) shuffle
     // carries at most one row per distinct gram per doc. On those
     // pre-deduped rows "occurs in >= 2 distinct docs" is a plain count.
+    // MATERIALIZED (same one-scan discipline as Selection's base): gcnt
+    // feeds both the duplicate-set aggregate and the join back, and the
+    // static planner would otherwise re-run the tokenize+gram kernel for
+    // each consumer (measured: 2 FileScans / 12.5 s → 1 scan at the 30×
+    // sweep). ~25 B/row narrow vs re-tokenizing the corpus.
     val gcnt = grams.groupBy(col(idCol), col("__h"))
       .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
     val dup = gcnt.groupBy(col("__h"))
       .agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= 2)
@@ -103,7 +109,13 @@ object DupSpans {
       docs: DataFrame, idCol: String, textCol: String, n: Int,
       preserveCase: Boolean = false): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val grams = gramFrame(docs, idCol, textCol, n)
+    // The positioned gram stream feeds BOTH the ownership aggregate and
+    // the coverage join; materialize it once (the Selection one-scan
+    // discipline) so the tokenize + md5 kernel runs a single time instead
+    // of per consumer. Token-count-sized but narrow (~28 B/row); the
+    // index-backed path (SpanIndex.cut) reads its grams from parquet and
+    // never hits this.
+    val grams = gramFrame(docs, idCol, textCol, n).localCheckpoint(true)
     val owners = grams.groupBy(col("__h"))
       .agg(min(col(idCol)).as("__owner"), countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= 2)
