@@ -217,6 +217,11 @@ object SparkEntry {
     evictMinedPairs(s, dir)
     bpeMergesCache.remove((s.sparkContext.applicationId, dir))
     simpleCaseChecked.remove((s.sparkContext.applicationId, dir))
+    // operator-internal checkpoint frames (DupSpans gram streams,
+    // Selection's narrow base) — registered at creation, releasable only
+    // here because their consumers run between registration and this
+    // dir-boundary call
+    org.apache.spark.sql.GraftInternal.releaseTrackedCheckpoints(s)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -145,6 +145,12 @@ object ImageOps {
         r.read(0)
       } catch {
         case scala.util.control.NonFatal(_) => evictReader(fmt, r); null
+        // a task kill / speculation interrupt (InterruptedException — NOT
+        // NonFatal) can land mid-read; the pooled task thread survives and
+        // would reuse a decoder left mid-frame, surfacing as spurious
+        // quarantined-null rows on the NEXT payload. Evict on ANY throw,
+        // rethrow the fatal ones.
+        case t: Throwable => evictReader(fmt, r); throw t
       } finally {
         // release the payload reference the cached reader would otherwise
         // pin (one array per thread x format) for the thread's lifetime
@@ -193,6 +199,12 @@ object ImageOps {
           UTF8String.fromString(sniffFormat(bytes)))
       } catch {
         case scala.util.control.NonFatal(_) => evictReader(fmt, r); null
+        // a task kill / speculation interrupt (InterruptedException — NOT
+        // NonFatal) can land mid-read; the pooled task thread survives and
+        // would reuse a decoder left mid-frame, surfacing as spurious
+        // quarantined-null rows on the NEXT payload. Evict on ANY throw,
+        // rethrow the fatal ones.
+        case t: Throwable => evictReader(fmt, r); throw t
       } finally {
         try r.setInput(null) catch { case scala.util.control.NonFatal(_) => () }
         iis.close()

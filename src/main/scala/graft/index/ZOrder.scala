@@ -150,7 +150,20 @@ object ZOrder {
     * only shrinks the scan. Correct for range predicates because a row
     * with NULL in a range-filtered column cannot match the predicate, so
     * skipping a file whose non-null values are disjoint never drops a
-    * matching row. */
+    * matching row.
+    *
+    * The manifest keeps stats in the DOUBLE domain (each value cast, then
+    * min/max — both monotone), but integral columns past 2^53 lose
+    * precision in that cast: at 2^62 the double ULP is 512, so a stored
+    * bound can sit up to half an ULP away from the true long value. A
+    * caller whose re-applied predicate lives in the LONG domain can then
+    * hand us `lo`/`hi` doubles rounded the other way, and an exact `<`
+    * test against the rounded bound would prune a file holding a matching
+    * boundary row — silently, because the caller only re-filters the KEPT
+    * files. The disjointness test therefore widens each stored bound by
+    * one ULP (`nextDown(min)`, `nextUp(max)`) before comparing: pruning
+    * stays a strict superset at any magnitude, at worst keeping one extra
+    * boundary file per range. */
   def readPruned(spark: org.apache.spark.sql.SparkSession, dir: String,
       ranges: Seq[(String, Double, Double)]): (DataFrame, Int, Int) = {
     val path = new org.apache.hadoop.fs.Path(dir, ManifestName)
@@ -176,7 +189,8 @@ object ZOrder {
     val kept = partFiles.filter { f =>
       stats.get(f).forall { byCol =>
         ranges.forall { case (c, lo, hi) =>
-          byCol.get(c).forall { case (mn, mx) => !(mx < lo || mn > hi) }
+          byCol.get(c).forall { case (mn, mx) =>
+            !(Math.nextUp(mx) < lo || Math.nextDown(mn) > hi) }
         }
       }
     }

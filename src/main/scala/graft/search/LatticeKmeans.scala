@@ -119,7 +119,28 @@ object LatticeKmeans {
         s"$vecCol: NULL vector in the training sample — the deterministic " +
           "sample is id-ordered, so a null cannot be silently skipped " +
           "without diverging from the SQL replay; filter nulls upstream")
-      quantize(r.getSeq[Float](0).toArray)
+      val q = quantize(r.getSeq[Float](0).toArray)
+      // Loud-failure input-domain bound (same style as the NULL/ragged
+      // checks): roundedMean's truncation-equals-floor trick needs its
+      // numerator 2s + n + 2n·2²² positive, i.e. every mean lattice value
+      // > −2²² (components > −4.0), and the Long-overflow / float32-
+      // exactness margins assume |q| < 2²⁴. Components outside [−4, 4)
+      // would not crash — they would SILENTLY break the cross-engine
+      // replay contract (Scala `/` and DuckDB `//` diverge on negative
+      // numerators), which is strictly worse. Embeddings are unit-norm or
+      // near it in every supported pipeline, so the bound is free. The
+      // domain is the open interval (-4, 4): ±4.0 exactly quantizes to
+      // ±2²², the first point the margins no longer cover.
+      var ci = 0
+      while (ci < q.length) {
+        require(math.abs(q(ci)) < (1L << 22),
+          s"$vecCol: component ${q(ci).toDouble / Scale} is outside the " +
+            "lattice trainer's replayable domain (-4, 4) — the exact-" +
+            "integer mean offset trick breaks silently beyond it; " +
+            "normalize or rescale the embeddings upstream")
+        ci += 1
+      }
+      q
     }
     qs.headOption.foreach { h =>
       require(qs.forall(_.length == h.length),

@@ -59,9 +59,10 @@ object DupSpans {
     // static planner would otherwise re-run the tokenize+gram kernel for
     // each consumer (measured: 2 FileScans / 12.5 s → 1 scan at the 30×
     // sweep). ~25 B/row narrow vs re-tokenizing the corpus.
-    val gcnt = grams.groupBy(col(idCol), col("__h"))
-      .agg(count(lit(1)).as("__c"))
-      .localCheckpoint(true)
+    val gcnt = org.apache.spark.sql.GraftInternal.trackLocalCheckpoint(
+      grams.groupBy(col(idCol), col("__h"))
+        .agg(count(lit(1)).as("__c"))
+        .localCheckpoint(true))
     val dup = gcnt.groupBy(col("__h"))
       .agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= 2)
@@ -104,18 +105,33 @@ object DupSpans {
    * one aggregate keyed by doc whose state is bounded by document length
    * (same bound as the tokenizer itself). Nothing is quadratic and no
    * driver-side state exists.
+   *
+   * `materializeGrams` picks the storage-vs-recompute trade for the
+   * positioned gram stream, which feeds BOTH the ownership aggregate and
+   * the coverage join. `true` (default) localCheckpoints it so the
+   * tokenize + md5 kernel runs ONCE (measured 2× faster at sf0.1–30×,
+   * where the frame fits executor storage comfortably) — but the frame is
+   * TOKEN-COUNT-sized (~28 B/token): at 100 TB that is storage on the
+   * order of the corpus itself, held as lineage-free executor blocks
+   * where a single lost executor fails the job. Past roughly the point
+   * where the gram stream stops fitting the cluster's storage-memory+disk
+   * headroom, flip to `false`: the kernel runs once per consumer (2×
+   * compute) but nothing is pinned and recovery is plain lineage replay.
+   * The index-backed admission path ([[graft.index.SpanIndex]].cut) —
+   * the shape a 100 TB deployment should use anyway — reads its grams
+   * from parquet and never faces the trade.
    */
   def cutDuplicatedSpans(
       docs: DataFrame, idCol: String, textCol: String, n: Int,
-      preserveCase: Boolean = false): DataFrame = {
+      preserveCase: Boolean = false,
+      materializeGrams: Boolean = true): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    // The positioned gram stream feeds BOTH the ownership aggregate and
-    // the coverage join; materialize it once (the Selection one-scan
-    // discipline) so the tokenize + md5 kernel runs a single time instead
-    // of per consumer. Token-count-sized but narrow (~28 B/row); the
-    // index-backed path (SpanIndex.cut) reads its grams from parquet and
-    // never hits this.
-    val grams = gramFrame(docs, idCol, textCol, n).localCheckpoint(true)
+    val gramsRaw = gramFrame(docs, idCol, textCol, n)
+    val grams =
+      if (materializeGrams)
+        org.apache.spark.sql.GraftInternal.trackLocalCheckpoint(
+          gramsRaw.localCheckpoint(true))
+      else gramsRaw
     val owners = grams.groupBy(col("__h"))
       .agg(min(col(idCol)).as("__owner"), countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= 2)

@@ -87,8 +87,13 @@ object Selection {
       docs: DataFrame, idCol: String, idBands: Int): Array[Long] =
     if (idBands <= 1) Array.empty
     else {
+      // nulls are counted, not pre-filtered: a column whose every value
+      // casts to NULL (wrong declared type reaching this far, or an
+      // all-null id column) must fail LOUDLY below, not silently collapse
+      // the skew defense to a single band — the failure the old
+      // approxQuantile path produced by accident and this path must keep
+      // on purpose.
       val ids = docs.select(col(idCol).cast(LongType).as("id"))
-        .filter(col("id").isNotNull)
       val rdd = ids.queryExecution.toRdd // InternalRow, no row codec overhead
       val nPart = math.max(1, rdd.getNumPartitions)
       // target ~64 samples per requested boundary overall; clamp so a
@@ -102,19 +107,29 @@ object Selection {
         val rnd = new java.util.Random(0x9E3779B97F4A7C15L ^ pi.toLong)
         val res = new Array[Long](perPart)
         var n = 0L
+        var nulls = 0L
         while (it.hasNext) {
-          val v = it.next().getLong(0)
-          if (n < perPart) res(n.toInt) = v
-          else { val j = (rnd.nextDouble() * (n + 1)).toLong; if (j < perPart) res(j.toInt) = v }
-          n += 1
+          val row = it.next()
+          if (row.isNullAt(0)) nulls += 1
+          else {
+            val v = row.getLong(0)
+            if (n < perPart) res(n.toInt) = v
+            else { val j = (rnd.nextDouble() * (n + 1)).toLong; if (j < perPart) res(j.toInt) = v }
+            n += 1
+          }
         }
-        Iterator.single((n, res.take(math.min(n, perPart.toLong).toInt)))
+        Iterator.single((n, nulls, res.take(math.min(n, perPart.toLong).toInt)))
       }.collect()
       val total = parts.map(_._1).sum
+      val nullIds = parts.map(_._2).sum
+      require(total > 0 || nullIds == 0,
+        s"$idCol: every id in a non-empty corpus cast to NULL as LONG — " +
+          "banding would silently degrade to a single band (skew defense " +
+          "gone); fix the id column's type or values upstream")
       if (total == 0) Array.empty
       else {
         // weighted exact quantiles: each sampled id stands for n_p/k_p rows
-        val weighted = parts.filter(_._2.nonEmpty).flatMap { case (n, s) =>
+        val weighted = parts.filter(_._3.nonEmpty).flatMap { case (n, _, s) =>
           val w = n.toDouble / s.length; s.map(v => (v, w))
         }.sortBy(_._1)
         val cum = weighted.scanLeft(0.0)(_ + _._2).tail
@@ -204,12 +219,16 @@ object Selection {
     // output has without an external shuffle service. Storage cost is
     // corpus-sized but narrow (~32 B/row vs re-running the quality
     // kernel per consumer).
-    val base = withBand.select(
-      col(idCol).as("id"),
-      floor(quality * lit(Fp) + lit(0.5)).cast("long").as("__qb"),
-      tokens.cast("long").as("n_tokens"),
-      col("__sb"))
-      .localCheckpoint(true)
+    // tracked for scoped release (evictDirCaches) — a long session
+    // looping many dirs must not accumulate one pinned base per call
+    // while waiting on driver GC + ContextCleaner.
+    val base = org.apache.spark.sql.GraftInternal.trackLocalCheckpoint(
+      withBand.select(
+        col(idCol).as("id"),
+        floor(quality * lit(Fp) + lit(0.5)).cast("long").as("__qb"),
+        tokens.cast("long").as("n_tokens"),
+        col("__sb"))
+        .localCheckpoint(true))
 
     // Cell pass: per-(bucket, band) sums over the CHECKPOINTED base. The
     // cell frame feeds three consumers (bucket rollup → sweep,

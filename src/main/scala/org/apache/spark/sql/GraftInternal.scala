@@ -24,6 +24,49 @@ object GraftInternal {
       case _ => ()
     }
 
+  /** Corpus-sized checkpoint frames created INSIDE operators (DupSpans'
+    * gram streams, Selection's narrow base) cannot be unpersisted at their
+    * creation site — the returned DataFrame's consumers run later — and
+    * relying on driver GC + ContextCleaner lets a long session looping
+    * many dirs (the amplified-sweep pattern) accumulate executor block
+    * storage. Operators register those frames here; the engine's
+    * per-dir cache eviction ([[graft.SparkEntry.evictDirCaches]], called
+    * between sweep iterations when nothing is in flight) releases every
+    * tracked block for the session. WEAK references: a frame the driver
+    * already dropped stays eligible for the normal ContextCleaner path
+    * and its entry is pruned on the next release sweep. */
+  private val trackedCheckpoints =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]])]()
+
+  /** Register `df`'s checkpointed RDD blocks for scoped release; returns
+    * `df` so call sites can wrap `.localCheckpoint(true)` inline. */
+  def trackLocalCheckpoint(df: DataFrame): DataFrame = {
+    val app = df.sparkSession.sparkContext.applicationId
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        trackedCheckpoints.add(
+          (app, new java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]](lr.rdd)))
+      case _ => ()
+    }
+    df
+  }
+
+  /** Unpersist every tracked checkpoint registered under this session's
+    * application. Callers guarantee no tracked frame is still awaiting
+    * consumption (checkpoint lineage is truncated — blocks cannot be
+    * recomputed once dropped). */
+  def releaseTrackedCheckpoints(spark: SparkSession): Unit = {
+    val app = spark.sparkContext.applicationId
+    val it = trackedCheckpoints.iterator()
+    while (it.hasNext) {
+      val (a, ref) = it.next()
+      val rdd = ref.get()
+      if (rdd == null) it.remove()
+      else if (a == app) { rdd.unpersist(blocking = false); it.remove() }
+    }
+  }
+
   /** Drain the shared listener bus so asynchronously-delivered events
     * (QueryExecutionListener callbacks ride it) have all been handled.
     * Test-only helper — `listenerBus` is `private[spark]`, which this

@@ -177,4 +177,24 @@ class ZOrderSpec extends SparkSpec {
     assert(allTotal == allRead)
     assert(all.count() == 33L)
   }
+
+  test("readPruned: integral stats past 2^53 — 1-ULP widening keeps boundary files") {
+    // At 2^62 the double ULP is 512 (1024 at-and-above), so the manifest's
+    // cast-to-double min for a file of longs 2^62-101 .. 2^62-100 rounds UP
+    // to exactly 2^62 — ABOVE both true values. A caller whose re-applied
+    // predicate lives in the long domain can legitimately present a query
+    // hi within one ULP below the stored bound; the unwidened `mn > hi`
+    // test would prune the only file, and the caller's re-filter over kept
+    // files would silently return nothing.
+    val big = (1L << 62) - 100
+    assert(big.toDouble == math.pow(2, 62), "precondition: the stats round UP past the true values")
+    val df = Seq(big, big - 1).toDF("id")
+    val out = Files.createTempDirectory("graft_zorder_bigint").toString
+    ZOrder.writeClustered(df, Seq("id"), out, numFiles = 1)
+    val hi = Math.nextDown(big.toDouble) // one ULP below the stored min
+    val (cands, total, read) = ZOrder.readPruned(spark, out, Seq(("id", 0.0, hi)))
+    assert(total == 1 && read == 1,
+      s"boundary file must survive rounded stats (superset contract): read $read of $total")
+    assert(cands.count() == 2L)
+  }
 }

@@ -76,13 +76,35 @@ class LatticeKmeansSpec extends SparkSpec {
 
   test("separated clusters recover their true means") {
     import spark.implicits._
-    val pts = (0 until 50).map(i => (i.toLong, Array(10.0f + (i % 5) * 0.01f, 0f))) ++
-      (50 until 100).map(i => (i.toLong, Array(-10.0f - (i % 5) * 0.01f, 0f)))
+    // cluster centers at ±3 — inside the trainer's replayable (-4, 4) domain
+    val pts = (0 until 50).map(i => (i.toLong, Array(3.0f + (i % 5) * 0.01f, 0f))) ++
+      (50 until 100).map(i => (i.toLong, Array(-3.0f - (i % 5) * 0.01f, 0f)))
     val df = pts.toDF("id", "v")
     val cents = LatticeKmeans.train(df, "id", "v", k = 2, iters = 8, sampleN = 128)
     assert(cents.length == 2)
     val xs = cents.map(_(0)).sorted
-    assert(math.abs(xs(0) + 10.02f) < 0.01f && math.abs(xs(1) - 10.02f) < 0.01f,
+    assert(math.abs(xs(0) + 3.02f) < 0.01f && math.abs(xs(1) - 3.02f) < 0.01f,
       s"cluster means recovered, got ${xs.toSeq}")
+  }
+
+  test("components outside the replayable (-4, 4) domain fail loudly") {
+    import spark.implicits._
+    // roundedMean's truncation-equals-floor offset and the float32/Long
+    // margins assume |q| < 2^22; beyond it the SQL replay would diverge
+    // SILENTLY — the trainer must reject instead.
+    val df = Seq((1L, Array(4.5f, 0f)), (2L, Array(0.5f, 0.5f))).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      LatticeKmeans.train(df, "id", "v", k = 1, sampleN = 2)
+    }
+    assert(e.getMessage.contains("replayable domain"))
+    // the negative boundary too (the offset trick is the asymmetric risk)
+    val dfNeg = Seq((1L, Array(-4.1f, 0f)), (2L, Array(0.5f, 0.5f))).toDF("id", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      LatticeKmeans.train(dfNeg, "id", "v", k = 1, sampleN = 2)
+    }
+    assert(e2.getMessage.contains("replayable domain"))
+    // in-domain values of full magnitude still train fine
+    val ok = Seq((1L, Array(3.9f, -3.9f)), (2L, Array(-3.9f, 3.9f))).toDF("id", "v")
+    assert(LatticeKmeans.train(ok, "id", "v", k = 2, sampleN = 2).length == 2)
   }
 }

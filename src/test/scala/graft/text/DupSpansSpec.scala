@@ -111,4 +111,21 @@ class DupSpansSpec extends SparkSpec {
     assert(got(2L) === ((10L, 5L, "v w x y z")))
     assert(got(3L) === ((5L, 5L, "")))
   }
+
+  test("cut: materializeGrams=false (the 100 TB recompute path) is output-identical") {
+    // The flag trades pinned lineage-free executor storage for a second
+    // run of the tokenize+md5 kernel; it must never change results.
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e v w x y z"),
+      (3L, "v w x y z")).toDF("doc_id", "text")
+    def dump(materialize: Boolean) =
+      DupSpans.cutDuplicatedSpans(docs, "doc_id", "text", 5,
+          materializeGrams = materialize)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_cut"), r.getAs[String]("text_clean")))
+        .sortBy(_._1).toSeq
+    assert(dump(materialize = false) === dump(materialize = true))
+  }
 }

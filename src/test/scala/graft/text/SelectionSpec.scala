@@ -145,4 +145,19 @@ class SelectionSpec extends SparkSpec {
     assert(select(corpus(rows: _*), 0L).isEmpty)
     assert(select(corpus(rows: _*), 10L).map(_._1) == Seq(1L, 2L))
   }
+
+  test("idBandBoundaries: an id column that casts to all-NULL fails loudly") {
+    // A non-empty corpus whose every id is NULL under CAST AS LONG would
+    // silently fall back to a single band — the skew defense gone with no
+    // signal. The sampler counts nulls in the same scan and rejects.
+    val df = Seq("x", "y", "z").toDF("text")
+      .withColumn("doc_id", lit(null).cast("long"))
+    val e = intercept[IllegalArgumentException] {
+      Selection.idBandBoundaries(df, "doc_id", 8)
+    }
+    assert(e.getMessage.contains("cast to NULL"))
+    // a genuinely EMPTY corpus is still fine (no bands, no error)
+    assert(Selection.idBandBoundaries(
+      spark.emptyDataset[Long].toDF("doc_id"), "doc_id", 8).isEmpty)
+  }
 }
