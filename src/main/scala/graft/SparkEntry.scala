@@ -87,49 +87,19 @@ object SparkEntry {
   // multimodal/frame_hist) now emulate the kernels' exact UTF-8-byte /
   // UTF-16-unit views via sqlUtf8Bytes/sqlUtf16Units, so they hold on any
   // Unicode fixture (tools/nonascii_check.py replays them on one).
-
-  // keyed (applicationId, dir) like the sibling artifact caches, and
-  // cleared by evictDirCaches, so a dir regenerated within one JVM (the
-  // amplified-sweep pattern) cannot keep a stale clean verdict
-  private val simpleCaseChecked =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
-
-  /** Loud-failure successor to the retired ASCII guard, narrowed to the
-    * ONE residual encoding divergence the byte/code-unit twins cannot
-    * absorb: Java's full case mapping vs DuckDB utf8proc's code-point-wise
-    * `lower()`. Under Locale.ROOT they disagree on exactly two code
-    * points — U+0130 (İ, the only unconditional full lowercase mapping in
-    * SpecialCasing.txt: → i + U+0307) and U+03A3 (Σ, Java applies the
-    * Final_Sigma rule → ς at word end, utf8proc always → σ). A fixture
-    * containing either would surface as an opaque hash mismatch hours
-    * deep in forensics; this memoized one-pass scan turns it into a
-    * targeted error instead. Wired to EVERY query whose DuckDB twin
-    * lowercases (SparkEntrySpec pins the wiring against the `lower(`
-    * occurrences in oracleSql, so a new lowercasing twin cannot ship
-    * unguarded). (Σ is flagged in ANY position — conservative: only the
-    * word-final occurrence actually diverges.)
-    *
-    * Cost at scale: ONE extra text scan per (session, dir), short-circuit
-    * on first hit — bounded by the guarded query itself, which also scans
-    * the text. The guard protects the ORACLE-COMPARE contract; a
-    * production deployment that never diffs against DuckDB can set
-    * SPARK_GRAFT_SKIP_CASE_GUARD=1 to skip it (the engine's own answers
-    * are unaffected either way — only twin comparability is at stake). */
-  private def requireSimpleCaseFixture(
-      s: SparkSession, dir: String, query: String): Unit = {
-    if (sys.env.get("SPARK_GRAFT_SKIP_CASE_GUARD").contains("1")) return
-    val key = (s.sparkContext.applicationId, dir)
-    if (!simpleCaseChecked.contains(key)) {
-      val hits = Tables.documents(s, dir)
-        .filter(col("text").rlike("[İΣ]")).limit(1).count()
-      require(hits == 0L,
-        s"$query: its DuckDB oracle lowercases with utf8proc's " +
-          "code-point-wise mapping, but Java applies full case mapping — " +
-          s"they diverge on U+0130/U+03A3 and $dir/documents contains one; " +
-          "extend the SQL twin (emulate the full mapping) before trusting it")
-      simpleCaseChecked.add(key)
-    }
-  }
+  //
+  // Its round-14 successor requireSimpleCaseFixture (reject corpora
+  // containing İ/Σ, where Java's FULL case mapping diverges from DuckDB's
+  // simple lower()) is RETIRED too (round 15) — not by emulating Java in
+  // SQL, but by removing full casing from the data path: the JDK's
+  // Final_Sigma turned out to be BreakIterator-word-boundary-conditioned
+  // (its backward scan crosses CJK/digits/marks — measured by exhaustive
+  // probe), i.e. NOT the closed-form rule a regex twin could replay, and
+  // Spark's own lower() is additionally default-locale-sensitive. The
+  // engine now folds with the Unicode SIMPLE mapping
+  // ([[graft.functions.simple_lower]]): context-free, locale-free, and
+  // byte-identical to the DuckDB twins' [[sqlFold]] on EVERY Unicode
+  // string — so there is nothing left to guard.
 
   /** Corpus content fingerprint for keying tmpdir artifact caches: one
     * cheap hash pass, order-independent and overflow-free (bit_xor; a sum
@@ -216,7 +186,6 @@ object SparkEntry {
   private[graft] def evictDirCaches(s: SparkSession, dir: String): Unit = {
     evictMinedPairs(s, dir)
     bpeMergesCache.remove((s.sparkContext.applicationId, dir))
-    simpleCaseChecked.remove((s.sparkContext.applicationId, dir))
     // operator-internal checkpoint frames (DupSpans gram streams,
     // Selection's narrow base) — registered at creation, releasable only
     // here because their consumers run between registration and this
@@ -299,7 +268,6 @@ object SparkEntry {
     // the mixture-balancing step of a training-data pipeline. The window
     // runs over the GROUPED frame (|sources| rows), not the corpus.
     "source_mix" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "source_mix")
       import org.apache.spark.sql.expressions.Window
       val per = docsParallel(s, dir).groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
@@ -345,7 +313,6 @@ object SparkEntry {
     // as md5 so the compare stays cell-sized; per-row compute only, no
     // shuffle below the output sort.
     "doc_chunks" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "doc_chunks")
       graft.text.Chunker.chunk(docsParallel(s, dir), Seq("doc_id"), "text",
           chunkSize = 32, stride = 16)
         .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
@@ -357,7 +324,6 @@ object SparkEntry {
     // (percentile ≡ quantile_cont interpolation; approx_percentile is the
     // documented 100 TB path, as in doc_len_quantiles).
     "lang_len_quantiles" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "lang_len_quantiles")
       Tables.documents(s, dir)
         .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n"))
         .groupBy(col("lang"))
@@ -843,7 +809,6 @@ object SparkEntry {
     }),
 
     "dedup_jaccard_pairs" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "dedup_jaccard_pairs")
       Dedup.ngramJaccardPairs(docsParallel(s, dir), "doc_id", "text",
           n = 3, threshold = 0.8)
         .withColumn("jaccard", r6(col("jaccard")))
@@ -851,7 +816,6 @@ object SparkEntry {
     }),
 
     "dedup_minhash" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "dedup_minhash")
       minedNearDupPairs(s, dir)
         .withColumn("jaccard", r6(col("jaccard")))
         .orderBy(col("id_a"), col("id_b"))
@@ -864,7 +828,6 @@ object SparkEntry {
     // dedup_minhash's ~0.07 s reads as "marginal over shared mining".
     // Output (and oracle) identical to dedup_minhash by construction.
     "pair_mining" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "pair_mining")
       evictMinedPairs(s, dir)
       minedNearDupPairs(s, dir)
         .withColumn("jaccard", r6(col("jaccard")))
@@ -876,21 +839,20 @@ object SparkEntry {
     // LSH miss probability, no O(n²) cross join. Shares the all-pairs
     // oracle: output identity with the reference IS the contract.
     "jaccard_join_pairs" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "jaccard_join_pairs")
       Dedup.jaccardJoinPrefix(docsParallel(s, dir), "doc_id", "text",
           n = 3, threshold = 0.8)
         .withColumn("jaccard", r6(col("jaccard")))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // Type-2-style verification of the near-dup candidates: character
-    // edit distance (codegen'd levenshtein) and normalized edit
-    // similarity over the LSH-mined pair set — the cheap "is it a rename/
+    // Type-2-style verification of the near-dup candidates: UTF-8-byte
+    // edit distance (codegen'd byte_levenshtein — the engine-portable
+    // unit, = DuckDB's levenshtein) and normalized edit similarity over
+    // the LSH-mined pair set — the cheap "is it a rename/
     // literal-change clone" check layered on the bag-of-shingles miner.
     // Pairwise cost is O(len²) but runs only on verified near-dup PAIRS
     // (corpus-size-independent set), never the corpus.
     "edit_sim_pairs" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "edit_sim_pairs")
       Dedup.editSimilarity(minedNearDupPairs(s, dir),
           Tables.documents(s, dir), "doc_id", "text")
         .withColumn("edit_sim", r6(col("edit_sim")))
@@ -906,7 +868,6 @@ object SparkEntry {
     // the persisted graft.index.MinHashIndex artifact for pipelines that
     // run the dedup family together.
     "dedup_clusters" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "dedup_clusters")
       Dedup.connectedComponents(
           docsParallel(s, dir).select(col("doc_id")), "doc_id",
           minedNearDupPairs(s, dir), "id_a", "id_b")
@@ -916,7 +877,6 @@ object SparkEntry {
     // End-to-end near-dup removal: pairs → clusters → keep min-id
     // representative per cluster + all unclustered docs.
     "dedup_near_keep" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "dedup_near_keep")
       Dedup.dropNearDuplicates(docsParallel(s, dir), "doc_id",
           minedNearDupPairs(s, dir))
         .select(col("doc_id"), col("lang"), col("source"))
@@ -938,7 +898,6 @@ object SparkEntry {
     // scales with corpus bytes, the index read is ~constant per query. Not
     // a regression; see BASELINE.md's round-6 note.
     "index_near_keep" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "index_near_keep")
       val docs = docsParallel(s, dir)
       // The artifact root is keyed by a corpus CONTENT fingerprint (one
       // cheap hash pass — ~10× lighter than the shingle+MinHash kernel it
@@ -966,7 +925,6 @@ object SparkEntry {
     // batch×corpus Jaccard join (LSH recall is 1 at 0.8 on this corpus,
     // same argument as dedup_minhash).
     "batch_near_dup" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "batch_near_dup")
       val docs = docsParallel(s, dir)
       val fp = corpusFingerprint(Tables.documents(s, dir), col("doc_id"), col("text"))
       val root = new java.io.File(sys.props("java.io.tmpdir"),
@@ -985,7 +943,6 @@ object SparkEntry {
     // with any doc of a (seeded-sample stand-in) eval set. Eval shingles
     // broadcast; the corpus streams.
     "contamination" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "contamination")
       val docs = docsParallel(s, dir)
       val evalSet = graft.bench.Sampling.seeded(Tables.documents(s, dir), "doc_id", 50)
       Dedup.contaminationScan(docs, "doc_id", "text", evalSet, "doc_id", "text",
@@ -999,7 +956,6 @@ object SparkEntry {
     // cannot leak into eval. Oracle: recursive-CTE closure + the identical
     // first-8-hex/2^32 uniform convention as weighted_sample.
     "split_leakfree" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "split_leakfree")
       graft.dedup.Splits.leakFreeSplits(
           docsParallel(s, dir), "doc_id",
           minedNearDupPairs(s, dir), "id_a", "id_b")
@@ -1011,7 +967,6 @@ object SparkEntry {
     // (6-dp quality buckets → bounded cumulative sweep → one straddling
     // bucket's fine pass) — no corpus-sized single-partition window.
     "budget_select" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "budget_select")
       graft.text.Selection.tokenBudgetSelect(
           Tables.documents(s, dir), "doc_id",
           TextAnalysis.qualityScore(col("text")),
@@ -1033,7 +988,6 @@ object SparkEntry {
     // hash-certified (dedup_keep_one / doc_quality / budget_select /
     // pack_batches); this entry certifies their COMPOSITION.
     "curation_pipeline" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "curation_pipeline")
       val docs = docsParallel(s, dir)
       val deduped = Dedup.dropExactDuplicates(docs, "doc_id", "text")
       val gated = deduped.filter(
@@ -1089,7 +1043,6 @@ object SparkEntry {
     // digit ratio, repeated-token fraction — cheap codegen'd passes with
     // exact SQL twins.
     "doc_patterns" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "doc_patterns")
       docsParallel(s, dir).select(
         col("doc_id"),
         TextAnalysis.urlCount(col("text")).as("n_urls"),
@@ -1122,7 +1075,6 @@ object SparkEntry {
     // combine → per-doc max/sum, so the shuffle carries distinct bigrams
     // only, never positions.
     "doc_repetition" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "doc_repetition")
       val docs = docsParallel(s, dir)
       val lines = split(col("text"), "\n")
       val totalLineChars = aggregate(lines, lit(0), (acc, l) => acc + length(l))
@@ -1158,7 +1110,6 @@ object SparkEntry {
     // |vocab| rows, the sort keeps 50 per partition — both independent of
     // corpus row count.
     "vocab_topk" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "vocab_topk")
       docsParallel(s, dir)
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
@@ -1173,7 +1124,6 @@ object SparkEntry {
     // IDF, unlike BM25's query-term semi-join); per-doc top-3 windows over
     // document-length-bounded frames.
     "doc_keywords" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "doc_keywords")
       graft.text.Keywords.tfidfKeywords(docsParallel(s, dir),
           "doc_id", "text", topN = 3)
         .orderBy(col("doc_id"), col("kw_rank"))
@@ -1186,7 +1136,6 @@ object SparkEntry {
     // and a broadcast join over a builtin-codegen bigram stream — no UDF,
     // no corpus shuffle.
     "doc_perplexity" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "doc_perplexity")
       // Wire format is INTEGER-ONLY (doc_id, n_bigrams, q20_bits): the
       // driver's gate hash-compares cells against a DuckDB replay, and a
       // double derived from a HUGEINT aggregate proved environment-
@@ -1204,7 +1153,6 @@ object SparkEntry {
     // keyed by md5 (same bytes in every engine; 16-byte shuffle keys);
     // two hash aggregates + one semi-ish join, nothing quadratic.
     "doc_dup_spans" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "doc_dup_spans")
       graft.text.DupSpans.duplicatedSpans(docsParallel(s, dir),
           "doc_id", "text", n = 5)
         .orderBy(col("doc_id"))
@@ -1216,7 +1164,6 @@ object SparkEntry {
     // corpus-wide. Pure integer/string arithmetic; coverage merges
     // overlapping spans per-token.
     "dedup_span_cut" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "dedup_span_cut")
       graft.text.DupSpans.cutDuplicatedSpans(docsParallel(s, dir),
           "doc_id", "text", n = 5)
         .orderBy(col("doc_id"))
@@ -1228,7 +1175,6 @@ object SparkEntry {
     // corpus kernel — output identical by construction, shares
     // dedup_span_cut's oracle.
     "index_span_cut" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "index_span_cut")
       val docs = docsParallel(s, dir)
       val fp = corpusFingerprint(Tables.documents(s, dir), col("doc_id"), col("text"))
       val root = new java.io.File(sys.props("java.io.tmpdir"),
@@ -1245,7 +1191,6 @@ object SparkEntry {
     // one TakeOrdered-ish agg — at 100 TB use approx_percentile and drop
     // the oracle instead, documented here as the scale escape hatch.
     "doc_len_quantiles" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "doc_len_quantiles")
       Tables.documents(s, dir)
         .select(TextAnalysis.tokenCount(col("text")).as("n"))
         .agg(
@@ -1258,7 +1203,6 @@ object SparkEntry {
     // Token-length histogram: fixed arithmetic buckets of 50 tokens capped
     // at bucket 9 — one hash-agg pass, constant output size at any scale.
     "doc_len_hist" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "doc_len_hist")
       Tables.documents(s, dir)
         .select(least(floor(TextAnalysis.tokenCount(col("text")) / 50), lit(9))
           .cast("int").as("bucket"))
@@ -1363,7 +1307,6 @@ object SparkEntry {
     // oracles (embedTfidfCtes); EmbedderSpec pins semantics.
     // ------------------------------------------------------------------
     "embed_corpus" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "embed_corpus")
       val docs = docsParallel(s, dir)
       val model = new graft.embed.TfIdfEmbedder(dim = 256).fit(docs, "text")
       model.transform(docs, "text", "embedding")
@@ -1379,7 +1322,6 @@ object SparkEntry {
     // TF-IDF transform runs once (same scoped-persist shape as the dedup
     // operators), with the small top-k result materialized eagerly.
     "embed_knn" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "embed_knn")
       val docs = docsParallel(s, dir)
       val model = new graft.embed.TfIdfEmbedder(dim = 256).fit(docs, "text")
       val vecs = model.transform(docs, "text", "vec").select(col("doc_id"), col("vec"))
@@ -1548,7 +1490,6 @@ object SparkEntry {
     // bounded-heap top-k. The only transcendental (idf) is 6dp-quantized
     // at the source, so the DuckDB twin reproduces scores cell-exactly.
     "bm25_topk" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "bm25_topk")
       val docs = docsParallel(s, dir)
       val q = graft.bench.Sampling.seeded(Tables.documents(s, dir), "doc_id", 10)
       graft.search.Bm25.search(docs, "doc_id", "text", q, "doc_id", "text",
@@ -1564,7 +1505,6 @@ object SparkEntry {
     // one id domain, so the sampled query docs drive both sides and the
     // fused ranking is fully oracle-expressible.
     "hybrid_rrf" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "hybrid_rrf")
       val docs = docsParallel(s, dir)
       val emb = embParallel(s, dir)
       val qDocs = graft.bench.Sampling.seeded(Tables.documents(s, dir), "doc_id", 10)
@@ -1596,7 +1536,6 @@ object SparkEntry {
     // and a blowout identically). alpha = 0.5 is exactly representable in
     // binary, so the weighted contributions stay cross-engine exact.
     "hybrid_weighted" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "hybrid_weighted")
       val docs = docsParallel(s, dir)
       val emb = embParallel(s, dir)
       val qDocs = graft.bench.Sampling.seeded(Tables.documents(s, dir), "doc_id", 10)
@@ -1625,7 +1564,6 @@ object SparkEntry {
     // sf0.1 bench shows the amortized path near the self-contained one —
     // the crossover favors the index as the corpus grows.
     "bm25_index_topk" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "bm25_index_topk")
       val docs = docsParallel(s, dir)
       val fp = corpusFingerprint(Tables.documents(s, dir), col("doc_id"), col("text"))
       val root = new java.io.File(sys.props("java.io.tmpdir"),
@@ -1705,7 +1643,6 @@ object SparkEntry {
     // deterministic integer arithmetic, replayed in SQL by the oracle
     // (simhashPairsSql); semantics also pinned in DedupSpec.
     "simhash_pairs" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "simhash_pairs")
       Dedup.simHashNearDups(docsParallel(s, dir), "doc_id", "text",
           maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
@@ -1734,7 +1671,6 @@ object SparkEntry {
     // column expressions with exact DuckDB twins.
     // ------------------------------------------------------------------
     "text_stats" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "text_stats")
       docsParallel(s, dir).select(
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
@@ -1759,7 +1695,6 @@ object SparkEntry {
     // String.compareTo on any Unicode text. BpeSpec still pins training
     // and encoding against the hand-computed classic reference.
     "bpe_tokens" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "bpe_tokens")
       val m = bpeMerges(s, dir)
       // coalesce: the kernel null-propagates (NULL text -> NULL count) but
       // the oracle's LEFT JOIN + COALESCE treats NULL text as zero words;
@@ -1778,7 +1713,6 @@ object SparkEntry {
     // learned segmentation; this entry is the one the round-13 verdict
     // named as the encode-half graduation deliverable.
     "bpe_encode" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "bpe_encode")
       val m = bpeMerges(s, dir)
       val t = coalesce(col("text"), lit("")) // NULL text = zero words (oracle parity)
       Tables.documents(s, dir).select(col("doc_id"),
@@ -1789,14 +1723,12 @@ object SparkEntry {
     }),
 
     "lang_id" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "lang_id")
       docsParallel(s, dir)
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))
     }),
 
     "doc_quality" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "doc_quality")
       docsParallel(s, dir)
         .select(col("doc_id"), r6(TextAnalysis.qualityScore(col("text"))).as("quality"))
         .orderBy(col("doc_id"))
@@ -1809,7 +1741,6 @@ object SparkEntry {
     // division, so thresholds compare identically cross-engine). At 100 TB
     // this is the cheap first cut that runs before any pairwise dedup.
     "doc_gopher" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "doc_gopher")
       val t = col("text")
       docsParallel(s, dir).select(
         col("doc_id"),
@@ -1830,7 +1761,6 @@ object SparkEntry {
     // oracle on a second, unrelated grouping. Shuffle carries ≤ 3 rows per
     // (partition, lang) partial, corpus-size independent.
     "top_docs_per_lang" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "top_docs_per_lang")
       import graft.functions.top_k_rows
       val scored = docsParallel(s, dir).select(col("lang"), col("doc_id"),
         r6(TextAnalysis.qualityScore(col("text"))).as("quality"))
@@ -2077,7 +2007,6 @@ object SparkEntry {
     // minus the distinct exchange; TextAnalysisSpec pins the HLL estimate
     // within 5% of this exact value.
     "vocab_size" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "vocab_size")
       docsParallel(s, dir)
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
         .agg(countDistinct(col("token")).as("n_distinct"),
@@ -2144,7 +2073,6 @@ object SparkEntry {
     // curriculum/annealing data schedule. One lang-keyed exchange for the
     // window; the tier aggregate is partial map-side.
     "quality_tiers" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "quality_tiers")
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("lang")).orderBy(col("quality"), col("doc_id"))
       docsParallel(s, dir)
@@ -2165,7 +2093,6 @@ object SparkEntry {
     // left-semi/anti joins over the distinct sets — the exchange carries
     // distinct bigrams only, never the corpus.
     "vocab_overlap" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "vocab_overlap")
       def vocab(lang: String) = docsParallel(s, dir)
         .filter(col("lang") === lang)
         .select(explode(TextAnalysis.bigrams(col("text"))).as("bigram"))
@@ -2181,7 +2108,6 @@ object SparkEntry {
     // (per-language; exclusive-prefix-sum rule, see graft.text.Packing).
     // Emits the batch manifest a shard writer consumes.
     "pack_batches" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "pack_batches")
       graft.text.Packing.batches(docsParallel(s, dir), Seq("lang"), "doc_id",
           TextAnalysis.tokenCount(col("text")), budget = 512L)
         .orderBy(col("lang"), col("batch_id"))
@@ -2192,7 +2118,6 @@ object SparkEntry {
     // any engine with md5, layout-independent (unlike df.sample), pure
     // map-side filter (no shuffle at any scale).
     "weighted_sample" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "weighted_sample")
       graft.bench.Sampling.weighted(Tables.documents(s, dir), "doc_id",
           r6(TextAnalysis.qualityScore(col("text"))))
         .select(col("doc_id"), col("lang"), col("source"))
@@ -2204,7 +2129,6 @@ object SparkEntry {
     // trivial-variant duplicates raw-text hashing misses. Same map-side
     // digest + single hash-agg shuffle shape as dedup_exact.
     "normalize_dedup" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "normalize_dedup")
       docsParallel(s, dir)
         .select(md5(TextAnalysis.normalize(col("text"))).as("norm_hash"), col("doc_id"))
         .groupBy(col("norm_hash"))
@@ -2219,7 +2143,6 @@ object SparkEntry {
     // (bigram, partial_count) row per distinct bigram per map partition;
     // the global sort is top-20-bounded.
     "bigram_topk" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "bigram_topk")
       docsParallel(s, dir)
         .select(explode(TextAnalysis.bigrams(col("text"))).as("bigram"))
         .groupBy(col("bigram"))
@@ -2282,7 +2205,6 @@ object SparkEntry {
     // 100 TB point of the operator); the spec separately pins estimates
     // within 5% of exact at fixture scale.
     "doc_len_quantiles_approx" -> ((s, dir) => {
-      requireSimpleCaseFixture(s, dir, "doc_len_quantiles_approx")
       Tables.documents(s, dir)
         .select(TextAnalysis.tokenCount(col("text")).as("n"))
         .agg(percentile_approx(col("n"),
@@ -2366,7 +2288,29 @@ object SparkEntry {
     }),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  /** DuckDB twin of the engine's canonical case fold
+    * ([[graft.functions.simple_lower]]): utf8proc's `lower()` IS the
+    * Unicode simple mapping except three code points whose mappings
+    * postdate its tables (U+A7C7→A7C8, U+A7C9→A7CA, U+A7F5→A7F6 —
+    * established by an exhaustive all-code-point sweep of
+    * `Character.toLowerCase` against `lower(chr(cp))`); pre-replacing
+    * those three makes the two engines byte-identical on EVERY Unicode
+    * string. Applied by [[oracleSql]] as a post-pass over the literal
+    * `lower(text)` / `lower(qtext)` spellings, so no twin — present or
+    * future — can lowercase behind the fold's back (pinned by
+    * SparkEntrySpec: the FINAL SQL may contain `lower(` only in this
+    * form). */
+  private[graft] def sqlFold(x: String): String =
+    s"lower(replace(replace(replace($x, chr(42951), chr(42952)), " +
+      "chr(42953), chr(42954)), chr(42997), chr(42998)))"
+
+  def oracleSql: Map[String, String] = rawOracleSql.map { case (name, sql) =>
+    name -> sql
+      .replace("lower(text)", sqlFold("text"))
+      .replace("lower(qtext)", sqlFold("qtext"))
+  }
+
+  private def rawOracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -2880,7 +2824,7 @@ object SparkEntry {
         |)
         |SELECT sel.id_a, sel.id_b,
         |  levenshtein(a.text, b.text) AS lev,
-        |  FLOOR((1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) / greatest(len(a.text), len(b.text))) * 1000000.0 + 0.5) / 1000000.0 AS edit_sim
+        |  FLOOR((1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) / greatest(strlen(a.text), strlen(b.text))) * 1000000.0 + 0.5) / 1000000.0 AS edit_sim
         |FROM sel
         |JOIN documents a ON a.doc_id = sel.id_a
         |JOIN documents b ON b.doc_id = sel.id_b
@@ -4086,11 +4030,10 @@ object SparkEntry {
   // charAt Karp-Rabin, Java-string tie-breaks), while naive SQL folds
   // CODE POINTS — identical on ASCII, divergent beyond. These helpers
   // emulate the exact Java views in DuckDB, so the twins hold on any
-  // Unicode text. (Residual caveat, GUARDED by requireSimpleCaseFixture:
-  // lower() — DuckDB's utf8proc maps code-point-wise where Java applies
-  // full case mapping; they agree on every simple-mapping character and
-  // diverge exactly on U+0130 and Final_Sigma U+03A3, which the guard
-  // rejects loudly at the first lowercasing hash-fold query.) ---
+  // Unicode text. (Case folding needs no emulation at all since round 15:
+  // the engine folds with the Unicode SIMPLE mapping — simple_lower —
+  // which IS DuckDB's lower() modulo the three stale-table code points
+  // sqlFold pre-replaces.) ---
 
   /** UTF-8 bytes of VARCHAR `s` as a DuckDB list of INTs (one per byte):
     * hex(encode(s)) parsed in 2-char pairs — encode() is DuckDB's

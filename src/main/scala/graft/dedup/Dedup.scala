@@ -615,16 +615,26 @@ object Dedup {
   }
 
   /**
-   * Character-level edit-distance verification over a mined pair set: the
-   * cheap "is it a rename / literal-change clone" (type-2) check layered
-   * on a bag-of-shingles miner. Pairwise cost is O(len_a·len_b) but runs
+   * Edit-distance verification over a mined pair set: the cheap "is it a
+   * rename / literal-change clone" (type-2) check layered on a
+   * bag-of-shingles miner. Pairwise cost is O(len_a·len_b) but runs
    * ONLY on the supplied pairs — a candidate-bounded set independent of
    * corpus size — never the corpus; the two text joins are id-keyed and
    * AQE-broadcastable when the pair set is small.
    *
+   * Distance and length are both in the UTF-8 BYTE domain
+   * ([[graft.functions.byte_levenshtein]] / `octet_length`): SQL engines
+   * disagree on the edit unit (Spark's builtin edits code points, DuckDB
+   * edits bytes), and the round-15 non-ASCII gate caught exactly that —
+   * the previous code-point distance over a char-count denominator could
+   * not be replayed cross-engine, and a byte distance over a CHAR length
+   * can even leave [0, 1]. The byte view is the same discipline the
+   * round-14 byte-faithful kernels pin, coincides with code points on
+   * ASCII, and keeps edit_sim in [0, 1] by construction.
+   *
    * @param pairs (id_a, id_b) — e.g. [[minHashNearDups]] output
    * @return (id_a, id_b, lev, edit_sim) with
-   *         edit_sim = 1 - lev / max(len_a, len_b)
+   *         edit_sim = 1 - lev / max(bytelen_a, bytelen_b)
    */
   def editSimilarity(
       pairs: DataFrame, docs: DataFrame,
@@ -633,10 +643,10 @@ object Dedup {
     val tb = docs.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
     pairs.select(col("id_a"), col("id_b"))
       .join(ta, Seq("id_a")).join(tb, Seq("id_b"))
-      .withColumn("lev", levenshtein(col("__ta"), col("__tb")))
+      .withColumn("lev", graft.functions.byte_levenshtein(col("__ta"), col("__tb")))
       .select(col("id_a"), col("id_b"), col("lev"),
         (lit(1.0) - col("lev").cast("double") /
-          greatest(length(col("__ta")), length(col("__tb")))).as("edit_sim"))
+          greatest(octet_length(col("__ta")), octet_length(col("__tb")))).as("edit_sim"))
   }
 
   /**

@@ -1,0 +1,74 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * UNICODE SIMPLE LOWERCASE — the engine's canonical case fold: per code
+ * point, context-free, locale-independent (the `UnicodeData.txt` simple
+ * mapping, i.e. `Character.toLowerCase(int)`).
+ *
+ * Deliberately NOT Spark's `lower()` / Java's `String.toLowerCase`, which
+ * apply the FULL case mapping. Full casing is a presentation transform:
+ * it is context-sensitive (Final_Sigma decides Σ → ς/σ from word-boundary
+ * context that the JDK computes with a `BreakIterator` — measured: its
+ * backward scan walks straight through CJK ideographs, digits and Mc
+ * marks, a rule no regex engine replays) and locale-entangled (Spark's
+ * own `toLowerCaseSlow` calls default-locale `toLowerCase()`, so a tr/az
+ * JVM folds ASCII `I` to dotless ı — SPARK-papercut every deployment
+ * inherits). A dedup/tokenization KEY needs none of that and must not
+ * have it: the fold must be stable under slicing and concatenation
+ * (context-free), identical on every JVM (locale-free), and replayable
+ * by any SQL engine byte-for-byte. The simple mapping is all three —
+ * the same reasoning that makes search engines fold with simple/case-fold
+ * tables rather than locale casing.
+ *
+ * Divergence from full casing is exactly two inputs under Locale.ROOT:
+ * U+0130 (İ) → `i` (full: `i` + U+0307) and U+03A3 (Σ) → σ in EVERY
+ * position (full: ς when final). Cross-engine: DuckDB's utf8proc
+ * `lower()` computes this same simple table except three code points
+ * whose mappings its Unicode tables predate (U+A7C7, U+A7C9, U+A7F5 —
+ * verified by exhaustive sweep over all code points); the oracle twins
+ * pre-replace those three, making both engines agree on EVERY Unicode
+ * string with no fixture guard.
+ *
+ * Codegen'd with the same ASCII fast path as Spark's Lower: full-ASCII
+ * payloads never leave the byte array.
+ */
+object SimpleCaseFold {
+  def lower(s: UTF8String): UTF8String =
+    if (s.isFullAscii) s.toLowerCaseAscii()
+    else UTF8String.fromString(lower(s.toString))
+
+  /** String-side fold for driver-side kernels (BPE pre-tokenization). */
+  def lower(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      sb.appendCodePoint(Character.toLowerCase(cp))
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
+}
+
+/** simple_lower(string) -> string: Unicode simple (per-code-point)
+  * lowercase; see [[SimpleCaseFold]] for why this, not `lower()`. */
+case class SimpleLower(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "simple_lower"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simple_lower expects a string argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    SimpleCaseFold.lower(v.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.SimpleCaseFold.lower($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

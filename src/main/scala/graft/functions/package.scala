@@ -39,6 +39,16 @@ package object functions {
   /** RFC 4122 UUIDv5 (DNS namespace) of a string column. */
   def uuid5(a: Column): Column = col(Uuid5(ex(a)))
 
+  /** UTF-8-byte Levenshtein distance — the engine-portable edit-distance
+    * unit (= DuckDB's `levenshtein`); see [[graft.expr.EditDistanceOps]]. */
+  def byte_levenshtein(a: Column, b: Column): Column =
+    col(ByteLevenshtein(ex(a), ex(b)))
+
+  /** Unicode SIMPLE lowercase — the engine's canonical case fold:
+    * per-code-point, context-free, locale-independent, SQL-replayable
+    * (see [[graft.expr.SimpleCaseFold]] for why not `lower()`). */
+  def simple_lower(a: Column): Column = col(SimpleLower(ex(a)))
+
   /** 64-bit SimHash fingerprint of an array<string> token column. */
   def simhash64(a: Column): Column = col(SimHash64(ex(a)))
 

@@ -40,10 +40,10 @@ object Bpe {
     * [[TextAnalysis.tokenCount]], so BPE counts nest under word counts. */
   private[graft] def words(text: String): Seq[String] =
     if (text == null) Seq.empty
-    // Locale.ROOT: the default-locale toLowerCase diverges from Spark's
-    // locale-independent lower() on e.g. tr/az JVMs ('I' → dotless 'ı'),
-    // which would make merges and subword counts machine-dependent.
-    else text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).toSeq
+    // The engine's canonical fold (Unicode SIMPLE lowercase): context-
+    // and locale-free, so merges and subword counts are machine- and
+    // engine-independent; matches TextAnalysis.tokens' fold exactly.
+    else graft.expr.SimpleCaseFold.lower(text).split("\\s+").filter(_.nonEmpty).toSeq
 
   /** Initial symbol sequence of a word: one symbol per Unicode CODE POINT
     * (not UTF-16 code unit — astral characters must stay whole symbols;

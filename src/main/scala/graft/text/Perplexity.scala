@@ -51,7 +51,7 @@ object Perplexity {
     * not part of the exact wire contract). */
   def bitsPerChar(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val big = docs
-      .select(col(idCol), lower(col(textCol)).as("__t"))
+      .select(col(idCol), graft.functions.simple_lower(col(textCol)).as("__t"))
       .filter(length(col("__t")) >= 2)
       .select(col(idCol), explode(expr(
         "transform(sequence(1, length(__t) - 1), i -> substring(__t, i, 2))")).as("bg"))

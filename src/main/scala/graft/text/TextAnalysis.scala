@@ -16,9 +16,13 @@ object TextAnalysis {
   /** Lower-cased whitespace tokens, empties dropped — THE canonical
     * tokenizer shared with the dedup pipelines ([[graft.dedup.Dedup.tokens]]
     * delegates here): shingles, simhash, langId and quality scoring must
-    * all agree with the DuckDB oracles on one definition. */
+    * all agree with the DuckDB oracles on one definition. The fold is the
+    * Unicode SIMPLE lowercase ([[graft.functions.simple_lower]]) — per
+    * code point, context-free, locale-independent — NOT Spark's full-
+    * mapping `lower()`, whose Final_Sigma/locale context would make token
+    * keys depend on surrounding text and on the executor JVM's locale. */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    filter(split(graft.functions.simple_lower(text), "\\s+"), t => length(t) > 0)
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -86,7 +90,7 @@ object TextAnalysis {
   /** 64-bit document fingerprint: first 16 hex chars of md5 over the
     * whitespace-normalized lower-cased text — stable under reflow. */
   def fingerprint(text: Column): Column =
-    substring(md5(regexp_replace(lower(text), "\\s+", " ")), 1, 16)
+    substring(md5(regexp_replace(graft.functions.simple_lower(text), "\\s+", " ")), 1, 16)
 
   /** Canonical normal form for normalization-aware dedup: lower-case,
     * drop everything but `[a-z0-9 ]` plus whitespace, collapse whitespace
@@ -96,7 +100,8 @@ object TextAnalysis {
     * reflow variants of a document normalize to one string; exact dedup
     * on `md5(normalize(text))` then catches what raw `md5(text)` misses. */
   def normalize(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 \\t\\n\\r\\f]", ""),
+    trim(regexp_replace(regexp_replace(
+      graft.functions.simple_lower(text), "[^a-z0-9 \\t\\n\\r\\f]", ""),
       "[ \\t\\n\\r\\f]+", " "))
 
   /** Adjacent-token bigrams ("a b") of the canonical tokens — n-gram LM /

@@ -49,34 +49,48 @@ class SparkEntrySpec extends SparkSpec {
     }
   }
 
-  test("EVERY lowercasing oracle fails LOUDLY on a full-case-mapping fixture") {
-    // The byte/code-unit twins absorb every encoding divergence except
-    // one: Java's full case mapping vs utf8proc's code-point-wise
-    // lower() (U+0130, Final_Sigma U+03A3). The guard must be wired to
-    // every query whose DuckDB twin lowercases — enforced here at
-    // RUNTIME against the final oracle SQL strings (helper-built twins
-    // included), so a new lowercasing twin cannot ship unguarded: each
-    // must produce the targeted error, not a red hash cell hours deep
-    // in forensics.
-    import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_fullcase").toString
-    Seq((1L, "İstanbul borsası")).toDF("doc_id", "text")
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val lowercasing = SparkEntry.oracleSql.collect {
-      case (name, sql) if sql.contains("lower(") => name
-    }.toSeq.sorted
-    assert(lowercasing.size >= 25,
-      s"expected the known lowercasing-oracle family, got $lowercasing")
-    val unguarded = lowercasing.filter { name =>
-      try { SparkEntry.queries(name)(spark, dir).count(); true }
-      catch {
-        case e: IllegalArgumentException if e.getMessage.contains("full case mapping") => false
-        case other: Throwable =>
-          fail(s"$name reached past the guard (${other.getClass.getSimpleName}: " +
-            s"${other.getMessage.linesIterator.next()})")
+  test("EVERY lowercasing twin folds through sqlFold (no raw lower( in final SQL)") {
+    // Round 15 retired the İ/Σ fixture guard by making the CANONICAL FOLD
+    // the Unicode simple mapping on both sides: the engine folds with
+    // simple_lower, the twins with sqlFold (DuckDB lower() + the three
+    // stale-table pre-replaces). The invariant that keeps this sound is
+    // that no twin lowercases OUTSIDE the fold: oracleSql's post-pass
+    // rewrites the literal lower(text)/lower(qtext) spellings, and this
+    // pin fails on any OTHER lower( so a future twin cannot reintroduce
+    // an unfolded (full-vs-simple divergent) lowercase path.
+    val foldPrefix = "lower(replace(replace(replace("
+    var folded = 0
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      var i = sql.indexOf("lower(")
+      while (i >= 0) {
+        assert(sql.regionMatches(i, foldPrefix, 0, foldPrefix.length),
+          s"$name: raw lower( at offset $i — text must fold through sqlFold " +
+            "(engine fold is SIMPLE lowercase; a bare lower() twin diverges on İ/Σ)")
+        folded += 1
+        i = sql.indexOf("lower(", i + 1)
       }
     }
-    assert(unguarded.isEmpty,
-      s"lowercasing oracles whose query ran UNGUARDED on the İ fixture: $unguarded")
+    assert(folded >= 40, s"expected the known lowercasing-twin family, got $folded folds")
+  }
+
+  test("canonical fold on the formerly-guarded hazard chars: query == twin semantics") {
+    // İ and Σ — the two code points the retired guard rejected — now flow
+    // end-to-end: simple_lower folds İ→i and Σ→σ in EVERY position
+    // (context-free), exactly what sqlFold computes in DuckDB. vocab_topk
+    // over a Greek/Turkish fixture exercises the whole tokenize path.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fullcase").toString
+    Seq((1L, "İstanbul ΣΟΦΟΣ ΤΕΛΟΣ"), (2L, "σοφοσ istanbul Σ"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.text.TextAnalysis.tokens($"text")).as("t"))
+      .groupBy($"t").count().as[(String, Long)].collect().toMap
+    assert(toks("istanbul") == 2L, s"İ must fold to plain i: $toks")
+    assert(toks("σοφοσ") == 2L, "medial AND final Σ fold to σ — no ς anywhere")
+    assert(toks("τελοσ") == 1L && toks("σ") == 1L)
+    assert(!toks.keys.exists(_.contains("ς")), s"final sigma must not appear: $toks")
+    assert(!toks.keys.exists(_.contains("̇")), "no combining dot from full-mapping İ")
   }
 }

@@ -329,6 +329,27 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 2L)) // null doc survives as its own row
   }
 
+  test("editSimilarity: UTF-8-byte distance and byte-length denominator (engine-portable)") {
+    // ASCII: bytes == code points, classic kitten/sitting = 3 over len 7.
+    // Non-ASCII: the pinned unit is BYTES — 'café' vs 'cafe' differs in
+    // é(2 bytes)↔e(1 byte) = substitution+insertion = 2 edits over
+    // max(5, 4) bytes — exactly what DuckDB's levenshtein/strlen replay
+    // (Spark's code-point builtin would say 1/4 and could not be
+    // oracle-checked; a byte lev over CHAR length could leave [0,1]).
+    val d = docs((1L, "kitten"), (2L, "sitting"), (3L, "café"), (4L, "cafe"))
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = Dedup.editSimilarity(pairs, d, "doc_id", "text")
+      .orderBy($"id_a").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got(0) == ((1L, 2L, 3, 1.0 - 3.0 / 7.0)))
+    assert(got(1)._3 == 2, s"byte edits for café→cafe, got ${got(1)._3}")
+    assert(math.abs(got(1)._4 - (1.0 - 2.0 / 5.0)) < 1e-12)
+    // identical texts -> 0 distance, similarity exactly 1
+    val same = Dedup.editSimilarity(
+      Seq((1L, 1L)).toDF("id_a", "id_b"), d, "doc_id", "text").head()
+    assert(same.getInt(2) == 0 && same.getDouble(3) == 1.0)
+  }
+
   test("jaccard column function handles empty arrays") {
     val row = spark.range(1).select(
       Dedup.jaccard(array(), array()).as("both_empty"),

@@ -124,4 +124,28 @@ class ExpressionsSpec extends SparkSpec with TableDrivenPropertyChecks {
       .collect()(0)
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
+
+  test("simple_lower: Unicode SIMPLE mapping — context-free, locale-free, astral-safe") {
+    import spark.implicits._
+    import graft.functions.simple_lower
+    val in = Seq(
+      "ASCII Fast PATH 123",       // full-ASCII branch
+      "İstanbul",                  // U+0130 -> plain i (full mapping would add U+0307)
+      "ΣΟΦΟΣ Σ ΑΣ",                // Σ -> σ in EVERY position (never final ς)
+      "STRASSE weiß",              // no full-casing ß games in either direction
+      "𐐀deseret",       // astral U+10400 -> U+10428 via code points
+      "ꟇꟉꟵ",        // the three cps DuckDB's tables predate
+      null)
+    val got = in.toDF("t").select(simple_lower($"t")).as[String].collect()
+    assert(got(0) == "ascii fast path 123")
+    assert(got(1) == "istanbul", s"İ must simple-fold to i, got ${got(1)}")
+    assert(got(2) == "σοφοσ σ ασ")
+    assert(got(3) == "strasse weiß")
+    assert(got(4) == "𐐨deseret")
+    assert(got(5) == "ꟈꟊꟶ")
+    assert(got(6) == null)
+    // driver-side twin (BPE pre-tokenizer) computes the identical fold
+    in.filter(_ != null).zipWithIndex.foreach { case (s, i) =>
+      assert(graft.expr.SimpleCaseFold.lower(s) == got(i)) }
+  }
 }

@@ -120,6 +120,78 @@ class ImageSpec extends SparkSpec {
       s"gray sample must be raw (16/255), got $f")
   }
 
+  test("interlaced (Adam7) PNG decodes to the identical raster as baseline PNG") {
+    // The PNG reader de-interlaces transparently; pin it so a future
+    // reader-cache / input-stream change cannot silently ship progressive
+    // scans as half-decoded rasters. Fixture: the same raster encoded
+    // twice, MODE_DEFAULT progressive (= Adam7 for PNG) vs sequential.
+    val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, if ((x / 4 + y / 4) % 2 == 0) red else blue)
+    def encode(progressive: Boolean): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      val w = ImageIO.getImageWritersByFormatName("png").next()
+      val ios = ImageIO.createImageOutputStream(out)
+      try {
+        w.setOutput(ios)
+        val p = w.getDefaultWriteParam
+        p.setProgressiveMode(
+          if (progressive) javax.imageio.ImageWriteParam.MODE_DEFAULT
+          else javax.imageio.ImageWriteParam.MODE_DISABLED)
+        w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { w.dispose(); ios.close() }
+      out.toByteArray
+    }
+    val plain = encode(progressive = false)
+    val adam7 = encode(progressive = true)
+    assert(!java.util.Arrays.equals(plain, adam7),
+      "fixture must actually differ on the wire (interlaced encoding)")
+    val rows = Seq((1L, plain), (2L, adam7)).toDF("id", "media")
+    val f = Multimodal.extractImageFeatures(rows, "media", "feat", grid = 4)
+      .orderBy($"id").select($"feat").collect().map(_.getSeq[Float](0))
+    assert(f(0) == f(1), "Adam7 and sequential encodings must yield identical features")
+    val meta = rows.select(Multimodal.imageMeta($"media").as("m")).collect()
+    assert(meta.forall(r => r.getStruct(0).getInt(0) == 16))
+  }
+
+  test("animated GIF: FRAME-0 semantics pinned (decode = first frame, like a thumbnailer)") {
+    // media_meta/multimodal_knn treat an image payload as ONE still:
+    // metadata reports the container header dims and grid features come
+    // from frame 0 only — the universal thumbnailer convention. Frame
+    // COUNTS are a video-container concern (mjpeg_frames exposes them);
+    // GIF animation is out of image scope BY DESIGN, pinned here so the
+    // choice is visible and a silent frame-blend regression would fail.
+    def frame(c: Int): BufferedImage = {
+      val im = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) im.setRGB(x, y, c)
+      im
+    }
+    val out = new ByteArrayOutputStream()
+    val w = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(out)
+    try {
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      Seq(red, green, blue).foreach { c =>
+        w.writeToSequence(new javax.imageio.IIOImage(frame(c), null, null), null)
+      }
+      w.endWriteSequence()
+    } finally { w.dispose(); ios.close() }
+    val bytes = out.toByteArray
+    // the fixture really is multi-frame
+    val r = ImageIO.getImageReadersByFormatName("gif").next()
+    val riis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    try { r.setInput(riis); assert(r.getNumImages(true) == 3) }
+    finally { r.dispose(); riis.close() }
+    val rows = Seq((1L, bytes)).toDF("id", "media")
+    val f = Multimodal.extractImageFeatures(rows, "media", "feat", grid = 1)
+      .select($"feat").head().getSeq[Float](0)
+    assert(f.toList == List(1f, 0f, 0f),
+      s"animated GIF must decode frame 0 (red), got $f")
+    val m = rows.select(Multimodal.imageMeta($"media").as("m")).head().getStruct(0)
+    assert(m.getInt(0) == 8 && m.getInt(1) == 8 && m.getString(2) == "image/gif")
+  }
+
   test("SQL registration: image_meta / image_grid_features callable from SQL") {
     graft.functions.registerAll(spark)
     Seq((1L, png(2, 2)((_, _) => red))).toDF("id", "media")

@@ -14,12 +14,15 @@ This tool proves that on a deliberately non-ASCII fixture:
  2. runs `graft.Verify` restricted to the eight queries;
  3. replays the oracle SQL in DuckDB via tools/oracle_check.py.
 
-Known residual (not checked here, but GUARDED in the engine): DuckDB
-lower() applies utf8proc's code-point-wise mapping where Java applies full
-case mapping — divergent only on U+0130 and word-final U+03A3 under
-Locale.ROOT. SparkEntry.requireSimpleCaseFixture fails loudly on a fixture
-containing either (pinned by SparkEntrySpec); this fixture uses
-simple-mapping characters, as real corpora overwhelmingly do.
+Round 15 retired the last fixture guard (requireSimpleCaseFixture): the
+engine's canonical fold is now the Unicode SIMPLE lowercase
+(graft.functions.simple_lower — context- and locale-free), which DuckDB's
+lower() computes identically modulo three stale-table code points the
+twins pre-replace (SparkEntry.sqlFold). This fixture therefore DELIBERATELY
+carries the formerly-rejected hazard characters — U+0130 (İ), medial AND
+word-final U+03A3 (Σ), and the three utf8proc-stale cps U+A7C7/C9/F5 —
+and the query list covers the entire lowercasing-twin family, not just
+the byte/code-unit eight.
 
 Usage: python3 tools/nonascii_check.py [srcDir] (default /root/testdata/sf0.001)
 """
@@ -30,7 +33,25 @@ from pathlib import Path
 
 import duckdb
 
-QUERIES = "embed_corpus,embed_knn,simhash_pairs,winnow_pairs,bpe_tokens,bpe_encode,multimodal_knn,frame_hist"
+QUERIES = ",".join([
+    # the byte/code-unit eight (round-14 ASCII-guard retirement)
+    "embed_corpus", "embed_knn", "simhash_pairs", "winnow_pairs",
+    "bpe_tokens", "bpe_encode", "multimodal_knn", "frame_hist",
+    # the lowercasing family (round-15 case-guard retirement)
+    "batch_near_dup", "bigram_topk", "bm25_index_topk", "bm25_topk",
+    "budget_select", "contamination", "curation_pipeline", "dedup_clusters",
+    "dedup_jaccard_pairs", "dedup_minhash", "dedup_near_keep",
+    "dedup_span_cut", "doc_chunks", "doc_dup_spans", "doc_gopher",
+    "doc_keywords", "doc_len_hist", "doc_len_quantiles",
+    "doc_len_quantiles_approx", "doc_patterns", "doc_perplexity",
+    "doc_quality", "doc_repetition", "edit_sim_pairs", "hybrid_rrf",
+    "hybrid_weighted", "index_near_keep", "index_span_cut",
+    "jaccard_join_pairs", "lang_id", "lang_len_quantiles",
+    "normalize_dedup", "pack_batches", "pair_mining", "quality_tiers",
+    "source_mix", "split_leakfree", "text_stats",
+    "top_docs_per_lang", "vocab_overlap", "vocab_size", "vocab_topk",
+    "weighted_sample",
+])
 
 SPICE = [
     "caf\u00e9 na\u00efve fa\u00e7ade \u00fcber stra\u00dfe",   # latin accents + sharp-s
@@ -39,6 +60,11 @@ SPICE = [
     "combining e\u0301 mark a\u0300 grave",                    # combining marks
     "private \ue001 use \ue002 block",     # U+E000 block (UTF-16 order stress)
     "mixed \u00e9\u4e2d\U0001f44d soup \ue003",              # everything at once
+    # round-15 case-fold hazards: U+0130, medial+final+standalone Σ, ς,
+    # and the three cps where utf8proc's tables lag Java's (sqlFold)
+    "\u0130stanbul \u0130\u0130 I\u0131",                     # İ unconditional
+    "\u03a3\u039f\u03a6\u039f\u03a3 \u03c3o\u03c6o\u03c2 \u03a4\u0395\u039b\u039f\u03a3 \u03a3 \u0391\u03a3",  # Σ all positions
+    "stale \ua7c7\ua7c8 \ua7c9\ua7ca \ua7f5\ua7f6 maps",   # utf8proc-stale cps
 ]
 
 
@@ -54,13 +80,14 @@ def build_fixture(src: Path, dst: Path) -> None:
     # distinct where they were distinct); duplicate six docs verbatim at
     # high ids so winnow/simhash mine non-empty pair sets over non-ASCII
     spice_vals = ", ".join("(%d, '%s')" % (i, s) for i, s in enumerate(SPICE))
+    nspice = len(SPICE)
     con.execute(f"""
         COPY (
           WITH spice(i, s) AS (VALUES {spice_vals}),
           base AS (
             SELECT doc_id,
               CASE WHEN doc_id % 4 = 3 THEN text
-                   ELSE (SELECT s FROM spice WHERE i = doc_id % 6) || ' ' || text
+                   ELSE (SELECT s FROM spice WHERE i = doc_id % {nspice}) || ' ' || text
               END AS text,
               lang, source FROM read_parquet('{src}/documents.parquet')
           ),
