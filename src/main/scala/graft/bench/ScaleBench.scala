@@ -174,6 +174,73 @@ object ScaleBench {
     System.err.println(f"span admit done: build=$buildSecs%.2f " +
       f"admit=$admitSecs%.2f batches=$admitBatches admitted=$admitted fully_cut=$fullyCut")
 
+    // ------------------------------------------------------------------
+    // Streaming-admission FLAT-COST evidence: the "artifact IS the state,
+    // O(batch) per micro-batch" claim (Streaming.admitStream / cutStream)
+    // predicts near-flat per-micro-batch time as the ADMITTED CORPUS
+    // grows — the batch only ever touches the corpus through the
+    // band-key-pruned signature table (near-dup), the (bucket, h)-pruned
+    // gram table (span-cut), and one columnar id-column scan for the
+    // replay guard. Measured directly: a FIXED 128-doc batch (4 files →
+    // 4 micro-batches via maxFilesPerTrigger=1, ids offset far above
+    // every replica id) streams against a 1×/10×/30× admitted corpus
+    // with its index built per factor; each factor records the index
+    // build time (expected ~linear in corpus) and every micro-batch's
+    // triggerExecution duration (expected ~flat). Batch texts are
+    // verbatim base-corpus clones, so the near-dup path exercises full
+    // mine+verify+reject and the span path cuts every token — the
+    // worst-case per-batch work, not the empty fast path.
+    val streamFlat = factors.map { n =>
+      val dir = amplified(spark, srcDir, n)
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_scale_streamflat_x$n")
+      hfs.delete(new org.apache.hadoop.fs.Path(root.toString), true)
+      val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      val nCorpus = corpus.count()
+      // fixed foreign batch: 128 base docs, ids disjoint from all replicas
+      spark.read.parquet(s"$srcDir/documents.parquet")
+        .orderBy(col("doc_id")).limit(128)
+        .withColumn("doc_id", col("doc_id") + lit(1000L * Stride))
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$root/stream")
+      val docSch = spark.read.parquet(s"$root/stream").schema
+      def fixedStream = spark.readStream.schema(docSch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/stream")
+      def batchMs(sq: org.apache.spark.sql.streaming.StreamingQuery): Seq[Long] = {
+        sq.awaitTermination()
+        sq.recentProgress.toSeq.filter(_.numInputRows > 0)
+          .map(_.durationMs.get("triggerExecution").longValue())
+      }
+      // near-dup admission: MinHashIndex over the n× corpus
+      val tmh = System.nanoTime()
+      val mh = graft.index.MinHashIndex(spark, s"$root/mh_index", "documents")
+      mh.build(corpus, "doc_id", "text", n = 3, numHashes = 128, bands = 32)
+      corpus.write.mode("overwrite").parquet(s"$root/admitted")
+      val mhBuildS = (System.nanoTime() - tmh) / 1e9
+      val admitMs = batchMs(graft.streaming.Streaming.admitStream(
+        fixedStream, "doc_id", "text", mh, s"$root/admitted",
+        threshold = 0.8, checkpointDir = s"$root/ckpt_admit"))
+      // span-cut admission: SpanIndex over the same n× corpus
+      val tsp = System.nanoTime()
+      val sp = graft.index.SpanIndex(spark, s"$root/span_index", "documents")
+      sp.build(corpus, "doc_id", "text", n = 5)
+      val spBuildS = (System.nanoTime() - tsp) / 1e9
+      val cutMs = batchMs(graft.streaming.Streaming.cutStream(
+        fixedStream, "doc_id", "text", sp,
+        cleanDir = s"$root/clean", checkpointDir = s"$root/ckpt_cut"))
+      System.err.println(f"stream flat x$n: corpus=$nCorpus " +
+        f"mh_build=$mhBuildS%.1f admit_ms=${admitMs.mkString("/")} " +
+        f"span_build=$spBuildS%.1f cut_ms=${cutMs.mkString("/")}")
+      graft.SparkEntry.evictDirCaches(spark, dir)
+      n -> (nCorpus, mhBuildS, admitMs, spBuildS, cutMs)
+    }
+    val streamFlatJson = streamFlat.map { case (n, (nc, mb, am, sb, cm)) =>
+      s""""$n":{"corpus_docs":$nc,"mh_build_s":${jNum(mb)},""" +
+        s""""admit_batch_ms":${am.mkString("[", ",", "]")},""" +
+        s""""span_build_s":${jNum(sb)},""" +
+        s""""cut_batch_ms":${cm.mkString("[", ",", "]")}}"""
+    }.mkString("{", ",", "}")
+
     val factorJson = perFactor.map { case (n, (nd, nv, times, errs)) =>
       s""""$n":{"n_docs":$nd,"n_vecs":$nv,"queries":{""" +
         times.map { case (q, t) => s""""$q":${jNum(t)}""" }.mkString(",") +
@@ -186,7 +253,8 @@ object ScaleBench {
       s""""components":$nComponents,"driver_threshold":${1L << 20}},""" +
       s""""span_admit":{"factor":${factors.max},"corpus_docs":$corpusCount,""" +
       s""""build_s":${jNum(buildSecs)},"admit_s":${jNum(admitSecs)},""" +
-      s""""batches":$admitBatches,"admitted":$admitted,"fully_cut":$fullyCut}}"""
+      s""""batches":$admitBatches,"admitted":$admitted,"fully_cut":$fullyCut},""" +
+      s""""stream_flat":$streamFlatJson}"""
     println(line)
     try {
       val out = java.nio.file.Paths.get(

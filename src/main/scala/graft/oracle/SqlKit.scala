@@ -1,0 +1,1223 @@
+package graft.oracle
+
+import graft.SparkEntry.{annRecallBits, annRecallTables, bpeNumMerges, bpeSampleSize}
+import graft.search.LatticeKmeans
+
+/** SQL-builder helpers behind [[Twins]]: wraparound-64-bit HUGEINT
+  * arithmetic, the exact UTF-8-byte / UTF-16-unit character views, the
+  * IVF/PQ/int8/binary recall CTE ladders, the BPE merge replay, and the
+  * shared CTE chains. Moved VERBATIM out of SparkEntry in the round-15
+  * file split (VERDICT #6). A trait so [[Twins]] keeps the original
+  * unqualified call sites. */
+private[graft] trait SqlKit {
+  /** Shared CTE chain `t → h → q`: tokenized documents → stopword hits →
+    * rounded quality score per doc (the SQL twin of
+    * [[TextAnalysis.qualityScore]], rational arithmetic only), with `lang`
+    * carried for per-group consumers. */
+  protected val qualityCte: String =
+    """t AS (
+      |  SELECT doc_id, lang, text,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id, lang, text, len(toks) AS n_tok,
+      |    len(list_intersect(toks, ['the','and','of','to','in','is','that','it','was','for'])) +
+      |    len(list_intersect(toks, ['el','los','las','que','y','una','por','como','pero','con'])) +
+      |    len(list_intersect(toks, ['der','die','das','und','ist','ein','eine','zu','den','von'])) +
+      |    len(list_intersect(toks, ['le','les','et','est','une','des','du','dans','pour','sur'])) AS stop_hits
+      |  FROM t
+      |), q AS (
+      |  SELECT doc_id, lang,
+      |    FLOOR((LEAST(1.0, CAST(n_tok AS DOUBLE) / 100.0) *
+      |      (1.0 - CASE WHEN len(text) = 0 THEN 0.0
+      |        ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9_\s]')) AS DOUBLE) / len(text) END) *
+      |      (0.5 + 0.5 * CAST(LEAST(stop_hits, 5) AS DOUBLE) / 5.0)) * 1000000.0 + 0.5) / 1000000.0 AS quality
+      |  FROM h
+      |)""".stripMargin
+
+  /** Shared DuckDB CTE: adjacent-token bigrams per doc with `lang` carried
+    * (twin of [[TextAnalysis.bigrams]]; `range(1, len)` is empty below two
+    * tokens, matching the Spark guard). */
+  /** MMR oracle: replays [[graft.search.Mmr.diversifiedTopK]]'s greedy
+    * selection as `k` chained argmax CTEs — sel1 is the plain relevance
+    * argmax (empty selected set ⇒ no diversity penalty), each later step
+    * scores the not-yet-selected candidates by
+    * `0.5·rel − 0.5·max(sim to selected)` with the pairwise sims
+    * floor-quantized to the same 1e-6 grid as the Scala greedy loop, and
+    * picks the (score desc, id asc) winner. λ = 0.5 inlined. */
+  protected def mmrOracleSql(nQ: Int, fetchK: Int, k: Int): String = {
+    val header =
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  ORDER BY md5('graft42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $nQ
+         |), scored AS (
+         |  SELECT q.qid AS query_id, c.vec_id AS result_id,
+         |    ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS rel,
+         |    CAST(c.embedding AS DOUBLE[]) AS cv
+         |  FROM q CROSS JOIN embeddings c
+         |  WHERE c.vec_id <> q.qid
+         |), cand AS (
+         |  SELECT query_id, result_id, rel, cv FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, result_id ASC) AS rn
+         |    FROM scored) WHERE rn <= $fetchK
+         |), sel1 AS (
+         |  SELECT query_id, result_id, rel, cv, 1 AS mmr_rank, 0.5 * rel AS m FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, result_id ASC) AS rn
+         |    FROM cand) WHERE rn = 1
+         |)""".stripMargin
+    val steps = (2 to k).map { i =>
+      val prev = s"sel${i - 1}"
+      s""", gen$i AS (
+         |  SELECT c.query_id, c.result_id, c.rel, c.cv,
+         |    0.5 * c.rel - 0.5 * (
+         |      SELECT MAX(FLOOR(list_cosine_similarity(c.cv, s.cv) * 1000000.0 + 0.5) / 1000000.0)
+         |      FROM $prev s WHERE s.query_id = c.query_id) AS m
+         |  FROM cand c
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev x
+         |    WHERE x.query_id = c.query_id AND x.result_id = c.result_id)
+         |), pick$i AS (
+         |  SELECT query_id, result_id, rel, cv, $i AS mmr_rank, m FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY m DESC, result_id ASC) AS rn
+         |    FROM gen$i) WHERE rn = 1
+         |), sel$i AS (
+         |  SELECT * FROM $prev UNION ALL SELECT * FROM pick$i
+         |)""".stripMargin
+    }.mkString
+    header + steps +
+      s"""
+         |SELECT query_id, result_id, mmr_rank,
+         |  FLOOR(m * 1000000.0 + 0.5) / 1000000.0 AS mmr_score,
+         |  rel AS score
+         |FROM sel$k ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
+  /** Span-cut oracle — shared verbatim by `dedup_span_cut` and
+    * `index_span_cut` (both route through `DupSpans.cutWithOwners` with
+    * identical ownership, so their outputs are identical by
+    * construction). */
+  protected def spanCutSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+4], ' ')) AS h
+      |  FROM tk, unnest(range(1, len(toks) - 3)) AS u(i)
+      |  WHERE len(toks) >= 5
+      |), own AS (
+      |  SELECT h, min(doc_id) AS owner
+      |  FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+      |), cov AS (
+      |  SELECT DISTINCT g.doc_id, j AS i
+      |  FROM g JOIN own USING (h), unnest(range(g.pos, g.pos + 5)) AS v(j)
+      |  WHERE g.doc_id <> own.owner
+      |), tok AS (
+      |  SELECT doc_id, i, toks[i] AS tok
+      |  FROM tk, unnest(range(1, len(toks) + 1)) AS v(i)
+      |)
+      |SELECT tok.doc_id, count(*) AS n_tokens, count(cov.i) AS n_cut,
+      |  coalesce(string_agg(CASE WHEN cov.i IS NULL THEN tok.tok END, ' ' ORDER BY tok.i), '') AS text_clean
+      |FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.i
+      |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin
+
+  /** winnow_pairs oracle — exact SQL replay of the fused Karp-Rabin +
+    * murmur-mix + sliding-minimum winnowing kernel
+    * (`expr/Winnowing.scala`) at the query's pinned parameters
+    * (k=12, w=8, minShared=10, cap=10000). Java's wraparound 64-bit
+    * arithmetic is emulated over HUGEINT: values ride UNSIGNED in
+    * [0, 2⁶⁴); multiplies split the 64-bit constant into 32-bit halves so
+    * no intermediate exceeds the signed-128 range; xor drops to signed
+    * BIGINT (same bits) and returns. The selected-fingerprint SET is
+    * order-and-tie-rule independent (ties share the value), so a plain
+    * 8-wide window minimum over the SIGNED hash reproduces the
+    * monotonic-deque selection exactly. Validated cell-exact against the
+    * kernel on the full sf0.01 fixture. */
+  // --- wraparound-64-bit arithmetic emulated in DuckDB SQL over HUGEINT:
+  // values ride UNSIGNED in [0, 2⁶⁴); multiplies split the 64-bit constant
+  // into 32-bit halves so no intermediate exceeds the signed-128 range;
+  // xor drops to the identical signed-BIGINT bits and returns. Shared by
+  // the winnowing and simhash kernel replays. ---
+  protected val u64 = "CAST('18446744073709551616' AS HUGEINT)"
+  protected def u64Signed(v: String) =
+    s"(CASE WHEN $v >= CAST('9223372036854775808' AS HUGEINT) " +
+      s"THEN CAST($v - $u64 AS BIGINT) ELSE CAST($v AS BIGINT) END)"
+  protected def u64Uns(v: String) =
+    s"(CASE WHEN $v < 0 THEN CAST($v AS HUGEINT) + $u64 ELSE CAST($v AS HUGEINT) END)"
+  /** x * C mod 2⁶⁴ with C = ch·2³² + cl. */
+  protected def u64MulC(v: String, ch: Long, cl: Long) =
+    s"((($v * $cl) % $u64 + (($v * $ch) % 4294967296) * 4294967296) % $u64)"
+
+  // --- Encoding-faithful character access (round 14, retiring the ASCII
+  // fixture guard): the kernels fold UTF-8 BYTES (simhash/TF-IDF token
+  // FNV, byte-histogram features) or UTF-16 CODE UNITS (winnowing's
+  // charAt Karp-Rabin, Java-string tie-breaks), while naive SQL folds
+  // CODE POINTS — identical on ASCII, divergent beyond. These helpers
+  // emulate the exact Java views in DuckDB, so the twins hold on any
+  // Unicode text. (Case folding needs no emulation at all since round 15:
+  // the engine folds with the Unicode SIMPLE mapping — simple_lower —
+  // which IS DuckDB's lower() modulo the three stale-table code points
+  // sqlFold pre-replaces.) ---
+
+  /** UTF-8 bytes of VARCHAR `s` as a DuckDB list of INTs (one per byte):
+    * hex(encode(s)) parsed in 2-char pairs — encode() is DuckDB's
+    * VARCHAR→UTF-8-BLOB, so this is the exact `String.getBytes(UTF_8)` /
+    * UTF8String byte sequence the kernels fold. */
+  protected def sqlUtf8Bytes(s: String): String =
+    s"list_transform(range(0, strlen($s)), j -> " +
+      s"CAST(('0x' || substr(hex(encode($s)), CAST(2 * j + 1 AS INT), 2)) AS INT))"
+
+  /** UTF-16 code units of VARCHAR `s` as a DuckDB list of INTs — each
+    * code point expanded to its surrogate pair above U+FFFF; the exact
+    * Java `charAt` sequence, and (as a list) the exact Java
+    * `String.compareTo` sort key, since DuckDB orders lists
+    * lexicographically element-wise. */
+  protected def sqlUtf16Units(s: String): String =
+    s"flatten(list_transform(" +
+      s"list_transform(range(1, len($s) + 1), i -> unicode(substr($s, CAST(i AS INT), 1)))," +
+      s" cp -> CASE WHEN cp < 65536 THEN [cp] " +
+      s"ELSE [55296 + (cp - 65536) // 1024, 56320 + (cp - 65536) % 1024] END))"
+
+  protected def winnowPairsSql: String = {
+    def signed(v: String) = u64Signed(v)
+    def uns(v: String) = u64Uns(v)
+    // x ^ (x >>> 33): the shift is an exact HUGEINT division (x is
+    // non-negative), xor runs on the identical signed-BIGINT bits.
+    def uxorsh(v: String) = uns(s"xor(${signed(v)}, CAST($v // 8589934592 AS BIGINT))")
+    def umul(v: String, ch: Long, cl: Long) = u64MulC(v, ch, cl)
+    // 257^j mod 2^64 for j = 11..0 — the Karp-Rabin base powers.
+    val pows = Seq("5462812792530078465", "8706299010550139393",
+        "2617856364451727617", "584403925891549185", "74051159531521793",
+        "288136807515649", "1121154893057", "4362470401", "16974593",
+        "66049", "257", "1")
+      .map(p => s"CAST('$p' AS HUGEINT)").mkString("[", ", ", "]")
+    s"""WITH reps AS (
+       |  SELECT min(doc_id) AS id, text, count(*) AS fam
+       |  FROM documents GROUP BY text
+       |), codes0 AS (
+       |  -- the kernel's Karp-Rabin folds charAt = UTF-16 code units, and
+       |  -- its length/gram counts are UTF-16 lengths
+       |  SELECT id, fam, ${sqlUtf16Units("text")} AS cs FROM reps
+       |), codes AS (
+       |  SELECT id, fam, len(cs) AS n, cs FROM codes0 WHERE len(cs) >= 12
+       |), g0 AS (
+       |  SELECT id, fam, i, n - 11 AS grams,
+       |    list_sum(list_transform(range(0, 12),
+       |      j -> CAST(cs[i + j] AS HUGEINT) * ($pows)[j + 1])) % $u64 AS x
+       |  FROM codes, unnest(range(1, n - 10)) AS u(i)
+       |), m1 AS (SELECT id, fam, i, grams, ${uxorsh("x")} AS x FROM g0
+       |), m2 AS (SELECT id, fam, i, grams, ${umul("x", 4283543511L, 3981806797L)} AS x FROM m1
+       |), m3 AS (SELECT id, fam, i, grams, ${uxorsh("x")} AS x FROM m2
+       |), m4 AS (SELECT id, fam, i, grams, ${umul("x", 3301882366L, 444984403L)} AS x FROM m3
+       |), m5 AS (SELECT id, fam, i, grams, ${uxorsh("x")} AS x FROM m4
+       |), hashes AS (SELECT id, fam, i, grams, ${signed("x")} AS fp FROM m5
+       |), winmin AS (
+       |  SELECT id, fam, i, grams,
+       |    min(fp) OVER (PARTITION BY id ORDER BY i ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS mn
+       |  FROM hashes
+       |), fps AS (
+       |  SELECT DISTINCT id, fam, mn AS fp FROM winmin WHERE i >= 8 OR i = grams
+       |), oversized AS (
+       |  SELECT fp FROM fps GROUP BY fp HAVING sum(fam) > 10000
+       |), capped AS (
+       |  SELECT fps.id, fps.fp FROM fps LEFT JOIN oversized USING (fp)
+       |  WHERE oversized.fp IS NULL
+       |), repPairs AS (
+       |  SELECT l.id AS ra, r.id AS rb, count(*) AS n_shared
+       |  FROM capped l JOIN capped r ON l.fp = r.fp AND l.id < r.id
+       |  GROUP BY 1, 2 HAVING count(*) >= 10
+       |), members AS (
+       |  SELECT d.doc_id AS mid, r.id AS rid FROM documents d JOIN reps r USING (text)
+       |), crossp AS (
+       |  SELECT least(ma.mid, mb.mid) AS id_a, greatest(ma.mid, mb.mid) AS id_b, p.n_shared
+       |  FROM repPairs p JOIN members ma ON ma.rid = p.ra JOIN members mb ON mb.rid = p.rb
+       |), selfShared AS (
+       |  SELECT id AS rid, count(*) AS n_shared FROM capped GROUP BY id HAVING count(*) >= 10
+       |), within AS (
+       |  SELECT a.mid AS id_a, b.mid AS id_b, s.n_shared
+       |  FROM members a JOIN members b ON a.rid = b.rid AND a.mid < b.mid
+       |  JOIN selfShared s ON s.rid = a.rid
+       |)
+       |SELECT id_a, id_b, n_shared FROM crossp
+       |UNION ALL SELECT id_a, id_b, n_shared FROM within
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** simhash_pairs oracle — exact SQL replay of the FNV-1a-64 + Charikar
+    * SimHash kernel (`expr/SimHash.scala`) and the quarter-banded
+    * candidate join (`Dedup.simHashNearDups`, maxHamming=3, cap=10000).
+    * The per-token FNV fold runs as a `list_reduce` over the token's
+    * exact UTF-8 bytes (sqlUtf8Bytes — the kernel folds
+    * UTF8String.getBytes); bit votes, quarter keys and Hamming verify are
+    * plain integer SQL. Validated cell-exact against the kernel on the
+    * full sf0.01 fixture. */
+  protected def simhashPairsSql: String = {
+    // FNV-1a step: acc' = ((acc ^ byte) · 0x100000001b3) mod 2⁶⁴.
+    val step = u64MulC(
+      u64Uns(s"xor(${u64Signed("acc")}, CAST(c AS BIGINT))"), 256L, 435L)
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS t
+       |  FROM documents
+       |), th AS (
+       |  -- FNV-1a folds the token's UTF-8 BYTES (UTF8String.getBytes)
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(CAST('14695981039346656037' AS HUGEINT),
+       |        list_transform(${sqlUtf8Bytes("t")}, c -> CAST(c AS HUGEINT))),
+       |      (acc, c) -> $step) AS h
+       |  FROM tok
+       |), bits AS (
+       |  SELECT doc_id, b,
+       |    CASE WHEN sum(CASE WHEN (h // (CAST(1 AS HUGEINT) << b)) % 2 = 1 THEN 1 ELSE -1 END) > 0
+       |      THEN CAST(1 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS bit
+       |  FROM th, unnest(range(0, 64)) AS u(b)
+       |  GROUP BY doc_id, b
+       |), fps0 AS (
+       |  SELECT doc_id, sum(bit * (CAST(1 AS HUGEINT) << b)) AS fpu FROM bits GROUP BY doc_id
+       |), fps AS (
+       |  SELECT d.doc_id AS id, coalesce(f.fpu, CAST(0 AS HUGEINT)) AS fpu,
+       |    ${u64Signed("coalesce(f.fpu, CAST(0 AS HUGEINT))")} AS fp
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN fps0 f USING (doc_id)
+       |), banded0 AS (
+       |  SELECT id, fp, q, CAST((fpu // (CAST(1 AS HUGEINT) << (16 * q))) % 65536 AS BIGINT) AS qh
+       |  FROM fps, unnest(range(0, 4)) AS u(q)
+       |), oversized AS (
+       |  SELECT q, qh FROM banded0 GROUP BY q, qh HAVING count(*) > 10000
+       |), banded AS (
+       |  SELECT b.* FROM banded0 b LEFT JOIN oversized o ON b.q = o.q AND b.qh = o.qh
+       |  WHERE o.qh IS NULL
+       |), cand AS (
+       |  SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.fp AS fa, r.fp AS fb
+       |  FROM banded l JOIN banded r ON l.q = r.q AND l.qh = r.qh AND l.id < r.id
+       |)
+       |SELECT id_a, id_b, bit_count(xor(fa, fb)) AS hamming
+       |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** bpe_tokens / bpe_encode oracles — FULL SQL replay of the BPE
+    * pipeline (graft.text.Bpe.train + expr/BpeKernel.encode), training
+    * included. A word's symbol sequence rides as ONE VARCHAR in
+    * double-space-joined form, `'␣␣' + join(syms,'␣␣') + '␣␣'` (symbols
+    * are whitespace-free, so the gaps are unambiguous), which makes the
+    * greedy left-to-right merge pass a single `replace(state,
+    * '␣a␣␣b␣', '␣ab␣')`: the pattern's outer single spaces enforce
+    * whole-symbol boundaries, the leftover space on each side of the
+    * replacement restores the double-space format, and adjacent
+    * occurrences still match because each match leaves its neighbors'
+    * boundary spaces intact.
+    *
+    * TRAINING: `bpeNumMerges` chained CTE rounds over the
+    * `bpeSampleSize`-doc salted-md5 sample — pair counts (unnest of
+    * adjacent symbol pairs weighted by word frequency), the argmax with
+    * the kernel's exact tie rule (count desc, then (left, right)
+    * lexicographic), and the merge pass above. CTEs are MATERIALIZED:
+    * each round is referenced twice, and DuckDB's default inlining would
+    * expand the 64-round chain exponentially.
+    *
+    * ENCODE: a recursive CTE over the DISTINCT corpus words; each step
+    * computes the lowest-ranked merge whose pattern the state still
+    * CONTAINS (exactly the kernel's min-rank adjacent pair: the pattern
+    * is present iff the pair is adjacent) and applies it; words exit the
+    * recursion when no pattern matches. States strictly shrink, so each
+    * word surfaces exactly once in the final set.
+    *
+    * Validated cell-exact (both columns, all docs) against the kernel on
+    * the full sf0.01 fixture; tie-breaks order UTF-16 code-unit lists
+    * (sqlUtf16Units), matching Java string order on any Unicode text. */
+  /** ivf_recall / ivf_partitioned_recall oracle — full DuckDB replay of
+    * the IVF pipeline (round 14, the BPE playbook applied to KMeans):
+    *
+    * TRAINING ([[graft.search.LatticeKmeans]]): the 2048-vector salted-md5
+    * sample is quantized to the 2⁻²⁰ integer lattice
+    * (`CAST(FLOOR(x*1048576 + 0.5) AS BIGINT)` over the exact
+    * float→double values — bit-identical to the Scala quantizer), Forgy
+    * init takes the first nList DISTINCT lattice points in sample order,
+    * and each of the `iters` Lloyd rounds is one MATERIALIZED CTE pair:
+    * assignment = argmin of the exact integer squared L2 (ROW_NUMBER over
+    * dist ASC, cell ASC — the kernel's strict-< keeps the lowest cell on
+    * ties), mean = the positive-offset truncating division
+    * `(2s + n + 2n·2²²)//(2n) − 2²²` (DuckDB `//` truncates like Java `/`;
+    * the offset makes truncation = floor in both). Empty cells keep the
+    * previous centroid via LEFT JOIN + COALESCE.
+    *
+    * ROUTING: centroids exit the lattice as `c/1048576.0` — dyadic
+    * rationals exact in float32 AND double, so
+    * `list_inner_product(v, cd)/sqrt(list_inner_product(cd, cd))`
+    * computes the identical doubles as [[graft.expr.NearestCentroidOps]]
+    * (same sequential summation as the green knn cosine oracles; ties →
+    * lower cell). Corpus rows take their top-1 cell, queries probe the
+    * top-nProbe.
+    *
+    * SCORING: cosine r6 + (score DESC, id ASC) top-k — verbatim the
+    * hash-green knn_topk contract. recall = found/|exact|, one double
+    * division (the playbook's single-correctly-rounded-op rule). */
+  protected def ivfRecallSql(
+      nList: Int, nProbe: Int, iters: Int, sampleN: Int,
+      k: Int, nQueries: Int, salt: String): String =
+    s"""${ivfPipelineCtes(nList, nProbe, iters, sampleN, nQueries, salt)}, approx AS MATERIALIZED (
+       |  SELECT query_id, result_id FROM (
+       |    SELECT p.qid AS query_id, e.vec_id AS result_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+       |        ROUND(list_cosine_similarity(CAST(p.qv AS DOUBLE[]),
+       |          CAST(e.embedding AS DOUBLE[])), 6) DESC, e.vec_id ASC) AS rank
+       |    FROM probes p
+       |    JOIN (SELECT emb.vec_id, emb.embedding, cc.cell
+       |          FROM embeddings emb JOIN corpcell cc USING (vec_id)) e
+       |      ON p.cell = e.cell
+       |    WHERE e.vec_id <> p.qid
+       |  ) WHERE rank <= $k
+       |), ${ivfExactCte(k)}
+       |${recallSelect}""".stripMargin
+
+  /** The shared IVF replay prefix (starts with WITH, ends after `probes`):
+    * lattice training rounds, dyadic centroids, cosine cell assignment of
+    * the corpus, the md5 query sample, and each query's top-nProbe probe
+    * cells. Scoring-specific tails (float cosine / int8 codes / binary
+    * sign sketch + rescore) append their own CTEs. */
+  protected def ivfPipelineCtes(
+      nList: Int, nProbe: Int, iters: Int, sampleN: Int,
+      nQueries: Int, salt: String): String = {
+    val off = LatticeKmeans.Scale * 4 // 2^22, matches LatticeKmeans.Off
+    val rounds = (0 until iters).map { i =>
+      s"""asg$i AS MATERIALIZED (
+         |  SELECT vec_id, q, cell FROM (
+         |    SELECT l.vec_id, l.q, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY l.vec_id ORDER BY
+         |        list_sum(list_transform(list_zip(l.q, c.c),
+         |          p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, c.cell ASC) AS rk
+         |    FROM lat l CROSS JOIN cent$i c
+         |  ) WHERE rk = 1
+         |), sums$i AS (
+         |  SELECT a.cell, u.d, CAST(SUM(a.q[CAST(u.d + 1 AS INT)]) AS BIGINT) AS s,
+         |    COUNT(*) AS n
+         |  FROM asg$i a, unnest(range(0, len(a.q))) AS u(d)
+         |  GROUP BY a.cell, u.d
+         |), cent${i + 1} AS MATERIALIZED (
+         |  SELECT c.cell, COALESCE(m.c2, c.c) AS c
+         |  FROM cent$i c LEFT JOIN (
+         |    SELECT cell, list((2*s + n + 2*n*$off) // (2*n) - $off ORDER BY d) AS c2
+         |    FROM sums$i GROUP BY cell
+         |  ) m USING (cell)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH lat AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    row_number() OVER (ORDER BY md5('$salt' || CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(FLOOR(x * ${LatticeKmeans.Scale} + 0.5) AS BIGINT)) AS q
+       |  FROM (
+       |    SELECT vec_id, embedding FROM embeddings
+       |    ORDER BY md5('$salt' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $sampleN
+       |  )
+       |), cent0 AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY rn) - 1 AS INT) AS cell, q AS c
+       |  FROM (SELECT q, min(rn) AS rn FROM lat GROUP BY q ORDER BY rn LIMIT $nList)
+       |), $rounds, cnorm AS MATERIALIZED (
+       |  SELECT cell, cd, sqrt(list_inner_product(cd, cd)) AS nrm FROM (
+       |    SELECT cell,
+       |      list_transform(c, x -> CAST(x AS DOUBLE) / ${LatticeKmeans.Scale}.0) AS cd
+       |    FROM cent$iters
+       |  )
+       |), corpcell AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, ct.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        (CASE WHEN ct.nrm > 0 THEN
+       |          list_inner_product(CAST(e.embedding AS DOUBLE[]), ct.cd) / ct.nrm
+       |         ELSE 0 END) DESC, ct.cell ASC) AS rk
+       |    FROM embeddings e CROSS JOIN cnorm ct
+       |  ) WHERE rk = 1
+       |), qs AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  ORDER BY md5('graft42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $nQueries
+       |), probes AS (
+       |  SELECT qid, qv, cell FROM (
+       |    SELECT q.qid, q.qv, ct.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |        (CASE WHEN ct.nrm > 0 THEN
+       |          list_inner_product(CAST(q.qv AS DOUBLE[]), ct.cd) / ct.nrm
+       |         ELSE 0 END) DESC, ct.cell ASC) AS rk
+       |    FROM qs q CROSS JOIN cnorm ct
+       |  ) WHERE rk <= $nProbe
+       |)""".stripMargin
+  }
+
+  /** Exact-kNN CTE over the `qs` sample (the hash-green knn_topk
+    * contract: cosine r6, score DESC, id ASC, self excluded). */
+  protected def ivfExactCte(k: Int): String =
+    s"""exact AS (
+       |  SELECT query_id, result_id FROM (
+       |    SELECT q.qid AS query_id, c.vec_id AS result_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |        ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+       |          CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id ASC) AS rank
+       |    FROM qs q CROSS JOIN embeddings c
+       |    WHERE c.vec_id <> q.qid
+       |  ) WHERE rank <= $k
+       |)""".stripMargin
+
+  /** Int8 code CTEs over `embeddings` — exact replay of
+    * [[graft.expr.Int8VectorOps]]: scale inverse = one double division
+    * `127.0/max|v|`, code = round-half-up `FLOOR(x*inv + 0.5)` (Java
+    * `Math.round` is floor(x+0.5)), zero vector → all-zero codes; `cn`
+    * adds the exact integer squared norm for the code-vs-code cosine. */
+  protected val int8CodeCtes: String =
+    """codes AS MATERIALIZED (
+      |  SELECT vec_id, CASE WHEN mx > 0 THEN
+      |      list_transform(v, x -> CAST(FLOOR(x * (127.0 / mx) + 0.5) AS BIGINT))
+      |    ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS c
+      |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |          list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS mx
+      |        FROM embeddings)
+      |), cn AS MATERIALIZED (
+      |  SELECT vec_id, c, CAST(list_sum(list_transform(c, x -> x*x)) AS BIGINT) AS n2
+      |  FROM codes
+      |)""".stripMargin
+
+  /** Code-vs-code int8 cosine (Int8VectorOps.cosine): integer dot over
+    * the two BIGINT code lists, one double division by the sqrt-norm
+    * product, 0.0 on either zero norm, rounded to the 6-dp wire. */
+  protected def int8ScoreSql(qa: String, cb: String): String =
+    s"""ROUND(CASE WHEN $qa.n2 = 0 OR $cb.n2 = 0 THEN 0.0
+       |        ELSE CAST(list_sum(list_transform(list_zip($qa.c, $cb.c),
+       |               p -> p[1]*p[2])) AS DOUBLE)
+       |             / (sqrt(CAST($qa.n2 AS DOUBLE)) * sqrt(CAST($cb.n2 AS DOUBLE))) END, 6)""".stripMargin
+
+  /** quant_recall oracle: recall@10 of exact int8-code search vs exact
+    * float search — both fully replayable (codes from int8CodeCtes,
+    * scoring int8ScoreSql, exact side the knn_topk contract). */
+  protected def quantRecallSql(k: Int, nQueries: Int): String =
+    s"""WITH qs AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  ORDER BY md5('graft42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $nQueries
+       |), $int8CodeCtes, approx AS MATERIALIZED (
+       |  SELECT query_id, result_id FROM (
+       |    SELECT q.qid AS query_id, cb.vec_id AS result_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |        ${int8ScoreSql("qa", "cb")} DESC, cb.vec_id ASC) AS rank
+       |    FROM qs q JOIN cn qa ON qa.vec_id = q.qid, cn cb
+       |    WHERE cb.vec_id <> q.qid
+       |  ) WHERE rank <= $k
+       |), ${ivfExactCte(k)}
+       |$recallSelect""".stripMargin
+
+  /** ivf_int8_recall oracle: the IVF pipeline (float routing on the
+    * lattice centroids) with code-vs-code int8 scoring inside the probed
+    * cells — compression loss and pruning loss compound, exactly the
+    * persisted IvfCollection int8 layout. */
+  protected def ivfInt8RecallSql(
+      nList: Int, nProbe: Int, iters: Int, sampleN: Int,
+      k: Int, nQueries: Int, salt: String): String =
+    s"""${ivfPipelineCtes(nList, nProbe, iters, sampleN, nQueries, salt)}, $int8CodeCtes, approx AS MATERIALIZED (
+       |  SELECT query_id, result_id FROM (
+       |    SELECT p.qid AS query_id, e.vec_id AS result_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+       |        ${int8ScoreSql("qa", "e")} DESC, e.vec_id ASC) AS rank
+       |    FROM probes p
+       |    JOIN cn qa ON qa.vec_id = p.qid
+       |    JOIN (SELECT cc.vec_id, cc.cell, kk.c, kk.n2
+       |          FROM corpcell cc JOIN cn kk USING (vec_id)) e
+       |      ON p.cell = e.cell
+       |    WHERE e.vec_id <> p.qid
+       |  ) WHERE rank <= $k
+       |), ${ivfExactCte(k)}
+       |$recallSelect""".stripMargin
+
+  /** ivf_binary_recall oracle: sign-sketch candidate ranking (asymmetric
+    * [[graft.expr.BitVectorOps.cosine]] — float query vs the ±1
+    * reconstruction; every sign vector has norm √dim, so the RAW double
+    * signed sum ranks, id tie-break) over the probed cells, k·oversample
+    * candidates, then the exact-cosine r6 rescore to the final k —
+    * verbatim IvfCollection.query's rescore path. */
+  protected def ivfBinaryRecallSql(
+      nList: Int, nProbe: Int, iters: Int, sampleN: Int,
+      k: Int, oversample: Int, nQueries: Int, salt: String): String =
+    s"""${ivfPipelineCtes(nList, nProbe, iters, sampleN, nQueries, salt)}, signs AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END) AS s
+       |  FROM embeddings
+       |), cand AS MATERIALIZED (
+       |  SELECT query_id, result_id FROM (
+       |    SELECT p.qid AS query_id, e.vec_id AS result_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+       |        (CASE WHEN p.nq = 0 THEN 0.0 ELSE
+       |          list_inner_product(CAST(p.qv AS DOUBLE[]), e.s)
+       |          / (sqrt(p.nq) * sqrt(CAST(len(p.qv) AS DOUBLE))) END) DESC,
+       |        e.vec_id ASC) AS rank
+       |    FROM (SELECT qid, qv, cell,
+       |            list_inner_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS nq
+       |          FROM probes) p
+       |    JOIN (SELECT cc.vec_id, cc.cell, sg.s
+       |          FROM corpcell cc JOIN signs sg USING (vec_id)) e
+       |      ON p.cell = e.cell
+       |    WHERE e.vec_id <> p.qid
+       |  ) WHERE rank <= ${k * oversample}
+       |), approx AS MATERIALIZED (
+       |  SELECT query_id, result_id FROM (
+       |    SELECT c.query_id, c.result_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+       |        ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+       |          CAST(f.embedding AS DOUBLE[])), 6) DESC, c.result_id ASC) AS rank
+       |    FROM cand c
+       |    JOIN qs q ON q.qid = c.query_id
+       |    JOIN embeddings f ON f.vec_id = c.result_id
+       |  ) WHERE rank <= $k
+       |), ${ivfExactCte(k)}
+       |$recallSelect""".stripMargin
+
+  /** ivf_pq_recall oracle — the deepest replay in the repo: IVF lattice
+    * training (ivfPipelineCtes) PLUS per-subspace PQ codebook training
+    * ([[graft.search.Pq.trainCodebooks]]: the `graftpq42:` lattice sample
+    * sliced into m subspaces, each trained m×iters materialized Lloyd-
+    * round CTEs exactly like the cell training), then:
+    * encode = per-(vector, subspace) argmin of the sequential-double L2
+    * to the dyadic sub-centroids (list_inner_product of the diff with
+    * itself — the kernel's `d += diff*diff` loop order; strict-< = lowest
+    * cell on ties); reconstruction = subspace-ordered concatenation of
+    * the chosen centroids with `nx` accumulated by an explicitly
+    * SEQUENTIAL list_reduce (the kernel's `nx += normSq(j)(c)` j-order);
+    * scoring = asymmetric ADC cosine `dot(q, recon)/(√nq·√nx)` rounded to
+    * the 6-dp wire, inside the probed cells ([[graft.expr.PqVectorOps
+    * .cosine]] verbatim). */
+  protected def ivfPqRecallSql(
+      nList: Int, nProbe: Int, iters: Int, sampleN: Int,
+      k: Int, nQueries: Int, salt: String,
+      m: Int, codebookSize: Int, pqIters: Int, dim: Int): String = {
+    require(dim % m == 0)
+    val dsub = dim / m
+    val off = LatticeKmeans.Scale * 4
+    val pqSalt = "graftpq42:"
+    val subTraining = (0 until m).map { j =>
+      val lo = j * dsub + 1
+      val hi = (j + 1) * dsub
+      val rounds = (0 until pqIters).map { i =>
+        s"""s${j}asg$i AS MATERIALIZED (
+           |  SELECT rn, q, cell FROM (
+           |    SELECT l.rn, l.q, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY l.rn ORDER BY
+           |        list_sum(list_transform(list_zip(l.q, c.c),
+           |          p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, c.cell ASC) AS rk
+           |    FROM s${j}lat l CROSS JOIN s${j}cent$i c
+           |  ) WHERE rk = 1
+           |), s${j}sums$i AS (
+           |  SELECT a.cell, u.d, CAST(SUM(a.q[CAST(u.d + 1 AS INT)]) AS BIGINT) AS s,
+           |    COUNT(*) AS n
+           |  FROM s${j}asg$i a, unnest(range(0, len(a.q))) AS u(d)
+           |  GROUP BY a.cell, u.d
+           |), s${j}cent${i + 1} AS MATERIALIZED (
+           |  SELECT c.cell, COALESCE(mm.c2, c.c) AS c
+           |  FROM s${j}cent$i c LEFT JOIN (
+           |    SELECT cell, list((2*s + n + 2*n*$off) // (2*n) - $off ORDER BY d) AS c2
+           |    FROM s${j}sums$i GROUP BY cell
+           |  ) mm USING (cell)
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""s${j}lat AS MATERIALIZED (
+         |  SELECT rn, q[$lo:$hi] AS q FROM plat
+         |), s${j}cent0 AS MATERIALIZED (
+         |  SELECT CAST(row_number() OVER (ORDER BY rn) - 1 AS INT) AS cell, q AS c
+         |  FROM (SELECT q, min(rn) AS rn FROM s${j}lat GROUP BY q
+         |        ORDER BY rn LIMIT $codebookSize)
+         |), $rounds""".stripMargin
+    }.mkString(", ")
+    val cbUnion = (0 until m).map { j =>
+      s"SELECT $j AS sub, cell, list_transform(c, x -> CAST(x AS DOUBLE) / ${LatticeKmeans.Scale}.0) AS cd FROM s${j}cent$pqIters"
+    }.mkString(" UNION ALL ")
+    s"""${ivfPipelineCtes(nList, nProbe, iters, sampleN, nQueries, salt)}, plat AS MATERIALIZED (
+       |  SELECT row_number() OVER (
+       |      ORDER BY md5('$pqSalt' || CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(FLOOR(x * ${LatticeKmeans.Scale} + 0.5) AS BIGINT)) AS q
+       |  FROM (
+       |    SELECT vec_id, embedding FROM embeddings
+       |    ORDER BY md5('$pqSalt' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $sampleN
+       |  )
+       |), $subTraining, cbn AS MATERIALIZED (
+       |  SELECT sub, cell, cd, list_inner_product(cd, cd) AS ns FROM ($cbUnion)
+       |), pcode AS MATERIALIZED (
+       |  SELECT vec_id, sub, cell FROM (
+       |    SELECT vec_id, sub, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY
+       |        list_inner_product(df, df) ASC, cell ASC) AS rk
+       |    FROM (
+       |      SELECT e.vec_id, b.sub, b.cell,
+       |        list_transform(
+       |          list_zip(e.v[b.sub*$dsub+1 : (b.sub+1)*$dsub], b.cd),
+       |          p -> p[1]-p[2]) AS df
+       |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e
+       |      CROSS JOIN cbn b
+       |    )
+       |  ) WHERE rk = 1
+       |), precon AS MATERIALIZED (
+       |  SELECT p.vec_id, flatten(list(b.cd ORDER BY p.sub)) AS recon,
+       |    list_reduce(list_prepend(0.0, list(b.ns ORDER BY p.sub)),
+       |      (acc, x) -> acc + x) AS nx
+       |  FROM pcode p JOIN cbn b ON b.sub = p.sub AND b.cell = p.cell
+       |  GROUP BY p.vec_id
+       |), approx AS MATERIALIZED (
+       |  SELECT query_id, result_id FROM (
+       |    SELECT p.qid AS query_id, e.vec_id AS result_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+       |        ROUND(CASE WHEN p.nq = 0 OR e.nx = 0 THEN 0.0
+       |          ELSE list_inner_product(CAST(p.qv AS DOUBLE[]), e.recon)
+       |               / (sqrt(p.nq) * sqrt(e.nx)) END, 6) DESC,
+       |        e.vec_id ASC) AS rank
+       |    FROM (SELECT qid, qv, cell,
+       |            list_inner_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS nq
+       |          FROM probes) p
+       |    JOIN (SELECT cc.vec_id, cc.cell, r.recon, r.nx
+       |          FROM corpcell cc JOIN precon r USING (vec_id)) e
+       |      ON p.cell = e.cell
+       |    WHERE e.vec_id <> p.qid
+       |  ) WHERE rank <= $k
+       |), ${ivfExactCte(k)}
+       |$recallSelect""".stripMargin
+  }
+
+  /** recall = |approx ∩ exact| / |exact|: one double division (the
+    * single-correctly-rounded-op rule), identical to the Spark side's
+    * `sum(found).cast(double) / count(*)`. */
+  protected val recallSelect: String =
+    """SELECT CAST(CAST(SUM(CASE WHEN a.result_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+      |  / COUNT(*) AS recall_at_k
+      |FROM exact e LEFT JOIN approx a
+      |  ON e.query_id = a.query_id AND e.result_id = a.result_id""".stripMargin
+
+  protected def bpeReplaySql(finalCols: String): String = {
+    val rounds = (0 until bpeNumMerges).map { i =>
+      s"""pairs$i AS MATERIALIZED (
+         |  SELECT l[j] AS a, l[j+1] AS b, CAST(SUM(freq) AS BIGINT) AS c
+         |  FROM (SELECT freq, list_filter(string_split(state, '  '), x -> len(x) > 0) AS l FROM st$i),
+         |       unnest(range(1, len(l))) AS u(j)
+         |  GROUP BY 1, 2
+         |), best$i AS MATERIALIZED (
+         |  -- tie-break is Java String.compareTo = UTF-16 code-unit order
+         |  -- (DuckDB's native string ORDER BY is UTF-8-byte = code-point
+         |  -- order, which flips for [U+E000,U+FFFF] vs astral symbols)
+         |  SELECT a, b FROM pairs$i
+         |  ORDER BY c DESC, ${sqlUtf16Units("a")}, ${sqlUtf16Units("b")} LIMIT 1
+         |), st${i + 1} AS MATERIALIZED (
+         |  SELECT w, freq,
+         |    CASE WHEN (SELECT count(*) FROM best$i) = 0 THEN state
+         |    ELSE replace(state,
+         |      ' ' || (SELECT a FROM best$i) || '  ' || (SELECT b FROM best$i) || ' ',
+         |      ' ' || (SELECT a FROM best$i) || (SELECT b FROM best$i) || ' ')
+         |    END AS state
+         |  FROM st$i)""".stripMargin
+    }.mkString(",\n")
+    val mgUnion = (0 until bpeNumMerges)
+      .map(i => s"SELECT $i AS rank, a, b FROM best$i").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE sample AS (
+       |  SELECT text FROM documents
+       |  ORDER BY md5('graft42:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT $bpeSampleSize
+       |), swords AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS w
+       |    FROM sample
+       |  ) GROUP BY w
+       |), st0 AS (
+       |  SELECT w, freq,
+       |    '  ' || array_to_string(list_transform(range(1, len(w) + 1), i -> substr(w, CAST(i AS INT), 1)), '  ') || '  ' AS state
+       |  FROM swords
+       |),
+       |$rounds,
+       |mg AS ($mgUnion),
+       |ctoks AS (
+       |  SELECT doc_id, j, lw[j] AS w
+       |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS lw FROM documents),
+       |       unnest(range(1, len(lw) + 1)) AS u(j)
+       |), dw AS (SELECT DISTINCT w FROM ctoks),
+       |w0 AS (
+       |  SELECT w,
+       |    '  ' || array_to_string(list_transform(range(1, len(w) + 1), i -> substr(w, CAST(i AS INT), 1)), '  ') || '  ' AS state
+       |  FROM dw
+       |), enc AS (
+       |  SELECT w, state FROM w0
+       |  UNION ALL
+       |  SELECT x.w, replace(x.state, ' ' || m.a || '  ' || m.b || ' ', ' ' || m.a || m.b || ' ') AS state
+       |  FROM (SELECT e.w, e.state,
+       |          (SELECT min(m2.rank) FROM mg m2
+       |           WHERE contains(e.state, ' ' || m2.a || '  ' || m2.b || ' ')) AS br
+       |        FROM enc e) x
+       |  JOIN mg m ON m.rank = x.br
+       |), final AS (
+       |  SELECT w, list_filter(string_split(state, '  '), x -> len(x) > 0) AS syms
+       |  FROM enc e
+       |  WHERE NOT EXISTS (SELECT 1 FROM mg m WHERE contains(e.state, ' ' || m.a || '  ' || m.b || ' '))
+       |)
+       |SELECT d.doc_id,
+       |  $finalCols
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN ctoks c ON c.doc_id = d.doc_id
+       |LEFT JOIN final f ON f.w = c.w
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** ann_recall oracle — exact SQL replay of the SRP-LSH pipeline
+    * (`Ann.knnJoinLsh` over `expr/HyperplaneSig.scala`): the splitmix64
+    * plane-sign derivation runs in HUGEINT mod-2⁶⁴ arithmetic (the
+    * winnow/simhash wraparound idioms), the per-(table,bit) projection
+    * replays the kernel's sequential double accumulation via an ordered
+    * `list_reduce` (list_transform preserves index order, list_reduce
+    * folds left-to-right — the same IEEE addition sequence as the Scala
+    * while-loop), and candidate mining + top-k ranking are plain SQL.
+    * Sign decisions depend on FP only through `s > 0` on sums whose
+    * magnitude is O(1) — a flip would need a sum within ~1e-16 of zero.
+    * All decimal constants are derived from the Scala hex literals at
+    * build time (no hand conversion). Validated cell-exact against the
+    * kernel on the full sf0.01 fixture. */
+  protected def annRecallSql: String = {
+    def uns(l: Long) = java.lang.Long.toUnsignedString(l)
+    def uxorsh(v: String, shift: Int) =
+      u64Uns(s"xor(${u64Signed(v)}, CAST($v // ${1L << shift} AS BIGINT))")
+    def umul(v: String, c: Long) = u64MulC(v, c >>> 32, c & 0xffffffffL)
+    // HyperplaneOps key mix: seed·C1 + bit·C2 + dim, then splitmix64.
+    val c1 = 0x517cc1b7L
+    val c2 = uns(0x2545F4914F6CDD1DL)
+    val golden = uns(0x9e3779b97f4a7c15L)
+    val (m1, m2) = (0xbf58476d1ce4e5b9L, 0x94d049bb133111ebL)
+    val (tables, bits) = (annRecallTables, annRecallBits)
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  ORDER BY md5('graft42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 500
+       |), exact AS (
+       |  SELECT query_id, result_id FROM (
+       |    SELECT q.qid AS query_id, c.vec_id AS result_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid
+       |        ORDER BY ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC,
+       |                 c.vec_id ASC) AS rank
+       |    FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.qid
+       |  ) WHERE rank <= 10
+       |), k0 AS (
+       |  SELECT t, b, d,
+       |    (CAST(42 + t * 1000003 AS HUGEINT) * $c1
+       |     + CAST(b AS HUGEINT) * CAST('$c2' AS HUGEINT)
+       |     + d) % $u64 AS x
+       |  FROM unnest(range(0, $tables)) AS ut(t),
+       |       unnest(range(0, $bits)) AS ub(b),
+       |       unnest(range(0, (SELECT max(len(embedding)) FROM embeddings))) AS ud(d)
+       |), k1 AS (SELECT t, b, d, (x + CAST('$golden' AS HUGEINT)) % $u64 AS x FROM k0
+       |), k2 AS (SELECT t, b, d, ${uxorsh("x", 30)} AS x FROM k1
+       |), k3 AS (SELECT t, b, d, ${umul("x", m1)} AS x FROM k2
+       |), k4 AS (SELECT t, b, d, ${uxorsh("x", 27)} AS x FROM k3
+       |), k5 AS (SELECT t, b, d, ${umul("x", m2)} AS x FROM k4
+       |), k6 AS (SELECT t, b, d, ${uxorsh("x", 31)} AS x FROM k5
+       |), planes AS (
+       |  SELECT t, b, list(CASE WHEN x % 2 = 0 THEN 1.0 ELSE -1.0 END ORDER BY d) AS sgns
+       |  FROM k6 GROUP BY t, b
+       |), proj AS (
+       |  SELECT e.vec_id, p.t, p.b,
+       |    list_reduce(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> p.sgns[i] * CAST(e.embedding[i] AS DOUBLE)), (a, x) -> a + x) AS s
+       |  FROM embeddings e CROSS JOIN planes p
+       |), sig AS (
+       |  SELECT vec_id, t,
+       |    CAST(SUM(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM proj GROUP BY vec_id, t
+       |), oversized AS (
+       |  SELECT t, sig FROM sig GROUP BY t, sig HAVING count(*) > 10000
+       |), csig AS (
+       |  SELECT s.* FROM sig s LEFT JOIN oversized o ON s.t = o.t AND s.sig = o.sig
+       |  WHERE o.sig IS NULL
+       |), cand AS (
+       |  SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS cid
+       |  FROM (SELECT s.* FROM sig s JOIN q ON q.qid = s.vec_id) qs
+       |  JOIN csig cs ON qs.t = cs.t AND qs.sig = cs.sig
+       |), approx AS (
+       |  SELECT query_id, cid AS result_id FROM (
+       |    SELECT cand.query_id, cand.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY cand.query_id
+       |        ORDER BY ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(cv.embedding AS DOUBLE[])), 6) DESC,
+       |                 cand.cid ASC) AS rank
+       |    FROM cand JOIN embeddings cv ON cv.vec_id = cand.cid
+       |    JOIN q ON q.qid = cand.query_id
+       |    WHERE cand.cid <> cand.query_id
+       |  ) WHERE rank <= 10
+       |)
+       |SELECT CAST(SUM(CASE WHEN a.result_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall_at_k
+       |FROM exact e LEFT JOIN approx a ON a.query_id = e.query_id AND a.result_id = e.result_id""".stripMargin
+  }
+
+  /** corpus_uuid oracle — full SHA-1 replayed in recursive DuckDB SQL
+    * (driver DuckDB has no sha1()). Exactness is structural: SHA-1 is pure
+    * 32-bit integer arithmetic, replayed here in BIGINT mod-2³² — no FP
+    * anywhere. The query's uuid5 input is the DNS namespace (16 bytes) +
+    * the decimal rendering of doc_id (≤ 20 ASCII bytes), so the padded
+    * message is ALWAYS one 64-byte block (≤ 55 payload bytes) — the replay
+    * is single-block by construction, not by fixture luck. The w-schedule
+    * extension and the 80 compression rounds each run as a lockstep
+    * recursive CTE over all docs; version/variant bit surgery and hex
+    * formatting are plain list SQL. Validated against RFC 4122 uuid5 on
+    * the full sf0.01 fixture (kernel: `expr/Uuid5.scala:22-66`). */
+  protected def corpusUuidSql: String = {
+    val m32 = 4294967296L
+    def rotl(x: String, n: Int) =
+      s"((($x) * ${1L << n}) % $m32 + (($x) // ${1L << (32 - n)}))"
+    val ns = Seq(0x6b, 0xa7, 0xb8, 0x10, 0x9d, 0xad, 0x11, 0xd1,
+      0x80, 0xb4, 0x00, 0xc0, 0x4f, 0xd4, 0x30, 0xc8).mkString("[", ", ", "]")
+    s"""WITH RECURSIVE msg AS (
+       |  SELECT doc_id,
+       |    $ns ||
+       |    list_transform(range(1, len(CAST(doc_id AS VARCHAR)) + 1),
+       |      i -> unicode(substr(CAST(doc_id AS VARCHAR), i, 1))) ||
+       |    [128] ||
+       |    list_transform(range(0, 39 - len(CAST(doc_id AS VARCHAR))), i -> 0) ||
+       |    [0, 0, 0, 0, 0, 0, ((16 + len(CAST(doc_id AS VARCHAR))) * 8) // 256,
+       |     ((16 + len(CAST(doc_id AS VARCHAR))) * 8) % 256] AS m
+       |  FROM documents
+       |), w16 AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 16),
+       |      j -> m[4*j + 1] * 16777216 + m[4*j + 2] * 65536 + m[4*j + 3] * 256 + m[4*j + 4]) AS w
+       |  FROM msg
+       |), wext AS (
+       |  SELECT doc_id, 16 AS i, w FROM w16
+       |  UNION ALL
+       |  SELECT doc_id, i + 1,
+       |    w || [${rotl("xor(xor(w[i - 2], w[i - 7]), xor(w[i - 13], w[i - 15]))", 1)}]
+       |  FROM wext WHERE i < 80
+       |), wfull AS (
+       |  SELECT doc_id, w FROM wext WHERE i = 80
+       |), rounds AS (
+       |  SELECT doc_id, 0 AS t,
+       |    CAST(1732584193 AS BIGINT) AS a, CAST(4023233417 AS BIGINT) AS b,
+       |    CAST(2562383102 AS BIGINT) AS c, CAST(271733878 AS BIGINT) AS d,
+       |    CAST(3285377520 AS BIGINT) AS e, w
+       |  FROM wfull
+       |  UNION ALL
+       |  SELECT doc_id, t + 1,
+       |    (${rotl("a", 5)}
+       |     + CASE WHEN t < 20 THEN (b & c) | ((4294967295 - b) & d)
+       |            WHEN t < 40 THEN xor(xor(b, c), d)
+       |            WHEN t < 60 THEN (b & c) | (b & d) | (c & d)
+       |            ELSE xor(xor(b, c), d) END
+       |     + e + w[t + 1]
+       |     + CASE WHEN t < 20 THEN 1518500249 WHEN t < 40 THEN 1859775393
+       |            WHEN t < 60 THEN 2400959708 ELSE 3395469782 END) % $m32 AS a,
+       |    a AS b, ${rotl("b", 30)} AS c, c AS d, d AS e, w
+       |  FROM rounds WHERE t < 80
+       |), dig AS (
+       |  SELECT doc_id,
+       |    (1732584193 + a) % $m32 AS h0, (4023233417 + b) % $m32 AS h1,
+       |    (2562383102 + c) % $m32 AS h2, (271733878 + d) % $m32 AS h3,
+       |    (3285377520 + e) % $m32 AS h4
+       |  FROM rounds WHERE t = 80
+       |), bytes AS (
+       |  SELECT doc_id,
+       |    [h0 // 16777216, (h0 // 65536) % 256, (h0 // 256) % 256, h0 % 256,
+       |     h1 // 16777216, (h1 // 65536) % 256, (h1 // 256) % 256, h1 % 256,
+       |     h2 // 16777216, (h2 // 65536) % 256, (h2 // 256) % 256, h2 % 256,
+       |     h3 // 16777216, (h3 // 65536) % 256, (h3 // 256) % 256, h3 % 256] AS hb
+       |  FROM dig
+       |), fixed AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, 17),
+       |      i -> CASE WHEN i = 7 THEN (hb[i] % 16) | 80
+       |                WHEN i = 9 THEN (hb[i] % 64) | 128
+       |                ELSE hb[i] END) AS fb
+       |  FROM bytes
+       |), hx AS (
+       |  SELECT doc_id,
+       |    list_transform(fb, x -> substr('0123456789abcdef', CAST(x // 16 AS INT) + 1, 1) ||
+       |                            substr('0123456789abcdef', CAST(x % 16 AS INT) + 1, 1)) AS h
+       |  FROM fixed
+       |)
+       |SELECT doc_id,
+       |  h[1] || h[2] || h[3] || h[4] || '-' || h[5] || h[6] || '-' ||
+       |  h[7] || h[8] || '-' || h[9] || h[10] || '-' ||
+       |  h[11] || h[12] || h[13] || h[14] || h[15] || h[16] AS code_uuid
+       |FROM hx ORDER BY doc_id""".stripMargin
+  }
+
+  /** Shared TF-IDF embedding replay for the `embed_*` oracles — the exact
+    * SQL twin of [[graft.embed.TfIdfEmbedder]] (dim 256, normalized):
+    * per-token FNV-1a-64 fold (the simhash oracle's HUGEINT wraparound
+    * idiom) → unsigned mod-256 buckets → tf / df aggregates → q20 idf
+    * (`DetMath.duckdbLog2q20` + the shared 6-dp ln quantization) → dense
+    * vector assembly via an ordered grid join → sequential sum-of-squares
+    * normalize → float32 cast. Every FP step is correctly-rounded IEEE
+    * arithmetic in both engines; binds `vec(doc_id, v REAL[])`. Must be
+    * spliced into a `WITH RECURSIVE` chain. */
+  protected def embedTfidfCtes: String = {
+    val fnvStep = u64MulC(
+      u64Uns(s"xor(${u64Signed("acc")}, CAST(c AS BIGINT))"), 256L, 435L)
+    s"""tok AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS t
+       |  FROM documents
+       |), th AS (
+       |  -- FNV-1a folds the token's UTF-8 BYTES (UTF8String.getBytes)
+       |  SELECT doc_id,
+       |    CAST(list_reduce(
+       |      list_prepend(CAST('14695981039346656037' AS HUGEINT),
+       |        list_transform(${sqlUtf8Bytes("t")}, c -> CAST(c AS HUGEINT))),
+       |      (acc, c) -> $fnvStep) % 256 AS INT) AS b
+       |  FROM tok
+       |), tfb AS (
+       |  SELECT doc_id, b, count(*) AS tf FROM th GROUP BY doc_id, b
+       |), dfb AS (
+       |  SELECT b, count(DISTINCT doc_id) AS df FROM th GROUP BY b
+       |), esrc AS (
+       |  SELECT dfb.b, CAST(cnt.m + 1 AS BIGINT) AS num,
+       |    CAST(dfb.df + 1 AS BIGINT) AS den
+       |  FROM dfb CROSS JOIN (SELECT count(*) AS m FROM documents) cnt
+       |), """.stripMargin +
+      graft.expr.DetMath.duckdbLog2q20("esrc", "eqlg", "b") +
+    s""", eidf AS (
+       |  SELECT b,
+       |    FLOOR((qlog / 1048576.0) * ${graft.expr.DetMath.Ln2} * 1000000.0 + 0.5) / 1000000.0 AS idf
+       |  FROM eqlg
+       |), egrid AS (
+       |  SELECT d.doc_id, i
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d, unnest(range(0, 256)) AS u(i)
+       |), evals AS (
+       |  SELECT tfb.doc_id, tfb.b AS i, tfb.tf * eidf.idf AS v
+       |  FROM tfb JOIN eidf USING (b)
+       |), edense AS (
+       |  SELECT g.doc_id, list(coalesce(e.v, 0.0) ORDER BY g.i) AS vd
+       |  FROM egrid g LEFT JOIN evals e ON e.doc_id = g.doc_id AND e.i = g.i
+       |  GROUP BY g.doc_id
+       |), enrm AS (
+       |  SELECT doc_id, vd,
+       |    sqrt(list_reduce(list_transform(vd, x -> x * x), (a, b) -> a + b)) AS nm
+       |  FROM edense
+       |), vec AS (
+       |  SELECT doc_id,
+       |    CASE WHEN nm = 0 THEN list_transform(vd, x -> CAST(0.0 AS REAL))
+       |         ELSE list_transform(vd, x -> CAST(x / nm AS REAL)) END AS v
+       |  FROM enrm
+       |)""".stripMargin
+  }
+
+  protected def embedCorpusSql: String =
+    s"""WITH RECURSIVE $embedTfidfCtes
+       |SELECT doc_id, 256 AS dim,
+       |  FLOOR(sqrt(list_reduce(list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |    (a, b) -> a + b)) * 1000000.0 + 0.5) / 1000000.0 AS norm
+       |FROM vec ORDER BY doc_id""".stripMargin
+
+  protected def embedKnnSql: String =
+    s"""WITH RECURSIVE $embedTfidfCtes, q AS (
+       |  SELECT doc_id AS qid, v AS qv FROM vec
+       |  ORDER BY md5('graft42:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 100
+       |), scored AS (
+       |  SELECT q.qid AS query_id, c.doc_id AS result_id,
+       |    ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.v AS DOUBLE[])), 6) AS score
+       |  FROM q CROSS JOIN vec c WHERE c.doc_id <> q.qid
+       |), ranked AS (
+       |  SELECT query_id, result_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, result_id, rank, score FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** multimodal_knn oracle — SQL replay of the byte-histogram feature
+    * kernel (`expr/ByteHistogram.scala`: bucket = (byte·64)»8 = byte÷4
+    * for 64 buckets, L2-normalized via `count · (1/√Σcount²)` — the
+    * kernel multiplies by the reciprocal, so the twin does too; every
+    * step correctly-rounded IEEE) + the seeded-sample top-5 cosine join.
+    * The media payload is the document text's UTF-8 bytes (packText),
+    * and the SQL folds those exact bytes (sqlUtf8Bytes). */
+  protected def multimodalKnnSql: String =
+    s"""WITH hist AS (
+       |  -- the payload is the text's UTF-8 BYTES (packText); 64 buckets
+       |  -- -> bucket = byte // 4, exactly the kernel's (byte·64)»8
+       |  SELECT doc_id, b, count(*) AS n FROM (
+       |    SELECT doc_id, unnest(${sqlUtf8Bytes("text")}) // 4 AS b
+       |    FROM documents
+       |  ) GROUP BY doc_id, b
+       |), hgrid AS (
+       |  SELECT d.doc_id, i
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d, unnest(range(0, 64)) AS u(i)
+       |), hdense AS (
+       |  SELECT g.doc_id, list(CAST(coalesce(h.n, 0) AS DOUBLE) ORDER BY g.i) AS cd
+       |  FROM hgrid g LEFT JOIN hist h ON h.doc_id = g.doc_id AND h.b = g.i
+       |  GROUP BY g.doc_id
+       |), hvec AS (
+       |  SELECT doc_id,
+       |    CASE WHEN inv IS NULL THEN list_transform(cd, x -> CAST(0.0 AS REAL))
+       |         ELSE list_transform(cd, x -> CAST(x * inv AS REAL)) END AS v
+       |  FROM (
+       |    SELECT doc_id, cd,
+       |      CASE WHEN ss = 0 THEN NULL ELSE 1.0 / sqrt(ss) END AS inv
+       |    FROM (SELECT doc_id, cd,
+       |      list_reduce(list_transform(cd, x -> x * x), (a, b) -> a + b) AS ss
+       |      FROM hdense)
+       |  )
+       |), q AS (
+       |  SELECT doc_id AS qid, v AS qv FROM hvec
+       |  ORDER BY md5('graft42:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 50
+       |), scored AS (
+       |  SELECT q.qid AS query_id, c.doc_id AS result_id,
+       |    ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.v AS DOUBLE[])), 6) AS score
+       |  FROM q CROSS JOIN hvec c WHERE c.doc_id <> q.qid
+       |), ranked AS (
+       |  SELECT query_id, result_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, result_id, rank, score FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Engine-stable BM25 idf CTE chain, spliced after a `dft(term, df)`
+    * CTE in a `WITH RECURSIVE` query: binds `idf(qid, term, idf)` for the
+    * query-term table `qt(qid, term)`. idf(t) = ln((2N+2)/(2df+1)) via
+    * the q20 kernel × the ln-2 literal — the exact twin of
+    * `Bm25.scoreTf`'s Spark expression. */
+  protected def bm25IdfCtes: String =
+    """isrc AS (
+      |  SELECT dft.term, CAST(2 * cnt.n + 2 AS BIGINT) AS num,
+      |    CAST(2 * dft.df + 1 AS BIGINT) AS den
+      |  FROM dft CROSS JOIN (SELECT count(*) AS n FROM documents) cnt
+      |), """.stripMargin +
+      graft.expr.DetMath.duckdbLog2q20("isrc", "qlg", "term") +
+    """, idf AS (
+      |  SELECT qt.qid, qt.term,
+      |    FLOOR((qlg.qlog / 1048576.0) * 0.6931471805599453 * 1000000.0 + 0.5) / 1000000.0 AS idf
+      |  FROM qt JOIN qlg USING (term)
+      |)""".stripMargin
+
+  /** BM25 oracle — shared verbatim by `bm25_topk` and `bm25_index_topk`
+    * (both route through `Bm25.scoreTf`, so their outputs are identical by
+    * construction). */
+  protected def bm25TopkSql: String =
+    """WITH RECURSIVE q AS (
+      |  SELECT doc_id AS qid, text AS qtext FROM documents
+      |  ORDER BY md5('graft42:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 10
+      |), qt AS (
+      |  SELECT DISTINCT qid, unnest(list_distinct(list_filter(string_split_regex(lower(qtext), '\s+'), x -> len(x) > 0))) AS term
+      |  FROM q
+      |), tk AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS dl,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, dl, term, count(*) AS tf FROM tk GROUP BY doc_id, dl, term
+      |), st AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0))) AS DOUBLE) / count(*) AS avgdl
+      |  FROM documents
+      |), dft AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY term
+      |), """.stripMargin + bm25IdfCtes + """, c AS (
+      |  SELECT idf.qid AS query_id, tf.doc_id AS result_id,
+      |    CAST(FLOOR(idf.idf * tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / st.avgdl)) * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12)) AS c
+      |  FROM tf JOIN idf USING (term) CROSS JOIN st
+      |), sc AS (
+      |  SELECT query_id, result_id,
+      |    FLOOR(CAST(SUM(c) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS score
+      |  FROM c WHERE result_id <> query_id GROUP BY query_id, result_id
+      |), ranked AS (
+      |  SELECT query_id, result_id, score,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+      |  FROM sc
+      |)
+      |SELECT query_id, result_id, rank, score FROM ranked WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  protected val bigramCte: String =
+    """WITH t AS (
+      |  SELECT lang, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents
+      |), bg AS (
+      |  SELECT lang, array_to_string(toks[i:i+1], ' ') AS bigram
+      |  FROM t, unnest(range(1, len(toks))) AS u(i)
+      |)""".stripMargin
+
+  /** Shared CTE list: distinct 3-gram shingles per doc → all-pairs exact
+    * Jaccard (`pairs` with raw similarity `j`). */
+  protected val jaccardShinglesCte: String =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS t
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS sh
+      |  FROM toks
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+      |)""".stripMargin
+
+  /** Exact all-pairs 3-gram Jaccard ≥ 0.8 — oracle for both the brute-force
+    * and the MinHash+LSH near-dup queries (LSH recall is 1 on this corpus,
+    * see the `queries` comment). */
+  protected val jaccardPairsOracle: String =
+    "WITH " + jaccardShinglesCte + "\n" +
+    """SELECT id_a, id_b, FLOOR(j * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+      |FROM pairs WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin
+
+  /** Transitive closure of the ≥0.8 near-dup pairs as a CTE list ending in
+    * `comp(id, component)`: every doc labeled with the min doc_id reachable
+    * through the pair graph (singletons label themselves). Shared by the
+    * `dedup_clusters` and `dedup_near_keep` oracles so the closure can
+    * never drift between them. */
+  protected val componentClosureCte: String =
+    jaccardShinglesCte + ",\n" +
+    """dup AS (SELECT id_a, id_b FROM pairs WHERE j >= 0.8),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM dup
+      |          UNION ALL SELECT id_b AS a, id_a AS b FROM dup),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+      |), comp AS (
+      |  SELECT id, min(r) AS component FROM reach GROUP BY id
+      |)""".stripMargin
+
+  /** Oracle for [[graft.dedup.Dedup.connectedComponents]]. */
+  protected val dedupClustersOracle: String =
+    "WITH RECURSIVE " + componentClosureCte + "\n" +
+    "SELECT id, component FROM comp ORDER BY id"
+
+  /** Shared DuckDB CTE: deterministic query subset → exact cosine top-k with
+    * self-exclusion, POJ-style relevance, and the running relevant count (W2). */
+  protected def knnOracleCteK(k: Int): String =
+    s"""WITH q AS (
+      |  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+      |  FROM embeddings
+      |  ORDER BY md5('graft42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 500
+      |), scored AS (
+      |  SELECT q.qid AS query_id, c.vec_id AS result_id, c.label AS rlabel, q.qlabel,
+      |    ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS score
+      |  FROM q CROSS JOIN embeddings c
+      |  WHERE c.vec_id <> q.qid
+      |), ranked AS (
+      |  SELECT query_id, result_id, score, (rlabel = qlabel) AS is_relevant,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+      |  FROM scored
+      |), topk AS (
+      |  SELECT *, SUM(CASE WHEN is_relevant THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY query_id ORDER BY rank ROWS UNBOUNDED PRECEDING) AS cum_rel
+      |  FROM ranked WHERE rank <= $k
+      |)
+      |""".stripMargin
+
+  protected val knnOracleCte: String = knnOracleCteK(10)
+
+  /** POJ-variant global IR metrics SQL over the topk CTE at a given k. */
+  protected def irMetricsOracleSql(k: Int): String = knnOracleCteK(k) +
+    s""", perq AS (
+      |  SELECT query_id,
+      |    COUNT(CASE WHEN is_relevant THEN 1 END) AS hits,
+      |    MIN(CASE WHEN is_relevant THEN rank END) AS first_rel_rank,
+      |    SUM(CASE WHEN is_relevant THEN CAST(cum_rel AS DOUBLE) / rank ELSE 0.0 END) AS ap_numerator,
+      |    COALESCE(CAST(SUM(CAST(CASE WHEN is_relevant THEN score END AS DECIMAL(28,6))) AS DOUBLE) / COUNT(CASE WHEN is_relevant THEN score END), 0.0) AS avg_rel,
+      |    COALESCE(CAST(SUM(CAST(CASE WHEN NOT is_relevant THEN score END AS DECIMAL(28,6))) AS DOUBLE) / COUNT(CASE WHEN NOT is_relevant THEN score END), 0.0) AS avg_irrel
+      |  FROM topk GROUP BY query_id
+      |)
+      |SELECT
+      |  FLOOR(AVG(CASE WHEN hits > 0 THEN 1.0 ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS success_rate,
+      |  FLOOR(AVG(CAST(hits AS DOUBLE) / $k) * 1000000.0 + 0.5) / 1000000.0 AS mean_precision_at_k,
+      |  FLOOR(AVG(COALESCE(1.0 / first_rel_rank, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS mrr,
+      |  FLOOR(AVG(ap_numerator / $k) * 1000000.0 + 0.5) / 1000000.0 AS map_at_k,
+      |  FLOOR(AVG(avg_rel) * 1000000.0 + 0.5) / 1000000.0 AS avg_relevant_score,
+      |  FLOOR(AVG(avg_irrel) * 1000000.0 + 0.5) / 1000000.0 AS avg_irrelevant_score
+      |FROM perq""".stripMargin
+}

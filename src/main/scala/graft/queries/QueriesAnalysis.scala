@@ -1,0 +1,1071 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, Tables}
+import graft.SparkEntry._
+import graft.dedup.{Dedup, SemDedup}
+import graft.ingest.{CloneGraph, Corpus}
+import graft.metrics.IrMetrics
+import graft.multimodal.Multimodal
+import graft.search.{Ann, Knn, LatticeKmeans}
+import graft.streaming.Streaming
+import graft.text.TextAnalysis
+
+/** Query definitions, part 2 of the round-15 file split (VERDICT #6):
+  * ANN/IVF/quantization recall, BM25/hybrid/sparse retrieval, embedding
+  * + text analysis, multimodal decode, the event/streaming batch twins
+  * and the ops/lifecycle family. VERBATIM moves out of
+  * [[graft.SparkEntry]] — see [[QueriesCore]]. */
+private[graft] object QueriesAnalysis {
+  def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ------------------------------------------------------------------
+    // ANN quality gate: recall@10 of the SRP-LSH join vs the exact kNN
+    // join, as a single scalar row. Full DuckDB twin (annRecallSql): the
+    // splitmix64 plane derivation replays in HUGEINT mod-2⁶⁴ SQL and the
+    // projection sums via ordered list_reduce; AnnSpec additionally pins
+    // a recall floor and candidate-set ceiling.
+    // Config note: the fixture embeddings are near-isotropic (top-10
+    // neighbor cosines ≈ 0.22–0.47), so signature selectivity is bought
+    // with recall. bits=8/tables=64 measures recall ≈ 0.73 with a
+    // candidate set ≈ 25% of the corpus per query — vs the earlier
+    // bits=4/tables=8 whose 16 buckets/table collapsed toward broadcasting
+    // |Q|·|C|. On production corpora (clustered, high neighbor cosine)
+    // bits should rise toward the API default 12+; AnnSpec pins both the
+    // recall floor and a candidate-set ceiling at this config.
+    // ------------------------------------------------------------------
+    "ann_recall" -> ((s, dir) => {
+      val emb = embParallel(s, dir)
+      val q = knnQueries(s, dir)
+      val exact = Knn.knnJoin(q, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"))
+      val approx = Ann.knnJoinLsh(q, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10, bits = annRecallBits, tables = annRecallTables,
+          roundScoreTo = Some(6), maxBucketSize = 10000)
+        .select(col("query_id"), col("vec_id").as("result_id"), lit(1).as("__found"))
+      recallFloor(
+        exact.join(approx, Seq("query_id", "result_id"), "left")
+          .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
+            .as("recall_at_k")),
+        floor = 0.5, q = "ann_recall")
+    }),
+
+    // Int8 scalar quantization quality gate: recall@10 of exact search
+    // over the 4x-compressed int8 codes vs full-float exact search. The
+    // quantized corpus is a pure map off the scan (no fit pass); scoring
+    // runs integer dot/norms on the codes. Full DuckDB oracle since r14
+    // (quantRecallSql: exact code + integer-cosine replay); QuantizeSpec
+    // pins recall ≥ 0.9. The compression is the point: at 100 TB the code
+    // corpus is a quarter the bytes through scan, cache, and scoring.
+    "quant_recall" -> ((s, dir) => {
+      import graft.functions.quantize_int8
+      val emb = embParallel(s, dir)
+      val q = knnQueries(s, dir)
+      val exact = Knn.knnJoin(q, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"))
+      val codes = emb.select(col("vec_id"), quantize_int8(col("embedding")).as("code"))
+      val qCodes = q.select(col("vec_id"), quantize_int8(col("embedding")).as("code"))
+      val quant = Knn.knnJoin(qCodes, "vec_id", "code",
+          codes, "vec_id", "code", k = 10, metric = "int8", roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"), lit(1).as("__found"))
+      recallFloor(
+        exact.join(quant, Seq("query_id", "result_id"), "left")
+          .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
+            .as("recall_at_k")),
+        floor = 0.9, q = "quant_recall")
+    }),
+
+    // ------------------------------------------------------------------
+    // E1 (SURVEY §2.8): text→vector embedding — TF-IDF pipeline behind the
+    // Embedder trait (the reference's SentenceTransformer stand-in,
+    // bcb_utils.py:101). Round 12: the embedder is engine-stable end to
+    // end (FNV-1a hashing, q20 idf, fixed accumulation orders — see
+    // graft.embed.TfIdfEmbedder), so BOTH queries carry full DuckDB
+    // oracles (embedTfidfCtes); EmbedderSpec pins semantics.
+    // ------------------------------------------------------------------
+    "embed_corpus" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      val model = new graft.embed.TfIdfEmbedder(dim = 256).fit(docs, "text")
+      model.transform(docs, "text", "embedding")
+        .select(col("doc_id"), size(col("embedding")).as("dim"),
+          r6(graft.functions.l2_norm(col("embedding"))).as("norm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Full reference lifecycle on documents: fit → embed corpus → embed the
+    // (seeded-sample) queries with the SAME model → exact top-5 cosine.
+    // The embedded corpus feeds the query sample, the broadcast side, and
+    // the streamed corpus side — persisted for the query's lifetime so the
+    // TF-IDF transform runs once (same scoped-persist shape as the dedup
+    // operators), with the small top-k result materialized eagerly.
+    "embed_knn" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      val model = new graft.embed.TfIdfEmbedder(dim = 256).fit(docs, "text")
+      val vecs = model.transform(docs, "text", "vec").select(col("doc_id"), col("vec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val queries = graft.bench.Sampling.seeded(vecs, "doc_id", 100)
+        Knn.knnJoin(queries, "doc_id", "vec", vecs, "doc_id", "vec",
+            k = 5, roundScoreTo = Some(6))
+          .select(col("query_id"), col("doc_id").as("result_id"),
+            col("rank"), col("score"))
+          .orderBy(col("query_id"), col("rank"))
+          .localCheckpoint(true)
+      } finally vecs.unpersist(false)
+    }),
+
+    // IVF quality gate: recall@10 of the inverted-file probe join vs exact
+    // kNN. GRADUATED to a full DuckDB oracle (round 14, the BPE playbook):
+    // centroid training is LatticeKmeans — bounded seeded sample, exact
+    // integer Lloyd rounds, dyadic float centroids — so the oracle replays
+    // training as 8 materialized CTE rounds, then cosine probe routing and
+    // r6 scoring over the identical doubles (ivfRecallSql). The recall
+    // floor stays as the quality gate; IvfSpec proves full-probe ≡ exact.
+    "ivf_recall" -> ((s, dir) => {
+      val emb = embParallel(s, dir)
+      val q = knnQueries(s, dir)
+      val cents = graft.search.Ivf.trainCentroids(emb, "vec_id", "embedding",
+        nList = 16, seed = 42L)
+      val exact = Knn.knnJoin(q, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"))
+      val approx = graft.search.Ivf.knnJoinIvf(q, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10, centroids = cents, nProbe = 4,
+          roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"), lit(1).as("__found"))
+      recallFloor(
+        exact.join(approx, Seq("query_id", "result_id"), "left")
+          .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
+            .as("recall_at_k")),
+        floor = 0.3, q = "ivf_recall")
+    }),
+
+    // The PERSISTED pruning path at the driver surface: the same recall@10
+    // measurement as ivf_recall, but the probe runs against the
+    // cell-partitioned IvfCollection layout, so the scan reads only the
+    // probed cell directories (static partition pruning — the 100 TB scan
+    // shape, plan-asserted in IvfCollectionSpec). The artifact is keyed by
+    // a corpus fingerprint and reused across calls (build-once/query-many,
+    // like index_near_keep). Identical output to ivf_recall by
+    // construction, so it shares ivfRecallSql verbatim (full oracle, r14).
+    "ivf_partitioned_recall" -> ((s, dir) => {
+      val emb = embParallel(s, dir)
+      val q = knnQueries(s, dir)
+      val fp = corpusFingerprint(Tables.embeddings(s, dir), col("vec_id"), col("embedding"))
+      // nList/seed in the key for the same stale-reuse reason as the
+      // MinHash index cache above; the routing version too, so a cache
+      // built under older (or pre-versioning) routing arithmetic misses
+      // instead of tripping the collection's version guard.
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ivfcol_${fp}_nl16_s42_lk1_rv${graft.index.IvfCollection.RoutingVersion}").toString
+      val ivfc = graft.index.IvfCollection(s, root, "embeddings")
+      if (!ivfc.exists) ivfc.build(emb, "vec_id", "embedding", nList = 16, seed = 42L)
+      val exact = Knn.knnJoin(q, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"))
+      val approx = ivfc.query(q, "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, nProbe = 4, roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"), lit(1).as("__found"))
+      recallFloor(
+        exact.join(approx, Seq("query_id", "result_id"), "left")
+          .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
+            .as("recall_at_k")),
+        floor = 0.3, q = "ivf_partitioned_recall")
+    }),
+
+    // The COMPRESSED persisted pruning path: same recall@10 measurement,
+    // but the IvfCollection layout stores int8 codes + scales (4× fewer
+    // vector bytes per probed cell) and scores code-vs-code in integer
+    // arithmetic — cell pruning × int8 compression is the production
+    // artifact shape for a 100 TB corpus. Recall vs full-float exact kNN
+    // compounds BOTH losses (pruning + quantization); IvfCollectionSpec
+    // pins its floor next to the uncompressed path's.
+    "ivf_int8_recall" -> ((s, dir) => {
+      val emb = embParallel(s, dir)
+      val q = knnQueries(s, dir)
+      val fp = corpusFingerprint(Tables.embeddings(s, dir), col("vec_id"), col("embedding"))
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ivfcol8_${fp}_nl16_s42_lk1_rv${graft.index.IvfCollection.RoutingVersion}").toString
+      val ivfc = graft.index.IvfCollection(s, root, "embeddings")
+      if (!ivfc.exists) ivfc.build(emb, "vec_id", "embedding", nList = 16, seed = 42L,
+        int8 = true)
+      val exact = Knn.knnJoin(q, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"))
+      val approx = ivfc.query(q, "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, nProbe = 4, roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"), lit(1).as("__found"))
+      recallFloor(
+        exact.join(approx, Seq("query_id", "result_id"), "left")
+          .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
+            .as("recall_at_k")),
+        floor = 0.3, q = "ivf_int8_recall")
+    }),
+
+    // The MAXIMALLY-compressed persisted pruning path: IVF-PQ (Jégou 2011)
+    // stores one BYTE per subspace — 32x fewer vector bytes at 64-dim/m=8
+    // vs float (int8's 4x squared) — and scores the float query against
+    // the codebook reconstruction (asymmetric: only the corpus side pays
+    // quantization loss). recall@10 vs full-float exact kNN compounds
+    // cell-pruning + PQ loss; IvfCollectionSpec pins the floor. Full
+    // oracle since r14: lattice codebooks replay as m×iters Lloyd-round
+    // CTEs + ADC reconstruction scoring (ivfPqRecallSql).
+    "ivf_pq_recall" -> ((s, dir) => {
+      val emb = embParallel(s, dir)
+      val q = knnQueries(s, dir)
+      val fp = corpusFingerprint(Tables.embeddings(s, dir), col("vec_id"), col("embedding"))
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ivfcolpq_${fp}_nl16_s42_m8_lk2_rv${graft.index.IvfCollection.RoutingVersion}").toString
+      val ivfc = graft.index.IvfCollection(s, root, "embeddings")
+      if (!ivfc.exists) ivfc.build(emb, "vec_id", "embedding", nList = 16, seed = 42L,
+        pq = true, pqM = 8, pqCodebookSize = 256)
+      val exact = Knn.knnJoin(q, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"))
+      val approx = ivfc.query(q, "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, nProbe = 4, roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"), lit(1).as("__found"))
+      recallFloor(
+        exact.join(approx, Seq("query_id", "result_id"), "left")
+          .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
+            .as("recall_at_k")),
+        floor = 0.2, q = "ivf_pq_recall")
+    }),
+
+    // The bandwidth-extreme pruning path: IVF-binary stores 1 BIT per
+    // dimension (32x, no codebooks) and recovers ranking quality by
+    // rescoring k*oversample sign-sketch candidates at full precision —
+    // only |Q|*k*oversample rows ever touch float vectors. Full oracle
+    // since r14 (ivfBinaryRecallSql: sign-sketch candidates + rescore
+    // replay); IvfCollectionSpec pins the rescored recall floor.
+    "ivf_binary_recall" -> ((s, dir) => {
+      val emb = embParallel(s, dir)
+      val q = knnQueries(s, dir)
+      val fp = corpusFingerprint(Tables.embeddings(s, dir), col("vec_id"), col("embedding"))
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ivfcolbin_${fp}_nl16_s42_lk1_rv${graft.index.IvfCollection.RoutingVersion}").toString
+      val ivfc = graft.index.IvfCollection(s, root, "embeddings")
+      if (!ivfc.exists) ivfc.build(emb, "vec_id", "embedding", nList = 16, seed = 42L,
+        binary = true)
+      val exact = Knn.knnJoin(q, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"))
+      val approx = ivfc.query(q, "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, nProbe = 4, roundScoreTo = Some(6),
+          rescore = Some(emb), oversample = 4)
+        .select(col("query_id"), col("vec_id").as("result_id"), lit(1).as("__found"))
+      recallFloor(
+        exact.join(approx, Seq("query_id", "result_id"), "left")
+          .agg((sum(coalesce(col("__found"), lit(0))).cast("double") / count(lit(1)))
+            .as("recall_at_k")),
+        floor = 0.3, q = "ivf_binary_recall")
+    }),
+
+    // BM25 full-text retrieval (Okapi ranking) — the lexical half of
+    // hybrid search. One TF aggregate with dl riding as a grouping key,
+    // query-term-restricted DF broadcast, DECIMAL-summed per-pair scores,
+    // bounded-heap top-k. The only transcendental (idf) is 6dp-quantized
+    // at the source, so the DuckDB twin reproduces scores cell-exactly.
+    "bm25_topk" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      val q = graft.bench.Sampling.seeded(Tables.documents(s, dir), "doc_id", 10)
+      graft.search.Bm25.search(docs, "doc_id", "text", q, "doc_id", "text",
+          k = 10, roundScoreTo = Some(6))
+        .select(col("query_id"), col("doc_id").as("result_id"),
+          col("rank"), col("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Hybrid retrieval: BM25 top-20 and cosine top-20 fused by reciprocal
+    // ranks (RRF k=60) — the scale-free lexical+vector combination every
+    // modern retrieval stack ships. The fixture's doc_id and vec_id share
+    // one id domain, so the sampled query docs drive both sides and the
+    // fused ranking is fully oracle-expressible.
+    "hybrid_rrf" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      val emb = embParallel(s, dir)
+      val qDocs = graft.bench.Sampling.seeded(Tables.documents(s, dir), "doc_id", 10)
+      // lexical side reads the persisted inverted index (the production
+      // hybrid-service shape); its answers are output-identical to the
+      // self-contained operator by the shared-kernel construction, so the
+      // oracle is unchanged.
+      val fp = corpusFingerprint(Tables.documents(s, dir), col("doc_id"), col("text"))
+      val idxRoot = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_bm25_${fp}_b64").toString
+      val idx = graft.index.Bm25Index(s, idxRoot, "documents")
+      if (!idx.exists) idx.build(docs, "doc_id", "text")
+      val lexical = idx.query(qDocs, "doc_id", "text", k = 20,
+          roundScoreTo = Some(6), outIdCol = "result_id")
+        .select(col("query_id"), col("result_id"), col("rank"))
+      val qVecs = Tables.embeddings(s, dir)
+        .join(broadcast(qDocs.select(col("doc_id").as("vec_id"))), Seq("vec_id"))
+      val vector = Knn.knnJoin(qVecs, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 20, roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"), col("rank"))
+      graft.search.Hybrid.rrf(Seq(lexical, vector), k = 60, topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Hybrid retrieval, weighted mode: the same BM25 top-20 + cosine
+    // top-20 lists as hybrid_rrf, fused by min-max-normalized convex
+    // combination (alpha = 0.5) instead of reciprocal ranks — the fusion
+    // users reach for when score MAGNITUDES matter (RRF treats a near-tie
+    // and a blowout identically). alpha = 0.5 is exactly representable in
+    // binary, so the weighted contributions stay cross-engine exact.
+    "hybrid_weighted" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      val emb = embParallel(s, dir)
+      val qDocs = graft.bench.Sampling.seeded(Tables.documents(s, dir), "doc_id", 10)
+      val fp = corpusFingerprint(Tables.documents(s, dir), col("doc_id"), col("text"))
+      val idxRoot = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_bm25_${fp}_b64").toString
+      val idx = graft.index.Bm25Index(s, idxRoot, "documents")
+      if (!idx.exists) idx.build(docs, "doc_id", "text")
+      val lexical = idx.query(qDocs, "doc_id", "text", k = 20,
+          roundScoreTo = Some(6), outIdCol = "result_id")
+        .select(col("query_id"), col("result_id"), col("score"))
+      val qVecs = Tables.embeddings(s, dir)
+        .join(broadcast(qDocs.select(col("doc_id").as("vec_id"))), Seq("vec_id"))
+      val vector = Knn.knnJoin(qVecs, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 20, roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"), col("score"))
+      graft.search.Hybrid.weighted(vector, lexical, alpha = 0.5, topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Index-backed BM25: same queries, same output (and same oracle) as
+    // bm25_topk, answered from the persisted inverted index — the
+    // build-once/query-many lexical path (sibling of index_near_keep).
+    // Fingerprint+params-keyed artifact, reused across calls; the corpus
+    // tokenize+TF kernel is paid at build only. Like index_near_keep, the
+    // sf0.1 bench shows the amortized path near the self-contained one —
+    // the crossover favors the index as the corpus grows.
+    "bm25_index_topk" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      val fp = corpusFingerprint(Tables.documents(s, dir), col("doc_id"), col("text"))
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_bm25_${fp}_b64").toString
+      val idx = graft.index.Bm25Index(s, root, "documents")
+      if (!idx.exists) idx.build(docs, "doc_id", "text")
+      val q = graft.bench.Sampling.seeded(Tables.documents(s, dir), "doc_id", 10)
+      idx.query(q, "doc_id", "text", k = 10, roundScoreTo = Some(6),
+          outIdCol = "result_id")
+        .select(col("query_id"), col("result_id"), col("rank"), col("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Domain-mix reweighting: per-language sampling probabilities that
+    // steer the corpus toward a target mixture (the data-mixing step of
+    // every pretraining pipeline — fixed target shares here; a learned
+    // DoReMi-style weighting plugs into the same shape). weight =
+    // target/actual share; sample_prob normalizes by the max weight so the
+    // most-underrepresented group keeps everything and the rest downsample
+    // proportionally (feed sample_prob to Sampling.weighted). One tiny
+    // grouped frame; the windows run over |langs| rows, never the corpus.
+    "mix_weights" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val target = Seq("en" -> 0.40, "es" -> 0.15, "de" -> 0.15,
+        "fr" -> 0.15, "zh" -> 0.15)
+      val tcol = coalesce(element_at(
+        map(target.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+        col("lang")), lit(0.0))
+      val w = Window.partitionBy()
+      Tables.documents(s, dir)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("__actual",
+          col("n_docs").cast("double") / sum(col("n_docs")).over(w).cast("double"))
+        .withColumn("__target", tcol)
+        .withColumn("__weight", col("__target") / col("__actual"))
+        .select(col("lang"), col("n_docs"),
+          r6(col("__actual")).as("actual_share"),
+          col("__target").as("target_share"),
+          r6(col("__weight")).as("weight"),
+          r6(col("__weight") / max(col("__weight")).over(w)).as("sample_prob"))
+        .orderBy(col("lang"))
+    }),
+
+    // Embedding-corpus health: dims, L2-norm distribution, zero vectors —
+    // the one-pass diagnostic run before building any index (a dim
+    // mismatch or a batch of zero vectors silently poisons recall). One
+    // partial+final agg, constant output at any corpus size.
+    "embedding_stats" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(size(col("embedding")).as("dim"),
+          r6(graft.functions.l2_norm(col("embedding"))).as("norm"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          min(col("dim")).as("dim_min"),
+          max(col("dim")).as("dim_max"),
+          r6(stableMean(col("norm"))).as("avg_norm"),
+          min(col("norm")).as("min_norm"),
+          max(col("norm")).as("max_norm"),
+          count(when(col("norm") === 0.0, 1)).as("n_zero"))
+    }),
+
+    // Embedding-space outlier scan: mean cosine similarity to the 10
+    // nearest neighbors WITHIN a seeded 500-vector reference sample, 20
+    // strongest outliers (lowest density) first — the embedding-level
+    // junk filter next to the Gopher text rules. The sample (not the
+    // corpus) is broadcast, so the plan is one streaming corpus pass at
+    // any scale; exact self-kNN density would be |C|².
+    "embed_outliers" -> ((s, dir) => {
+      val emb = embParallel(s, dir)
+      graft.search.Outliers.topOutliers(
+        emb, "vec_id", "embedding",
+        graft.bench.Sampling.seeded(Tables.embeddings(s, dir), "vec_id", 500),
+        "vec_id", "embedding", k = 10, n = 20)
+    }),
+
+    // SimHash near-dups: FNV-1a token hashes + Charikar bit votes — fully
+    // deterministic integer arithmetic, replayed in SQL by the oracle
+    // (simhashPairsSql); semantics also pinned in DedupSpec.
+    "simhash_pairs" -> ((s, dir) => {
+      Dedup.simHashNearDups(docsParallel(s, dir), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // MOSS-winnowing near-dups (rolling-hash fingerprints): the POSITIONAL
+    // dedup scheme — any shared ≥ w+k-1-char run guarantees a shared
+    // fingerprint, catching lifted blocks that bag-of-shingles similarity
+    // dilutes. Full DuckDB oracle since r11 (winnowPairsSql replays the
+    // Karp-Rabin fold over HUGEINT; encoding-faithful via UTF-16 units
+    // since r14); the winnowing guarantee, locality, and skew cap are
+    // pinned in WinnowingSpec/DedupSpec.
+    // minShared=10: on this corpus shared-fingerprint counts are cleanly
+    // bimodal — incidental short runs share 3-5, true near-dups 10+ (the
+    // pair set then matches the jaccard-0.8 dedup_minhash family).
+    "winnow_pairs" -> ((s, dir) => {
+      Dedup.winnowNearDups(docsParallel(s, dir), "doc_id", "text",
+          k = 12, w = 8, minShared = 10)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Text-analysis suite (training-data curation): token counts, mean
+    // token length, punctuation ratio, reflow-stable fingerprint (F-group
+    // extensions), language id, and quality scoring — all builtin-only
+    // column expressions with exact DuckDB twins.
+    // ------------------------------------------------------------------
+    "text_stats" -> ((s, dir) => {
+      docsParallel(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.regexTokenCount(col("text")).as("n_lex_tokens"),
+        r6(TextAnalysis.avgTokenLen(col("text"))).as("avg_token_len"),
+        r6(TextAnalysis.punctRatio(col("text"))).as("punct_ratio"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // REAL learned-subword tokenization (graft.text.Bpe): merges trained
+    // driver-side on a bounded seeded sample (64 merges, 200 docs — the
+    // production sample-train/map-encode split), corpus encoded in one
+    // map-side codegen'd pass. FULL oracle since round 13: the iterative
+    // merge training replays in SQL as 64 materialized CTE rounds
+    // (pair-count, argmax, greedy merge over a double-space-joined
+    // symbol string, where replace() IS the left-to-right merge pass),
+    // and the encode replays as a recursive CTE applying the
+    // lowest-ranked contained merge until none applies — see
+    // bpeReplaySql. Encoding-faithful since round 14: the SQL tie-break
+    // orders UTF-16 code-unit lists (sqlUtf16Units), matching Scala's
+    // String.compareTo on any Unicode text. BpeSpec still pins training
+    // and encoding against the hand-computed classic reference.
+    "bpe_tokens" -> ((s, dir) => {
+      val m = bpeMerges(s, dir)
+      // coalesce: the kernel null-propagates (NULL text -> NULL count) but
+      // the oracle's LEFT JOIN + COALESCE treats NULL text as zero words;
+      // '' encodes to the empty token list, matching the oracle exactly
+      val t = coalesce(col("text"), lit(""))
+      Tables.documents(s, dir).select(col("doc_id"),
+          graft.text.Bpe.tokenCount(t, m).as("n_subwords"),
+          substring(md5(concat_ws("\u0001",
+            graft.text.Bpe.encode(t, m))), 1, 16).as("sub_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Same pipeline, human-readable segmentation fingerprint: sub_fp
+    // above joins subwords on  (a byte that cannot appear in a
+    // whitespace-split word), seg_fp on a plain space — both certify the
+    // learned segmentation; this entry is the one the round-13 verdict
+    // named as the encode-half graduation deliverable.
+    "bpe_encode" -> ((s, dir) => {
+      val m = bpeMerges(s, dir)
+      val t = coalesce(col("text"), lit("")) // NULL text = zero words (oracle parity)
+      Tables.documents(s, dir).select(col("doc_id"),
+          graft.text.Bpe.tokenCount(t, m).as("n_subwords"),
+          substring(md5(concat_ws(" ",
+            graft.text.Bpe.encode(t, m))), 1, 16).as("seg_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "lang_id" -> ((s, dir) => {
+      docsParallel(s, dir)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "doc_quality" -> ((s, dir) => {
+      docsParallel(s, dir)
+        .select(col("doc_id"), r6(TextAnalysis.qualityScore(col("text"))).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher document-level filter (Rae et al. 2021, App. A1.1): the
+    // published heuristic suite as one codegen'd map-side pass — per-rule
+    // inputs surfaced for auditing plus the composite keep decision (the
+    // BOOLEAN is oracle-checked too: every term is a single integer-ratio
+    // division, so thresholds compare identically cross-engine). At 100 TB
+    // this is the cheap first cut that runs before any pairwise dedup.
+    "doc_gopher" -> ((s, dir) => {
+      val t = col("text")
+      docsParallel(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).as("n_words"),
+        r6(TextAnalysis.avgTokenLen(t)).as("mean_word_len"),
+        r6(TextAnalysis.symbolWordRatio(t)).as("symbol_ratio"),
+        r6(TextAnalysis.alphaWordRatio(t)).as("alpha_ratio"),
+        r6(TextAnalysis.bulletLineRatio(t)).as("bullet_ratio"),
+        r6(TextAnalysis.ellipsisLineRatio(t)).as("ellipsis_ratio"),
+        TextAnalysis.gopherStopHits(t).as("stop_hits"),
+        TextAnalysis.gopherKeep(t).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-group top-k OUTSIDE the knn context: best-3 docs by quality per
+    // language through the same bounded-heap aggregate (top_k_rows) that
+    // powers knn — certifying the aggregate against a SQL rank-window
+    // oracle on a second, unrelated grouping. Shuffle carries ≤ 3 rows per
+    // (partition, lang) partial, corpus-size independent.
+    "top_docs_per_lang" -> ((s, dir) => {
+      import graft.functions.top_k_rows
+      val scored = docsParallel(s, dir).select(col("lang"), col("doc_id"),
+        r6(TextAnalysis.qualityScore(col("text"))).as("quality"))
+      scored.groupBy(col("lang"))
+        .agg(top_k_rows(struct(col("doc_id"), col("quality")),
+          col("quality"), col("doc_id").cast("long"), 3).as("__tk"))
+        .select(col("lang"), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+        .select(col("lang"), col("__e.doc_id").as("doc_id"),
+          col("__e.quality").as("quality"),
+          (col("__pos") + 1).cast("int").as("rank"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Multimodal columns: media as opaque binary + typed metadata struct
+    // (graft.multimodal). media_meta is the oracle-checked schema slice;
+    // multimodal_knn runs the full binary→features→knn pipeline with the
+    // deterministic byte-histogram extractor — round 12: full DuckDB twin
+    // (multimodalKnnSql replays the histogram kernel over the text's
+    // exact UTF-8 bytes — encoding-faithful on any Unicode fixture).
+    // Guard policy (r14, measured at 30x): the FULL-decode queries
+    // (audio_env, audio_meta_decode, video_meta, video_frames) rebalance
+    // via docsParallel — per-row decode CPU dominates and serializes on
+    // an under-split scan; the header-only/stripe ones (media_meta,
+    // frame_hist) deliberately do NOT — their per-row cost is too small
+    // to repay the packText input shuffle (0.30→0.58 s regression when
+    // tried).
+    // ------------------------------------------------------------------
+    "media_meta" -> ((s, dir) => {
+      Multimodal.packText(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("meta.kind").as("kind"),
+          col("meta.n_bytes").as("n_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "multimodal_knn" -> ((s, dir) => {
+      val media = Multimodal.packText(docsParallel(s, dir), "doc_id", "text")
+      val feats = Multimodal.extractFeatures(media, "media", "feat", buckets = 64)
+        .select(col("doc_id"), col("feat"))
+      val queries = graft.bench.Sampling.seeded(feats, "doc_id", 50)
+      Knn.knnJoin(queries, "doc_id", "feat", feats, "doc_id", "feat",
+          k = 5, roundScoreTo = Some(6))
+        .select(col("query_id"), col("doc_id").as("result_id"),
+          col("rank"), col("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Byte-stripe frame sampling — the codec-less fallback path
+    // (Multimodal.sampleFrameFeatures; inter-frame codecs like H.264
+    // have no JRE decoder): k byte stripes per payload reduced to
+    // L2-normalized byte histograms, replayed exactly in SQL. MJPEG
+    // payloads take the REAL decode path — video_meta / video_frames
+    // below. The
+    // twin reproduces the substr stripe RANGES (floor(L·f/k) bounds —
+    // NOT per-element floor binning, which differs at non-divisible
+    // lengths); ss sums are exact integers in double so accumulation
+    // order is moot; wire = float-cast value rounded to 6dp, the
+    // multimodal_knn contract. Stripes and bins run over the payload's
+    // exact UTF-8 bytes in both engines (encoding-faithful).
+    "frame_hist" -> ((s, dir) => {
+      val media = Multimodal.packText(Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.sampleFrameFeatures(media, "media", "feat", k = 4, buckets = 8)
+        .select(col("doc_id"), col("frame_idx"),
+          posexplode(col("feat")).as(Seq("b", "v")))
+        .select(col("doc_id"), col("frame_idx"), col("b"),
+          r6(col("v").cast("double")).as("v"))
+        .orderBy(col("doc_id"), col("frame_idx"), col("b"))
+    }),
+
+    // REAL audio decode over synthesized PCM WAV payloads (no audio files
+    // ship in this container): synth_wav builds a seeded all-integer
+    // sawtooth clip per doc, javax.sound decodes it back, and the oracle
+    // replays the generating formula symbolically — a true round-trip
+    // check of container parse + sample decode + envelope kernel. The
+    // envelope rides the integer-only wire format (per-window |sample|
+    // sums, the doc_perplexity playbook), keeping doubles off the wire.
+    "audio_meta_decode" -> ((s, dir) => {
+      val media = docsParallel(s, dir).select(col("doc_id"),
+        graft.functions.synth_wav(col("doc_id"),
+          (lit(800) + (col("doc_id") % 7) * 160).cast("int"), lit(8000)).as("media"))
+      media.select(col("doc_id"), Multimodal.audioMeta(col("media")).as("m"))
+        .select(col("doc_id"), col("m.sample_rate").as("sample_rate"),
+          col("m.channels").as("channels"), col("m.bits").as("bits"),
+          col("m.n_frames").as("n_frames"), col("m.format").as("format"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "audio_env" -> ((s, dir) => {
+      val media = docsParallel(s, dir).select(col("doc_id"),
+        graft.functions.synth_wav(col("doc_id"),
+          (lit(800) + (col("doc_id") % 7) * 160).cast("int"), lit(8000)).as("media"))
+      media.select(col("doc_id"),
+          posexplode(graft.functions.audio_env_sums(col("media"), 8)))
+        .select(col("doc_id"), col("pos").as("w"), col("col").as("sum_abs"))
+        .orderBy(col("doc_id"), col("w"))
+    }),
+
+    // REAL video frame decode over synthesized MJPEG payloads (the
+    // synth_wav playbook for video): synth_mjpeg hand-encodes k
+    // solid-gray baseline JPEG frames per doc (single-component, all-ones
+    // quant, DC-only blocks — bit-exact through any conformant decoder),
+    // mjpeg_frames splits the stream on SOI/EOI markers, ImageIO decodes
+    // each frame for real, and the oracle replays the generating formula
+    // symbolically (gray of frame f = 16 + (doc_id·31 + f·7) mod 225) —
+    // a true round-trip of container split + entropy decode + IDCT +
+    // grid-feature kernel. No stub anywhere on this path.
+    "video_meta" -> ((s, dir) => {
+      val media = docsParallel(s, dir).select(col("doc_id"),
+        graft.functions.synth_mjpeg(col("doc_id"),
+          (lit(2) + col("doc_id") % 3).cast("int"), lit(16)).as("media"))
+      Multimodal.videoFrameMeta(media, "media")
+        .select(col("doc_id"), col("frame_idx"),
+          col("frame_meta.width").as("width"),
+          col("frame_meta.height").as("height"),
+          col("frame_meta.format").as("format"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    "video_frames" -> ((s, dir) => {
+      val media = docsParallel(s, dir).select(col("doc_id"),
+        graft.functions.synth_mjpeg(col("doc_id"),
+          (lit(2) + col("doc_id") % 3).cast("int"), lit(16)).as("media"))
+      Multimodal.sampleVideoFrameFeatures(media, "media", "feat", grid = 1)
+        .select(col("doc_id"), col("frame_idx"),
+          posexplode(col("feat")).as(Seq("b", "v")))
+        .select(col("doc_id"), col("frame_idx"), col("b"),
+          r6(col("v").cast("double")).as("v"))
+        .orderBy(col("doc_id"), col("frame_idx"), col("b"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Streaming surface, batch-checked: the SAME windowed event-time
+    // aggregation graft.streaming drives through a real StreamingQuery
+    // (watermark + tumbling window), oracle-checked here in batch mode —
+    // Spark's unified Dataset API runs one plan for both. Window starts
+    // are emitted as formatted strings: timestamp wire formats differ
+    // between engines (LTZ vs naive), strings don't.
+    // ------------------------------------------------------------------
+    "events_windowed" -> ((s, dir) => {
+      Streaming.windowedEventStats(Streaming.eventsBatch(s, dir))
+        .withColumn("w_start", date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
+    // Cohort retention matrix: users grouped by first-active week, counted
+    // per weekly offset they return in — the classic engagement analysis
+    // (completes the events breadth next to funnel/sessions). Two hash
+    // aggregates over (user, week) pairs; the distinct collapses to one
+    // row per user-week before anything joins, so the join and the final
+    // count are active-users-sized, not events-sized.
+    "user_retention" -> ((s, dir) => {
+      val weeks = Streaming.eventsBatch(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("act_week"))
+        .distinct()
+      val cohort = weeks.groupBy(col("user_id"))
+        .agg(min(col("act_week")).as("cohort_week"))
+      weeks.join(cohort, Seq("user_id"))
+        .withColumn("week_offset",
+          (datediff(col("act_week"), col("cohort_week")) / 7).cast("int"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"), col("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // Gap-based batch sessionization (30-min gap): the exact twin of the
+    // streaming mapGroupsWithState sessionizer, as lag + running-sum
+    // windows. Session starts/ends emitted as strings (cross-engine
+    // timestamp wire formats differ); gap compared in whole-second
+    // boundary counts on both engines.
+    "events_sessions" -> ((s, dir) => {
+      Streaming.sessionizeBatch(Streaming.eventsBatch(s, dir))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          date_format(col("t_start"), "yyyy-MM-dd HH:mm:ss").as("t_start"),
+          date_format(col("t_end"), "yyyy-MM-dd HH:mm:ss").as("t_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // Backward as-of join: each click enriched with the user's most recent
+    // prior (or same-instant) view — the union+window operator, one
+    // key-hash exchange per side, no range fan-out. Gap compared in
+    // whole-second boundary counts (cross-engine exact); timestamps as
+    // strings.
+    "events_asof" -> ((s, dir) => {
+      val ev = Streaming.eventsBatch(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      graft.ops.AsOfJoin.backward(clicks, views, Seq("user_id"),
+          leftTime = "ts", rightTime = "ts", rightPayload = Seq("event_id"),
+          leftTie = "event_id", rightTie = "event_id")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("asof_event_id").as("view_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("asof_ts"))).as("gap_s"))
+        .orderBy(col("user_id"), col("click_id"))
+    }),
+
+    // Interval join (batch twin of the stream-stream join): views within
+    // the hour before each click, per user — key-anchored hash join +
+    // range filter, the same function that runs watermark-bounded on
+    // streams (StreamingSpec drives it live). Timestamps truncated to
+    // whole seconds BEFORE the join: ns-vs-µs engine precision must not
+    // decide boundary pairs.
+    "events_interval_join" -> ((s, dir) => {
+      val ev = Streaming.eventsBatch(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          date_trunc("second", col("ts")).as("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+          date_trunc("second", col("ts")).as("v_ts"))
+      Streaming.intervalJoin(clicks, views, "user_id", "v_user_id",
+          "ts", "v_ts", horizonSeconds = 3600L)
+        .groupBy(col("user_id"), col("click_id"))
+        .agg(count(lit(1)).as("n_views"), max(col("view_id")).as("last_view_id"))
+        .orderBy(col("user_id"), col("click_id"))
+    }),
+
+    // Point-in-interval range join: every event matched into its
+    // containing session interval via bin-bucketed equi-join (no
+    // BroadcastNestedLoop), then counted per session. Self-validating:
+    // n_points must equal the sessionization's own n_events. Bin width =
+    // 1 day of epoch seconds ≈ typical session span fan-out of ~1-2 bins.
+    "events_range_join" -> ((s, dir) => {
+      val ev = Streaming.eventsBatch(s, dir)
+        .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("t"))
+      val sessions = Streaming.sessionizeBatch(Streaming.eventsBatch(s, dir))
+        .select(col("user_id"), col("session_id"),
+          unix_timestamp(col("t_start")).as("lo"),
+          unix_timestamp(col("t_end")).as("hi"))
+      graft.ops.RangeJoin.pointInInterval(ev, "t", sessions, "lo", "hi",
+          binWidth = 86400L, equiKeys = Seq("user_id"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_points"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // Corpus vocabulary cardinality: exact distinct-token count (the
+    // shuffling distinct agg) + total tokens in one pass. The 100 TB path
+    // swaps countDistinct for approx_count_distinct (HLL) — same plan
+    // minus the distinct exchange; TextAnalysisSpec pins the HLL estimate
+    // within 5% of this exact value.
+    "vocab_size" -> ((s, dir) => {
+      docsParallel(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .agg(countDistinct(col("token")).as("n_distinct"),
+          count(lit(1)).as("n_total"))
+    }),
+
+    // JSON payload extraction over the events props column (the engine's
+    // semi-structured surface: typed scalar out of a JSON string, grouped
+    // aggregate over it).
+    "events_props" -> ((s, dir) => {
+      Streaming.eventsBatch(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Round-4 breadth: conditional-aggregation join (TPC-H Q14 shape),
+    // event-transition windows, per-group tiering, set operations,
+    // sequence packing, deterministic weighted sampling,
+    // normalization-aware dedup, and bigram statistics.
+    // ------------------------------------------------------------------
+
+    // Conditional aggregation over a fact⋈dim join (TPC-H Q14 shape):
+    // the date filter pushes to the lineitem scan, part joins on the key,
+    // and the CASE lives inside the aggregate — one pass, no second scan
+    // for the numerator. DECIMAL sums for cross-engine exactness.
+    "q14_promo" -> ((s, dir) => {
+      val one = lit(java.math.BigDecimal.ONE).cast("decimal(18,2)")
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (one - col("l_discount").cast("decimal(18,2)"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-02-01"))
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .agg(r6(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)"))).cast("double") /
+          sum(rev).cast("double")).as("promo_revenue"))
+    }),
+
+    // Event-transition (funnel) statistics: lag window per user → count of
+    // each (prev_type → type) edge. The window and the ordering are keyed
+    // on (ts, event_id) so ties can't flip cross-engine. One user-keyed
+    // exchange; the transition-count aggregate is map-side partial.
+    "user_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Streaming.eventsBatch(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("prev_type"), col("event_type"))
+    }),
+
+    // Curriculum tiering: quartile assignment (ntile) per language over the
+    // 6-dp quality score (deterministic order: rounded score + doc_id), then
+    // per-tier stats — the "sort corpus into quality buckets" step of a
+    // curriculum/annealing data schedule. One lang-keyed exchange for the
+    // window; the tier aggregate is partial map-side.
+    "quality_tiers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("quality"), col("doc_id"))
+      docsParallel(s, dir)
+        .select(col("lang"), col("doc_id"),
+          r6(TextAnalysis.qualityScore(col("text"))).as("quality"))
+        .withColumn("tier", ntile(4).over(w))
+        .groupBy(col("lang"), col("tier"))
+        .agg(count(lit(1)).as("n_docs"),
+          r6(min(col("quality"))).as("min_q"),
+          r6(max(col("quality"))).as("max_q"),
+          r6(stableMean(col("quality"))).as("mean_q"))
+        .orderBy(col("lang"), col("tier"))
+    }),
+
+    // Set operations (§2.7 INTERSECT/EXCEPT as real operators, not
+    // rewrites): bigram vocabulary shared between two languages and
+    // exclusive to each. Spark plans INTERSECT/EXCEPT as hash
+    // left-semi/anti joins over the distinct sets — the exchange carries
+    // distinct bigrams only, never the corpus.
+    "vocab_overlap" -> ((s, dir) => {
+      def vocab(lang: String) = docsParallel(s, dir)
+        .filter(col("lang") === lang)
+        .select(explode(TextAnalysis.bigrams(col("text"))).as("bigram"))
+        .distinct()
+      val en = vocab("en"); val es = vocab("es")
+      en.intersect(es).withColumn("status", lit("both"))
+        .unionAll(en.except(es).withColumn("status", lit("en_only")))
+        .unionAll(es.except(en).withColumn("status", lit("es_only")))
+        .orderBy(col("status"), col("bigram"))
+    }),
+
+    // Sequence packing: documents → fixed-token-budget training batches
+    // (per-language; exclusive-prefix-sum rule, see graft.text.Packing).
+    // Emits the batch manifest a shard writer consumes.
+    "pack_batches" -> ((s, dir) => {
+      graft.text.Packing.batches(docsParallel(s, dir), Seq("lang"), "doc_id",
+          TextAnalysis.tokenCount(col("text")), budget = 512L)
+        .orderBy(col("lang"), col("batch_id"))
+    }),
+
+    // Deterministic quality-weighted Bernoulli sample: keep probability =
+    // 6-dp quality score, uniform = salted-md5(id) — bit-reproducible in
+    // any engine with md5, layout-independent (unlike df.sample), pure
+    // map-side filter (no shuffle at any scale).
+    "weighted_sample" -> ((s, dir) => {
+      graft.bench.Sampling.weighted(Tables.documents(s, dir), "doc_id",
+          r6(TextAnalysis.qualityScore(col("text"))))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Normalization-aware exact dedup: group on md5 of the canonical
+    // normal form (case/punctuation/reflow-insensitive) — catches the
+    // trivial-variant duplicates raw-text hashing misses. Same map-side
+    // digest + single hash-agg shuffle shape as dedup_exact.
+    "normalize_dedup" -> ((s, dir) => {
+      docsParallel(s, dir)
+        .select(md5(TextAnalysis.normalize(col("text"))).as("norm_hash"), col("doc_id"))
+        .groupBy(col("norm_hash"))
+        .agg(min(col("doc_id")).as("keeper"),
+          concat_ws(",", sort_array(collect_list(col("doc_id")))).as("ids"),
+          count(lit(1)).as("group_size"))
+        .orderBy(col("norm_hash"))
+    }),
+
+    // Corpus bigram top-k (collocation/n-gram-LM statistics): explode →
+    // partial count agg → TakeOrderedAndProject. The exchange carries one
+    // (bigram, partial_count) row per distinct bigram per map partition;
+    // the global sort is top-20-bounded.
+    "bigram_topk" -> ((s, dir) => {
+      docsParallel(s, dir)
+        .select(explode(TextAnalysis.bigrams(col("text"))).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
+    }),
+
+    // PIVOT: per-day event-type counts as columns. The value list is
+    // EXPLICIT — an unlisted pivot first runs a whole extra
+    // collect-distinct job over the corpus to discover the columns; at
+    // 100 TB the schema must come from the query, not a data scan. One
+    // pass, map-side partial agg.
+    "events_pivot" -> ((s, dir) => {
+      Streaming.eventsBatch(s, dir)
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+        .groupBy(col("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("day"))
+    }),
+
+    // Sliding event-time windows (1 h length, 30 min slide): each event
+    // lands in exactly 2 windows via Spark's Expand — the cost is 2 rows
+    // per event into a partial agg, not a range join. Same unified
+    // batch/stream plan family as events_windowed.
+    "events_sliding" -> ((s, dir) => {
+      Streaming.windowedEventStats(Streaming.eventsBatch(s, dir),
+          slide = Some("30 minutes"))
+        .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("event_type"), col("n_events").as("n"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
+    // Per-user trailing moving average (last 5 events): rows-frame window
+    // on the user-keyed exchange; DECIMAL sums so partial-order summation
+    // can't drift cross-engine. Deterministic frame: (ts, event_id) order.
+    "events_moving_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, 0)
+      Streaming.eventsBatch(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("mov_avg",
+          r6(sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
+            count(lit(1)).over(w)))
+        .select(col("user_id"), col("event_id"), col("mov_avg"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // The 100 TB quantile path made concrete (not just documented): the
+    // mergeable single-pass GK sketch behind approx_percentile. Round 14
+    // graduation: below the accuracy parameter (n ≤ 10000 — every oracle
+    // fixture) the GK summary never compresses, so the sketch answer IS
+    // the exact element at rank ceil(p·n) — a convention
+    // TextAnalysisSpec pins on awkward sizes (n = 3..50, where ceil(p·n)
+    // differs from other textbook quantile rules) and the DuckDB twin
+    // replays by rank. Above the accuracy the sketch approximates (the
+    // 100 TB point of the operator); the spec separately pins estimates
+    // within 5% of exact at fixture scale.
+    "doc_len_quantiles_approx" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(TextAnalysis.tokenCount(col("text")).as("n"))
+        .agg(percentile_approx(col("n"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("qs"))
+        .select(col("qs")(0).cast("double").as("p25"),
+          col("qs")(1).cast("double").as("p50"),
+          col("qs")(2).cast("double").as("p75"))
+    }),
+
+    // Validation profile (expectations pass): null/empty/constraint
+    // violations + key uniqueness in ONE aggregate scan — the pre-ingest
+    // data-quality gate of a pipeline. All conditional counts ride the
+    // same partial agg; no per-check rescan.
+    "corpus_profile" -> ((s, dir) => {
+      Tables.documents(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("text").isNull, 1)).as("n_null_text"),
+        count(when(length(col("text")) === 0, 1)).as("n_empty_text"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        count(when(col("n_chars") =!= length(col("text")), 1)).as("n_chars_mismatch"),
+        countDistinct(col("doc_id")).as("n_distinct_ids"))
+    }),
+
+    // Incremental corpus merge (upsert, latest-version-wins): base ∪
+    // updates → one `max_by(row, version)` hash aggregate — the partial
+    // agg collapses superseded versions map-side, so the single exchange
+    // carries ≤ one row per doc per map partition (same shape as
+    // dropExactDuplicates). The update batch is derived deterministically
+    // from the fixture (docs with id % 5 = 0 get a v2 edit).
+    "corpus_merge" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = docs.select(col("doc_id"), col("text"), lit(1L).as("version"))
+      val updates = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" [v2]")).as("text"),
+          lit(2L).as("version"))
+      base.unionAll(updates)
+        .groupBy(col("doc_id"))
+        .agg(max_by(struct(col("version"), col("text")), col("version")).as("__r"))
+        .select(col("doc_id"), col("__r.version").as("version"),
+          md5(col("__r.text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Snapshot diff: added/removed/changed docs between two corpus
+    // versions via a full-outer join of (id, digest) frames — digests are
+    // computed map-side, so the join shuffles 16-byte hashes + ids, never
+    // text. Snapshots are derived deterministically from the fixture
+    // (A drops id % 7 = 0; B drops id % 5 = 0 and edits id % 3 = 0).
+    "snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // presence is tracked with explicit markers, NOT digest nullness —
+      // a NULL-text doc has a NULL digest yet still exists in its
+      // snapshot; `<=>` keeps two NULL digests comparing as unchanged
+      val a = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("h_a"), lit(1).as("in_a"))
+      val b = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 3 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text"))).as("h_b"), lit(1).as("in_b"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("in_a").isNull, "added")
+            .when(col("in_b").isNull, "removed")
+            .when(!(col("h_a") <=> col("h_b")), "changed")
+            .otherwise("same"))
+        .filter(col("status") =!= "same")
+        .select(col("doc_id"), col("status"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ------------------------------------------------------------------
+    // F1: deterministic UUIDv5 point identity over documents. DuckDB has
+    // no uuid5, so the oracle (r12) replays the full SHA-1 in recursive
+    // SQL; RFC 4122 vectors are pinned in ExpressionsSpec.
+    // ------------------------------------------------------------------
+    "corpus_uuid" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), graft.functions.uuid5(col("doc_id").cast("string")).as("code_uuid"))
+        .orderBy(col("doc_id"))
+    }),
+  )
+}

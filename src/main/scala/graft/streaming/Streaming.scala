@@ -108,8 +108,15 @@ object Streaming {
    *   4. admitted rows append to the corpus parquet and incrementally
    *      upsert into the index (both O(batch)).
    *
-   * At 100 TB the only corpus-sized artifact touched per batch is the
-   * band table (columnar, band-key join), never the text. Single-writer
+   * At 100 TB the corpus-sized artifacts touched per batch are the band
+   * table (columnar, band-key join) and — via the replay guard's
+   * left-anti join — one columnar scan of the admitted corpus's ID
+   * column; never the text. Measured (BENCH_SCALE.md round-15
+   * `stream_flat`): per-batch cost grows ≈1.5× for a 30× corpus, the id
+   * stripe + band join share. A deployment at genuine scale should keep
+   * the admitted-id set as its own compact sidecar (or a bloom filter)
+   * instead of re-reading the corpus parquet's id column per batch — the
+   * guard only needs id membership, not the table. Single-writer
    * contract per index/admitted-dir, like the index upsert itself.
    *
    * `admittedDir` must hold the same corpus the index was built from

@@ -341,4 +341,28 @@ class PlanSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions == par)
     assert(out.queryExecution.executedPlan.toString.contains("RoundRobinPartitioning"))
   }
+
+  test("simple_lower stays inside WholeStageCodegen (canonical fold never falls back)") {
+    // The r15 fold swap (lower() -> the custom SimpleLower expression)
+    // must not introduce a codegen fallback: SimpleLower implements
+    // doGenCode, so a plain projection over it must fuse into a
+    // WholeStageCodegenExec stage. (The tokenize funnel's split+filter
+    // HOFs are CodegenFallback in Spark with ANY fold — lower() included
+    // — so the pin is on the expression, not on a HOF-bearing query.)
+    // (a local Seq would be ConvertToLocalRelation-folded to a
+    // LocalTableScan before planning — range() plans a real stage)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val exec = spark.range(0, 100)
+      .select(concat(lit("İ Σ x"), $"id".cast("string")).as("t"))
+      .select(graft.functions.simple_lower($"t").as("l"))
+      .filter(length($"l") > 1)
+      .queryExecution.executedPlan
+    val hosts = exec.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+          if w.toString.contains("simple_lower") => w
+    }
+    assert(hosts.nonEmpty,
+      s"simple_lower must fold inside a codegen stage:\n$exec")
+  }
 }
