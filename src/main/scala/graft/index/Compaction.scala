@@ -1,0 +1,93 @@
+package graft.index
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/**
+ * Small-file compaction for APPEND-ONLY parquet artifacts — the
+ * maintenance half of the streaming-admission story. Every micro-batch
+ * of [[graft.streaming.Streaming.admitStream]] / `cutStream` appends one
+ * small file to its sink dir, and [[MinHashIndex.upsert]] appends one to
+ * the signature table; at genuine scale that is the classic
+ * file-explosion failure: per-batch listing cost grows linearly in
+ * batches ever admitted, parquet row-group pruning degrades (thousands
+ * of tiny row groups), and the NameNode/object-store metadata bill grows
+ * without bound. Lakehouse formats solve it with scheduled OPTIMIZE /
+ * rewrite jobs; this is the same job for the engine's plain-parquet
+ * artifacts.
+ *
+ * One pass: list the data files, and if they are both numerous
+ * (`minFiles`) and small on average (under `targetFileBytes`), rewrite
+ * the dir to ~`totalBytes / targetFileBytes` files via a shadow
+ * directory and a two-rename swap. NOT a streaming-state mutation — the
+ * rewritten rows are byte-identical, so replay guards, indexes and
+ * readers see the same table; only the file layout changes.
+ *
+ * Crash safety (single-writer contract, run BETWEEN batches — same
+ * contract as every artifact mutation here): the swap stages
+ * `dir → dir__old`, `shadow → dir`, `delete dir__old`, and every entry
+ * point first HEALS a torn predecessor — `dir` missing with `dir__old`
+ * present (crash between the renames) restores the old layout and
+ * re-compacts; `dir__old` present alongside `dir` (crash before the
+ * final delete) just drops the leftover. Re-running compact after any
+ * crash therefore converges; a crash can never lose rows because the
+ * original files are only deleted after the new layout is in place.
+ */
+object Compaction {
+
+  /** Compact `dir` in place. Returns (filesBefore, filesAfter);
+    * filesBefore == filesAfter means the pass was a no-op (below the
+    * thresholds, or the dir does not exist). `partitionBy` must name the
+    * dir's partition columns when it is hive-partitioned (e.g.
+    * SpanIndex's `bucket`), so the rewrite preserves the layout readers
+    * prune on. */
+  def compactDir(
+      spark: SparkSession,
+      dir: String,
+      targetFileBytes: Long = 128L << 20,
+      minFiles: Int = 8,
+      partitionBy: Seq[String] = Nil): (Int, Int) = {
+    val path = new Path(dir)
+    val old = new Path(dir + "__old")
+    val shadow = new Path(dir + "__shadow")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // heal a torn swap from a crashed predecessor (see scaladoc)
+    if (!fs.exists(path) && fs.exists(old))
+      require(fs.rename(old, path), s"could not heal torn compaction of $dir")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.delete(shadow, true)
+    if (!fs.exists(path)) return (0, 0)
+
+    val files = listDataFiles(fs, path)
+    val before = files.size
+    if (before < minFiles) return (before, before)
+    val totalBytes = files.map(_.getLen).sum
+    val target = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    if (target >= before) return (before, before)
+
+    val rows = spark.read.parquet(dir)
+    val w = rows.repartition(target).write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(shadow.toString)
+    require(fs.rename(path, old), s"could not stage old layout of $dir")
+    require(fs.rename(shadow, path), s"could not swap compacted layout of $dir")
+    fs.delete(old, true)
+    (before, listDataFiles(fs, path).size)
+  }
+
+  /** Recursive data-file listing (skips `_SUCCESS`/dot files; descends
+    * into hive partition dirs). */
+  private def listDataFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val it = fs.listFiles(path, true)
+    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) out += f
+    }
+    out.result()
+  }
+}

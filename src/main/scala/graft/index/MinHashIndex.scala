@@ -83,6 +83,16 @@ class MinHashIndex(
     fresh.write.mode(SaveMode.Append).parquet(sigPath.toString)
   }
 
+  /** Fold the per-upsert appended files into ~target-sized ones
+    * ([[Compaction.compactDir]]): every [[upsert]] (one per admitted
+    * micro-batch in the streaming path) appends a small file, and at
+    * scale the signature table would otherwise accumulate one file per
+    * batch ever admitted. Row-identical rewrite — queries and the upsert
+    * anti-join see the same table. Scheduled maintenance under the same
+    * single-writer contract as upsert itself. */
+  def compact(targetFileBytes: Long = 128L << 20): (Int, Int) =
+    Compaction.compactDir(spark, sigPath.toString, targetFileBytes)
+
   /** All stored (id, sig) rows, sentinel rows included — the id universe
     * for the upsert anti-join (a shingle-less doc IS indexed; dropping it
     * from the id set would re-sign it on every upsert). */

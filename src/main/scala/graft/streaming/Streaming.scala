@@ -116,7 +116,12 @@ object Streaming {
    * stripe + band join share. A deployment at genuine scale should keep
    * the admitted-id set as its own compact sidecar (or a bloom filter)
    * instead of re-reading the corpus parquet's id column per batch — the
-   * guard only needs id membership, not the table. Single-writer
+   * guard only needs id membership, not the table. Each batch appends
+   * one small file to the corpus AND one to the index's signature table
+   * — schedule [[graft.index.Compaction.compactDir]] on the admitted dir
+   * and [[MinHashIndex.compact]] between batches (same single-writer
+   * window) so file counts stay bounded by data size, not by batches
+   * ever admitted. Single-writer
    * contract per index/admitted-dir, like the index upsert itself.
    *
    * `admittedDir` must hold the same corpus the index was built from
@@ -186,6 +191,10 @@ object Streaming {
    * foreign-batch mode, append, [[graft.index.SpanIndex.upsert]] — all
    * O(batch) plus the bucket-pruned gram-table join. Output schema:
    * `idCol`, `n_tokens`, `n_cut`, `textCol` (the cleaned text).
+   * Each batch appends one small file to `cleanDir` (the gram table
+   * itself is shadow-rewritten per upsert, never appended) — schedule
+   * [[graft.index.Compaction.compactDir]] on `cleanDir` between batches
+   * so its file count stays bounded by data size.
    * Single-writer contract per index/cleanDir, and batch ids must be
    * disjoint from the indexed corpus (the index ownership contract).
    */
