@@ -90,8 +90,9 @@ class MinHashIndex(
     * batch ever admitted. Row-identical rewrite — queries and the upsert
     * anti-join see the same table. Scheduled maintenance under the same
     * single-writer contract as upsert itself. */
-  def compact(targetFileBytes: Long = 128L << 20): (Int, Int) =
-    Compaction.compactDir(spark, sigPath.toString, targetFileBytes)
+  def compact(targetFileBytes: Long = 128L << 20, minFiles: Int = 8): (Int, Int) =
+    Compaction.compactDir(spark, sigPath.toString, targetFileBytes,
+      minFiles = minFiles)
 
   /** All stored (id, sig) rows, sentinel rows included — the id universe
     * for the upsert anti-join (a shingle-less doc IS indexed; dropping it

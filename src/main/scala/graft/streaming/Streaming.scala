@@ -117,10 +117,11 @@ object Streaming {
    * the admitted-id set as its own compact sidecar (or a bloom filter)
    * instead of re-reading the corpus parquet's id column per batch — the
    * guard only needs id membership, not the table. Each batch appends
-   * one small file to the corpus AND one to the index's signature table
-   * — schedule [[graft.index.Compaction.compactDir]] on the admitted dir
-   * and [[MinHashIndex.compact]] between batches (same single-writer
-   * window) so file counts stay bounded by data size, not by batches
+   * one small file to the corpus AND one to the index's signature table;
+   * when either exceeds `maxSinkFiles` files the batch callback folds it
+   * first ([[graft.index.Compaction.compactDir]] / [[MinHashIndex.compact]]
+   * — the callback IS the guaranteed single-writer window; 0 disables),
+   * so file counts stay bounded by data size, not by batches
    * ever admitted. Single-writer
    * contract per index/admitted-dir, like the index upsert itself.
    *
@@ -135,13 +136,26 @@ object Streaming {
       admittedDir: String,
       threshold: Double,
       checkpointDir: String,
-      maxBucketSize: Int = 10000): StreamingQuery =
+      maxBucketSize: Int = 10000,
+      maxSinkFiles: Int = 256): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // auto-maintenance INSIDE the batch callback — the one place the
+        // single-writer window is guaranteed: when either append target
+        // (the corpus dir, the signature table) has accumulated more
+        // than maxSinkFiles files, fold it before this batch reads it.
+        // Bounded-frequency by construction (a compacted dir is ~total/
+        // target files, so the trigger re-arms only after ~maxSinkFiles
+        // further batches); 0 disables.
+        if (maxSinkFiles > 0) {
+          graft.index.Compaction.compactDir(spark, admittedDir,
+            minFiles = maxSinkFiles)
+          index.compact(minFiles = maxSinkFiles)
+        }
         val m = index.meta
         val corpus = spark.read.parquet(admittedDir)
         val replayFree = batch.join(
@@ -192,9 +206,10 @@ object Streaming {
    * O(batch) plus the bucket-pruned gram-table join. Output schema:
    * `idCol`, `n_tokens`, `n_cut`, `textCol` (the cleaned text).
    * Each batch appends one small file to `cleanDir` (the gram table
-   * itself is shadow-rewritten per upsert, never appended) — schedule
-   * [[graft.index.Compaction.compactDir]] on `cleanDir` between batches
-   * so its file count stays bounded by data size.
+   * itself is shadow-rewritten per upsert, never appended) — when its
+   * file count exceeds `maxSinkFiles` the batch callback folds it first
+   * ([[graft.index.Compaction.compactDir]]; 0 disables), so file counts
+   * stay bounded by data size, not by batches ever admitted.
    * Single-writer contract per index/cleanDir, and batch ids must be
    * disjoint from the indexed corpus (the index ownership contract).
    */
@@ -205,13 +220,19 @@ object Streaming {
       index: graft.index.SpanIndex,
       cleanDir: String,
       checkpointDir: String,
-      preserveCase: Boolean = false): StreamingQuery =
+      preserveCase: Boolean = false,
+      maxSinkFiles: Int = 256): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // auto-maintenance in the guaranteed single-writer window — see
+        // admitStream; compactDir no-ops while cleanDir is small/absent
+        if (maxSinkFiles > 0)
+          graft.index.Compaction.compactDir(spark, cleanDir,
+            minFiles = maxSinkFiles)
         // cleanDir is this sink's own output: empty until the first batch
         // commits, so "nothing there yet" means "nothing admitted yet".
         // The existence pre-check keeps the expected first-batch miss out

@@ -225,6 +225,56 @@ class StreamingSpec extends SparkSpec {
     assert(clean2(20L) === ((8L, "")))
   }
 
+  test("admission auto-compaction: sink file count stays bounded, rows exact") {
+    // Six single-doc admission runs would leave six corpus appends and
+    // six signature appends; with maxSinkFiles=3 the batch callback folds
+    // each target whenever it reaches 3 files, so counts stay bounded by
+    // data size while every admitted row survives the rewrites.
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_admit_compact")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    corpus.write.parquet(s"$tmp/admitted")
+    val idx = graft.index.MinHashIndex(spark, tmp.toString, "admit_cidx")
+    idx.build(corpus, "doc_id", "text", n = 3, numHashes = 128, bands = 32)
+    val fresh = Seq(
+      "sphinx of black quartz judge my vow said the wise old owl",
+      "how vexingly quick daft zebras jump over the fence right now",
+      "grumpy wizards make toxic brew for the evil queen and jack",
+      "five boxing wizards jump quickly over the frozen lazy river",
+      "jived fox nymph grabs quick waltz in the bright summer air",
+      "two driven jocks help fax my big quiz before lunch arrives")
+    fresh.zipWithIndex.foreach { case (text, i) =>
+      val src = MemoryStream[(Long, String)]
+      val q = Streaming.admitStream(src.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", idx, s"$tmp/admitted", threshold = 0.5,
+        s"$tmp/ckpt_c$i", maxSinkFiles = 3)
+      src.addData((100L + i, text))
+      q.awaitTermination()
+    }
+    def files(p: String): Int = {
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      var n = 0
+      while (it.hasNext) {
+        val f = it.next().getPath.getName
+        if (!f.startsWith("_") && !f.startsWith(".")) n += 1
+      }
+      n
+    }
+    val admitted = spark.read.parquet(s"$tmp/admitted")
+    assert(admitted.select("doc_id").as[Long].collect().sorted.toSeq
+      == (Seq(1L) ++ (0 until 6).map(100L + _)),
+      "every fresh doc admitted, none lost across compactions")
+    assert(files(s"$tmp/admitted") <= 3,
+      s"corpus file count must stay bounded, got ${files(s"$tmp/admitted")}")
+    assert(files(s"$tmp/admit_cidx/sig") <= 3,
+      s"signature file count must stay bounded, got ${files(s"$tmp/admit_cidx/sig")}")
+    assert(idx.signatures().count() == 7, "index rows survive compaction")
+  }
+
   test("file-source events stream: windowed agg over the fixture matches batch") {
     val streamDir = Files.createTempDirectory("graft_events_stream")
     Files.copy(Paths.get(s"${graft.TestSpark.sf0001}/events.parquet"),
