@@ -193,4 +193,51 @@ object KernelProperties extends Properties("graft.kernels") {
         }
       }
     }
+
+  // ---- round-15 kernels: the canonical fold and the byte edit distance
+
+  /** Valid-code-point strings (no lone surrogates — UTF-8 cannot carry
+    * them, so they are outside every kernel's input domain): ASCII mixed
+    * with the fold's hazard characters and whole astral pairs. */
+  private val uniGen: Gen[String] = Gen.listOf(Gen.frequency[String](
+    (6, Gen.alphaNumChar.map(_.toString)),
+    (2, Gen.oneOf("İ", "Σ", "ς", "σ", "ß", "é", "中", "Ꟈ", " ")),
+    (1, Gen.oneOf("👍", "𐐀", "𐐨")))).map(_.mkString)
+
+  property("simple fold is CONTEXT-FREE: fold(a+b) == fold(a) + fold(b)") =
+    // the design property full casing lacks (Final_Sigma reads neighbors)
+    // and the reason dedup keys can be sliced/concatenated safely —
+    // stated at code-point granularity (a split never tears a surrogate
+    // pair; mid-code-point splits are not valid text boundaries anywhere)
+    forAll(uniGen, uniGen) { (a, b) =>
+      graft.expr.SimpleCaseFold.lower(a + b) ==
+        graft.expr.SimpleCaseFold.lower(a) + graft.expr.SimpleCaseFold.lower(b)
+    }
+
+  property("simple fold is idempotent and UTF8String path == String path") =
+    forAll(uniGen) { s =>
+      val once = graft.expr.SimpleCaseFold.lower(s)
+      val viaUtf8 = graft.expr.SimpleCaseFold.lower(UTF8String.fromString(s)).toString
+      graft.expr.SimpleCaseFold.lower(once) == once && viaUtf8 == once
+    }
+
+  property("byteLevenshtein is a metric: symmetry, identity, bounds") =
+    forAll(uniGen, uniGen) { (a, b) =>
+      import graft.expr.EditDistanceOps.byteLevenshtein
+      def u(s: String) = UTF8String.fromString(s)
+      val d = byteLevenshtein(u(a), u(b))
+      val (la, lb) = (u(a).numBytes, u(b).numBytes)
+      byteLevenshtein(u(b), u(a)) == d &&
+        byteLevenshtein(u(a), u(a)) == 0 &&
+        d >= math.abs(la - lb) && d <= math.max(la, lb) &&
+        ((d == 0) == (a == b))
+    }
+
+  property("byteLevenshtein triangle inequality") =
+    forAll(uniGen, uniGen, uniGen) { (a, b, c) =>
+      import graft.expr.EditDistanceOps.byteLevenshtein
+      def u(s: String) = UTF8String.fromString(s)
+      byteLevenshtein(u(a), u(c)) <=
+        byteLevenshtein(u(a), u(b)) + byteLevenshtein(u(b), u(c))
+    }
 }
