@@ -183,14 +183,17 @@ object SparkEntry {
     * dirs — the amplified scale sweep is one — would otherwise pin one
     * materialized corpus-wide pair frame per dir for the application's
     * lifetime. */
+  /** Release the per-dir memoized state. Deliberately does NOT touch the
+    * operator-internal tracked checkpoints (DupSpans gram streams,
+    * Selection's narrow base): those are app-wide, not per-dir, and
+    * releasing them from a per-dir API would drop blocks a still-pending
+    * consumer of ANOTHER dir needs (checkpoint lineage is truncated — the
+    * failure would be unrecoverable). Sweep drivers call
+    * [[org.apache.spark.sql.GraftInternal.releaseTrackedCheckpoints]]
+    * explicitly at their own nothing-in-flight boundaries. */
   private[graft] def evictDirCaches(s: SparkSession, dir: String): Unit = {
     evictMinedPairs(s, dir)
     bpeMergesCache.remove((s.sparkContext.applicationId, dir))
-    // operator-internal checkpoint frames (DupSpans gram streams,
-    // Selection's narrow base) — registered at creation, releasable only
-    // here because their consumers run between registration and this
-    // dir-boundary call
-    org.apache.spark.sql.GraftInternal.releaseTrackedCheckpoints(s)
   }
 
   /** One entry per implemented operator (SURVEY §2). Definitions moved
@@ -220,9 +223,11 @@ object SparkEntry {
     s"lower(replace(replace(replace($x, chr(42951), chr(42952)), " +
       "chr(42953), chr(42954)), chr(42997), chr(42998)))"
 
-  def oracleSql: Map[String, String] = graft.oracle.Twins.raw.map { case (name, sql) =>
-    name -> sql
-      .replace("lower(text)", sqlFold("text"))
-      .replace("lower(qtext)", sqlFold("qtext"))
-  }
+  def oracleSql: Map[String, String] = oracleSqlMemo
+  private lazy val oracleSqlMemo: Map[String, String] =
+    graft.oracle.Twins.raw.map { case (name, sql) =>
+      name -> sql
+        .replace("lower(text)", sqlFold("text"))
+        .replace("lower(qtext)", sqlFold("qtext"))
+    }
 }

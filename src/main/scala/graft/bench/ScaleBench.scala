@@ -115,8 +115,12 @@ object ScaleBench {
       // Release this factor's memoized per-dir state (pair-frame
       // checkpoint blocks, BPE merges) before moving to the next —
       // otherwise every factor's materialized pair set stays pinned in
-      // executor memory for the whole sweep.
+      // executor memory for the whole sweep. The operator-internal
+      // tracked checkpoints (DupSpans/Selection frames) are released
+      // here too: between factors nothing is in flight, the contract
+      // the app-wide release requires.
       graft.SparkEntry.evictDirCaches(spark, dir)
+      org.apache.spark.sql.GraftInternal.releaseTrackedCheckpoints(spark)
       n -> (nDocs, nVecs, times, errs.toSeq)
     }
 
@@ -232,6 +236,7 @@ object ScaleBench {
         f"mh_build=$mhBuildS%.1f admit_ms=${admitMs.mkString("/")} " +
         f"span_build=$spBuildS%.1f cut_ms=${cutMs.mkString("/")}")
       graft.SparkEntry.evictDirCaches(spark, dir)
+      org.apache.spark.sql.GraftInternal.releaseTrackedCheckpoints(spark)
       n -> (nCorpus, mhBuildS, admitMs, spBuildS, cutMs)
     }
     val streamFlatJson = streamFlat.map { case (n, (nc, mb, am, sb, cm)) =>

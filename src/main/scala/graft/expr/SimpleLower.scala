@@ -39,6 +39,17 @@ import org.apache.spark.unsafe.types.UTF8String
  * payloads never leave the byte array.
  */
 object SimpleCaseFold {
+  /** Version tag of the canonical fold, STAMPED into every persisted
+    * artifact whose keys derive from folded text (MinHash signatures,
+    * span grams, BM25 postings). Artifacts built under a different fold
+    * — including every pre-stamp artifact, which used Spark's
+    * full-mapping `lower()` — hold keys that silently disagree with
+    * freshly-computed ones on İ/Σ-class characters; the stamp turns that
+    * into a loud rebuild demand (or, for the engine's own tmpdir caches,
+    * an automatic rebuild via `foldCurrent`). Bump on ANY change to the
+    * fold semantics. */
+  val Version = "simple-1"
+
   def lower(s: UTF8String): UTF8String =
     if (s.isFullAscii) s.toLowerCaseAscii()
     else UTF8String.fromString(lower(s.toString))

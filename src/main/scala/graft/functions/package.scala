@@ -262,6 +262,13 @@ package object functions {
     reg.createOrReplaceTempFunction("manhattan_distance", es => ManhattanDistance(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("uuid5", es => Uuid5(es.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
+    // the canonical fold + portable edit distance must be reachable from
+    // SQL too — a SQL user falling back to lower() would get Spark's
+    // full-mapping, default-locale fold, the exact divergence the engine
+    // removed from its own path
+    reg.createOrReplaceTempFunction("simple_lower", es => SimpleLower(es.head), "built-in")
+    reg.createOrReplaceTempFunction("byte_levenshtein",
+      es => ByteLevenshtein(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("quantize_int8", es => QuantizeInt8(es.head), "built-in")
     reg.createOrReplaceTempFunction("int8_scale", es => Int8Scale(es.head), "built-in")
     reg.createOrReplaceTempFunction("int8_cosine", es => Int8Cosine(es(0), es(1)), "built-in")

@@ -58,7 +58,7 @@ class Bm25Index(
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .write.mode(SaveMode.Overwrite).parquet(dfPath)
     val (n, totalTokens) = Bm25.corpusStats(docs, textCol)
-    writeMetaJson(s"""{"n":$n,"totalTokens":$totalTokens,"buckets":$buckets}""")
+    writeMetaJson(s"""{"n":$n,"totalTokens":$totalTokens,"buckets":$buckets$foldStampJson}""")
     this
   }
 
@@ -74,6 +74,7 @@ class Bm25Index(
   def upsert(batch: DataFrame, idCol: String, textCol: String): Unit = {
     require(exists, s"index $name does not exist - build() it first")
     val m = readMetaJson()
+    requireFoldCurrent(m) // postings derive from folded token text
     val n0 = metaField(m, "n").toLong
     val tt0 = metaField(m, "totalTokens").toLong
     val buckets = metaFieldOpt(m, "buckets").map(_.toInt)
@@ -107,7 +108,7 @@ class Bm25Index(
         (coalesce(col("df"), lit(0L)) + coalesce(col("__delta"), lit(0L))).as("df"))
     overwriteViaShadow(new Path(dfPath), merged)
     writeMetaJson(s"""{"n":${n0 + nF},"totalTokens":${tt0 + ttF}""" +
-      buckets.fold("")(b => s""","buckets":$b""") + "}")
+      buckets.fold("")(b => s""","buckets":$b""") + foldStampJson + "}")
   }
 
   /** Overwrite `target` with `rows` when the plan READS `target`: write a
@@ -142,6 +143,7 @@ class Bm25Index(
       outIdCol: String = "doc"): DataFrame = {
     require(exists, s"index $name does not exist - build() it first")
     val m = readMetaJson()
+    requireFoldCurrent(m) // postings derive from folded token text
     val n = metaField(m, "n").toLong
     val avgdl = metaField(m, "totalTokens").toLong.toDouble / n
     val tfAll = spark.read.parquet(tfPath)

@@ -32,6 +32,17 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
  * final delete) just drops the leftover. Re-running compact after any
  * crash therefore converges; a crash can never lose rows because the
  * original files are only deleted after the new layout is in place.
+ *
+ * The guarantee above assumes ATOMIC DIRECTORY RENAME — true on HDFS and
+ * POSIX filesystems (the same assumption VectorCollection.compact and
+ * SpanIndex's shadow swap already make). Raw object stores emulate
+ * rename as copy+delete: a crash MID-rename can leave both dirs
+ * partially populated, a state the heal protocol cannot distinguish
+ * from a completed swap. Deployments on S3-class storage should run
+ * compaction through a committer/table layer with atomic semantics
+ * (or tolerate re-listing the union of both dirs during manual
+ * recovery) — the standard caveat for every rename-based maintenance
+ * job.
  */
 object Compaction {
 
@@ -65,9 +76,22 @@ object Compaction {
     val totalBytes = files.map(_.getLen).sum
     val target = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     if (target >= before) return (before, before)
+    // Partitioned layout: repartitioning by size alone would fan every
+    // output task across every partition value (up to target × values
+    // files — MORE than before, and a rewrite loop that never
+    // converges). Hash on the partition columns instead, giving exactly
+    // one file per present partition-value combo; once the dir is
+    // already at that floor (combos counted from the listing — free),
+    // further passes are no-ops.
+    val combos = files.map(_.getPath.getParent.toString).distinct.size
+    if (partitionBy.nonEmpty && before <= combos) return (before, before)
 
     val rows = spark.read.parquet(dir)
-    val w = rows.repartition(target).write.mode(SaveMode.Overwrite)
+    val repart =
+      if (partitionBy.nonEmpty)
+        rows.repartition(target, partitionBy.map(org.apache.spark.sql.functions.col): _*)
+      else rows.repartition(target)
+    val w = repart.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(shadow.toString)
     require(fs.rename(path, old), s"could not stage old layout of $dir")

@@ -59,6 +59,31 @@ private[index] trait FsArtifact {
   protected final def metaFieldOpt(json: String, k: String): Option[String] =
     if (json.contains(s""""$k":""")) Some(metaField(json, k)) else None
 
+  /** The `"fold"` meta stamp for TEXT-KEY artifacts (signatures, grams,
+    * postings all derive from the canonical fold): the JSON fragment to
+    * append at write, the loud check at read, and the silent-currency
+    * probe the engine's own tmpdir caches use to rebuild instead of
+    * refuse. An ABSENT stamp means a pre-versioning artifact built under
+    * Spark's full-mapping lower() — incompatible by construction. */
+  protected final def foldStampJson: String =
+    s""","fold":"${graft.expr.SimpleCaseFold.Version}""""
+
+  protected final def requireFoldCurrent(json: String): Unit = {
+    val got = metaFieldOpt(json, "fold")
+    require(got.contains(graft.expr.SimpleCaseFold.Version),
+      s"$name: artifact was built under canonical fold " +
+        s"${got.getOrElse("<pre-versioning full-mapping lower()>")} but this " +
+        s"engine folds with ${graft.expr.SimpleCaseFold.Version} — its text " +
+        "keys would silently disagree on İ/Σ-class characters; rebuild the " +
+        "artifact")
+  }
+
+  /** True iff the artifact exists AND was built under the current fold —
+    * the rebuild predicate for engine-owned caches. */
+  final def foldCurrent: Boolean =
+    exists && metaFieldOpt(readMetaJson(), "fold")
+      .contains(graft.expr.SimpleCaseFold.Version)
+
   def drop(): Unit = {
     fs.delete(base, true)
     ()

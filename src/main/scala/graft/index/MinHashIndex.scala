@@ -56,12 +56,13 @@ class MinHashIndex(
     df.select(col(idCol).as("id"),
         Dedup.minHashSignature(Dedup.shingles(col(textCol), n), numHashes).as("sig"))
       .write.mode(SaveMode.Overwrite).parquet(sigPath.toString)
-    writeMetaJson(s"""{"n":$n,"numHashes":$numHashes,"bands":$bands}""")
+    writeMetaJson(s"""{"n":$n,"numHashes":$numHashes,"bands":$bands$foldStampJson}""")
     this
   }
 
   def meta: MinHashIndexMeta = {
     val s = readMetaJson()
+    requireFoldCurrent(s) // signatures derive from folded shingle text
     MinHashIndexMeta(metaField(s, "n").toInt, metaField(s, "numHashes").toInt,
       metaField(s, "bands").toInt)
   }

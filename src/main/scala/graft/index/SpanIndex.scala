@@ -58,14 +58,21 @@ class SpanIndex(
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(gramsPath)
-    writeMetaJson(s"""{"n":$n,"buckets":$buckets}""")
+    writeMetaJson(s"""{"n":$n,"buckets":$buckets$foldStampJson}""")
     this
   }
 
   /** Gram size the artifact was built with. */
-  def n: Int = metaField(readMetaJson(), "n").toInt
+  def n: Int = metaField(checkedMeta(), "n").toInt
 
-  private def buckets: Int = metaField(readMetaJson(), "buckets").toInt
+  private def buckets: Int = metaField(checkedMeta(), "buckets").toInt
+
+  /** Meta with the fold stamp enforced — grams derive from folded text. */
+  private def checkedMeta(): String = {
+    val m = readMetaJson()
+    requireFoldCurrent(m)
+    m
+  }
 
   /** Admit a batch: merge its gram statistics into the stored table —
     * the step AFTER [[cut]] in an admission pipeline, so later batches
@@ -80,7 +87,7 @@ class SpanIndex(
     * refresh window (FsArtifact protocol). */
   def upsert(batch: DataFrame, idCol: String, textCol: String): Unit = {
     require(exists, s"span index $name does not exist - build() it first")
-    val m = readMetaJson()
+    val m = checkedMeta()
     val nGram = metaField(m, "n").toInt
     val b = metaField(m, "buckets").toInt
     invalidateMeta()
@@ -97,7 +104,7 @@ class SpanIndex(
           .as("n_docs"))
       .withColumn("bucket", bucketOf(col("h"), b))
     overwriteViaShadow(new Path(gramsPath), merged, partitionBy = Some("bucket"))
-    writeMetaJson(s"""{"n":$nGram,"buckets":$b}""")
+    writeMetaJson(s"""{"n":$nGram,"buckets":$b$foldStampJson}""")
   }
 
   private def overwriteViaShadow(target: Path, rows: DataFrame,

@@ -297,7 +297,7 @@ private[graft] object QueriesAnalysis {
       val idxRoot = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_bm25_${fp}_b64").toString
       val idx = graft.index.Bm25Index(s, idxRoot, "documents")
-      if (!idx.exists) idx.build(docs, "doc_id", "text")
+      if (!idx.foldCurrent) idx.build(docs, "doc_id", "text")
       val lexical = idx.query(qDocs, "doc_id", "text", k = 20,
           roundScoreTo = Some(6), outIdCol = "result_id")
         .select(col("query_id"), col("result_id"), col("rank"))
@@ -324,7 +324,7 @@ private[graft] object QueriesAnalysis {
       val idxRoot = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_bm25_${fp}_b64").toString
       val idx = graft.index.Bm25Index(s, idxRoot, "documents")
-      if (!idx.exists) idx.build(docs, "doc_id", "text")
+      if (!idx.foldCurrent) idx.build(docs, "doc_id", "text")
       val lexical = idx.query(qDocs, "doc_id", "text", k = 20,
           roundScoreTo = Some(6), outIdCol = "result_id")
         .select(col("query_id"), col("result_id"), col("score"))
@@ -350,7 +350,7 @@ private[graft] object QueriesAnalysis {
       val root = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_bm25_${fp}_b64").toString
       val idx = graft.index.Bm25Index(s, root, "documents")
-      if (!idx.exists) idx.build(docs, "doc_id", "text")
+      if (!idx.foldCurrent) idx.build(docs, "doc_id", "text")
       val q = graft.bench.Sampling.seeded(Tables.documents(s, dir), "doc_id", 10)
       idx.query(q, "doc_id", "text", k = 10, roundScoreTo = Some(6),
           outIdCol = "result_id")

@@ -736,7 +736,7 @@ private[graft] object QueriesCore {
       val root = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_mh_idx_${fp}_n3_h128_b32").toString
       val idx = graft.index.MinHashIndex(s, root, "documents")
-      if (!idx.exists) idx.build(docs, "doc_id", "text",
+      if (!idx.foldCurrent) idx.build(docs, "doc_id", "text",
         n = 3, numHashes = 128, bands = 32)
       idx.dropNearDuplicatesExact(docs, "doc_id", "text", threshold = 0.8)
         .select(col("doc_id"), col("lang"), col("source"))
@@ -756,7 +756,7 @@ private[graft] object QueriesCore {
       val root = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_mh_idx_${fp}_n3_h128_b32").toString
       val idx = graft.index.MinHashIndex(s, root, "documents")
-      if (!idx.exists) idx.build(docs, "doc_id", "text",
+      if (!idx.foldCurrent) idx.build(docs, "doc_id", "text",
         n = 3, numHashes = 128, bands = 32)
       val batch = graft.bench.Sampling.seeded(Tables.documents(s, dir), "doc_id", 50)
       idx.nearDupAgainstExact(batch, "doc_id", "text", docs, "doc_id", "text",
@@ -1006,7 +1006,7 @@ private[graft] object QueriesCore {
       val root = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_span_${fp}_n5_b64").toString
       val idx = graft.index.SpanIndex(s, root, "documents")
-      if (!idx.exists) idx.build(docs, "doc_id", "text", n = 5)
+      if (!idx.foldCurrent) idx.build(docs, "doc_id", "text", n = 5)
       idx.cut(docs, "doc_id", "text", batchIsIndexed = true)
         .orderBy(col("doc_id"))
     }),

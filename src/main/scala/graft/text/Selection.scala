@@ -122,10 +122,14 @@ object Selection {
       }.collect()
       val total = parts.map(_._1).sum
       val nullIds = parts.map(_._2).sum
-      require(total > 0 || nullIds == 0,
-        s"$idCol: every id in a non-empty corpus cast to NULL as LONG — " +
-          "banding would silently degrade to a single band (skew defense " +
-          "gone); fix the id column's type or values upstream")
+      // strict: ids are unique-and-non-null by contract, so ANY null-cast
+      // id means a wrong type or corrupt values — a mostly-null column
+      // would otherwise pass a weaker all-null check and band only the
+      // parsed sliver, silently shedding the skew defense for the rest
+      require(nullIds == 0,
+        s"$idCol: $nullIds id(s) cast to NULL as LONG — banding would " +
+          "silently exclude them from the skew defense; fix the id " +
+          "column's type or values upstream")
       if (total == 0) Array.empty
       else {
         // weighted exact quantiles: each sampled id stands for n_p/k_p rows

@@ -40,8 +40,13 @@ object GraftInternal {
       (String, java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]])]()
 
   /** Register `df`'s checkpointed RDD blocks for scoped release; returns
-    * `df` so call sites can wrap `.localCheckpoint(true)` inline. */
+    * `df` so call sites can wrap `.localCheckpoint(true)` inline. Each
+    * registration also sweeps entries whose referent was already
+    * GC-collected, so a library user that never calls the release keeps
+    * the queue bounded by its LIVE checkpoints, not by calls ever made. */
   def trackLocalCheckpoint(df: DataFrame): DataFrame = {
+    val it = trackedCheckpoints.iterator()
+    while (it.hasNext) if (it.next()._2.get() == null) it.remove()
     val app = df.sparkSession.sparkContext.applicationId
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>

@@ -71,6 +71,12 @@ class CompactionSpec extends SparkSpec {
       .map(_.getPath.getName).filter(_.startsWith("bucket="))
     assert(parts.toSet == Set("bucket=0", "bucket=1", "bucket=2", "bucket=3"))
     assert(spark.read.parquet(dir).as[(Long, String)].collect().sorted.toSeq == before)
+    // one file per partition-value combo -> a second pass must converge
+    // to a no-op, not loop full rewrites forever
+    assert(a == 4, s"partition-hashed rewrite gives one file per value, got $a")
+    val again = Compaction.compactDir(spark, dir,
+      targetFileBytes = 1L << 30, partitionBy = Seq("bucket"))
+    assert(again == ((a, a)), s"already-at-floor partitioned dir must no-op, got $again")
   }
 
   test("heals a torn swap: dir missing with dir__old present") {

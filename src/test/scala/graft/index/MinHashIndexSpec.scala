@@ -129,4 +129,30 @@ class MinHashIndexSpec extends SparkSpec {
     assert(bands(1L) == bands(4L))
     assert(bands(1L).intersect(bands(3L)).isEmpty)
   }
+
+  test("fold stamp: a pre-r15 (full-mapping-fold) artifact refuses loudly; foldCurrent gates rebuild") {
+    // Signatures derive from the canonical fold; an artifact built under
+    // a DIFFERENT fold holds keys that silently disagree on İ/Σ-class
+    // characters. The meta stamp turns that into a targeted error, and
+    // foldCurrent is the predicate engine caches use to rebuild instead.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mh_fold").toString
+    val docs = Seq((1L, "a b c d e"), (2L, "f g h i j")).toDF("doc_id", "text")
+    val idx = MinHashIndex(spark, root, "docs")
+    idx.build(docs, "doc_id", "text", n = 3, numHashes = 16, bands = 4)
+    assert(idx.foldCurrent, "freshly built artifact carries the current stamp")
+    // simulate a legacy artifact: rewrite _meta.json without the stamp
+    val metaPath = new org.apache.hadoop.fs.Path(s"$root/docs/_meta.json")
+    val hfs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(metaPath, true)
+    out.write("""{"n":3,"numHashes":16,"bands":4}""".getBytes("UTF-8"))
+    out.close()
+    assert(idx.exists, "legacy artifact still EXISTS (no silent rebuild of user data)")
+    assert(!idx.foldCurrent, "but it is not fold-current")
+    val e = intercept[IllegalArgumentException] { idx.meta }
+    assert(e.getMessage.contains("canonical fold"), e.getMessage)
+    // the engine-cache pattern: !foldCurrent -> rebuild -> usable again
+    idx.build(docs, "doc_id", "text", n = 3, numHashes = 16, bands = 4)
+    assert(idx.foldCurrent && idx.meta.n == 3)
+  }
 }
