@@ -52,7 +52,66 @@ object SimpleCaseFold {
 
   def lower(s: UTF8String): UTF8String =
     if (s.isFullAscii) s.toLowerCaseAscii()
-    else UTF8String.fromString(lower(s.toString))
+    else lowerNonAscii(s)
+
+  /** Non-ASCII path folded DIRECTLY over the UTF-8 payload bytes — no
+    * String round-trip (the r15 implementation decoded to String and back,
+    * a per-row allocation pair that shows up on CJK/Cyrillic-heavy corpora;
+    * measured in BENCH_SCALE.md "fold probe"). Decode each code point,
+    * map via the same `Character.toLowerCase`, re-encode. Output bound:
+    * simple lowercase never more than doubles a code point's UTF-8 length
+    * (ASCII→ASCII; 2-byte→≤3-byte, e.g. U+023A→U+2C65; 3-byte→≤4;
+    * 4-byte→4 — pinned exhaustively in SimpleLowerSpec), so a 2× buffer
+    * suffices. Malformed sequences (truncated/stray continuation bytes —
+    * impossible for Spark-produced values) pass through byte-identical
+    * rather than becoming U+FFFD: stability over repair, for a KEY fold. */
+  private def lowerNonAscii(s: UTF8String): UTF8String = {
+    val in = s.getBytes
+    val n = in.length
+    val out = new Array[Byte](n * 2)
+    var i = 0
+    var o = 0
+    while (i < n) {
+      val b0 = in(i) & 0xFF
+      var cp = -1
+      var len = 1
+      if (b0 < 0x80) { cp = b0 }
+      else if ((b0 & 0xE0) == 0xC0 && i + 1 < n) {
+        cp = ((b0 & 0x1F) << 6) | (in(i + 1) & 0x3F); len = 2
+      } else if ((b0 & 0xF0) == 0xE0 && i + 2 < n) {
+        cp = ((b0 & 0x0F) << 12) | ((in(i + 1) & 0x3F) << 6) | (in(i + 2) & 0x3F)
+        len = 3
+      } else if ((b0 & 0xF8) == 0xF0 && i + 3 < n) {
+        cp = ((b0 & 0x07) << 18) | ((in(i + 1) & 0x3F) << 12) |
+          ((in(i + 2) & 0x3F) << 6) | (in(i + 3) & 0x3F)
+        len = 4
+      }
+      if (cp < 0) { // malformed: copy the byte as-is
+        out(o) = in(i); o += 1; i += 1
+      } else {
+        val lc = Character.toLowerCase(cp)
+        if (lc < 0x80) { out(o) = lc.toByte; o += 1 }
+        else if (lc < 0x800) {
+          out(o) = (0xC0 | (lc >> 6)).toByte
+          out(o + 1) = (0x80 | (lc & 0x3F)).toByte
+          o += 2
+        } else if (lc < 0x10000) {
+          out(o) = (0xE0 | (lc >> 12)).toByte
+          out(o + 1) = (0x80 | ((lc >> 6) & 0x3F)).toByte
+          out(o + 2) = (0x80 | (lc & 0x3F)).toByte
+          o += 3
+        } else {
+          out(o) = (0xF0 | (lc >> 18)).toByte
+          out(o + 1) = (0x80 | ((lc >> 12) & 0x3F)).toByte
+          out(o + 2) = (0x80 | ((lc >> 6) & 0x3F)).toByte
+          out(o + 3) = (0x80 | (lc & 0x3F)).toByte
+          o += 4
+        }
+        i += len
+      }
+    }
+    UTF8String.fromBytes(out, 0, o)
+  }
 
   /** String-side fold for driver-side kernels (BPE pre-tokenization). */
   def lower(s: String): String = {

@@ -111,11 +111,28 @@ class Bm25Index(
       buckets.fold("")(b => s""","buckets":$b""") + foldStampJson + "}")
   }
 
+  /** Fold the per-[[upsert]] appended posting files into ~target-sized
+    * ones ([[Compaction.compactDir]]) — the same scheduled maintenance as
+    * [[MinHashIndex.compact]]: every upsert appends one file per touched
+    * bucket, and a daily-ingest deployment would otherwise accumulate
+    * files linear in batches ever ingested. Row-identical rewrite; on a
+    * bucketed layout the hive partitioning is preserved (readers keep
+    * pruning on `bucket=`) with a floor of one file per present bucket.
+    * `df/` needs no pass — upsert shadow-rewrites it whole. Run between
+    * ingests under the index's single-writer contract; see MAINTENANCE.md. */
+  def compact(targetFileBytes: Long = 128L << 20, minFiles: Int = 8): (Int, Int) = {
+    require(exists, s"index $name does not exist - build() it first")
+    val buckets = metaFieldOpt(readMetaJson(), "buckets")
+    Compaction.compactDir(spark, tfPath, targetFileBytes, minFiles,
+      partitionBy = if (buckets.isDefined) Seq("bucket") else Nil)
+  }
+
   /** Overwrite `target` with `rows` when the plan READS `target`: write a
     * shadow directory, then swap via two renames (self-overwrite would
     * either fail or corrupt the input mid-scan). Crash inside the swap can
     * leave the dir needing a manual rename — single-writer contract, and
-    * `exists` is false for the whole window. */
+    * `exists` is false for the whole window. Rename-atomicity caveat
+    * centralized in MAINTENANCE.md. */
   private def overwriteViaShadow(target: Path, rows: DataFrame): Unit = {
     val shadow = new Path(base, target.getName + "_shadow")
     fs.delete(shadow, true)

@@ -42,7 +42,8 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
  * compaction through a committer/table layer with atomic semantics
  * (or tolerate re-listing the union of both dirs during manual
  * recovery) — the standard caveat for every rename-based maintenance
- * job.
+ * job. MAINTENANCE.md at the repo root is the single operational
+ * inventory of those jobs and the deployment guidance.
  */
 object Compaction {
 

@@ -49,15 +49,17 @@ private[index] trait FsArtifact {
     finally in.close()
   }
 
-  /** Field extractor for the flat one-object meta JSON artifacts write. */
+  /** Field extractor for the flat one-object meta JSON artifacts write
+    * (a real tokenizer, [[FlatJson]] — quoted commas/braces in values
+    * parse correctly). */
   protected final def metaField(json: String, k: String): String =
-    json.split(s""""$k":""")(1).split("[,}]")(0).trim
-      .stripPrefix("\"").stripSuffix("\"")
+    FlatJson.parse(json).getOrElse(k,
+      throw new IllegalArgumentException(s"$name: meta has no field '$k': $json"))
 
   /** Like [[metaField]] but None when the field is absent — for fields
     * added after artifacts of this kind already existed on disk. */
   protected final def metaFieldOpt(json: String, k: String): Option[String] =
-    if (json.contains(s""""$k":""")) Some(metaField(json, k)) else None
+    FlatJson.parse(json).get(k)
 
   /** The `"fold"` meta stamp for TEXT-KEY artifacts (signatures, grams,
     * postings all derive from the canonical fold): the JSON fragment to
@@ -75,8 +77,31 @@ private[index] trait FsArtifact {
         s"${got.getOrElse("<pre-versioning full-mapping lower()>")} but this " +
         s"engine folds with ${graft.expr.SimpleCaseFold.Version} — its text " +
         "keys would silently disagree on İ/Σ-class characters; rebuild the " +
-        "artifact")
+        "artifact (rebuildIfStale(...) does this in place)")
   }
+
+  /** Migration path for USER-OWNED artifacts hitting the
+    * [[requireFoldCurrent]] refusal (the engine's own tmpdir caches
+    * auto-rebuild via [[foldCurrent]]; user artifacts should opt in
+    * explicitly): when the artifact is absent or carries a stale fold
+    * stamp, run `build` — the caller's own `build(...)` invocation, which
+    * the FsArtifact build protocol (invalidate → write data → stamp meta)
+    * makes crash-safe — and return true. A current artifact is left
+    * untouched (false). The closure must rebuild THIS artifact; a closure
+    * that doesn't restamp it is a caller bug and fails loudly rather than
+    * leaving the stale artifact to refuse again later. Only meaningful for
+    * FOLD-STAMPED artifacts (MinHashIndex, SpanIndex, Bm25Index) — an
+    * un-stamped artifact kind (vector collections) reads as never-current
+    * and would rebuild every call. */
+  final def rebuildIfStale(build: => Unit): Boolean =
+    if (foldCurrent) false
+    else {
+      build
+      require(foldCurrent,
+        s"$name: the rebuildIfStale closure ran but the artifact still is " +
+          "not current — it must invoke this artifact's own build(...)")
+      true
+    }
 
   /** True iff the artifact exists AND was built under the current fold —
     * the rebuild predicate for engine-owned caches. */

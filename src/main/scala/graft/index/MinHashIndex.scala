@@ -159,22 +159,33 @@ class MinHashIndex(
       val ok = bands.groupBy(col("band")).agg(count(lit(1)).as("__n"))
         .filter(col("__n") <= maxBucketSize).select(col("band"))
       // batch side is small by contract — broadcast it onto the corpus
-      // band stream; the corpus band table never shuffles for this join
+      // band stream; the corpus band table never shuffles for this join.
+      // Eager (localCheckpoint): three consumers below, and the empty
+      // case must short-circuit WITHOUT planning the corpus-side verify —
+      // a no-candidate batch (the streaming common case) otherwise pays a
+      // full corpus id+text column scan for the semi-join that will
+      // match nothing.
       val cand = bands.join(ok, Seq("band"), "left_semi")
         .join(broadcast(bBands), Seq("band"))
         .filter(col("bid") =!= col("id"))
         .select(col("bid"), col("id")).distinct()
-      val bIds = cand.select(col("bid")).distinct()
-      val cIds = cand.select(col("id")).distinct()
-      val bSh = batch.join(bIds, batch(idCol) === bIds("bid"), "left_semi")
-        .select(col(idCol).as("bid"), Dedup.shingles(col(textCol), m.n).as("__sa"))
-      val cSh = corpus.join(cIds, corpus(corpusIdCol) === cIds("id"), "left_semi")
-        .select(col(corpusIdCol).as("id"), Dedup.shingles(col(corpusTextCol), m.n).as("__sb"))
-      cand.join(bSh, Seq("bid")).join(cSh, Seq("id"))
-        .withColumn("jaccard", Dedup.jaccard(col("__sa"), col("__sb")))
-        .filter(col("jaccard") >= threshold)
-        .select(col("bid").as("batch_id"), col("id").as("match_id"), col("jaccard"))
         .localCheckpoint(true)
+      if (cand.isEmpty)
+        cand.select(col("bid").as("batch_id"), col("id").as("match_id"),
+          lit(0.0).as("jaccard"))
+      else {
+        val bIds = cand.select(col("bid")).distinct()
+        val cIds = cand.select(col("id")).distinct()
+        val bSh = batch.join(bIds, batch(idCol) === bIds("bid"), "left_semi")
+          .select(col(idCol).as("bid"), Dedup.shingles(col(textCol), m.n).as("__sa"))
+        val cSh = corpus.join(cIds, corpus(corpusIdCol) === cIds("id"), "left_semi")
+          .select(col(corpusIdCol).as("id"), Dedup.shingles(col(corpusTextCol), m.n).as("__sb"))
+        cand.join(bSh, Seq("bid")).join(cSh, Seq("id"))
+          .withColumn("jaccard", Dedup.jaccard(col("__sa"), col("__sb")))
+          .filter(col("jaccard") >= threshold)
+          .select(col("bid").as("batch_id"), col("id").as("match_id"), col("jaccard"))
+          .localCheckpoint(true)
+      }
     } finally bands.unpersist(false)
   }
 

@@ -107,6 +107,8 @@ class SpanIndex(
     writeMetaJson(s"""{"n":$nGram,"buckets":$b$foldStampJson}""")
   }
 
+  /** Shadow + two-rename swap; assumes atomic directory rename — caveat
+    * and deployment guidance centralized in MAINTENANCE.md. */
   private def overwriteViaShadow(target: Path, rows: DataFrame,
       partitionBy: Option[String]): Unit = {
     val shadow = new Path(base, target.getName + "_shadow")

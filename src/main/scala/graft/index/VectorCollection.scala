@@ -308,7 +308,8 @@ class VectorCollection(
     * Idempotent across crashes: a crash after the swap leaves sidecars
     * whose re-application onto the already-merged base is a no-op
     * (tombstoned keys are gone, patch values equal the merged rows), and
-    * re-running compact finishes the cleanup. Single-writer contract. */
+    * re-running compact finishes the cleanup. Single-writer contract;
+    * rename-atomicity caveat and scheduling guidance in MAINTENANCE.md. */
   def compact(): Unit = {
     if (!fs.exists(dataPath) || !mutated) return
     val shadow = new Path(base, "data_shadow")
@@ -324,6 +325,31 @@ class VectorCollection(
     fs.delete(patchPath, true)
     ()
   }
+
+  /** File-LAYOUT maintenance ([[Compaction.compactDir]] over `data/` and
+    * both mutation sidecars): every [[upsert]] appends a file to `data/`
+    * (one per micro-batch under streaming ingest) and every
+    * [[delete]]/[[setPayload]] appends one to its sidecar, so file counts
+    * otherwise grow with batches/mutations ever applied — the same
+    * small-file explosion the streaming admission sinks compact away.
+    * Row-identical rewrites (the `__seq` overlay algebra is untouched, so
+    * the live view is byte-identical); a payload-partitioned `data/`
+    * keeps its hive layout. This is NOT [[compact]]: that FOLDS the
+    * sidecars into the base (a full merge); this only fixes layout and is
+    * safe to run far more often. Single-writer contract; see
+    * MAINTENANCE.md for the rename-atomicity caveat.
+    *
+    * @return (before, after) file counts per dir that was touched */
+  def compactFiles(targetFileBytes: Long = 128L << 20,
+      minFiles: Int = 8): Map[String, (Int, Int)] =
+    Seq(
+      "data" -> (dataPath, partitionField.toSeq),
+      "tombstones" -> (tombPath, Nil),
+      "patches" -> (patchPath, Nil)
+    ).map { case (label, (p, parts)) =>
+      label -> Compaction.compactDir(spark, p.toString, targetFileBytes,
+        minFiles, partitionBy = parts)
+    }.toMap
 
   /** Keyset-paginated point listing (the backend's `scroll` API): the
     * first `limit` rows with `idCol` strictly greater than `after`,

@@ -55,12 +55,19 @@ object Streaming {
       textCol: String,
       model: EmbedModel,
       collection: VectorCollection,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      maxSinkFiles: Int = 256): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // auto-maintenance inside the single-writer batch window (same
+        // trigger discipline as admitStream): each upsert appends one
+        // data/ file per batch, so fold the layout once the count passes
+        // maxSinkFiles; 0 disables. Row-identical — upsert's anti-join
+        // and the live view read the same table either way.
+        if (maxSinkFiles > 0) collection.compactFiles(minFiles = maxSinkFiles)
         val embedded = model.transform(batch, textCol, "vec")
         collection.upsert(embedded, idCol)
       }
@@ -108,22 +115,24 @@ object Streaming {
    *   4. admitted rows append to the corpus parquet and incrementally
    *      upsert into the index (both O(batch)).
    *
-   * At 100 TB the corpus-sized artifacts touched per batch are the band
-   * table (columnar, band-key join) and — via the replay guard's
-   * left-anti join — one columnar scan of the admitted corpus's ID
-   * column; never the text. Measured (BENCH_SCALE.md round-15
-   * `stream_flat`): per-batch cost grows ≈1.5× for a 30× corpus, the id
-   * stripe + band join share. A deployment at genuine scale should keep
-   * the admitted-id set as its own compact sidecar (or a bloom filter)
-   * instead of re-reading the corpus parquet's id column per batch — the
-   * guard only needs id membership, not the table. Each batch appends
-   * one small file to the corpus AND one to the index's signature table;
-   * when either exceeds `maxSinkFiles` files the batch callback folds it
-   * first ([[graft.index.Compaction.compactDir]] / [[MinHashIndex.compact]]
-   * — the callback IS the guaranteed single-writer window; 0 disables),
-   * so file counts stay bounded by data size, not by batches
-   * ever admitted. Single-writer
-   * contract per index/admitted-dir, like the index upsert itself.
+   * At 100 TB the only corpus-sized artifact touched per batch is the
+   * band table (columnar, band-key join). The replay guard anti-joins
+   * the ADMITTED-ID SIDECAR (`<admittedDir>__ids` — ids plus a
+   * per-batch commit record, ~tens of bytes/row) rather than re-reading
+   * the corpus parquet's id column per micro-batch — the guard needs id
+   * membership, not the table, and on a wide corpus the id-column scan
+   * was the measured super-flat term (BENCH_SCALE.md round-15
+   * `stream_flat`: 2.4 → 10.2 s/batch at 100×). The sidecar
+   * self-bootstraps from an existing corpus on first use (one id scan,
+   * ever) and is the batch's DECISION RECORD for crash recovery — see
+   * [[admitBatch]] for the exact commit protocol. Each batch appends one
+   * small file to the corpus, one to the sidecar AND one to the index's
+   * signature table; when any exceeds `maxSinkFiles` files the batch
+   * callback folds it first ([[graft.index.Compaction.compactDir]] /
+   * [[MinHashIndex.compact]] — the callback IS the guaranteed
+   * single-writer window; 0 disables), so file counts stay bounded by
+   * data size, not by batches ever admitted. Single-writer contract per
+   * index/admitted-dir, like the index upsert itself.
    *
    * `admittedDir` must hold the same corpus the index was built from
    * (schema: idCol, textCol, payload...).
@@ -142,52 +151,132 @@ object Streaming {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        // auto-maintenance INSIDE the batch callback — the one place the
-        // single-writer window is guaranteed: when either append target
-        // (the corpus dir, the signature table) has accumulated more
-        // than maxSinkFiles files, fold it before this batch reads it.
-        // Bounded-frequency by construction (a compacted dir is ~total/
-        // target files, so the trigger re-arms only after ~maxSinkFiles
-        // further batches); 0 disables.
-        if (maxSinkFiles > 0) {
-          graft.index.Compaction.compactDir(spark, admittedDir,
-            minFiles = maxSinkFiles)
-          index.compact(minFiles = maxSinkFiles)
-        }
-        val m = index.meta
-        val corpus = spark.read.parquet(admittedDir)
-        val replayFree = batch.join(
-          corpus.select(col(idCol)), Seq(idCol), "left_anti")
-        val inBatch = graft.dedup.Dedup.dropNearDuplicates(
-          replayFree, idCol, textCol,
-          n = m.n, numHashes = m.numHashes, bands = m.bands,
-          threshold = threshold, maxBucketSize = maxBucketSize)
-        val matched = index.nearDupAgainstExact(
-            inBatch, idCol, textCol, corpus, idCol, textCol,
-            threshold, maxBucketSize)
-          .select(col("batch_id").as(idCol)).distinct()
-        // eager: the admitted frame feeds two writes; localCheckpoint
-        // also severs it from the corpus read, so the append below can't
-        // invalidate its own input listing
-        val admitted = inBatch.join(matched, Seq(idCol), "left_anti")
-          .localCheckpoint(true)
-        if (!admitted.isEmpty) {
-          // Upsert BEFORE append: the append is the commit point (the
-          // replay guard keys on admittedDir). A crash between the two
-          // then replays the batch — benign, because self-candidates are
-          // id-filtered, exact-verify reads text from the not-yet-appended
-          // corpus, and MinHashIndex.upsert is idempotent by key. The
-          // reverse order's crash left admitted ids with no signatures:
-          // the guard dropped them on restart and the index permanently
-          // missed their bands (later duplicates sailed through).
-          index.upsert(admitted, idCol, textCol)
-          admitted.write.mode(org.apache.spark.sql.SaveMode.Append)
-            .parquet(admittedDir)
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBatch(batch, batchId, idCol, textCol, index, admittedDir,
+          threshold, checkpointDir, maxBucketSize, maxSinkFiles)
       }
       .start()
+
+  /** The admitted-id sidecar dir for `admittedDir` (ids + commit record,
+    * the replay guard's compact membership table). */
+  def admitIdsDir(admittedDir: String): String = admittedDir + "__ids"
+
+  /**
+   * One micro-batch of [[admitStream]] — extracted so the crash-recovery
+   * protocol is directly testable. Sidecar schema: `idCol`, `__ckpt`
+   * (the query's checkpoint dir — batch ids restart at 0 for every new
+   * checkpoint, so the commit key must be the PAIR), `__batch`.
+   *
+   * Commit protocol, in write order:
+   *   1. [[MinHashIndex.upsert]] of the admitted rows (idempotent by
+   *      key; a crash here replays the batch against orphan signatures,
+   *      benign: self-candidates are id-filtered and exact-verify reads
+   *      text from the not-yet-appended corpus);
+   *   2. sidecar append of `(id, checkpointDir, batchId)` — the DECISION
+   *      RECORD: from here the batch's admitted id set is durable;
+   *   3. corpus append — the data commit.
+   * A replayed batch whose (ckpt, batch) already appears in the sidecar
+   * takes the HEAL path instead of recomputing: the recorded ids are the
+   * admitted set, and only rows missing from the corpus (a crash between
+   * 2 and 3) are appended — that one rare path re-reads the corpus id
+   * column; steady-state batches never do. The sidecar is therefore
+   * always a superset-or-equal of the corpus ids, which is exactly what
+   * the replay guard needs (transiently-decided ids are dropped by the
+   * guard and committed by the heal, never lost, never duplicated).
+   */
+  private[graft] def admitBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      index: MinHashIndex,
+      admittedDir: String,
+      threshold: Double,
+      checkpointDir: String,
+      maxBucketSize: Int = 10000,
+      maxSinkFiles: Int = 256): Unit = {
+    val spark = batch.sparkSession
+    val idsDir = admitIdsDir(admittedDir)
+    // auto-maintenance INSIDE the batch callback — the one place the
+    // single-writer window is guaranteed: when any append target (the
+    // corpus dir, the id sidecar, the signature table) has accumulated
+    // more than maxSinkFiles files, fold it before this batch reads it.
+    // Bounded-frequency by construction (a compacted dir is ~total/
+    // target files, so the trigger re-arms only after ~maxSinkFiles
+    // further batches); 0 disables.
+    if (maxSinkFiles > 0) {
+      graft.index.Compaction.compactDir(spark, admittedDir,
+        minFiles = maxSinkFiles)
+      graft.index.Compaction.compactDir(spark, idsDir,
+        minFiles = maxSinkFiles)
+      index.compact(minFiles = maxSinkFiles)
+    }
+    def readDir(dir: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else
+        try Some(spark.read.parquet(dir))
+        catch { case scala.util.control.NonFatal(_) => None } // exists-but-empty race
+    }
+    // bootstrap: a pre-sidecar deployment has a corpus but no id sidecar —
+    // seed it from the corpus id column once (the only full-corpus id
+    // scan this sink ever takes outside the rare heal path)
+    val sidecar = readDir(idsDir).getOrElse {
+      readDir(admittedDir).foreach {
+        _.select(col(idCol), lit("").as("__ckpt"), lit(-1L).as("__batch"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(idsDir)
+      }
+      readDir(idsDir).getOrElse(
+        spark.range(0).select(lit(null).cast(batch.schema(idCol).dataType).as(idCol),
+          lit("").as("__ckpt"), lit(-1L).as("__batch")))
+    }
+    val replayed = !sidecar
+      .filter(col("__ckpt") === lit(checkpointDir) && col("__batch") === lit(batchId))
+      .isEmpty
+    if (replayed) {
+      // HEAL: the decision record is authoritative; commit whatever the
+      // crash left uncommitted, recompute nothing.
+      val decided = sidecar
+        .filter(col("__ckpt") === lit(checkpointDir) && col("__batch") === lit(batchId))
+        .select(col(idCol))
+      val rows = batch.join(decided, Seq(idCol), "left_semi")
+      val missing = readDir(admittedDir)
+        .fold(rows)(c => rows.join(c.select(col(idCol)), Seq(idCol), "left_anti"))
+        .localCheckpoint(true)
+      if (!missing.isEmpty) {
+        index.upsert(missing, idCol, textCol) // idempotent; usually a no-op
+        missing.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(admittedDir)
+      }
+      return
+    }
+    val m = index.meta
+    val corpus = spark.read.parquet(admittedDir)
+    val replayFree = batch.join(
+      sidecar.select(col(idCol)), Seq(idCol), "left_anti")
+    val inBatch = graft.dedup.Dedup.dropNearDuplicates(
+      replayFree, idCol, textCol,
+      n = m.n, numHashes = m.numHashes, bands = m.bands,
+      threshold = threshold, maxBucketSize = maxBucketSize)
+    val matched = index.nearDupAgainstExact(
+        inBatch, idCol, textCol, corpus, idCol, textCol,
+        threshold, maxBucketSize)
+      .select(col("batch_id").as(idCol)).distinct()
+    // eager: the admitted frame feeds three writes; localCheckpoint also
+    // severs it from the sidecar/corpus reads, so the appends below can't
+    // invalidate their own input listings
+    val admitted = inBatch.join(matched, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    if (!admitted.isEmpty) {
+      index.upsert(admitted, idCol, textCol)
+      admitted.select(col(idCol), lit(checkpointDir).as("__ckpt"),
+          lit(batchId).as("__batch"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(idsDir)
+      admitted.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(admittedDir)
+    }
+  }
 
   /**
    * Streaming SPAN-CUT admission: each micro-batch is cut against the

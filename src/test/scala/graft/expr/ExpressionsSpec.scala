@@ -148,4 +148,37 @@ class ExpressionsSpec extends SparkSpec with TableDrivenPropertyChecks {
     in.filter(_ != null).zipWithIndex.foreach { case (s, i) =>
       assert(graft.expr.SimpleCaseFold.lower(s) == got(i)) }
   }
+
+  test("byte-level fold == String fold for EVERY code point; 2x buffer bound holds") {
+    // The r16 non-ASCII path folds UTF-8 bytes directly (no String
+    // round-trip). Exhaustive: each assigned code point folded through
+    // both the UTF8String (byte) kernel and the String kernel must agree
+    // byte-for-byte — including the buffer-bound claim (a cp's lowercase
+    // UTF-8 length never exceeds 2x its own).
+    import org.apache.spark.unsafe.types.UTF8String
+    def utf8Len(cp: Int): Int =
+      if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4
+    var cp = 0
+    while (cp <= 0x10FFFF) {
+      if (cp < 0xD800 || cp > 0xDFFF) {
+        val s = new String(Character.toChars(cp))
+        val viaBytes = graft.expr.SimpleCaseFold.lower(UTF8String.fromString(s))
+        val viaString = graft.expr.SimpleCaseFold.lower(s)
+        assert(viaBytes.toString == viaString,
+          f"cp U+$cp%04X: byte fold '${viaBytes}' != String fold '$viaString'")
+        assert(utf8Len(Character.toLowerCase(cp)) <= 2 * utf8Len(cp),
+          f"cp U+$cp%04X violates the 2x output-buffer bound")
+      }
+      cp += 1
+    }
+    // multi-cp strings mixing widths fold identically too
+    val mixed = "Ⱥ𐐀İΣ à 中ꟇßQ"
+    assert(graft.expr.SimpleCaseFold.lower(UTF8String.fromString(mixed)).toString
+      == graft.expr.SimpleCaseFold.lower(mixed))
+    // malformed bytes (stray continuation, truncated lead) pass through
+    // byte-identical — stability over repair for a key fold
+    val bad = Array[Byte](0x41, 0x80.toByte, 0xC3.toByte) // 'A', stray cont, truncated lead
+    val folded = graft.expr.SimpleCaseFold.lower(UTF8String.fromBytes(bad))
+    assert(folded.getBytes.toSeq == Seq[Byte](0x61, 0x80.toByte, 0xC3.toByte))
+  }
 }

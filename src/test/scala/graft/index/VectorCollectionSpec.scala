@@ -216,6 +216,48 @@ class VectorCollectionSpec extends SparkSpec {
     assert(c.load().filter(col("id") === "a").select("status").as[String].head() == "v3")
   }
 
+  test("compactFiles bounds per-batch/per-mutation file counts, live view identical") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = tmpRoot
+    val c = VectorCollection(spark, root, "layout")
+    c.create(CollectionMeta(2, "cosine", normalized = false))
+    // eight single-row upserts (the streaming-ingest shape: one data/ file
+    // per micro-batch) and a few mutations (one sidecar file each)
+    (1 to 8).foreach { i =>
+      c.upsert(Seq((i.toLong, Array(i.toFloat, 0f), s"p$i"))
+        .toDF("id", "vec", "tag"), "id")
+    }
+    c.delete(col("id") === 7L)
+    c.delete(col("id") === 8L)
+    c.setPayload(col("id") === 1L, Map("tag" -> lit("patched")))
+    c.setPayload(col("id") === 2L, Map("tag" -> lit("patched")))
+    def files(sub: String): Int = {
+      val d = new java.io.File(s"$root/layout/$sub")
+      if (!d.exists()) 0
+      else d.listFiles().count(f =>
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    }
+    val before = c.load().collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toList, r.getString(2))).toSet
+    assert(files("data") >= 8 && files("tombstones") >= 2 && files("patches") >= 2)
+    val folded = c.compactFiles(minFiles = 2)
+    assert(files("data") <= 2 && files("tombstones") <= 2 && files("patches") <= 2,
+      s"folded layout: data=${files("data")} tomb=${files("tombstones")} patch=${files("patches")}")
+    assert(folded("data")._1 >= 8 && folded("data")._2 < folded("data")._1)
+    assert(folded("tombstones")._2 <= folded("tombstones")._1)
+    // layout-only: the merge-on-read view is row-identical, sidecars still
+    // overlay (this is NOT compact() — the collection stays "mutated")
+    assert(c.mutated)
+    val after = c.load().collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toList, r.getString(2))).toSet
+    assert(after == before)
+    assert(after.map(_._1) == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(after.count(_._3 == "patched") == 2)
+    // further mutations on the compacted layout still resolve in order
+    c.delete(col("id") === 1L)
+    assert(c.load().count() == 5)
+  }
+
   test("compact folds sidecars into the base and restores the fast path") {
     import org.apache.spark.sql.functions.{col, lit}
     val root = tmpRoot

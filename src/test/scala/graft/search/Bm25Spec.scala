@@ -95,6 +95,39 @@ class Bm25Spec extends SparkSpec {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("index compact: per-upsert posting files fold, hive layout kept, answers identical") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25_cmp").toString
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sf0001)
+    val idx = graft.index.Bm25Index(spark, root, "docs")
+      .build(docs.filter($"doc_id" < 300), "doc_id", "text", buckets = 4)
+    // five single-ish upserts: each appends one file per touched bucket
+    (0 until 5).foreach { i =>
+      idx.upsert(docs.filter($"doc_id" >= 300 + i * 20 && $"doc_id" < 320 + i * 20),
+        "doc_id", "text")
+    }
+    def tfFiles(): Seq[java.io.File] =
+      new java.io.File(s"$root/docs/tf").listFiles()
+        .filter(_.getName.startsWith("bucket=")).toSeq
+        .flatMap(_.listFiles().filter(f =>
+          !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+    val q = graft.bench.Sampling.seeded(docs.filter($"doc_id" < 400), "doc_id", 5)
+    val before = idx.query(q, "doc_id", "text", k = 10, roundScoreTo = Some(6))
+      .collect().toSet
+    val nBefore = tfFiles().size
+    val (b0, a0) = idx.compact(minFiles = 5)
+    assert(b0 == nBefore && a0 < b0, s"expected a fold, got $b0 -> $a0")
+    // hive layout preserved (readers keep pruning on bucket=), floor is one
+    // file per present bucket, and answers are row-identical
+    assert(new java.io.File(s"$root/docs/tf").listFiles()
+      .count(_.getName.startsWith("bucket=")) == 4)
+    assert(tfFiles().size <= 4)
+    assert(idx.query(q, "doc_id", "text", k = 10, roundScoreTo = Some(6))
+      .collect().toSet == before)
+    // once at the per-bucket floor, further passes are no-ops
+    val (b1, a1) = idx.compact(minFiles = 2)
+    assert(b1 == a1)
+  }
+
   test("bm25: string doc ids take the window fallback and rank identically") {
     // same corpus, ids as non-numeric strings: the long-cast heap tie-break
     // would null-cast every row out; the window fallback must produce the

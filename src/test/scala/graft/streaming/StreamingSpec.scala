@@ -183,6 +183,79 @@ class StreamingSpec extends SparkSpec {
     assert(idx.signatures().count() == 4)
   }
 
+  test("admission id sidecar: bootstraps from an existing corpus, tracks admitted ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_admit_sc")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "pack my box with five dozen liquor jugs before noon today ok")
+    ).toDF("doc_id", "text")
+    corpus.write.parquet(s"$tmp/admitted")
+    val idx = graft.index.MinHashIndex(spark, tmp.toString, "sc_idx")
+    idx.build(corpus, "doc_id", "text", n = 3, numHashes = 128, bands = 32)
+    val source = MemoryStream[(Long, String)]
+    val q = Streaming.admitStream(source.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", idx, s"$tmp/admitted", threshold = 0.5, s"$tmp/ckpt1")
+    source.addData(
+      (11L, "sphinx of black quartz judge my vow said the wise old owl"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again"))
+    q.awaitTermination()
+    // the sidecar is exactly the admitted id set: pre-existing corpus ids
+    // seeded at bootstrap (__batch = -1) plus the committed batch's record
+    val sc = spark.read.parquet(Streaming.admitIdsDir(s"$tmp/admitted"))
+    assert(sc.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 11L))
+    assert(sc.filter($"__batch" === -1L).count() == 2)
+    assert(sc.filter($"__batch" >= 0L).select("doc_id").as[Long].collect().toSeq == Seq(11L))
+    assert(spark.read.parquet(s"$tmp/admitted")
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 11L))
+  }
+
+  test("admission crash recovery: a decided-but-uncommitted batch heals, never duplicates") {
+    val tmp = Files.createTempDirectory("graft_admit_heal")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    corpus.write.parquet(s"$tmp/admitted")
+    val idx = graft.index.MinHashIndex(spark, tmp.toString, "heal_idx")
+    idx.build(corpus, "doc_id", "text", n = 3, numHashes = 128, bands = 32)
+    val batch = Seq(
+      (30L, "sphinx of black quartz judge my vow said the wise old owl"),
+      (31L, "how vexingly quick daft zebras jump over the fence right now"))
+      .toDF("doc_id", "text")
+    // a normal batch commits: sidecar record + corpus rows + signatures
+    Streaming.admitBatch(batch, 0L, "doc_id", "text", idx, s"$tmp/admitted",
+      threshold = 0.5, checkpointDir = s"$tmp/ckptA")
+    assert(spark.read.parquet(s"$tmp/admitted").count() == 3)
+    // REPLAY of the same (checkpoint, batch): the decision record routes
+    // to the heal path — nothing missing, nothing recomputed, NO duplicates
+    Streaming.admitBatch(batch, 0L, "doc_id", "text", idx, s"$tmp/admitted",
+      threshold = 0.5, checkpointDir = s"$tmp/ckptA")
+    assert(spark.read.parquet(s"$tmp/admitted").count() == 3,
+      "replaying a committed batch must not duplicate corpus rows")
+    assert(idx.signatures().count() == 3)
+    // simulate a crash BETWEEN the sidecar append and the corpus append:
+    // doc 40's decision record exists, its corpus row does not
+    val crashBatch = Seq(
+      (40L, "five boxing wizards jump quickly over the frozen lazy river"))
+      .toDF("doc_id", "text")
+    crashBatch.select($"doc_id", lit(s"$tmp/ckptB").as("__ckpt"), lit(7L).as("__batch"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(Streaming.admitIdsDir(s"$tmp/admitted"))
+    // the replayed batch heals: the recorded id is committed to the corpus
+    // (and signed), exactly once
+    Streaming.admitBatch(crashBatch, 7L, "doc_id", "text", idx, s"$tmp/admitted",
+      threshold = 0.5, checkpointDir = s"$tmp/ckptB")
+    val healed = spark.read.parquet(s"$tmp/admitted")
+    assert(healed.select("doc_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 30L, 31L, 40L))
+    assert(idx.signatures().count() == 4, "healed row is signed into the index")
+    // healing is idempotent too
+    Streaming.admitBatch(crashBatch, 7L, "doc_id", "text", idx, s"$tmp/admitted",
+      threshold = 0.5, checkpointDir = s"$tmp/ckptB")
+    assert(spark.read.parquet(s"$tmp/admitted").count() == 4)
+    assert(idx.signatures().count() == 4)
+  }
+
   test("span-cut admission: duplicated passages stripped, index tracks cleaned text") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = Files.createTempDirectory("graft_cut_stream").toString
@@ -272,7 +345,13 @@ class StreamingSpec extends SparkSpec {
       s"corpus file count must stay bounded, got ${files(s"$tmp/admitted")}")
     assert(files(s"$tmp/admit_cidx/sig") <= 3,
       s"signature file count must stay bounded, got ${files(s"$tmp/admit_cidx/sig")}")
+    assert(files(Streaming.admitIdsDir(s"$tmp/admitted")) <= 3,
+      s"id-sidecar file count must stay bounded, got ${files(Streaming.admitIdsDir(s"$tmp/admitted"))}")
     assert(idx.signatures().count() == 7, "index rows survive compaction")
+    // the sidecar tracks the admitted id set exactly across compactions
+    assert(spark.read.parquet(Streaming.admitIdsDir(s"$tmp/admitted"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+      == (Seq(1L) ++ (0 until 6).map(100L + _)))
   }
 
   test("file-source events stream: windowed agg over the fixture matches batch") {
