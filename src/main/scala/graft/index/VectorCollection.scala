@@ -66,6 +66,10 @@ class VectorCollection(
   private lazy val keyPath = new Path(base, "_key")
 
   def create(meta: CollectionMeta): this.type = {
+    // commas/braces in values are fine (FlatJson reads them); a raw quote
+    // or backslash would need escaping the writers don't do — refuse loudly
+    require(!meta.metric.exists(c => c == '"' || c == '\\'),
+      s"metric '${meta.metric}' may not contain '\"' or '\\'")
     writeMetaJson(
       s"""{"dim":${meta.dim},"metric":"${meta.metric}","normalized":${meta.normalized}}""")
     this
@@ -82,6 +86,8 @@ class VectorCollection(
   def create(meta: CollectionMeta, partitionBy: String): this.type = {
     require(partitionBy.nonEmpty && !partitionBy.contains("\""),
       s"bad partition field '$partitionBy'")
+    require(!meta.metric.exists(c => c == '"' || c == '\\'),
+      s"metric '${meta.metric}' may not contain '\"' or '\\'")
     writeMetaJson(
       s"""{"dim":${meta.dim},"metric":"${meta.metric}","normalized":${meta.normalized},"partition_by":"$partitionBy"}""")
     this
@@ -112,6 +118,8 @@ class VectorCollection(
   def create(metric: String, normalized: Boolean,
       vectors: Seq[(String, Int)]): this.type = {
     require(vectors.nonEmpty, "named-vector collections need at least one vector")
+    require(!metric.exists(c => c == '"' || c == '\\'),
+      s"metric '$metric' may not contain '\"' or '\\'")
     vectors.foreach { case (n, d) =>
       require(!n.contains(";") && !n.contains("=") && n.nonEmpty,
         s"vector name '$n' may not contain ';' or '='")

@@ -158,8 +158,43 @@ object Streaming {
       .start()
 
   /** The admitted-id sidecar dir for `admittedDir` (ids + commit record,
-    * the replay guard's compact membership table). */
+    * the replay guard's compact membership table). Shared shape with
+    * [[cutStream]]'s sidecar (`<cleanDir>__ids`). */
   def admitIdsDir(admittedDir: String): String = admittedDir + "__ids"
+
+  /** Read a parquet dir if present and readable; None on absence or the
+    * exists-but-empty race a concurrent cleaner could leave. */
+  private def readDirOpt(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else
+      try Some(spark.read.parquet(dir))
+      catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The id sidecar for an admission sink: one row per committed id with
+    * its (`__ckpt`, `__batch`) DECISION RECORD. Bootstraps from the data
+    * dir's id column when absent (a pre-sidecar deployment — the one
+    * full-corpus id scan this sink ever takes outside the heal path);
+    * yields an empty typed frame when neither exists yet. */
+  private def sidecarFrame(spark: SparkSession, idsDir: String,
+      dataDir: String, idCol: String,
+      idType: org.apache.spark.sql.types.DataType): DataFrame =
+    readDirOpt(spark, idsDir).getOrElse {
+      readDirOpt(spark, dataDir).foreach {
+        _.select(col(idCol), lit("").as("__ckpt"), lit(-1L).as("__batch"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(idsDir)
+      }
+      readDirOpt(spark, idsDir).getOrElse(
+        spark.range(0).select(lit(null).cast(idType).as(idCol),
+          lit("").as("__ckpt"), lit(-1L).as("__batch")))
+    }
+
+  private def decisionOf(sidecar: DataFrame, checkpointDir: String,
+      batchId: Long): DataFrame =
+    sidecar.filter(col("__ckpt") === lit(checkpointDir) &&
+      col("__batch") === lit(batchId))
 
   /**
    * One micro-batch of [[admitStream]] — extracted so the crash-recovery
@@ -211,37 +246,14 @@ object Streaming {
         minFiles = maxSinkFiles)
       index.compact(minFiles = maxSinkFiles)
     }
-    def readDir(dir: String): Option[DataFrame] = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) None
-      else
-        try Some(spark.read.parquet(dir))
-        catch { case scala.util.control.NonFatal(_) => None } // exists-but-empty race
-    }
-    // bootstrap: a pre-sidecar deployment has a corpus but no id sidecar —
-    // seed it from the corpus id column once (the only full-corpus id
-    // scan this sink ever takes outside the rare heal path)
-    val sidecar = readDir(idsDir).getOrElse {
-      readDir(admittedDir).foreach {
-        _.select(col(idCol), lit("").as("__ckpt"), lit(-1L).as("__batch"))
-          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(idsDir)
-      }
-      readDir(idsDir).getOrElse(
-        spark.range(0).select(lit(null).cast(batch.schema(idCol).dataType).as(idCol),
-          lit("").as("__ckpt"), lit(-1L).as("__batch")))
-    }
-    val replayed = !sidecar
-      .filter(col("__ckpt") === lit(checkpointDir) && col("__batch") === lit(batchId))
-      .isEmpty
-    if (replayed) {
+    val sidecar = sidecarFrame(spark, idsDir, admittedDir, idCol,
+      batch.schema(idCol).dataType)
+    val decision = decisionOf(sidecar, checkpointDir, batchId)
+    if (!decision.isEmpty) {
       // HEAL: the decision record is authoritative; commit whatever the
       // crash left uncommitted, recompute nothing.
-      val decided = sidecar
-        .filter(col("__ckpt") === lit(checkpointDir) && col("__batch") === lit(batchId))
-        .select(col(idCol))
-      val rows = batch.join(decided, Seq(idCol), "left_semi")
-      val missing = readDir(admittedDir)
+      val rows = batch.join(decision.select(col(idCol)), Seq(idCol), "left_semi")
+      val missing = readDirOpt(spark, admittedDir)
         .fold(rows)(c => rows.join(c.select(col(idCol)), Seq(idCol), "left_anti"))
         .localCheckpoint(true)
       if (!missing.isEmpty) {
@@ -290,15 +302,19 @@ object Streaming {
    * document but strips its duplicated passages).
    *
    * Per micro-batch (foreachBatch; the artifact IS the state): replay
-   * guard by key against `cleanDir`, [[graft.index.SpanIndex.cut]] in
-   * foreign-batch mode, append, [[graft.index.SpanIndex.upsert]] — all
-   * O(batch) plus the bucket-pruned gram-table join. Output schema:
+   * guard by key against the id SIDECAR (`<cleanDir>__ids`, same
+   * decision-record protocol as [[admitBatch]] — the guard needs id
+   * membership, never a scan of the clean corpus's id column),
+   * [[graft.index.SpanIndex.cut]] in foreign-batch mode, append,
+   * [[graft.index.SpanIndex.upsert]] — all O(batch) plus the
+   * bucket-pruned gram-table join. Output schema:
    * `idCol`, `n_tokens`, `n_cut`, `textCol` (the cleaned text).
-   * Each batch appends one small file to `cleanDir` (the gram table
-   * itself is shadow-rewritten per upsert, never appended) — when its
-   * file count exceeds `maxSinkFiles` the batch callback folds it first
-   * ([[graft.index.Compaction.compactDir]]; 0 disables), so file counts
-   * stay bounded by data size, not by batches ever admitted.
+   * Each batch appends one small file to `cleanDir` and one to the
+   * sidecar (the gram table itself is shadow-rewritten per upsert, never
+   * appended) — when a file count exceeds `maxSinkFiles` the batch
+   * callback folds it first ([[graft.index.Compaction.compactDir]];
+   * 0 disables), so file counts stay bounded by data size, not by
+   * batches ever admitted.
    * Single-writer contract per index/cleanDir, and batch ids must be
    * disjoint from the indexed corpus (the index ownership contract).
    */
@@ -315,48 +331,89 @@ object Streaming {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        // auto-maintenance in the guaranteed single-writer window — see
-        // admitStream; compactDir no-ops while cleanDir is small/absent
-        if (maxSinkFiles > 0)
-          graft.index.Compaction.compactDir(spark, cleanDir,
-            minFiles = maxSinkFiles)
-        // cleanDir is this sink's own output: empty until the first batch
-        // commits, so "nothing there yet" means "nothing admitted yet".
-        // The existence pre-check keeps the expected first-batch miss out
-        // of the error log (Spark logs the FileNotFound at ERROR before
-        // a catch would see it); the try stays for the dir-exists-but-
-        // empty race a concurrent cleaner could leave.
-        val cleanPath = new org.apache.hadoop.fs.Path(cleanDir)
-        val cleanFs = cleanPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val fresh =
-          (if (!cleanFs.exists(cleanPath)) None
-          else
-            try Some(spark.read.parquet(cleanDir).select(col(idCol)))
-            catch { case scala.util.control.NonFatal(_) => None })
-            .fold(batch)(seen => batch.join(seen, Seq(idCol), "left_anti"))
-        val cleaned = index.cut(fresh, idCol, textCol,
-            preserveCase = preserveCase)
-          .withColumnRenamed("text_clean", textCol)
-          .localCheckpoint(true)
-        if (!cleaned.isEmpty) {
-          // Upsert BEFORE append (the append commits the batch for the
-          // replay guard). A crash between the two replays the batch
-          // against an index that already holds the cleaned grams — the
-          // cut is unchanged because ownership coalesce keeps the stored
-          // owner and cutWithOwners exempts a gram's owner, so each doc
-          // keeps exactly what it kept the first time; the re-upsert only
-          // inflates n_docs for this batch's grams (harmless in foreign
-          // mode, which tests presence). The reverse order's crash left
-          // cleaned ids committed with their grams permanently missing —
-          // later duplicates of admitted passages were never cut.
-          index.upsert(cleaned, idCol, textCol)
-          cleaned.write.mode(org.apache.spark.sql.SaveMode.Append)
-            .parquet(cleanDir)
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cutBatch(batch, batchId, idCol, textCol, index, cleanDir,
+          checkpointDir, preserveCase, maxSinkFiles)
       }
       .start()
+
+  /**
+   * One micro-batch of [[cutStream]] — the span-cut sibling of
+   * [[admitBatch]], with the same id-sidecar replay guard
+   * (`<cleanDir>__ids`) and (checkpoint, batch)-keyed decision record:
+   * the guard anti-joins the compact sidecar instead of re-reading the
+   * clean corpus's id column per micro-batch.
+   *
+   * Commit protocol, in write order: [[graft.index.SpanIndex.upsert]] of
+   * the cleaned rows' grams → sidecar append (the decision record) →
+   * clean-corpus append. The HEAL path (replay whose decision exists)
+   * RE-CUTS only the decided-but-uncommitted rows rather than replaying
+   * the recorded text (the sidecar stores ids, not documents): that
+   * recompute is stable because the crashed attempt's upsert already
+   * committed the batch's grams with their owners, ownership coalesce
+   * keeps the stored owner, and `cutWithOwners` exempts a gram's owner —
+   * each doc keeps exactly what it kept the first time (the same
+   * argument that made full-batch replay safe before the sidecar
+   * existed). No re-upsert on heal: the grams are already committed, and
+   * skipping it avoids the n_docs inflation a full-batch replay pays.
+   */
+  private[graft] def cutBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      index: graft.index.SpanIndex,
+      cleanDir: String,
+      checkpointDir: String,
+      preserveCase: Boolean = false,
+      maxSinkFiles: Int = 256): Unit = {
+    val spark = batch.sparkSession
+    val idsDir = admitIdsDir(cleanDir)
+    // auto-maintenance in the guaranteed single-writer window — see
+    // admitStream; compactDir no-ops while the dirs are small/absent
+    if (maxSinkFiles > 0) {
+      graft.index.Compaction.compactDir(spark, cleanDir,
+        minFiles = maxSinkFiles)
+      graft.index.Compaction.compactDir(spark, idsDir,
+        minFiles = maxSinkFiles)
+    }
+    val sidecar = sidecarFrame(spark, idsDir, cleanDir, idCol,
+      batch.schema(idCol).dataType)
+    val decision = decisionOf(sidecar, checkpointDir, batchId)
+    if (!decision.isEmpty) {
+      // HEAL: re-cut only the rows whose append the crash lost.
+      val rows = batch.join(decision.select(col(idCol)), Seq(idCol), "left_semi")
+      val missing = readDirOpt(spark, cleanDir)
+        .fold(rows)(c => rows.join(c.select(col(idCol)), Seq(idCol), "left_anti"))
+      val recut = index.cut(missing, idCol, textCol, preserveCase = preserveCase)
+        .withColumnRenamed("text_clean", textCol)
+        .localCheckpoint(true)
+      if (!recut.isEmpty)
+        recut.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(cleanDir)
+      return
+    }
+    val fresh = batch.join(sidecar.select(col(idCol)), Seq(idCol), "left_anti")
+    val cleaned = index.cut(fresh, idCol, textCol, preserveCase = preserveCase)
+      .withColumnRenamed("text_clean", textCol)
+      .localCheckpoint(true)
+    if (!cleaned.isEmpty) {
+      // Upsert FIRST (a crash before the decision record replays the full
+      // batch against an index that already holds the cleaned grams — the
+      // cut is unchanged because ownership coalesce keeps the stored owner
+      // and cutWithOwners exempts a gram's owner; the re-upsert only
+      // inflates n_docs for this batch's grams, harmless in foreign mode,
+      // which tests presence). The reverse order's crash left cleaned ids
+      // committed with their grams permanently missing — later duplicates
+      // of admitted passages were never cut. Then the decision record,
+      // then the data append (see admitBatch for the window analysis).
+      index.upsert(cleaned, idCol, textCol)
+      cleaned.select(col(idCol), lit(checkpointDir).as("__ckpt"),
+          lit(batchId).as("__batch"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(idsDir)
+      cleaned.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(cleanDir)
+    }
+  }
 
   /**
    * Streaming exact-dedup: drop rows whose key was already seen, keeping

@@ -36,6 +36,12 @@ class FsArtifactSpec extends SparkSpec {
     c.create(CollectionMeta(8, "co,x}sine", normalized = true))
     assert(c.meta == CollectionMeta(8, "co,x}sine", normalized = true))
     assert(c.partitionField.isEmpty)
+    // a raw quote/backslash would produce invalid JSON the writers don't
+    // escape — refused at the write boundary instead of corrupting meta
+    intercept[IllegalArgumentException] {
+      VectorCollection(spark, root, "bad")
+        .create(CollectionMeta(8, "co\"sine", normalized = true))
+    }
   }
 
   test("rebuildIfStale: stale fold rebuilds through the caller's build, current is untouched") {

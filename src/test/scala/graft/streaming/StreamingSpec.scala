@@ -298,6 +298,55 @@ class StreamingSpec extends SparkSpec {
     assert(clean2(20L) === ((8L, "")))
   }
 
+  test("span-cut crash recovery: decided-but-uncommitted rows re-cut identically, never duplicated") {
+    val tmp = Files.createTempDirectory("graft_cut_heal").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val idx = graft.index.SpanIndex(spark, s"$tmp/idx", "corpus")
+      .build(corpus, "doc_id", "text", n = 5, buckets = 8)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog but what a tail"),
+      (11L, "sphinx of black quartz judge my vow tonight")).toDF("doc_id", "text")
+    Streaming.cutBatch(batch, 0L, "doc_id", "text", idx, s"$tmp/clean",
+      checkpointDir = s"$tmp/ckptA")
+    def cleanRows() = spark.read.parquet(s"$tmp/clean")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_cut"), r.getAs[String]("text")))).toMap
+    val first = cleanRows()
+    assert(first(10L) === ((9L, "but what a tail")))
+    assert(first(11L) === ((0L, "sphinx of black quartz judge my vow tonight")))
+    // replay of a fully-committed batch: heal path, no duplicates
+    Streaming.cutBatch(batch, 0L, "doc_id", "text", idx, s"$tmp/clean",
+      checkpointDir = s"$tmp/ckptA")
+    assert(spark.read.parquet(s"$tmp/clean").count() == 2)
+    // simulate a crash BETWEEN the decision record and the clean append:
+    // doc 20's grams are upserted and its decision recorded, but its
+    // cleaned row never landed
+    val crashBatch = Seq(
+      (20L, "sphinx of black quartz judge my vow tonight maybe again"))
+      .toDF("doc_id", "text")
+    val preCut = idx.cut(crashBatch, "doc_id", "text")
+      .withColumnRenamed("text_clean", "text").localCheckpoint(true)
+    idx.upsert(preCut, "doc_id", "text")
+    crashBatch.select($"doc_id", lit(s"$tmp/ckptB").as("__ckpt"), lit(3L).as("__batch"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(Streaming.admitIdsDir(s"$tmp/clean"))
+    // the replayed batch heals: doc 20 is re-cut and lands EXACTLY as the
+    // crashed attempt computed it (ownership exemption keeps its own grams)
+    Streaming.cutBatch(crashBatch, 3L, "doc_id", "text", idx, s"$tmp/clean",
+      checkpointDir = s"$tmp/ckptB")
+    val healed = cleanRows()
+    assert(healed.keySet === Set(10L, 11L, 20L))
+    val expected = preCut.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("n_cut"), r.getAs[String]("text")))).toMap
+    assert(healed(20L) === expected(20L),
+      s"heal recompute must match the crashed attempt: ${healed(20L)} vs ${expected(20L)}")
+    // healing is idempotent
+    Streaming.cutBatch(crashBatch, 3L, "doc_id", "text", idx, s"$tmp/clean",
+      checkpointDir = s"$tmp/ckptB")
+    assert(spark.read.parquet(s"$tmp/clean").count() == 3)
+  }
+
   test("admission auto-compaction: sink file count stays bounded, rows exact") {
     // Six single-doc admission runs would leave six corpus appends and
     // six signature appends; with maxSinkFiles=3 the batch callback folds
