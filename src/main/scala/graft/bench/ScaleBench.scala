@@ -184,8 +184,8 @@ object ScaleBench {
     // predicts near-flat per-micro-batch time as the ADMITTED CORPUS
     // grows — the batch only ever touches the corpus through the
     // band-key-pruned signature table (near-dup), the (bucket, h)-pruned
-    // gram table (span-cut), and one columnar id-column scan for the
-    // replay guard. Measured directly: a FIXED 128-doc batch (4 files →
+    // gram table (span-cut), and one pass over the compact id SIDECAR for
+    // the replay guard. Measured directly: a FIXED 128-doc batch (4 files →
     // 4 micro-batches via maxFilesPerTrigger=1, ids offset far above
     // every replica id) streams against a 1×/10×/30× admitted corpus
     // with its index built per factor; each factor records the index

@@ -79,15 +79,16 @@ class Bm25Index(
     val tt0 = metaField(m, "totalTokens").toLong
     val buckets = metaFieldOpt(m, "buckets").map(_.toInt)
     invalidateMeta()
-    val indexed = spark.read.parquet(tfPath).select(col("doc")).distinct()
     // Eagerly pin the admitted batch BEFORE any write: `fresh` reads tfPath
     // (through the anti-join) and may be non-deterministic upstream, so a
     // lazy plan re-executed after the TF append could resolve to DIFFERENT
     // rows than the ones just appended — the stats delta below must come
     // from the exact row set the append wrote, or N/avgdl silently corrupt
-    // every later score.
-    val fresh = batch.dropDuplicates(idCol)
-      .join(indexed, batch(idCol) === indexed("doc"), "left_anti")
+    // every later score. Reversed anti probe ([[graft.plans.Joins]]): one
+    // streaming pass over the postings' doc column, no global distinct of
+    // the |docs × terms|-row table and no shuffle of it per batch.
+    val fresh = graft.plans.Joins.antiSmallLeft(batch.dropDuplicates(idCol),
+        spark.read.parquet(tfPath).select(col("doc").as(idCol)), idCol)
       .select(col(idCol), col(textCol))
       .localCheckpoint(true)
     val (nF, ttF) = Bm25.corpusStats(fresh, textCol)

@@ -153,8 +153,10 @@ class IvfCollection(
   def upsert(batch: DataFrame, idCol: String, vecCol: String): Unit = {
     require(exists, s"collection $name does not exist - build() it first")
     checkRoutingVersion()
-    val fresh = batch.dropDuplicates(idCol)
-      .join(load().select(col(idCol)), Seq(idCol), "left_anti")
+    // reversed anti probe ([[graft.plans.Joins]]): one streaming pass
+    // over the stored id column, never a per-batch shuffle of it
+    val fresh = graft.plans.Joins.antiSmallLeft(batch.dropDuplicates(idCol),
+      load().select(col(idCol)), idCol)
     val assigned = Ivf.assign(fresh, vecCol, centroids())
     val stored =
       if (isInt8) assigned

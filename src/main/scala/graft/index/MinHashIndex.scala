@@ -76,10 +76,11 @@ class MinHashIndex(
   def upsert(df: DataFrame, idCol: String, textCol: String): Unit = {
     require(exists, s"index $name does not exist - build() it first")
     val m = meta
-    val fresh = df
-      .join(signaturesRaw().select(col("id")),
-        df(idCol) === col("id"), "left_anti")
-      .select(df(idCol).as("id"),
+    // reversed anti probe: one streaming pass over the stored id column,
+    // no shuffle of it, at any corpus size ([[graft.plans.Joins]])
+    val fresh = graft.plans.Joins.antiSmallLeft(df,
+        signaturesRaw().select(col("id").as(idCol)), idCol)
+      .select(col(idCol).as("id"),
         Dedup.minHashSignature(Dedup.shingles(col(textCol), m.n), m.numHashes).as("sig"))
     fresh.write.mode(SaveMode.Append).parquet(sigPath.toString)
   }
@@ -148,45 +149,57 @@ class MinHashIndex(
       threshold: Double, maxBucketSize: Int = 10000): DataFrame = {
     require(exists, s"index $name does not exist - build() it first")
     val m = meta
+    // batch side is small by contract — pay its text kernel once (eager;
+    // two consumers below) and broadcast it onto the corpus band stream
     val bBands = batch
       .select(col(idCol).as("bid"),
         Dedup.minHashSignature(Dedup.shingles(col(textCol), m.n), m.numHashes).as("sig"))
       .where(element_at(col("sig"), 1) =!= Long.MaxValue)
       .select(col("bid"), explode(bandKeys(m)).as("band"))
-    val bands = bandTable()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val ok = bands.groupBy(col("band")).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") <= maxBucketSize).select(col("band"))
-      // batch side is small by contract — broadcast it onto the corpus
-      // band stream; the corpus band table never shuffles for this join.
-      // Eager (localCheckpoint): three consumers below, and the empty
-      // case must short-circuit WITHOUT planning the corpus-side verify —
-      // a no-candidate batch (the streaming common case) otherwise pays a
-      // full corpus id+text column scan for the semi-join that will
-      // match nothing.
-      val cand = bands.join(ok, Seq("band"), "left_semi")
-        .join(broadcast(bBands), Seq("band"))
-        .filter(col("bid") =!= col("id"))
-        .select(col("bid"), col("id")).distinct()
+      .localCheckpoint(true)
+    // ONE streaming pass over the corpus band table: semi-filter to the
+    // batch's bands (broadcast hash, no corpus shuffle), then apply the
+    // bucket-size cap as a windowed count over the MATCHED rows only —
+    // matched rows per band ARE that band's full corpus bucket (the join
+    // key is the band itself), so this is the same guard as the old
+    // full-table aggregate without persisting the banded corpus or
+    // shuffling its ~|corpus|·bands mostly-unique keys per call (the
+    // measured per-micro-batch cost of the streaming admission sink).
+    // The window's shuffle moves only matched rows: batch-candidate-sized
+    // in the common case, and even a pathological hot band stays below
+    // the old full-table aggregate it replaces.
+    val matched = bandTable()
+      .join(broadcast(bBands.select(col("band")).distinct()), Seq("band"), "left_semi")
+    val underCap = matched
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
+      .filter(col("__n") <= maxBucketSize)
+    // Eager (localCheckpoint): three consumers below, and the empty case
+    // must short-circuit WITHOUT planning the corpus-side verify — a
+    // no-candidate batch (the streaming common case) otherwise pays a
+    // full corpus id+text column scan for the semi-join that will
+    // match nothing.
+    val cand = underCap
+      .join(broadcast(bBands), Seq("band"))
+      .filter(col("bid") =!= col("id"))
+      .select(col("bid"), col("id")).distinct()
+      .localCheckpoint(true)
+    if (cand.isEmpty)
+      cand.select(col("bid").as("batch_id"), col("id").as("match_id"),
+        lit(0.0).as("jaccard"))
+    else {
+      val bIds = cand.select(col("bid")).distinct()
+      val cIds = cand.select(col("id")).distinct()
+      val bSh = batch.join(bIds, batch(idCol) === bIds("bid"), "left_semi")
+        .select(col(idCol).as("bid"), Dedup.shingles(col(textCol), m.n).as("__sa"))
+      val cSh = corpus.join(cIds, corpus(corpusIdCol) === cIds("id"), "left_semi")
+        .select(col(corpusIdCol).as("id"), Dedup.shingles(col(corpusTextCol), m.n).as("__sb"))
+      cand.join(bSh, Seq("bid")).join(cSh, Seq("id"))
+        .withColumn("jaccard", Dedup.jaccard(col("__sa"), col("__sb")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("bid").as("batch_id"), col("id").as("match_id"), col("jaccard"))
         .localCheckpoint(true)
-      if (cand.isEmpty)
-        cand.select(col("bid").as("batch_id"), col("id").as("match_id"),
-          lit(0.0).as("jaccard"))
-      else {
-        val bIds = cand.select(col("bid")).distinct()
-        val cIds = cand.select(col("id")).distinct()
-        val bSh = batch.join(bIds, batch(idCol) === bIds("bid"), "left_semi")
-          .select(col(idCol).as("bid"), Dedup.shingles(col(textCol), m.n).as("__sa"))
-        val cSh = corpus.join(cIds, corpus(corpusIdCol) === cIds("id"), "left_semi")
-          .select(col(corpusIdCol).as("id"), Dedup.shingles(col(corpusTextCol), m.n).as("__sb"))
-        cand.join(bSh, Seq("bid")).join(cSh, Seq("id"))
-          .withColumn("jaccard", Dedup.jaccard(col("__sa"), col("__sb")))
-          .filter(col("jaccard") >= threshold)
-          .select(col("bid").as("batch_id"), col("id").as("match_id"), col("jaccard"))
-          .localCheckpoint(true)
-      }
-    } finally bands.unpersist(false)
+    }
   }
 
   /**

@@ -193,21 +193,27 @@ class VectorCollection(
       writeData(df, SaveMode.Append)
       return
     }
+    // id-membership probes via the reversed broadcast shape
+    // ([[graft.plans.Joins]]): the stored id column outgrows the
+    // broadcast threshold with the collection, and the streaming ingest
+    // sink upserts once per micro-batch — each probe must stay one
+    // streaming pass over it, never a per-batch shuffle+sort of it.
     if (!mutated) {
-      writeData(df.join(load().select(col(idCol)), Seq(idCol), "left_anti"),
-        SaveMode.Append)
+      writeData(graft.plans.Joins.antiSmallLeft(
+        df, load().select(col(idCol)), idCol), SaveMode.Append)
       return
     }
     val rawIds = spark.read.parquet(dataPath.toString).select(col(idCol))
     // brand-new keys: never present in data/ -> base rows (sequence 0)
-    writeData(df.join(rawIds, Seq(idCol), "left_anti"), SaveMode.Append)
+    writeData(graft.plans.Joins.antiSmallLeft(df, rawIds, idCol),
+      SaveMode.Append)
     // revived keys: present in data/ but not live -> patch rows that
     // out-sequence the tombstone. (The plan lists data/ lazily, but the
     // append above only ADDED ids that are live-by-construction, so the
     // result is the same whichever listing this job snapshots.)
-    val revived = df.dropDuplicates(idCol)
-      .join(rawIds, Seq(idCol), "left_semi")
-      .join(load().select(col(idCol)), Seq(idCol), "left_anti")
+    val revived = graft.plans.Joins.antiSmallLeft(
+      graft.plans.Joins.semiSmallLeft(df.dropDuplicates(idCol), rawIds, idCol),
+      load().select(col(idCol)), idCol)
     if (!revived.isEmpty) appendPatches(revived)
   }
 

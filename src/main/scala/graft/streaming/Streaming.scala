@@ -254,7 +254,8 @@ object Streaming {
       // crash left uncommitted, recompute nothing.
       val rows = batch.join(decision.select(col(idCol)), Seq(idCol), "left_semi")
       val missing = readDirOpt(spark, admittedDir)
-        .fold(rows)(c => rows.join(c.select(col(idCol)), Seq(idCol), "left_anti"))
+        .fold(rows)(c =>
+          graft.plans.Joins.antiSmallLeft(rows, c.select(col(idCol)), idCol))
         .localCheckpoint(true)
       if (!missing.isEmpty) {
         index.upsert(missing, idCol, textCol) // idempotent; usually a no-op
@@ -265,8 +266,11 @@ object Streaming {
     }
     val m = index.meta
     val corpus = spark.read.parquet(admittedDir)
-    val replayFree = batch.join(
-      sidecar.select(col(idCol)), Seq(idCol), "left_anti")
+    // the sidecar outgrows the broadcast threshold with the corpus — the
+    // reversed probe keeps the replay guard one streaming pass over it
+    // (never a per-batch shuffle+sort of the corpus-sized id set)
+    val replayFree = graft.plans.Joins.antiSmallLeft(
+      batch, sidecar.select(col(idCol)), idCol)
     val inBatch = graft.dedup.Dedup.dropNearDuplicates(
       replayFree, idCol, textCol,
       n = m.n, numHashes = m.numHashes, bands = m.bands,
@@ -384,7 +388,8 @@ object Streaming {
       // HEAL: re-cut only the rows whose append the crash lost.
       val rows = batch.join(decision.select(col(idCol)), Seq(idCol), "left_semi")
       val missing = readDirOpt(spark, cleanDir)
-        .fold(rows)(c => rows.join(c.select(col(idCol)), Seq(idCol), "left_anti"))
+        .fold(rows)(c =>
+          graft.plans.Joins.antiSmallLeft(rows, c.select(col(idCol)), idCol))
       val recut = index.cut(missing, idCol, textCol, preserveCase = preserveCase)
         .withColumnRenamed("text_clean", textCol)
         .localCheckpoint(true)
@@ -392,7 +397,8 @@ object Streaming {
         recut.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(cleanDir)
       return
     }
-    val fresh = batch.join(sidecar.select(col(idCol)), Seq(idCol), "left_anti")
+    val fresh = graft.plans.Joins.antiSmallLeft(
+      batch, sidecar.select(col(idCol)), idCol)
     val cleaned = index.cut(fresh, idCol, textCol, preserveCase = preserveCase)
       .withColumnRenamed("text_clean", textCol)
       .localCheckpoint(true)

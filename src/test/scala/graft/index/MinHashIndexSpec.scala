@@ -116,6 +116,26 @@ class MinHashIndexSpec extends SparkSpec {
     assert(!overlap.collect().exists(r => r.getLong(0) == r.getLong(1)))
   }
 
+  test("batch-vs-index bucket cap: an over-cap corpus band generates no candidates") {
+    // Four verbatim copies of the base doc share every band (bucket size
+    // 4); a probe that duplicates them matches at the default cap and is
+    // silenced by maxBucketSize = 3 — the boilerplate skew guard applied
+    // to the matched band set (the post-join windowed count must equal
+    // the band's FULL corpus bucket size, not the probe-side join count).
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val corpus = (1L to 4L).map(_ -> base).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft_mh_cap").toString
+    val idx = MinHashIndex(spark, root, "docs")
+      .build(corpus, "doc_id", "text", n = 3, numHashes = 128, bands = 32)
+    val probe = Seq(100L -> base).toDF("doc_id", "text")
+    val open = idx.nearDupAgainstExact(probe, "doc_id", "text",
+      corpus, "doc_id", "text", threshold = 0.7)
+    assert(open.collect().map(_.getLong(1)).toSet == Set(1L, 2L, 3L, 4L))
+    val capped = idx.nearDupAgainstExact(probe, "doc_id", "text",
+      corpus, "doc_id", "text", threshold = 0.7, maxBucketSize = 3)
+    assert(capped.isEmpty)
+  }
+
   test("band table derives bands-per-doc from stored signatures only") {
     val root = Files.createTempDirectory("graft_mh_idx2").toString
     val idx = MinHashIndex(spark, root, "docs")
