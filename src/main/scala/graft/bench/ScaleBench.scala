@@ -215,10 +215,14 @@ object ScaleBench {
         sq.recentProgress.toSeq.filter(_.numInputRows > 0)
           .map(_.durationMs.get("triggerExecution").longValue())
       }
-      // near-dup admission: MinHashIndex over the n× corpus
+      // near-dup admission: MinHashIndex over the n× corpus, with the
+      // band table materialized — the probe-heavy configuration the
+      // artifact recommends for admission sinks (materializeBands
+      // scaladoc); build time reported includes it
       val tmh = System.nanoTime()
       val mh = graft.index.MinHashIndex(spark, s"$root/mh_index", "documents")
       mh.build(corpus, "doc_id", "text", n = 3, numHashes = 128, bands = 32)
+      mh.materializeBands()
       corpus.write.mode("overwrite").parquet(s"$root/admitted")
       val mhBuildS = (System.nanoTime() - tmh) / 1e9
       val admitMs = batchMs(graft.streaming.Streaming.admitStream(

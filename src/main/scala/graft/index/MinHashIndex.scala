@@ -17,10 +17,14 @@ import graft.dedup.Dedup
  *
  * Layout: `<root>/<name>/sig/` (parquet: id, sig array<long>) +
  * `<root>/<name>/_meta.json` (n, numHashes, bands — pinned so queries can
- * never mix parameters with a mismatched artifact). Band keys are NOT
- * stored: they derive from the stored signature with builtin column ops
- * (slice + xxhash64 — trivial next to the text kernel the artifact
- * amortizes), halving storage.
+ * never mix parameters with a mismatched artifact). Band keys are not
+ * stored BY DEFAULT: they derive from the stored signature with builtin
+ * column ops (slice + xxhash64 — trivial next to the text kernel the
+ * artifact amortizes, and paid once per query in batch use). Probe-heavy
+ * deployments — the streaming admission sink scans the band table once
+ * per MICRO-BATCH — opt into [[materializeBands]], which persists the
+ * narrow (id, band) table (`bands/` + a coverage snapshot) for ~15×
+ * cheaper probes at ~25% extra storage.
  *
  * Docs with fewer than n tokens have no shingles and can never pass an
  * exact-Jaccard verify; they are excluded at build time (their sentinel
@@ -39,6 +43,8 @@ class MinHashIndex(
     protected val root: String,
     val name: String) extends FsArtifact {
   private lazy val sigPath = new Path(base, "sig")
+  private lazy val bandsPath = new Path(base, "bands")
+  private lazy val bandsMetaPath = new Path(base, "_bands.json")
 
   def build(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32): this.type = {
@@ -47,6 +53,12 @@ class MinHashIndex(
     // whole rebuild window (FsArtifact build protocol), so a crashed
     // rebuild can't pair stale parameters with fresh signatures.
     invalidateMeta()
+    // a previous build's materialized band table derives from the sig
+    // rows about to be overwritten — drop it with the meta (the coverage
+    // snapshot's file names would mismatch and force fallback anyway;
+    // this keeps the layout clean)
+    fs.delete(bandsMetaPath, false)
+    fs.delete(bandsPath, true)
     // ONE kernel pass, no build-time filter: a shingle-based filter would
     // re-derive the tokenize+shingle kernel (predicate pushdown
     // substitutes the alias into the predicate — no CSE across the
@@ -91,10 +103,122 @@ class MinHashIndex(
     * scale the signature table would otherwise accumulate one file per
     * batch ever admitted. Row-identical rewrite — queries and the upsert
     * anti-join see the same table. Scheduled maintenance under the same
-    * single-writer contract as upsert itself. */
-  def compact(targetFileBytes: Long = 128L << 20, minFiles: Int = 8): (Int, Int) =
-    Compaction.compactDir(spark, sigPath.toString, targetFileBytes,
+    * single-writer contract as upsert itself. A real fold rewrites the
+    * sig file names, which invalidates the [[materializeBands]] coverage
+    * snapshot (the band source would fall back to full derivation) — so
+    * a materialized index re-materializes inside the same maintenance
+    * window, folding the accumulated derive-tail in with it. */
+  def compact(targetFileBytes: Long = 128L << 20, minFiles: Int = 8): (Int, Int) = {
+    val r = Compaction.compactDir(spark, sigPath.toString, targetFileBytes,
       minFiles = minFiles)
+    if (r._1 != r._2 && fs.exists(bandsMetaPath)) materializeBands()
+    r
+  }
+
+  /**
+   * Materialize the band table as its own narrow artifact (`bands/`:
+   * id, band) — the 100 TB flip for PROBE-HEAVY use (the streaming
+   * admission sink probes the band table once per micro-batch): deriving
+   * bands from stored signatures decodes the full `numHashes`-long
+   * signature array and computes `bands` hashes per row on EVERY probe,
+   * where the materialized table is a bare two-column columnar scan
+   * (measured ~15× cheaper at a 500k-doc corpus — BENCH_SCALE.md round
+   * 16) for ~25% extra artifact storage. Opt-in, like
+   * [[graft.text.DupSpans]]'s `materializeGrams`: build once after
+   * `build()`, and [[compact]] keeps it fresh from then on.
+   *
+   * Consistency protocol (single-writer, like every mutation here): the
+   * table is valid only together with its COVERAGE SNAPSHOT
+   * (`_bands.json` — the sig data-file names it was derived from,
+   * captured before derivation). Readers union the materialized table
+   * with bands derived from sig files NOT in the snapshot (the
+   * O(recent-batches) upsert tail), and fall back to full derivation the
+   * moment any covered file is missing (a compaction or rebuild rewrote
+   * the sig layout). Writes go shadow → two-rename swap → coverage LAST,
+   * so a crash anywhere leaves a missing/stale coverage and the reader
+   * falls back — never wrong, only slower. Rename-atomicity caveat:
+   * MAINTENANCE.md.
+   */
+  def materializeBands(): Unit = {
+    require(exists, s"index $name does not exist - build() it first")
+    val m = meta
+    // snapshot BEFORE deriving: files appended after it land in the tail
+    val covered = sigFileNames()
+    fs.delete(bandsMetaPath, false) // invalidate first (build protocol)
+    val shadow = new Path(base, "bands_shadow")
+    val old = new Path(base, "bands_old")
+    fs.delete(shadow, true)
+    fs.delete(old, true)
+    derivedBands(m).write.mode(SaveMode.Overwrite).parquet(shadow.toString)
+    if (fs.exists(bandsPath))
+      require(fs.rename(bandsPath, old), s"could not stage old bands of $name")
+    require(fs.rename(shadow, bandsPath), s"could not swap bands of $name")
+    fs.delete(old, true)
+    covered.foreach(f => require(!f.contains(";"),
+      s"sig file name '$f' would corrupt the coverage snapshot"))
+    val out = fs.create(bandsMetaPath, true)
+    try out.write(s"""{"files":"${covered.mkString(";")}"}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Sig data-file names (no `_SUCCESS`/dot files), sorted — the
+    * coverage-snapshot domain. `sig/` is a flat dir (never
+    * hive-partitioned), so a non-recursive listing is exact. */
+  private def sigFileNames(): Seq[String] =
+    if (!fs.exists(sigPath)) Nil
+    else {
+      val it = fs.listFiles(sigPath, false)
+      val out = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.getPath.getName
+        if (f.isFile && !n.startsWith("_") && !n.startsWith(".")) out += n
+      }
+      out.result().sorted
+    }
+
+  /** Band rows derived from stored signatures — the always-correct
+    * source the materialized path must equal. */
+  private def derivedBands(m: MinHashIndexMeta): DataFrame =
+    signatures().select(col("id"), explode(bandKeys(m)).as("band"))
+
+  /** The (id, band) stream every candidate-generation path scans: the
+    * materialized `bands/` table plus the derive-tail of sig files
+    * appended since [[materializeBands]] when the coverage snapshot is
+    * valid; the full signature derivation otherwise (absent coverage,
+    * torn materialization, or a sig rewrite under the snapshot). */
+  private def bandSource(m: MinHashIndexMeta): DataFrame = {
+    if (!fs.exists(bandsMetaPath) || !fs.exists(bandsPath)) return derivedBands(m)
+    val covered =
+      try {
+        val in = fs.open(bandsMetaPath)
+        val s = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        FlatJson.parse(s).get("files")
+          .map(_.split(';').toSeq.filter(_.nonEmpty))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    covered match {
+      case None => derivedBands(m)
+      case Some(c) =>
+        val current = sigFileNames()
+        val cur = current.toSet
+        if (!c.forall(cur)) derivedBands(m) // sig layout rewritten: stale
+        else {
+          val tail = current.filterNot(c.toSet)
+          val mat = spark.read.parquet(bandsPath.toString)
+          if (tail.isEmpty) mat
+          else {
+            val tailSigs = spark.read
+              .parquet(tail.map(f => new Path(sigPath, f).toString): _*)
+              .where(element_at(col("sig"), 1) =!= Long.MaxValue)
+            mat.unionByName(
+              tailSigs.select(col("id"), explode(bandKeys(m)).as("band")))
+          }
+        }
+    }
+  }
 
   /** All stored (id, sig) rows, sentinel rows included — the id universe
     * for the upsert anti-join (a shingle-less doc IS indexed; dropping it
@@ -122,11 +246,11 @@ class MinHashIndex(
     }: _*)
   }
 
-  /** (id, band) — one salted 64-bit key per band, derived from the stored
-    * signature (slice + xxhash64; band index salts the key so bands can't
-    * collide across positions). */
-  def bandTable(): DataFrame =
-    signatures().select(col("id"), explode(bandKeys(meta)).as("band"))
+  /** (id, band) — one salted 64-bit key per band (slice + xxhash64; the
+    * band index salts the key so bands can't collide across positions).
+    * Served from the [[materializeBands]] fast path when valid, derived
+    * from stored signatures otherwise — identical rows either way. */
+  def bandTable(): DataFrame = bandSource(meta)
 
   /**
    * Incremental batch-vs-corpus near-dup — the daily-batch admission

@@ -116,7 +116,10 @@ object Streaming {
    *      upsert into the index (both O(batch)).
    *
    * At 100 TB the only corpus-sized artifact touched per batch is the
-   * band table (columnar, band-key join). The replay guard anti-joins
+   * band table (columnar, band-key join) — probe-heavy deployments
+   * should [[graft.index.MinHashIndex.materializeBands]] once after
+   * build (the ~15×-cheaper narrow probe; the per-batch
+   * `index.compact()` below keeps it fresh). The replay guard anti-joins
    * the ADMITTED-ID SIDECAR (`<admittedDir>__ids` — ids plus a
    * per-batch commit record, ~tens of bytes/row) rather than re-reading
    * the corpus parquet's id column per micro-batch — the guard needs id

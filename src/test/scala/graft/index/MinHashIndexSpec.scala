@@ -136,6 +136,58 @@ class MinHashIndexSpec extends SparkSpec {
     assert(capped.isEmpty)
   }
 
+  test("materializeBands: identical answers, upsert tail visible, stale/torn coverage falls back") {
+    val root = Files.createTempDirectory("graft_mh_mat").toString
+    val idx = MinHashIndex(spark, root, "docs")
+      .build(fixture, "doc_id", "text", n = 3, numHashes = 128, bands = 32)
+    val derived = idx.bandTable().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val pairsB = idx.nearDupPairs(threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    idx.materializeBands()
+    // the materialized source is row-identical to derivation
+    assert(idx.bandTable().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == derived)
+    assert(idx.nearDupPairs(threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == pairsB)
+    // upsert AFTER materialization: the new doc's bands come from the
+    // derive-tail (sig files not in the coverage snapshot) — a probe
+    // that duplicates it must find it without re-materializing
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    idx.upsert(Seq(50L -> ((1 to 58).map(i => s"tok$i") ++ Seq("P", "Q"))
+      .mkString(" ")).toDF("doc_id", "text"), "doc_id", "text")
+    val probe = Seq(200L -> base).toDF("doc_id", "text")
+    val corpus = fixture.union(Seq(
+      50L -> ((1 to 58).map(i => s"tok$i") ++ Seq("P", "Q")).mkString(" "))
+      .toDF("doc_id", "text"))
+    val got = idx.nearDupAgainstExact(probe, "doc_id", "text",
+        corpus, "doc_id", "text", threshold = 0.7)
+      .collect().map(_.getLong(1)).toSet
+    assert(got.contains(50L) && got.contains(1L), s"tail doc missing: $got")
+    // compact() folds the tail and re-materializes (coverage refreshed):
+    // same answers, and the tail is now inside the materialized table
+    idx.compact(minFiles = 2)
+    assert(idx.nearDupAgainstExact(probe, "doc_id", "text",
+        corpus, "doc_id", "text", threshold = 0.7)
+      .collect().map(_.getLong(1)).toSet == got)
+    // torn materialization (coverage missing): silent fallback to derivation
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/docs/_bands.json"), false)
+    assert(idx.nearDupAgainstExact(probe, "doc_id", "text",
+        corpus, "doc_id", "text", threshold = 0.7)
+      .collect().map(_.getLong(1)).toSet == got)
+    // stale coverage (a covered sig file vanished): fallback, still exact
+    idx.materializeBands()
+    val sigFile = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/docs/sig"))
+      .map(_.getPath).filter(p => !p.getName.startsWith("_")).head
+    fs.rename(sigFile, new org.apache.hadoop.fs.Path(
+      sigFile.getParent, "part-renamed.parquet"))
+    assert(idx.nearDupAgainstExact(probe, "doc_id", "text",
+        corpus, "doc_id", "text", threshold = 0.7)
+      .collect().map(_.getLong(1)).toSet == got)
+  }
+
   test("band table derives bands-per-doc from stored signatures only") {
     val root = Files.createTempDirectory("graft_mh_idx2").toString
     val idx = MinHashIndex(spark, root, "docs")
