@@ -62,32 +62,46 @@ object SimpleCaseFold {
     * simple lowercase never more than doubles a code point's UTF-8 length
     * (ASCII→ASCII; 2-byte→≤3-byte, e.g. U+023A→U+2C65; 3-byte→≤4;
     * 4-byte→4 — pinned exhaustively in SimpleLowerSpec), so a 2× buffer
-    * suffices. Malformed sequences (truncated/stray continuation bytes —
-    * impossible for Spark-produced values) pass through byte-identical
-    * rather than becoming U+FFFD: stability over repair, for a KEY fold. */
+    * suffices.
+    *
+    * Sequence validation is STRICT (continuation bytes, overlong forms,
+    * surrogate range, > U+10FFFF): on the first malformed sequence the
+    * whole value falls back to the String-path fold, whose Java decode
+    * repairs with U+FFFD — byte-for-byte what the retired r15
+    * implementation produced, so the fold's OUTPUT is identical to r15 on
+    * EVERY byte sequence (valid or not; property-pinned in
+    * SimpleLowerSpec) and the artifact fold Version honestly stays
+    * unchanged. Spark-produced text never takes the fallback (the
+    * engine's ingest decodes lossy to valid UTF-8); it exists so
+    * adversarial bytes can't silently fold to different keys than the
+    * stamp claims. */
   private def lowerNonAscii(s: UTF8String): UTF8String = {
     val in = s.getBytes
     val n = in.length
     val out = new Array[Byte](n * 2)
     var i = 0
     var o = 0
+    @inline def cont(k: Int): Boolean = (in(k) & 0xC0) == 0x80
     while (i < n) {
       val b0 = in(i) & 0xFF
       var cp = -1
       var len = 1
       if (b0 < 0x80) { cp = b0 }
-      else if ((b0 & 0xE0) == 0xC0 && i + 1 < n) {
+      else if ((b0 & 0xE0) == 0xC0 && i + 1 < n && cont(i + 1)) {
         cp = ((b0 & 0x1F) << 6) | (in(i + 1) & 0x3F); len = 2
-      } else if ((b0 & 0xF0) == 0xE0 && i + 2 < n) {
+        if (cp < 0x80) cp = -1 // overlong
+      } else if ((b0 & 0xF0) == 0xE0 && i + 2 < n && cont(i + 1) && cont(i + 2)) {
         cp = ((b0 & 0x0F) << 12) | ((in(i + 1) & 0x3F) << 6) | (in(i + 2) & 0x3F)
         len = 3
-      } else if ((b0 & 0xF8) == 0xF0 && i + 3 < n) {
+        if (cp < 0x800 || (cp >= 0xD800 && cp <= 0xDFFF)) cp = -1 // overlong/surrogate
+      } else if ((b0 & 0xF8) == 0xF0 && i + 3 < n && cont(i + 1) && cont(i + 2) && cont(i + 3)) {
         cp = ((b0 & 0x07) << 18) | ((in(i + 1) & 0x3F) << 12) |
           ((in(i + 2) & 0x3F) << 6) | (in(i + 3) & 0x3F)
         len = 4
+        if (cp < 0x10000 || cp > 0x10FFFF) cp = -1 // overlong/out of range
       }
-      if (cp < 0) { // malformed: copy the byte as-is
-        out(o) = in(i); o += 1; i += 1
+      if (cp < 0) { // malformed: the String path's Java decode repairs
+        return UTF8String.fromString(lower(s.toString)) // exactly as r15 did
       } else {
         val lc = Character.toLowerCase(cp)
         if (lc < 0x80) { out(o) = lc.toByte; o += 1 }

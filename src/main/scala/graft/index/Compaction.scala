@@ -97,21 +97,35 @@ object Compaction {
       .parquet(shadow.toString)
     require(fs.rename(path, old), s"could not stage old layout of $dir")
     require(fs.rename(shadow, path), s"could not swap compacted layout of $dir")
+    // hidden SUBDIRECTORIES under the target (a '_'/'.'-prefixed dir a
+    // caller nested here — e.g. a misplaced sidecar — or a crashed
+    // write's `_temporary`) are invisible to the parquet read above, so
+    // the rewrite would silently destroy them with `old`: carry them
+    // into the new layout instead, byte-untouched.
+    fs.listStatus(old).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory && (n.startsWith("_") || n.startsWith(".")))
+        fs.rename(s.getPath, new Path(path, n))
+    }
     fs.delete(old, true)
     (before, listDataFiles(fs, path).size)
   }
 
-  /** Recursive data-file listing (skips `_SUCCESS`/dot files; descends
-    * into hive partition dirs). */
+  /** Recursive data-file listing: skips `_SUCCESS`/dot files AND any
+    * file under a hidden subdirectory (Spark's readers ignore those, so
+    * they are not this dir's data and must not skew the size/count
+    * triggers); descends into hive partition dirs. */
   private def listDataFiles(
       fs: org.apache.hadoop.fs.FileSystem,
       path: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val base = fs.makeQualified(path).toString
     val it = fs.listFiles(path, true)
     val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
     while (it.hasNext) {
       val f = it.next()
-      val n = f.getPath.getName
-      if (!n.startsWith("_") && !n.startsWith(".")) out += f
+      val rel = f.getPath.toString.stripPrefix(base).stripPrefix("/")
+      if (!rel.split('/').exists(c => c.startsWith("_") || c.startsWith(".")))
+        out += f
     }
     out.result()
   }

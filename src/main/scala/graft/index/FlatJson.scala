@@ -17,9 +17,26 @@ package graft.index
  */
 private[graft] object FlatJson {
 
+  /** Last-parse memo: artifact readers fetch several fields from the
+    * SAME meta string per operation (`requireFoldCurrent` + each
+    * parameter — per micro-batch on admission sinks), and callers hold
+    * one string instance per `readMetaJson()`, so an identity-first
+    * single-slot cache removes the re-tokenization without any
+    * invalidation concern (the memo is an immutable pair; races just
+    * re-parse). */
+  @volatile private var memo: (String, Map[String, String]) = null
+
   /** Parse `json` (one flat object) into field → value text. String
     * values are unescaped; non-string values are their literal text. */
   def parse(json: String): Map[String, String] = {
+    val m = memo
+    if (m != null && ((m._1 eq json) || m._1 == json)) return m._2
+    val parsed = parseUncached(json)
+    memo = (json, parsed)
+    parsed
+  }
+
+  private def parseUncached(json: String): Map[String, String] = {
     val s = json.trim
     require(s.length >= 2 && s.head == '{' && s.last == '}',
       s"not a flat JSON object: $json")

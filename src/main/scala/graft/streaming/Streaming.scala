@@ -48,6 +48,15 @@ object Streaming {
    * foreachBatch + keyed-idempotent-sink pattern that makes restarts and
    * reprocessing exactly-once BY KEY (the streaming analogue of the
    * reference's `collection_exists` skip + deterministic UUID points).
+   *
+   * `maxSinkFiles` auto-compaction note: when the trigger fires, the
+   * fold is a WHOLE-`data/` rewrite (the only crash-safe shape plain
+   * parquet allows — incremental add-then-delete of files is not
+   * atomic), i.e. O(collection) work inside the batch callback, recurring
+   * every ~`maxSinkFiles` batches. Fine up to mid-sized collections; for
+   * a multi-TB collection set `maxSinkFiles = 0` and schedule
+   * `collection.compactFiles()` in explicit maintenance windows instead
+   * (MAINTENANCE.md "scheduling guidance").
    */
   def ingestStream(
       stream: DataFrame,
@@ -162,34 +171,54 @@ object Streaming {
 
   /** The admitted-id sidecar dir for `admittedDir` (ids + commit record,
     * the replay guard's compact membership table). Shared shape with
-    * [[cutStream]]'s sidecar (`<cleanDir>__ids`). */
-  def admitIdsDir(admittedDir: String): String = admittedDir + "__ids"
+    * [[cutStream]]'s sidecar (`<cleanDir>__ids`). Path-normalized (a
+    * trailing slash in `admittedDir` must NOT nest the sidecar inside
+    * the data dir, where maintenance rewrites would destroy it — the
+    * sidecar is always the data dir's SIBLING). */
+  def admitIdsDir(admittedDir: String): String =
+    new org.apache.hadoop.fs.Path(admittedDir).toString + "__ids"
 
-  /** Read a parquet dir if present and readable; None on absence or the
-    * exists-but-empty race a concurrent cleaner could leave. */
-  private def readDirOpt(spark: SparkSession, dir: String): Option[DataFrame] = {
+  /** Read a parquet dir that HAS data files; None when the dir is absent
+    * or holds no data files (nothing committed — e.g. only a crashed
+    * write's `_temporary`, or the exists-but-empty race a concurrent
+    * cleaner could leave). A dir WITH data files that fails to read is a
+    * real fault (torn footer, foreign layout) and propagates LOUDLY —
+    * swallowing it would silently disable the replay guard (and, on the
+    * bootstrap path, re-append the full corpus id set per batch). */
+  private def readIfData(spark: SparkSession, dir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else
-      try Some(spark.read.parquet(dir))
-      catch { case scala.util.control.NonFatal(_) => None }
+    if (!fs.exists(p)) return None
+    val base = fs.makeQualified(p).toString
+    val it = fs.listFiles(p, true)
+    var hasData = false
+    while (!hasData && it.hasNext) {
+      val f = it.next()
+      // hidden iff any path component BELOW the dir starts with _/.
+      // (Spark's readers skip those, so they are not data)
+      val rel = f.getPath.toString.stripPrefix(base).stripPrefix("/")
+      if (f.isFile &&
+        !rel.split('/').exists(c => c.startsWith("_") || c.startsWith(".")))
+        hasData = true
+    }
+    if (hasData) Some(spark.read.parquet(dir)) else None
   }
 
   /** The id sidecar for an admission sink: one row per committed id with
     * its (`__ckpt`, `__batch`) DECISION RECORD. Bootstraps from the data
     * dir's id column when absent (a pre-sidecar deployment — the one
     * full-corpus id scan this sink ever takes outside the heal path);
-    * yields an empty typed frame when neither exists yet. */
+    * yields an empty typed frame when neither exists yet. A PRESENT but
+    * unreadable sidecar fails loudly (see [[readIfData]]). */
   private def sidecarFrame(spark: SparkSession, idsDir: String,
       dataDir: String, idCol: String,
       idType: org.apache.spark.sql.types.DataType): DataFrame =
-    readDirOpt(spark, idsDir).getOrElse {
-      readDirOpt(spark, dataDir).foreach {
+    readIfData(spark, idsDir).getOrElse {
+      readIfData(spark, dataDir).foreach {
         _.select(col(idCol), lit("").as("__ckpt"), lit(-1L).as("__batch"))
           .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(idsDir)
       }
-      readDirOpt(spark, idsDir).getOrElse(
+      readIfData(spark, idsDir).getOrElse(
         spark.range(0).select(lit(null).cast(idType).as(idCol),
           lit("").as("__ckpt"), lit(-1L).as("__batch")))
     }
@@ -198,6 +227,49 @@ object Streaming {
       batchId: Long): DataFrame =
     sidecar.filter(col("__ckpt") === lit(checkpointDir) &&
       col("__batch") === lit(batchId))
+
+  /**
+   * MAINTENANCE: drop id-sidecar rows whose id never reached the data
+   * dir — the explicit repair for a stream whose checkpoint was
+   * RELOCATED inside the crash window between the decision record and
+   * the data append (the heal keyed to the old checkpoint path can never
+   * fire, and the replay guard would drop those ids forever; see the
+   * commit-protocol scaladoc on [[admitBatch]]). After the rewrite the
+   * stranded ids re-admit when re-delivered. One data-dir id scan — the
+   * rare-repair cost, not a per-batch one. Single-writer window only
+   * (shadow + two-rename swap; rename-atomicity caveat: MAINTENANCE.md).
+   *
+   * For [[admitStream]] sinks note the index may still hold a stranded
+   * id's signature from the crashed attempt: admission re-verifies
+   * against corpus TEXT (an absent row can't match), so the id
+   * re-admits, but `MinHashIndex.upsert`'s anti-join then keeps the
+   * STORED signature — rebuild the index if the re-delivered text can
+   * differ from the crashed attempt's.
+   *
+   * @return number of stranded sidecar rows dropped (0 = nothing to do)
+   */
+  def reconcileSidecar(spark: SparkSession, dataDir: String,
+      idCol: String): Long = {
+    val idsDir = admitIdsDir(dataDir)
+    val sc = readIfData(spark, idsDir).getOrElse(return 0L)
+    val committed = readIfData(spark, dataDir)
+    val keep = committed
+      .fold(sc.limit(0))(d => sc.join(d.select(col(idCol)), Seq(idCol), "left_semi"))
+      .localCheckpoint(true)
+    val dropped = sc.count() - keep.count()
+    if (dropped == 0L) return 0L
+    val p = new org.apache.hadoop.fs.Path(idsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shadow = new org.apache.hadoop.fs.Path(idsDir + "__shadow")
+    val old = new org.apache.hadoop.fs.Path(idsDir + "__old")
+    fs.delete(shadow, true)
+    fs.delete(old, true)
+    keep.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(shadow.toString)
+    require(fs.rename(p, old), s"could not stage old sidecar $idsDir")
+    require(fs.rename(shadow, p), s"could not swap reconciled sidecar $idsDir")
+    fs.delete(old, true)
+    dropped
+  }
 
   /**
    * One micro-batch of [[admitStream]] — extracted so the crash-recovery
@@ -221,6 +293,18 @@ object Streaming {
    * always a superset-or-equal of the corpus ids, which is exactly what
    * the replay guard needs (transiently-decided ids are dropped by the
    * guard and committed by the heal, never lost, never duplicated).
+   *
+   * CHECKPOINT-LIFECYCLE CONTRACT: `checkpointDir` is part of the commit
+   * key. Deleting a checkpoint but REUSING its path restarts batchIds at
+   * 0 and collides with the old run's records — the heal detects it
+   * (decided ids not in the delivered batch) and fails loudly instead of
+   * silently dropping the new batch; start replacement streams with a
+   * FRESH checkpointDir. Relocating the checkpoint after a crash inside
+   * the 2→3 window strands the decided ids (the heal keyed to the old
+   * path can never fire; the guard keeps dropping them):
+   * [[reconcileSidecar]] is the explicit repair — it removes sidecar
+   * rows with no committed data row so those ids re-admit when
+   * re-delivered.
    */
   private[graft] def admitBatch(
       batch: DataFrame,
@@ -254,9 +338,20 @@ object Streaming {
     val decision = decisionOf(sidecar, checkpointDir, batchId)
     if (!decision.isEmpty) {
       // HEAL: the decision record is authoritative; commit whatever the
-      // crash left uncommitted, recompute nothing.
+      // crash left uncommitted, recompute nothing. Guard the key first:
+      // a RESET checkpoint (deleted but path reused) restarts batchIds
+      // at 0 and would collide with an old run's record — a true crash
+      // replay re-delivers the same rows, so every decided id must be in
+      // this batch; anything else means the checkpoint's lifecycle broke
+      // the commit key and silently healing would DROP the new batch.
+      require(decision.select(col(idCol))
+          .join(batch.select(col(idCol)), Seq(idCol), "left_anti").isEmpty,
+        s"decision record for (checkpoint=$checkpointDir, batch=$batchId) " +
+          "holds ids that are not in the delivered batch — the checkpoint " +
+          "was reset (path reused) or its source changed; start a new " +
+          "stream with a FRESH checkpointDir (commit-protocol scaladoc)")
       val rows = batch.join(decision.select(col(idCol)), Seq(idCol), "left_semi")
-      val missing = readDirOpt(spark, admittedDir)
+      val missing = readIfData(spark, admittedDir)
         .fold(rows)(c =>
           graft.plans.Joins.antiSmallLeft(rows, c.select(col(idCol)), idCol))
         .localCheckpoint(true)
@@ -388,9 +483,17 @@ object Streaming {
       batch.schema(idCol).dataType)
     val decision = decisionOf(sidecar, checkpointDir, batchId)
     if (!decision.isEmpty) {
-      // HEAL: re-cut only the rows whose append the crash lost.
+      // HEAL: re-cut only the rows whose append the crash lost. Same
+      // checkpoint-lifecycle guard as admitBatch: a reset checkpoint's
+      // colliding record must fail loudly, not silently drop the batch.
+      require(decision.select(col(idCol))
+          .join(batch.select(col(idCol)), Seq(idCol), "left_anti").isEmpty,
+        s"decision record for (checkpoint=$checkpointDir, batch=$batchId) " +
+          "holds ids that are not in the delivered batch — the checkpoint " +
+          "was reset (path reused) or its source changed; start a new " +
+          "stream with a FRESH checkpointDir (commit-protocol scaladoc)")
       val rows = batch.join(decision.select(col(idCol)), Seq(idCol), "left_semi")
-      val missing = readDirOpt(spark, cleanDir)
+      val missing = readIfData(spark, cleanDir)
         .fold(rows)(c =>
           graft.plans.Joins.antiSmallLeft(rows, c.select(col(idCol)), idCol))
       val recut = index.cut(missing, idCol, textCol, preserveCase = preserveCase)

@@ -221,6 +221,21 @@ object KernelProperties extends Properties("graft.kernels") {
       graft.expr.SimpleCaseFold.lower(once) == once && viaUtf8 == once
     }
 
+  property("fold over ARBITRARY bytes == the String-path (r15) fold — malformed included") =
+    // the byte-level decoder validates strictly (continuation bytes,
+    // overlong forms, surrogates, > U+10FFFF) and falls back to the
+    // String path on any malformed sequence, so the fold's OUTPUT on any
+    // byte array — valid UTF-8 or garbage — is exactly what the r15
+    // String round-trip produced (Java decode repairs with U+FFFD), and
+    // the artifact fold Version honestly stays "simple-1"
+    forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bs =>
+      val raw = UTF8String.fromBytes(bs.toArray)
+      val viaBytes = graft.expr.SimpleCaseFold.lower(raw)
+      val viaString = UTF8String.fromString(
+        graft.expr.SimpleCaseFold.lower(raw.toString))
+      java.util.Arrays.equals(viaBytes.getBytes, viaString.getBytes)
+    }
+
   property("byteLevenshtein is a metric: symmetry, identity, bounds") =
     forAll(uniGen, uniGen) { (a, b) =>
       import graft.expr.EditDistanceOps.byteLevenshtein

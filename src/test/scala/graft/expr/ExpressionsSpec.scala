@@ -175,10 +175,25 @@ class ExpressionsSpec extends SparkSpec with TableDrivenPropertyChecks {
     val mixed = "Ⱥ𐐀İΣ à 中ꟇßQ"
     assert(graft.expr.SimpleCaseFold.lower(UTF8String.fromString(mixed)).toString
       == graft.expr.SimpleCaseFold.lower(mixed))
-    // malformed bytes (stray continuation, truncated lead) pass through
-    // byte-identical — stability over repair for a key fold
-    val bad = Array[Byte](0x41, 0x80.toByte, 0xC3.toByte) // 'A', stray cont, truncated lead
-    val folded = graft.expr.SimpleCaseFold.lower(UTF8String.fromBytes(bad))
-    assert(folded.getBytes.toSeq == Seq[Byte](0x61, 0x80.toByte, 0xC3.toByte))
+    // malformed bytes (stray continuation, truncated lead, dangling lead
+    // before ASCII, overlong) take the String-path fallback, whose Java
+    // decode repairs with U+FFFD — byte-for-byte what the r15 String
+    // implementation produced, keeping the fold Version honest on EVERY
+    // byte sequence (KernelProperties pins this over random bytes)
+    for (bad <- Seq(
+      Array[Byte](0x41, 0x80.toByte, 0xC3.toByte), // 'A', stray cont, truncated lead
+      Array[Byte](0xC3.toByte, 0x41), // dangling lead swallows nothing: 'A' survives
+      Array[Byte](0xC1.toByte, 0x81.toByte), // overlong 'A' must NOT decode as 'A'
+      Array[Byte](0xED.toByte, 0xA0.toByte, 0x80.toByte))) { // CESU surrogate
+      val folded = graft.expr.SimpleCaseFold.lower(UTF8String.fromBytes(bad))
+      val r15 = UTF8String.fromString(graft.expr.SimpleCaseFold.lower(
+        UTF8String.fromBytes(bad).toString))
+      assert(folded.getBytes.toSeq == r15.getBytes.toSeq,
+        s"malformed ${bad.toSeq}: byte path != String path")
+    }
+    // and specifically: the dangling-lead case keeps the following ASCII
+    val danglingLead = graft.expr.SimpleCaseFold.lower(
+      UTF8String.fromBytes(Array[Byte](0xC3.toByte, 0x41))).toString
+    assert(danglingLead == "�a", s"got '$danglingLead'")
   }
 }

@@ -33,6 +33,23 @@ class CompactionSpec extends SparkSpec {
         .write.mode("append").parquet(dir)
     }
 
+  test("hidden subdirectory: never counted toward triggers, preserved across the swap") {
+    val dir = Files.createTempDirectory("graft_compact_hidden").toString + "/t"
+    appendBatches(dir, 10)
+    // a '_'-prefixed subdir nested in the data dir (a caller's path
+    // mistake, or a crashed write's _temporary): invisible to Spark's
+    // readers, so compaction must neither count its files nor destroy it
+    Seq((1L, "sidecar row")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$dir/__nested")
+    val hiddenRows = spark.read.parquet(s"$dir/__nested").collect().toSeq
+    val before = spark.read.parquet(dir).as[(Long, String)].collect().sorted.toSeq
+    val (b, a) = Compaction.compactDir(spark, dir, minFiles = 4)
+    assert(b == 10 && a < 10, s"hidden files skewed the count: $b -> $a")
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().sorted.toSeq == before)
+    assert(spark.read.parquet(s"$dir/__nested").collect().toSeq == hiddenRows,
+      "the nested hidden dir must survive the rewrite byte-identically")
+  }
+
   test("compacts many per-batch appends into few files, rows identical") {
     val dir = Files.createTempDirectory("graft_compact").toString + "/t"
     appendBatches(dir, 20)

@@ -298,6 +298,67 @@ class StreamingSpec extends SparkSpec {
     assert(clean2(20L) === ((8L, "")))
   }
 
+  test("sidecar placement and lifecycle guards: slash-normalized path, reset-checkpoint refusal, corrupt sidecar loud, reconcile repairs a relocated checkpoint") {
+    // a trailing slash must NOT nest the sidecar inside the data dir
+    // (maintenance rewrites of the data dir would destroy it)
+    assert(Streaming.admitIdsDir("/data/corpus/") == "/data/corpus__ids")
+    assert(Streaming.admitIdsDir("/data/corpus") == "/data/corpus__ids")
+
+    val tmp = Files.createTempDirectory("graft_sidecar_guards").toString
+    val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val idx = graft.index.SpanIndex(spark, s"$tmp/idx", "corpus")
+      .build(corpus, "doc_id", "text", n = 5, buckets = 8)
+    val batchA = Seq((10L, "sphinx of black quartz judge my vow tonight"))
+      .toDF("doc_id", "text")
+    Streaming.cutBatch(batchA, 0L, "doc_id", "text", idx, s"$tmp/clean",
+      checkpointDir = s"$tmp/ckpt")
+    assert(spark.read.parquet(s"$tmp/clean").count() == 1)
+
+    // RESET checkpoint (same path, batchIds restart at 0, different data):
+    // the heal must refuse loudly, not silently drop the new batch
+    val batchB = Seq((20L, "a wholly different document arrives now here"))
+      .toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      Streaming.cutBatch(batchB, 0L, "doc_id", "text", idx, s"$tmp/clean",
+        checkpointDir = s"$tmp/ckpt")
+    }
+    assert(err.getMessage.contains("FRESH checkpointDir"), err.getMessage)
+
+    // RELOCATED checkpoint inside the decision->append crash window:
+    // id 30 is decided under ckptX but its row never landed; a new
+    // checkpoint path can never heal it and the guard drops it — until
+    // reconcileSidecar removes the stranded decision
+    Seq(30L)
+      .toDF("doc_id").select($"doc_id", lit(s"$tmp/ckptX").as("__ckpt"),
+        lit(7L).as("__batch"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(Streaming.admitIdsDir(s"$tmp/clean"))
+    val batchC = Seq((30L, "stranded by a checkpoint move"))
+      .toDF("doc_id", "text")
+    Streaming.cutBatch(batchC, 0L, "doc_id", "text", idx, s"$tmp/clean",
+      checkpointDir = s"$tmp/ckptNew")
+    assert(spark.read.parquet(s"$tmp/clean").count() == 1) // still dropped
+    assert(Streaming.reconcileSidecar(spark, s"$tmp/clean", "doc_id") == 1L)
+    Streaming.cutBatch(batchC, 1L, "doc_id", "text", idx, s"$tmp/clean",
+      checkpointDir = s"$tmp/ckptNew")
+    assert(spark.read.parquet(s"$tmp/clean")
+      .filter($"doc_id" === 30L).count() == 1) // re-admitted
+    assert(Streaming.reconcileSidecar(spark, s"$tmp/clean", "doc_id") == 0L)
+
+    // a PRESENT but unreadable sidecar must fail loudly, not silently
+    // re-bootstrap (which would disable the replay guard and duplicate
+    // the corpus id set per batch)
+    val idsDir = Streaming.admitIdsDir(s"$tmp/clean")
+    java.nio.file.Files.write(
+      Paths.get(idsDir, "part-corrupt.snappy.parquet"),
+      "not parquet at all".getBytes)
+    intercept[Exception] {
+      Streaming.cutBatch(batchC, 2L, "doc_id", "text", idx, s"$tmp/clean",
+        checkpointDir = s"$tmp/ckptNew")
+    }
+  }
+
   test("span-cut crash recovery: decided-but-uncommitted rows re-cut identically, never duplicated") {
     val tmp = Files.createTempDirectory("graft_cut_heal").toString
     val corpus = Seq(
