@@ -251,6 +251,15 @@ object Streaming {
   def reconcileSidecar(spark: SparkSession, dataDir: String,
       idCol: String): Long = {
     val idsDir = admitIdsDir(dataDir)
+    val p = new org.apache.hadoop.fs.Path(idsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shadow = new org.apache.hadoop.fs.Path(idsDir + "__shadow")
+    val old = new org.apache.hadoop.fs.Path(idsDir + "__old")
+    // heal a torn predecessor on entry (ours, or the compaction pass's —
+    // the __old/__shadow names are deliberately the shared protocol):
+    // dir missing with __old present means a crash between the renames
+    if (!fs.exists(p) && fs.exists(old))
+      require(fs.rename(old, p), s"could not heal torn sidecar swap of $idsDir")
     val sc = readIfData(spark, idsDir).getOrElse(return 0L)
     val committed = readIfData(spark, dataDir)
     val keep = committed
@@ -258,10 +267,6 @@ object Streaming {
       .localCheckpoint(true)
     val dropped = sc.count() - keep.count()
     if (dropped == 0L) return 0L
-    val p = new org.apache.hadoop.fs.Path(idsDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val shadow = new org.apache.hadoop.fs.Path(idsDir + "__shadow")
-    val old = new org.apache.hadoop.fs.Path(idsDir + "__old")
     fs.delete(shadow, true)
     fs.delete(old, true)
     keep.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(shadow.toString)
