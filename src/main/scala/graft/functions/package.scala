@@ -205,8 +205,8 @@ package object functions {
   /** Bounded-heap per-group top-k aggregate (map-side partials): keeps the
     * k best `payload` struct rows by (score desc, id asc) and returns them
     * best-first as array<struct>. The aggregate requires exact
-    * (struct, double, long) input types and rejects anything else at
-    * analysis time ([[graft.plans.TopKRows.checkInputDataTypes]]) —
+    * (struct, double, long-or-string) input types and rejects anything
+    * else at analysis time ([[graft.plans.TopKRows.checkInputDataTypes]]) —
     * callers own any coercion, deliberately: a blind cast here would turn
     * a string-typed score into a mid-job ANSI cast failure instead of an
     * analysis error. */

@@ -101,12 +101,26 @@ object Compaction {
     // caller nested here — e.g. a misplaced sidecar — or a crashed
     // write's `_temporary`) are invisible to the parquet read above, so
     // the rewrite would silently destroy them with `old`: carry them
-    // into the new layout instead, byte-untouched.
-    fs.listStatus(old).foreach { s =>
-      val n = s.getPath.getName
-      if (s.isDirectory && (n.startsWith("_") || n.startsWith(".")))
-        fs.rename(s.getPath, new Path(path, n))
-    }
+    // into the new layout instead, byte-untouched — recursing through
+    // non-hidden subdirs so a hidden dir nested inside a hive partition
+    // dir (e.g. bucket=3/_temporary) is carried to the same relative
+    // location, not destroyed with the regenerated partition dirs. Every
+    // rename is require-checked: a failed carry must abort BEFORE the
+    // recursive delete of `old`, or the carry silently destroys the exact
+    // data it exists to preserve.
+    def carryHidden(from: Path, to: Path): Unit =
+      fs.listStatus(from).foreach { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory) {
+          if (n.startsWith("_") || n.startsWith(".")) {
+            if (!fs.exists(to))
+              require(fs.mkdirs(to), s"could not recreate $to for hidden-dir carry")
+            require(fs.rename(s.getPath, new Path(to, n)),
+              s"could not carry hidden dir ${s.getPath} into $to")
+          } else carryHidden(s.getPath, new Path(to, n))
+        }
+      }
+    carryHidden(old, path)
     fs.delete(old, true)
     (before, listDataFiles(fs, path).size)
   }

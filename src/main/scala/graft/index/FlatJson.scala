@@ -21,18 +21,22 @@ private[graft] object FlatJson {
     * SAME meta string per operation (`requireFoldCurrent` + each
     * parameter — per micro-batch on admission sinks), and callers hold
     * one string instance per `readMetaJson()`, so an identity-first
-    * single-slot cache removes the re-tokenization without any
-    * invalidation concern (the memo is an immutable pair; races just
-    * re-parse). */
-  @volatile private var memo: (String, Map[String, String]) = null
+    * single-slot cache removes the re-tokenization. The slot is
+    * PER-THREAD, not global: two concurrent streams on one SparkSession
+    * (each micro-batch loop is its own long-lived execution thread)
+    * parse different meta strings, and a shared slot would thrash
+    * permanently — re-tokenizing on every call in exactly the
+    * per-micro-batch scenario the memo exists for. The memo is an
+    * immutable pair, so there is no invalidation concern either way. */
+  private val memo = new ThreadLocal[(String, Map[String, String])]
 
   /** Parse `json` (one flat object) into field → value text. String
     * values are unescaped; non-string values are their literal text. */
   def parse(json: String): Map[String, String] = {
-    val m = memo
+    val m = memo.get()
     if (m != null && ((m._1 eq json) || m._1 == json)) return m._2
     val parsed = parseUncached(json)
-    memo = (json, parsed)
+    memo.set((json, parsed))
     parsed
   }
 

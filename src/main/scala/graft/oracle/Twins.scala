@@ -131,6 +131,29 @@ private[graft] object Twins extends SqlKit {
         |)
         |SELECT query_id, result_id, rank, score FROM ranked WHERE rank <= 10""".stripMargin,
 
+    // String-keyed kNN: ROW_NUMBER's `result_id ASC` tie-break on VARCHAR
+    // uses DuckDB's binary (memcmp) collation — the same unsigned-UTF-8-
+    // byte order the Spark heap's UTF8String comparator and the window
+    // path's string sort use, so tie order is engine-stable.
+    "knn_uuid" ->
+      """WITH c AS (
+        |  SELECT md5('id:' || CAST(vec_id AS VARCHAR)) AS sid, embedding
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT sid AS qid, embedding AS qv FROM c
+        |  ORDER BY md5('graft42:' || sid), qid LIMIT 500
+        |), scored AS (
+        |  SELECT q.qid AS query_id, c.sid AS result_id,
+        |    ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS score
+        |  FROM q CROSS JOIN c
+        |  WHERE c.sid <> q.qid
+        |), ranked AS (
+        |  SELECT query_id, result_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, result_id, rank, score FROM ranked WHERE rank <= 10""".stripMargin,
+
     "knn_euclid" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings

@@ -13,9 +13,14 @@ import org.apache.spark.sql.types._
 /**
  * Bounded-heap entry: a scored payload row. Ordering contract everywhere:
  * better = higher score, ties broken by LOWER id (matches the rank window
- * `orderBy(score.desc, id.asc)` the aggregate replaces).
+ * `orderBy(score.desc, id.asc)` the aggregate replaces). The id is the
+ * boxed tie-break key — `java.lang.Long` for integral ids or `UTF8String`
+ * for string ids (uuid-keyed corpora); both implement `Comparable` with
+ * exactly the order the equivalent rank window uses (UTF8String compares
+ * unsigned UTF-8 bytes = Spark SQL string sort = DuckDB's binary VARCHAR
+ * collation, so the tie order is engine-stable for the oracle too).
  */
-private[graft] final class TopKEntry(val score: Double, val id: Long, val payload: InternalRow)
+private[graft] final class TopKEntry(val score: Double, val id: Any, val payload: InternalRow)
 
 /**
  * Per-group bounded top-k buffer: a min-heap of size ≤ k keyed worst-first,
@@ -23,22 +28,32 @@ private[graft] final class TopKEntry(val score: Double, val id: Long, val payloa
  */
 final class TopKBuffer(val k: Int) {
   import java.util.PriorityQueue
+
+  // Ascending tie-key order; ids within one buffer are homogeneously typed
+  // (Long or UTF8String, pinned by the aggregate's analysis-time check).
+  @inline private def cmpId(x: Any, y: Any): Int =
+    x.asInstanceOf[Comparable[Any]].compareTo(y)
+
   // worst-first: lowest score at head; among equal scores the HIGHEST id is
   // worst (asc id wins ties).
   private[plans] val heap = new PriorityQueue[TopKEntry](math.max(k, 1),
     (x: TopKEntry, y: TopKEntry) =>
       if (x.score != y.score) java.lang.Double.compare(x.score, y.score)
-      else java.lang.Long.compare(y.id, x.id))
+      else cmpId(y.id, x.id))
 
-  def insert(score: Double, id: Long, payload: InternalRow): Unit = {
+  /** Whether (score, id) beats the current worst entry — i.e. would enter a
+    * full heap. Callers use this to defer payload/id copies to winners. */
+  def beatsWorst(score: Double, id: Any): Boolean = {
+    val worst = heap.peek()
+    score > worst.score || (score == worst.score && cmpId(id, worst.id) < 0)
+  }
+
+  def insert(score: Double, id: Any, payload: InternalRow): Unit = {
     if (heap.size < k) {
       heap.add(new TopKEntry(score, id, payload))
-    } else {
-      val worst = heap.peek()
-      if (score > worst.score || (score == worst.score && id < worst.id)) {
-        heap.poll()
-        heap.add(new TopKEntry(score, id, payload))
-      }
+    } else if (beatsWorst(score, id)) {
+      heap.poll()
+      heap.add(new TopKEntry(score, id, payload))
     }
   }
 
@@ -47,7 +62,7 @@ final class TopKBuffer(val k: Int) {
     val arr = heap.toArray(new Array[TopKEntry](heap.size))
     java.util.Arrays.sort(arr, (x: TopKEntry, y: TopKEntry) =>
       if (x.score != y.score) java.lang.Double.compare(y.score, x.score)
-      else java.lang.Long.compare(x.id, y.id))
+      else cmpId(x.id, y.id))
     arr
   }
 }
@@ -61,10 +76,17 @@ final class TopKBuffer(val k: Int) {
  * partition no matter how large the corpus is — the difference between a
  * dead plan and a constant-size shuffle at 100 TB.
  *
- * Input: (payload: any struct, score: double, id: long). Rows with a null
- * score, id, or payload are ignored (a null score can never be in a top-k
- * by similarity; a null payload has no legal slot in the containsNull=false
- * output array and would NPE mid-shuffle in serialize/deserialize).
+ * Input: (payload: any struct, score: double, id: long | string). Rows
+ * with a null score, id, or payload are ignored (a null score can never be
+ * in a top-k by similarity; a null payload has no legal slot in the
+ * containsNull=false output array and would NPE mid-shuffle in
+ * serialize/deserialize). String tie ids compare as unsigned UTF-8 bytes
+ * (UTF8String order = Spark SQL's string sort = DuckDB's binary VARCHAR
+ * collation), so uuid-keyed corpora — the reference's POJ id space,
+ * `poj_utils.py:62` — take this bounded-heap path instead of a
+ * |Q|·|corpus| rank-window shuffle. Fractional ids (double/decimal) stay
+ * unsupported by design: truncating casts could collide two distinct ids
+ * and make tie order diverge from the window path.
  * Output: array<payloadType> ordered best-first (score desc, id asc) —
  * posexplode to recover ranks.
  */
@@ -83,19 +105,20 @@ case class TopKRows(
   override def second: Expression = score
   override def third: Expression = tieId
 
-  // update() unboxes score as Double and id as Long: reject anything else
-  // at ANALYSIS time (a SQL decimal-literal score would otherwise
-  // ClassCastException mid-job). Callers cast — the Column wrapper and the
-  // SQL registration in graft.functions do it automatically. A non-struct
-  // payload has no legal serialization, so it is rejected here too.
-  // (Spark's ImplicitCastInputTypes would coerce instead, but
-  // AbstractDataType is private[sql] — not implementable from library
-  // code.)
+  // update() unboxes score as Double and id as Long/UTF8String: reject
+  // anything else at ANALYSIS time (a SQL decimal-literal score would
+  // otherwise ClassCastException mid-job). Callers cast — the Column
+  // wrapper and the SQL registration in graft.functions do it
+  // automatically. A non-struct payload has no legal serialization, so it
+  // is rejected here too. (Spark's ImplicitCastInputTypes would coerce
+  // instead, but AbstractDataType is private[sql] — not implementable from
+  // library code.)
   override def checkInputDataTypes(): TypeCheckResult =
     (payload.dataType, score.dataType, tieId.dataType) match {
-      case (_: StructType, DoubleType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (_: StructType, DoubleType, LongType | StringType) =>
+        TypeCheckResult.TypeCheckSuccess
       case (p, s, t) => TypeCheckResult.TypeCheckFailure(
-        s"top_k_rows expects (struct payload, double score, long id), got " +
+        s"top_k_rows expects (struct payload, double score, long or string id), got " +
           s"(${p.catalogString}, ${s.catalogString}, ${t.catalogString})")
     }
 
@@ -106,10 +129,11 @@ case class TopKRows(
   // (score, id, payload) rows give one stable wire format for both the
   // shuffle serialization and buffer merging.
   private lazy val entrySchema = new StructType()
-    .add("s", DoubleType).add("i", LongType)
+    .add("s", DoubleType).add("i", tieId.dataType)
     .add("p", payload.dataType)
   private lazy val entryProj = UnsafeProjection.create(entrySchema)
   private lazy val payloadFields = payload.dataType.asInstanceOf[StructType].length
+  private lazy val idIsString = tieId.dataType == StringType
 
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 
@@ -118,16 +142,19 @@ case class TopKRows(
     val id = tieId.eval(input)
     if (s != null && id != null) {
       val sv = s.asInstanceOf[Double]
-      val idv = id.asInstanceOf[Long]
-      // Only materialize (copy) the payload when the row actually enters
-      // the heap: peek-test first so losing rows cost two evals, no copy.
-      val heapOk = buffer.heap.size < k || {
-        val worst = buffer.heap.peek()
-        sv > worst.score || (sv == worst.score && idv < worst.id)
-      }
+      // Only materialize (copy) the payload — and, for string ids, the
+      // UTF8String (eval may return a view into a reused row buffer) —
+      // when the row actually enters the heap: peek-test first so losing
+      // rows cost two evals, no copy.
+      val heapOk = buffer.heap.size < k || buffer.beatsWorst(sv, id)
       if (heapOk) {
         val p = payload.eval(input).asInstanceOf[InternalRow]
-        if (p != null) buffer.insert(sv, idv, p.copy())
+        if (p != null) {
+          val idOwned =
+            if (idIsString) id.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].clone()
+            else id
+          buffer.insert(sv, idOwned, p.copy())
+        }
       }
     }
     buffer
@@ -170,7 +197,10 @@ case class TopKRows(
       bb.get(arr)
       val row = new UnsafeRow(entrySchema.length)
       row.pointTo(arr, len)
-      buf.insert(row.getDouble(0), row.getLong(1),
+      // The id may point into `arr` (string case); `arr` is a fresh
+      // per-entry allocation the entry keeps alive, so no copy is needed.
+      val id: Any = if (idIsString) row.getUTF8String(1) else row.getLong(1)
+      buf.insert(row.getDouble(0), id,
         row.getStruct(2, payloadFields).copy())
       i += 1
     }

@@ -172,6 +172,23 @@ private[graft] object QueriesCore {
           col("rank"), col("score"))
     }),
 
+    // String-keyed (uuid-style) corpus — the reference's POJ id space
+    // (poj_utils.py:62 keys points by UUIDv5 strings). Since r17 string
+    // ids take the SAME |Q|·k bounded-heap plan as integral ids (the heap
+    // tie-break compares UTF8String bytes = DuckDB's binary VARCHAR
+    // collation), not the |Q|·|corpus| rank-window fallback — plan-pinned
+    // in TopKRowsSpec. md5 ids shuffle lexicographic order away from
+    // insertion order, so tie-breaks genuinely exercise byte comparison.
+    "knn_uuid" -> ((s, dir) => {
+      val corpus = embParallel(s, dir)
+        .select(md5(concat(lit("id:"), col("vec_id"))).as("sid"), col("embedding"))
+      Knn.knnJoin(graft.bench.Sampling.seeded(corpus, "sid", knnSampleSize),
+          "sid", "embedding", corpus, "sid", "embedding",
+          k = 10, roundScoreTo = Some(6))
+        .select(col("query_id"), col("sid").as("result_id"),
+          col("rank"), col("score"))
+    }),
+
     // Euclid / Manhattan collection modes (the two remaining distance
     // metrics of a vector backend's collection config): same broadcast +
     // bounded-heap plan as knn_topk, but ranked ASCENDING — rank 1 is the

@@ -143,21 +143,17 @@ object Bm25 {
         val m = math.pow(10.0, p)
         floor(col("__s") * lit(m) + lit(0.5)) / lit(m)
       })
-    // The bounded-heap tie-break id is cast to long, so only integral doc
-    // id types take the agg path (a uuid-string id would null-cast every
-    // row out of the heap; a fractional id could collide two docs) — same
-    // guard as Knn.knnJoin. Non-integral ids fall back to a rank window
-    // ordered by (score desc, id asc), correct for any orderable id type.
-    val idIsIntegral = scored.schema("__d").dataType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
-      case _ => false
-    }
-    if (idIsIntegral) {
+    // Heap tie-break by id type (shared rule: Knn.tieKeyFor) — integral
+    // ids cast to long, string (uuid) ids compare as UTF8String bytes
+    // inside the heap; only fractional ids, whose truncating cast could
+    // collide two docs, fall back to a rank window ordered by
+    // (score desc, id asc), correct for any orderable id type.
+    val tieKey = Knn.tieKeyFor(scored.schema("__d").dataType, "__d")
+    if (tieKey.isDefined) {
       scored
         .groupBy(col("query_id"))
         .agg(top_k_rows(struct(col("__d"), col("score")),
-          col("score"), col("__d").cast("long"), k).as("__tk"))
+          col("score"), tieKey.get, k).as("__tk"))
         .select(col("query_id"), posexplode(col("__tk")).as(Seq("__pos", "__e")))
         .select(col("query_id"), col("__e.__d").as(outIdCol),
           col("__e.score").as("score"),

@@ -87,20 +87,18 @@ object Hybrid {
   }
 
   /** Per-query top-k cut over (query_id, result_id, score): bounded heap
-    * for integral result ids, rank-window fallback for any other orderable
-    * id type (same guard as Knn.knnJoin — a uuid-string id would null-cast
-    * out of the heap's long tie-break). */
+    * for integral AND string (uuid) result ids (shared routing rule:
+    * [[Knn.tieKeyFor]] — string ids compare as UTF8String bytes inside the
+    * heap, identical to the window's string sort); rank-window fallback
+    * only for fractional id types, whose truncating long cast could
+    * collide two ids. */
   private[search] def topKPerQuery(scores: DataFrame, topK: Int): DataFrame = {
-    val idIsIntegral = scores.schema("result_id").dataType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
-      case _ => false
-    }
-    if (idIsIntegral) {
+    val tieKey = Knn.tieKeyFor(scores.schema("result_id").dataType, "result_id")
+    if (tieKey.isDefined) {
       scores
         .groupBy(col("query_id"))
         .agg(top_k_rows(struct(col("result_id"), col("score")),
-          col("score"), col("result_id").cast("long"), topK).as("__tk"))
+          col("score"), tieKey.get, topK).as("__tk"))
         .select(col("query_id"), posexplode(col("__tk")).as(Seq("__pos", "__e")))
         .select(col("query_id"), col("__e.result_id").as("result_id"),
           col("__e.score").as("score"), (col("__pos") + 1).cast("int").as("rank"))

@@ -21,9 +21,10 @@ import graft.functions.{cosine_similarity, dot_product, euclidean_distance, int8
  *  - per-query top-k: by default [[graft.plans.TopKRows]], a
  *    partial-aggregating bounded heap (ObjectHashAggregate) that keeps k
  *    rows per query MAP-SIDE — the shuffle carries ≤ |Q|·k rows per map
- *    partition instead of the |Q|·|C| a rank window would move. The window
- *    path remains available (`useTopKAgg = false`) for corpus id types
- *    that don't cast to long.
+ *    partition instead of the |Q|·|C| a rank window would move, for both
+ *    integral and string (uuid) corpus ids. The window path remains
+ *    available (`useTopKAgg = false`) and is the automatic fallback for
+ *    fractional id types, whose truncating long cast could collide ids.
  */
 object Knn {
 
@@ -49,6 +50,25 @@ object Knn {
   def ascending(metric: String): Boolean = metric match {
     case "euclid" | "manhattan" => true
     case _ => false
+  }
+
+  /** The bounded-heap tie-break key for an id column of type `dt`, or None
+    * when the heap can't order that type identically to the rank window it
+    * replaces. Integral ids cast to long; string ids pass through (the
+    * heap compares UTF8String — unsigned UTF-8 bytes — exactly Spark SQL's
+    * string sort and DuckDB's binary VARCHAR collation). Fractional ids
+    * (double/decimal) return None: a truncating cast could collide two
+    * distinct ids and silently diverge tie order from the window path.
+    * Shared by [[knnJoin]], [[graft.search.Bm25.scoreTf]] and
+    * [[graft.search.Hybrid.topKPerQuery]] so the routing rule can never
+    * fork per call site. */
+  private[graft] def tieKeyFor(dt: org.apache.spark.sql.types.DataType,
+      idCol: String): Option[Column] = dt match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+      Some(col(idCol).cast("long"))
+    case org.apache.spark.sql.types.StringType => Some(col(idCol))
+    case _ => None
   }
 
   /**
@@ -107,18 +127,16 @@ object Knn {
     val scored =
       if (excludeSelf) scored0.filter(col("query_id") =!= col(corpusId))
       else scored0
-    // The bounded-heap tie-break id is cast to long, so only integral id
-    // types take the agg path: non-numeric ids (uuid strings) would
-    // null-cast every row out of the heap, and fractional ids
-    // (double/decimal) would truncate — two distinct ids could collide and
-    // make tie order diverge from the window path. Both fall back to the
-    // window instead.
-    val idIsIntegral = corpus.schema(corpusId).dataType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
-      case _ => false
-    }
-    if (useTopKAgg && idIsIntegral) {
+    // Heap tie-break key by id type: integral ids cast to long, string ids
+    // (uuid-keyed corpora — the reference's POJ id space, poj_utils.py:62)
+    // pass through as-is and compare as unsigned UTF-8 bytes inside the
+    // heap — identical to the window path's `col(id).asc` string sort and
+    // to DuckDB's binary VARCHAR collation. Fractional ids (double/
+    // decimal) would truncate under a long cast — two distinct ids could
+    // collide and make tie order diverge from the window path — so they
+    // fall back to the window.
+    val tieKey: Option[Column] = tieKeyFor(corpus.schema(corpusId).dataType, corpusId)
+    if (useTopKAgg && tieKey.isDefined) {
       // Bounded-heap partial aggregation: ≤ k rows per query survive each
       // map partition; the shuffle is |Q|·k-bounded regardless of |C|.
       // The corpus VECTOR is scoring input, not payload — excluding it
@@ -135,7 +153,7 @@ object Knn {
       val keys = ("query_id" +: payloadNames).map(col)
       scored
         .groupBy(keys: _*)
-        .agg(top_k_rows(entry, heapScore, col(corpusId).cast("long"), k).as("__tk"))
+        .agg(top_k_rows(entry, heapScore, tieKey.get, k).as("__tk"))
         .select(keys :+ posexplode(col("__tk")).as(Seq("__pos", "__entry")): _*)
         .select(keys ++
           corpusCols.map(n => col(s"__entry.$n")) :+

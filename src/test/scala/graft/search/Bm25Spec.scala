@@ -128,17 +128,30 @@ class Bm25Spec extends SparkSpec {
     assert(b1 == a1)
   }
 
-  test("bm25: string doc ids take the window fallback and rank identically") {
-    // same corpus, ids as non-numeric strings: the long-cast heap tie-break
-    // would null-cast every row out; the window fallback must produce the
-    // same ranking as the integral-id path modulo the id mapping
+  test("bm25: string doc ids take the bounded-heap path and rank identically") {
+    // same corpus, ids as non-numeric strings: since r17 the heap's
+    // tie-break compares UTF8String bytes, so uuid-style ids stay on the
+    // |Q|·k-bounded aggregate instead of the rank-window fallback — and
+    // must produce the same ranking as the integral-id path modulo the id
+    // mapping
     val named = corpus.select(concat(lit("doc-"), $"doc_id").as("doc_id"), $"text")
     val q = Seq(("q-1", "quick brown")).toDF("doc_id", "text")
+    // Bm25.search localCheckpoints its result (scoped-persist pattern), so
+    // the plan pin runs on the inner scoreTf stage it wraps.
+    val tf = Bm25.tfFrame(named, "doc_id", "text")
+    val dfTable = tf.groupBy($"__t").agg(countDistinct($"__d").as("__df"))
+    val (n, dl) = Bm25.corpusStats(named, "text")
+    val inner = Bm25.scoreTf(tf, dfTable, n, dl.toDouble / n, q, "doc_id", "text",
+      k = 4, k1 = 1.2, b = 0.75, excludeSelf = false, roundScoreTo = Some(6),
+      outIdCol = "doc_id")
+    val plan = inner.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && !plan.contains("Window"),
+      s"string ids must take the heap path, not a rank window:\n$plan")
     val res = Bm25.search(named, "doc_id", "text", q, "doc_id", "text",
       k = 4, excludeSelf = false, roundScoreTo = Some(6)).orderBy("rank").collect()
     val ids = res.map(_.getAs[String]("doc_id")).toSeq
     assert(ids.nonEmpty && ids.toSet.subsetOf(Set("doc-1", "doc-3")),
-      s"non-matching docs must not appear and rows must survive the fallback: $ids")
+      s"non-matching docs must not appear and rows must survive: $ids")
     val numeric = Bm25.search(corpus, "doc_id", "text",
       Seq((10L, "quick brown")).toDF("doc_id", "text"), "doc_id", "text",
       k = 4, excludeSelf = false, roundScoreTo = Some(6)).orderBy("rank").collect()
@@ -204,10 +217,14 @@ class Bm25Spec extends SparkSpec {
       .head.getAs[Double]("score") == 0.5)
   }
 
-  test("rrf: string result ids take the window fallback, same fusion order") {
+  test("rrf: string result ids take the bounded-heap path, same fusion order") {
     val listA = Seq(("q", "a", 1), ("q", "b", 2)).toDF("query_id", "result_id", "rank")
     val listB = Seq(("q", "b", 1), ("q", "c", 2)).toDF("query_id", "result_id", "rank")
-    val fused = Hybrid.rrf(Seq(listA, listB), k = 60, topK = 3).orderBy("rank").collect()
+    val fusedDf = Hybrid.rrf(Seq(listA, listB), k = 60, topK = 3)
+    val plan = fusedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && !plan.contains("Window"),
+      s"string result ids must take the heap path, not a rank window:\n$plan")
+    val fused = fusedDf.orderBy("rank").collect()
     assert(fused.map(_.getAs[String]("result_id")).toSeq == Seq("b", "a", "c"))
   }
 }
