@@ -158,14 +158,16 @@ object Streaming {
       threshold: Double,
       checkpointDir: String,
       maxBucketSize: Int = 10000,
-      maxSinkFiles: Int = 256): StreamingQuery =
+      maxSinkFiles: Int = 256,
+      sidecarBuckets: Int = 64): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitBatch(batch, batchId, idCol, textCol, index, admittedDir,
-          threshold, checkpointDir, maxBucketSize, maxSinkFiles)
+          threshold, checkpointDir, maxBucketSize, maxSinkFiles,
+          sidecarBuckets)
       }
       .start()
 
@@ -204,28 +206,200 @@ object Streaming {
     if (hasData) Some(spark.read.parquet(dir)) else None
   }
 
-  /** The id sidecar for an admission sink: one row per committed id with
-    * its (`__ckpt`, `__batch`) DECISION RECORD. Bootstraps from the data
-    * dir's id column when absent (a pre-sidecar deployment — the one
-    * full-corpus id scan this sink ever takes outside the heal path);
-    * yields an empty typed frame when neither exists yet. A PRESENT but
-    * unreadable sidecar fails loudly (see [[readIfData]]). */
-  private def sidecarFrame(spark: SparkSession, idsDir: String,
-      dataDir: String, idCol: String,
-      idType: org.apache.spark.sql.types.DataType): DataFrame =
-    readIfData(spark, idsDir).getOrElse {
-      readIfData(spark, dataDir).foreach {
-        _.select(col(idCol), lit("").as("__ckpt"), lit(-1L).as("__batch"))
-          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(idsDir)
-      }
-      readIfData(spark, idsDir).getOrElse(
-        spark.range(0).select(lit(null).cast(idType).as(idCol),
-          lit("").as("__ckpt"), lit(-1L).as("__batch")))
+  // ------------------------------------------------------------------
+  // Id-sidecar storage: two levels (r17).
+  //
+  //  - L0: per-batch append files at the TOP of `<idsDir>` — schema
+  //    (idCol, __ckpt, __batch), one tiny file per batch, exactly the
+  //    pre-r17 layout. Holds the recent DECISION RECORDS (the heal path
+  //    only ever needs the stream's latest batch, which by the
+  //    fold-after-heal ordering in admitBatch/cutBatch is always still
+  //    here) and stays bounded: at most ~maxSinkFiles batches.
+  //  - BASE: `<idsDir>/_base/bucket=N/` — the folded history, hive-
+  //    partitioned by `pmod(xxhash64(id), buckets)` (the exact layout
+  //    Bm25Index postings and SpanIndex grams use). The per-batch replay
+  //    guard computes the batch's touched buckets and reads ONLY those
+  //    partitions, so guard cost is O(|base|·touched/buckets + |L0| +
+  //    |batch|) instead of one full pass over every id ever admitted —
+  //    the difference between a trickle batch costing O(batch) and
+  //    costing O(corpus) forever. Bucket count is pinned in
+  //    `_base/_meta.json` (written into the shadow, so it swaps
+  //    atomically with the layout); a base with lost meta reads
+  //    UNPRUNED — correct, just slower.
+  //
+  // The fold (L0 → base) rides the existing maxSinkFiles maintenance
+  // trigger: rewrite base ∪ L0 bucketed via the shared shadow+two-rename
+  // swap, then retire exactly the L0 files that were folded. Crash
+  // windows: torn base swap heals on every entry (same protocol as
+  // Compaction.compactDir); a crash between the swap and the L0 retire
+  // leaves rows present in BOTH levels — benign for every consumer
+  // (membership and decision semantics are idempotent) and deduped by
+  // the next fold's dropDuplicates. Decision records retired into the
+  // base stop being consulted by the heal (scoped to L0): safe by the
+  // fold-after-heal ordering — see the commit-protocol scaladoc.
+  // ------------------------------------------------------------------
+
+  /** The sidecar's folded base level — a SIBLING of the L0 dir, not a
+    * hidden child: Spark's PARALLEL partition discovery (>32 partition
+    * dirs) filters out roots whose name is hidden, so a `_`-prefixed
+    * nested base silently reads as empty exactly when the bucket count
+    * makes pruning worthwhile (found by SidecarProbe at 256 buckets; the
+    * 4-bucket spec fixture sat under the parallel-listing threshold and
+    * hid the failure). A sibling keeps L0 reads pure without relying on
+    * hidden-path filtering at all. */
+  private[graft] def sidecarBaseDir(idsDir: String): String = idsDir + "_base"
+
+  private def sidecarBucketOf(id: org.apache.spark.sql.Column,
+      buckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(id), lit(buckets.toLong)).cast("int")
+
+  /** Heal a fold's torn base swap on entry (base missing, __old present =
+    * crash between the two renames) — every sidecar reader goes through
+    * here, or a torn fold would silently hide the ENTIRE base from the
+    * replay guard and re-admit history. */
+  private def healTornBaseSwap(spark: SparkSession, idsDir: String): Unit = {
+    val base = new org.apache.hadoop.fs.Path(sidecarBaseDir(idsDir))
+    val old = new org.apache.hadoop.fs.Path(sidecarBaseDir(idsDir) + "__old")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base) && fs.exists(old))
+      require(fs.rename(old, base), s"could not heal torn sidecar fold of $idsDir")
+  }
+
+  /** Bucket count of the folded base (None = no base or meta lost). */
+  private def sidecarBaseBuckets(spark: SparkSession, idsDir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(sidecarBaseDir(idsDir) + "/_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try {
+        new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      } finally in.close()
+      graft.index.FlatJson.parse(txt).get("buckets").map(_.toInt)
     }
+  }
+
+  private def emptySidecar(spark: SparkSession, idCol: String,
+      idType: org.apache.spark.sql.types.DataType): DataFrame =
+    spark.range(0).select(lit(null).cast(idType).as(idCol),
+      lit("").as("__ckpt"), lit(-1L).as("__batch"))
+
+  /** The sidecar's L0 level (recent per-batch appends + decision
+    * records). Bootstraps from the data dir's id column when NEITHER
+    * level exists (a pre-sidecar deployment — the one full-corpus id
+    * scan this sink ever takes outside the heal path); yields an empty
+    * typed frame when nothing exists yet. A PRESENT but unreadable
+    * level fails loudly (see [[readIfData]]). */
+  private def sidecarL0(spark: SparkSession, idsDir: String,
+      dataDir: String, idCol: String,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    healTornBaseSwap(spark, idsDir)
+    readIfData(spark, idsDir).getOrElse {
+      if (readIfData(spark, sidecarBaseDir(idsDir)).isEmpty) {
+        readIfData(spark, dataDir).foreach {
+          _.select(col(idCol), lit("").as("__ckpt"), lit(-1L).as("__batch"))
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(idsDir)
+        }
+      }
+      readIfData(spark, idsDir).getOrElse(emptySidecar(spark, idCol, idType))
+    }
+  }
+
+  /** The replay guard's membership frame for an existing sidecar —
+    * probe/maintenance surface (the batch callbacks inline the same
+    * steps with their already-derived L0 frame). */
+  private[graft] def guardIdsFor(spark: SparkSession, idsDir: String,
+      batch: DataFrame, idCol: String): DataFrame = {
+    healTornBaseSwap(spark, idsDir)
+    val l0 = readIfData(spark, idsDir).getOrElse(
+      emptySidecar(spark, idCol, batch.schema(idCol).dataType))
+    sidecarGuardIds(spark, idsDir, l0, batch, idCol)
+  }
+
+  /** The replay guard's id-membership frame: L0 ids ∪ the base buckets
+    * `batch`'s ids actually touch (hive partition pruning skips the
+    * rest — ids outside a touched bucket cannot match any batch id by
+    * construction of the bucket function). */
+  private def sidecarGuardIds(spark: SparkSession, idsDir: String,
+      l0: DataFrame, batch: DataFrame, idCol: String): DataFrame =
+    readIfData(spark, sidecarBaseDir(idsDir)).fold(l0.select(col(idCol))) { base =>
+      val pruned = sidecarBaseBuckets(spark, idsDir) match {
+        case Some(bk) =>
+          val touched = batch.filter(col(idCol).isNotNull)
+            .select(sidecarBucketOf(col(idCol), bk).as("__b"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          base.filter(col("bucket").isin(touched: _*))
+        case None => base
+      }
+      pruned.select(col(idCol)).union(l0.select(col(idCol)))
+    }
+
+  /** Fold the sidecar's L0 batch appends into the bucketed base: one
+    * rewrite of base ∪ L0 (shadow + two-rename swap, meta inside the
+    * shadow), then retire exactly the folded L0 files. Triggered by the
+    * maxSinkFiles maintenance pass; also the migration path for a
+    * pre-r17 flat sidecar (its top-level files ARE an L0). */
+  private[graft] def foldSidecar(spark: SparkSession, idsDir: String,
+      idCol: String, buckets: Int): Unit = {
+    require(buckets > 0, s"sidecar buckets must be positive, got $buckets")
+    healTornBaseSwap(spark, idsDir)
+    val p = new org.apache.hadoop.fs.Path(idsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(sidecarBaseDir(idsDir))
+    val shadow = new org.apache.hadoop.fs.Path(sidecarBaseDir(idsDir) + "__shadow")
+    val old = new org.apache.hadoop.fs.Path(sidecarBaseDir(idsDir) + "__old")
+    fs.delete(shadow, true)
+    fs.delete(old, true)
+    if (!fs.exists(p)) return
+    val l0Files = fs.listStatus(p).toSeq.filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    val l0 = if (l0Files.nonEmpty)
+      Some(spark.read.parquet(l0Files.map(_.getPath.toString): _*)) else None
+    val baseRows = readIfData(spark, base.toString).map(_.drop("bucket"))
+    val all = (l0.toSeq ++ baseRows.toSeq).reduceOption(_ unionByName _)
+      .getOrElse(return)
+    all
+      .dropDuplicates(idCol, "__ckpt", "__batch") // heals swap-then-crash double-presence
+      .withColumn("bucket", sidecarBucketOf(col(idCol), buckets))
+      .repartition(col("bucket")) // one task per bucket value → one file per bucket
+      .write.partitionBy("bucket").parquet(shadow.toString)
+    // meta rides the shadow so layout + bucket count swap atomically
+    val metaOut = fs.create(new org.apache.hadoop.fs.Path(shadow, "_meta.json"), true)
+    try metaOut.write(s"""{"buckets":$buckets}""".getBytes("UTF-8"))
+    finally metaOut.close()
+    if (fs.exists(base))
+      require(fs.rename(base, old), s"could not stage old sidecar base of $idsDir")
+    require(fs.rename(shadow, base), s"could not swap folded sidecar base of $idsDir")
+    fs.delete(old, true)
+    l0Files.foreach(s => fs.delete(s.getPath, false))
+  }
+
+  /** [[foldSidecar]] when the L0 file count exceeds `maxFiles` (the same
+    * trigger discipline as Compaction.compactDir). */
+  private def foldSidecarIfNeeded(spark: SparkSession, idsDir: String,
+      idCol: String, buckets: Int, maxFiles: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(idsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val n = fs.listStatus(p).count(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    if (n > maxFiles) foldSidecar(spark, idsDir, idCol, buckets)
+  }
+
+  /** Canonical decision-record key for a checkpoint path — the SAME
+    * normalization [[admitIdsDir]] applies to data dirs. Restarting a
+    * stream with an equivalent-but-respelled path (trailing slash,
+    * `file://` scheme doubling) must produce the same key, or ids decided
+    * in the 2→3 crash window are silently stranded (guard-dropped until a
+    * manual [[reconcileSidecar]]) even though the checkpoint never moved.
+    * Both the sidecar APPEND and [[decisionOf]]'s filter go through here
+    * so the two sides can never disagree. */
+  private def ckptKey(checkpointDir: String): String =
+    new org.apache.hadoop.fs.Path(checkpointDir).toString
 
   private def decisionOf(sidecar: DataFrame, checkpointDir: String,
       batchId: Long): DataFrame =
-    sidecar.filter(col("__ckpt") === lit(checkpointDir) &&
+    sidecar.filter(col("__ckpt") === lit(ckptKey(checkpointDir)) &&
       col("__batch") === lit(batchId))
 
   /**
@@ -260,7 +434,15 @@ object Streaming {
     // dir missing with __old present means a crash between the renames
     if (!fs.exists(p) && fs.exists(old))
       require(fs.rename(old, p), s"could not heal torn sidecar swap of $idsDir")
-    val sc = readIfData(spark, idsDir).getOrElse(return 0L)
+    healTornBaseSwap(spark, idsDir)
+    // BOTH levels: the stranded record may already have been folded into
+    // the bucketed base. The reconciled rewrite lands as all-L0 (the old
+    // base is swapped out with the old dir); the next maintenance fold
+    // re-buckets it.
+    val l0 = readIfData(spark, idsDir)
+    val baseRows = readIfData(spark, sidecarBaseDir(idsDir)).map(_.drop("bucket"))
+    val sc = (l0.toSeq ++ baseRows.toSeq).reduceOption(_ unionByName _)
+      .getOrElse(return 0L)
     val committed = readIfData(spark, dataDir)
     val keep = committed
       .fold(sc.limit(0))(d => sc.join(d.select(col(idCol)), Seq(idCol), "left_semi"))
@@ -273,6 +455,12 @@ object Streaming {
     require(fs.rename(p, old), s"could not stage old sidecar $idsDir")
     require(fs.rename(shadow, p), s"could not swap reconciled sidecar $idsDir")
     fs.delete(old, true)
+    // the survivors landed as all-L0, so the (sibling) base is now
+    // superseded history: drop it. A crash between the swap above and
+    // this delete resurfaces the stranded rows from the base — they stay
+    // harmlessly guard-dropped, and RE-RUNNING reconcileSidecar (the
+    // documented repair idiom) clears them.
+    fs.delete(new org.apache.hadoop.fs.Path(sidecarBaseDir(idsDir)), true)
     dropped
   }
 
@@ -321,24 +509,18 @@ object Streaming {
       threshold: Double,
       checkpointDir: String,
       maxBucketSize: Int = 10000,
-      maxSinkFiles: Int = 256): Unit = {
+      maxSinkFiles: Int = 256,
+      sidecarBuckets: Int = 64): Unit = {
     val spark = batch.sparkSession
     val idsDir = admitIdsDir(admittedDir)
-    // auto-maintenance INSIDE the batch callback — the one place the
-    // single-writer window is guaranteed: when any append target (the
-    // corpus dir, the id sidecar, the signature table) has accumulated
-    // more than maxSinkFiles files, fold it before this batch reads it.
-    // Bounded-frequency by construction (a compacted dir is ~total/
-    // target files, so the trigger re-arms only after ~maxSinkFiles
-    // further batches); 0 disables.
-    if (maxSinkFiles > 0) {
-      graft.index.Compaction.compactDir(spark, admittedDir,
-        minFiles = maxSinkFiles)
-      graft.index.Compaction.compactDir(spark, idsDir,
-        minFiles = maxSinkFiles)
-      index.compact(minFiles = maxSinkFiles)
-    }
-    val sidecar = sidecarFrame(spark, idsDir, admittedDir, idCol,
+    // DECISION CHECK FIRST, maintenance after: the heal consults L0 only,
+    // so a crashed batch's record must be healed BEFORE the sidecar fold
+    // could retire it into the base (where the replay guard would then
+    // silently drop the decided-but-uncommitted rows — the data loss the
+    // record exists to prevent). Safe because a decision record is only
+    // ever consulted for the stream's latest batch, which this ordering
+    // guarantees is still in L0.
+    val sidecar = sidecarL0(spark, idsDir, admittedDir, idCol,
       batch.schema(idCol).dataType)
     val decision = decisionOf(sidecar, checkpointDir, batchId)
     if (!decision.isEmpty) {
@@ -367,13 +549,28 @@ object Streaming {
       }
       return
     }
+    // auto-maintenance INSIDE the batch callback — the one place the
+    // single-writer window is guaranteed: when any append target (the
+    // corpus dir, the id sidecar, the signature table) has accumulated
+    // more than maxSinkFiles files, fold it before this batch reads it.
+    // Bounded-frequency by construction (a compacted dir is ~total/
+    // target files, so the trigger re-arms only after ~maxSinkFiles
+    // further batches); 0 disables.
+    if (maxSinkFiles > 0) {
+      graft.index.Compaction.compactDir(spark, admittedDir,
+        minFiles = maxSinkFiles)
+      foldSidecarIfNeeded(spark, idsDir, idCol, sidecarBuckets, maxSinkFiles)
+      index.compact(minFiles = maxSinkFiles)
+    }
     val m = index.meta
     val corpus = spark.read.parquet(admittedDir)
-    // the sidecar outgrows the broadcast threshold with the corpus — the
-    // reversed probe keeps the replay guard one streaming pass over it
-    // (never a per-batch shuffle+sort of the corpus-sized id set)
+    // replay guard: touched-bucket-pruned base ∪ L0 (the fold above may
+    // have retired the earlier L0 frame's files — re-derive it), probed
+    // with the reversed join so the big side is never shuffled
+    val l0 = readIfData(spark, idsDir)
+      .getOrElse(emptySidecar(spark, idCol, batch.schema(idCol).dataType))
     val replayFree = graft.plans.Joins.antiSmallLeft(
-      batch, sidecar.select(col(idCol)), idCol)
+      batch, sidecarGuardIds(spark, idsDir, l0, batch, idCol), idCol)
     val inBatch = graft.dedup.Dedup.dropNearDuplicates(
       replayFree, idCol, textCol,
       n = m.n, numHashes = m.numHashes, bands = m.bands,
@@ -389,7 +586,7 @@ object Streaming {
       .localCheckpoint(true)
     if (!admitted.isEmpty) {
       index.upsert(admitted, idCol, textCol)
-      admitted.select(col(idCol), lit(checkpointDir).as("__ckpt"),
+      admitted.select(col(idCol), lit(ckptKey(checkpointDir)).as("__ckpt"),
           lit(batchId).as("__batch"))
         .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(idsDir)
       admitted.write.mode(org.apache.spark.sql.SaveMode.Append)
@@ -433,14 +630,15 @@ object Streaming {
       cleanDir: String,
       checkpointDir: String,
       preserveCase: Boolean = false,
-      maxSinkFiles: Int = 256): StreamingQuery =
+      maxSinkFiles: Int = 256,
+      sidecarBuckets: Int = 64): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         cutBatch(batch, batchId, idCol, textCol, index, cleanDir,
-          checkpointDir, preserveCase, maxSinkFiles)
+          checkpointDir, preserveCase, maxSinkFiles, sidecarBuckets)
       }
       .start()
 
@@ -473,18 +671,14 @@ object Streaming {
       cleanDir: String,
       checkpointDir: String,
       preserveCase: Boolean = false,
-      maxSinkFiles: Int = 256): Unit = {
+      maxSinkFiles: Int = 256,
+      sidecarBuckets: Int = 64): Unit = {
     val spark = batch.sparkSession
     val idsDir = admitIdsDir(cleanDir)
-    // auto-maintenance in the guaranteed single-writer window — see
-    // admitStream; compactDir no-ops while the dirs are small/absent
-    if (maxSinkFiles > 0) {
-      graft.index.Compaction.compactDir(spark, cleanDir,
-        minFiles = maxSinkFiles)
-      graft.index.Compaction.compactDir(spark, idsDir,
-        minFiles = maxSinkFiles)
-    }
-    val sidecar = sidecarFrame(spark, idsDir, cleanDir, idCol,
+    // decision check BEFORE maintenance — the heal consults L0 only, so
+    // a crashed batch's record must heal before the sidecar fold could
+    // retire it into the base (see admitBatch)
+    val sidecar = sidecarL0(spark, idsDir, cleanDir, idCol,
       batch.schema(idCol).dataType)
     val decision = decisionOf(sidecar, checkpointDir, batchId)
     if (!decision.isEmpty) {
@@ -508,8 +702,19 @@ object Streaming {
         recut.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(cleanDir)
       return
     }
+    // auto-maintenance in the guaranteed single-writer window — see
+    // admitStream; the passes no-op while the dirs are small/absent
+    if (maxSinkFiles > 0) {
+      graft.index.Compaction.compactDir(spark, cleanDir,
+        minFiles = maxSinkFiles)
+      foldSidecarIfNeeded(spark, idsDir, idCol, sidecarBuckets, maxSinkFiles)
+    }
+    // replay guard over touched-bucket-pruned base ∪ L0 (re-derived: the
+    // fold above may have retired the earlier L0 frame's files)
+    val l0 = readIfData(spark, idsDir)
+      .getOrElse(emptySidecar(spark, idCol, batch.schema(idCol).dataType))
     val fresh = graft.plans.Joins.antiSmallLeft(
-      batch, sidecar.select(col(idCol)), idCol)
+      batch, sidecarGuardIds(spark, idsDir, l0, batch, idCol), idCol)
     val cleaned = index.cut(fresh, idCol, textCol, preserveCase = preserveCase)
       .withColumnRenamed("text_clean", textCol)
       .localCheckpoint(true)
@@ -524,7 +729,7 @@ object Streaming {
       // of admitted passages were never cut. Then the decision record,
       // then the data append (see admitBatch for the window analysis).
       index.upsert(cleaned, idCol, textCol)
-      cleaned.select(col(idCol), lit(checkpointDir).as("__ckpt"),
+      cleaned.select(col(idCol), lit(ckptKey(checkpointDir)).as("__ckpt"),
           lit(batchId).as("__batch"))
         .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(idsDir)
       cleaned.write.mode(org.apache.spark.sql.SaveMode.Append)

@@ -254,6 +254,25 @@ class StreamingSpec extends SparkSpec {
       threshold = 0.5, checkpointDir = s"$tmp/ckptB")
     assert(spark.read.parquet(s"$tmp/admitted").count() == 4)
     assert(idx.signatures().count() == 4)
+    // a RESPELLED-but-equivalent checkpoint path (trailing slash) must
+    // still key the same decision records: both the committed-batch
+    // replay and a fresh crash-window heal resolve through the
+    // normalized key instead of stranding the decided ids (ADVICE r16)
+    Streaming.admitBatch(crashBatch, 7L, "doc_id", "text", idx, s"$tmp/admitted",
+      threshold = 0.5, checkpointDir = s"$tmp/ckptB/")
+    assert(spark.read.parquet(s"$tmp/admitted").count() == 4,
+      "a trailing-slash respelling must hit the same decision record, not re-admit")
+    val crashBatch2 = Seq(
+      (41L, "pack my box with five dozen liquor jugs said the clerk quietly"))
+      .toDF("doc_id", "text")
+    crashBatch2.select($"doc_id", lit(s"$tmp/ckptC").as("__ckpt"), lit(2L).as("__batch"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(Streaming.admitIdsDir(s"$tmp/admitted"))
+    Streaming.admitBatch(crashBatch2, 2L, "doc_id", "text", idx, s"$tmp/admitted",
+      threshold = 0.5, checkpointDir = s"$tmp/ckptC/")
+    assert(spark.read.parquet(s"$tmp/admitted")
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 30L, 31L, 40L, 41L),
+      "the heal keyed on a respelled checkpoint path must still fire")
   }
 
   test("span-cut admission: duplicated passages stripped, index tracks cleaned text") {
@@ -432,7 +451,7 @@ class StreamingSpec extends SparkSpec {
       val src = MemoryStream[(Long, String)]
       val q = Streaming.admitStream(src.toDF().toDF("doc_id", "text"),
         "doc_id", "text", idx, s"$tmp/admitted", threshold = 0.5,
-        s"$tmp/ckpt_c$i", maxSinkFiles = 3)
+        s"$tmp/ckpt_c$i", maxSinkFiles = 3, sidecarBuckets = 4)
       src.addData((100L + i, text))
       q.awaitTermination()
     }
@@ -455,13 +474,84 @@ class StreamingSpec extends SparkSpec {
       s"corpus file count must stay bounded, got ${files(s"$tmp/admitted")}")
     assert(files(s"$tmp/admit_cidx/sig") <= 3,
       s"signature file count must stay bounded, got ${files(s"$tmp/admit_cidx/sig")}")
-    assert(files(Streaming.admitIdsDir(s"$tmp/admitted")) <= 3,
-      s"id-sidecar file count must stay bounded, got ${files(Streaming.admitIdsDir(s"$tmp/admitted"))}")
+    // sidecar bound = L0 batch files (≤ maxSinkFiles) + base (≤ buckets);
+    // the fold retires L0 appends into <idsDir>_base/bucket=N/ (sibling)
+    val idsDir = Streaming.admitIdsDir(s"$tmp/admitted")
+    assert(files(idsDir) <= 3 + 4,
+      s"id-sidecar file count must stay bounded, got ${files(idsDir)}")
+    assert(new java.io.File(s"${idsDir}_base").isDirectory,
+      "the maintenance fold must have produced the bucketed base level")
     assert(idx.signatures().count() == 7, "index rows survive compaction")
-    // the sidecar tracks the admitted id set exactly across compactions
-    assert(spark.read.parquet(Streaming.admitIdsDir(s"$tmp/admitted"))
-      .select("doc_id").as[Long].collect().sorted.toSeq
+    // the sidecar (both levels) tracks the admitted id set exactly
+    val l0Ids = spark.read.parquet(idsDir).select("doc_id")
+    val baseIds = spark.read.parquet(s"${idsDir}_base").select("doc_id")
+    assert(l0Ids.union(baseIds).as[Long].collect().sorted.toSeq
       == (Seq(1L) ++ (0 until 6).map(100L + _)))
+  }
+
+  test("sidecar fold: L0 retires into a bucketed base; guard, heal ordering and reconcile still exact") {
+    val tmp = Files.createTempDirectory("graft_sidecar_fold").toString
+    val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val idx = graft.index.SpanIndex(spark, s"$tmp/idx", "fold_corpus")
+      .build(corpus, "doc_id", "text", n = 5, buckets = 8)
+    // three committed batches, then an explicit fold
+    (0 until 3).foreach { i =>
+      val b = Seq((10L + i, s"wholly fresh document number $i with plenty of unique words here"))
+        .toDF("doc_id", "text")
+      Streaming.cutBatch(b, i.toLong, "doc_id", "text", idx, s"$tmp/clean",
+        checkpointDir = s"$tmp/ckpt", maxSinkFiles = 0)
+    }
+    val idsDir = Streaming.admitIdsDir(s"$tmp/clean")
+    Streaming.foldSidecar(spark, idsDir, "doc_id", buckets = 4)
+    // layout: no L0 data files left, base bucketed with pinned meta
+    val fs = new org.apache.hadoop.fs.Path(idsDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(idsDir)).exists(s =>
+      s.isFile && !s.getPath.getName.startsWith("_")), "L0 files must retire")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"${idsDir}_base/_meta.json")))
+    val base = spark.read.parquet(s"${idsDir}_base")
+    assert(base.select("doc_id").as[Long].collect().sorted.toSeq == Seq(10L, 11L, 12L))
+    assert(base.columns.contains("bucket"))
+    // replay guard: an id that lives ONLY in the folded base is still
+    // dropped (touched-bucket pruning must not lose it)
+    val replay = Seq((11L, "wholly fresh document number 1 with plenty of unique words here"),
+        (30L, "sphinx of black quartz judge my vow tonight"))
+      .toDF("doc_id", "text")
+    Streaming.cutBatch(replay, 9L, "doc_id", "text", idx, s"$tmp/clean",
+      checkpointDir = s"$tmp/ckpt", maxSinkFiles = 0)
+    assert(spark.read.parquet(s"$tmp/clean").select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(10L, 11L, 12L, 30L),
+      "base-resident ids must be guard-dropped; fresh ids admitted")
+    // a second fold folds the new L0 rows in, rows exact across both folds
+    Streaming.foldSidecar(spark, idsDir, "doc_id", buckets = 4)
+    assert(spark.read.parquet(s"${idsDir}_base").select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(10L, 11L, 12L, 30L))
+    // heal-before-fold ordering: a decided-but-uncommitted record in L0
+    // heals even when the batch's own maintenance would trigger a fold
+    val crash = Seq((40L, "five boxing wizards jump quickly over the frozen river"))
+      .toDF("doc_id", "text")
+    crash.select($"doc_id", lit(s"$tmp/ckptB").as("__ckpt"), lit(0L).as("__batch"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(idsDir)
+    Streaming.cutBatch(crash, 0L, "doc_id", "text", idx, s"$tmp/clean",
+      checkpointDir = s"$tmp/ckptB", maxSinkFiles = 1, sidecarBuckets = 4)
+    assert(spark.read.parquet(s"$tmp/clean").select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(10L, 11L, 12L, 30L, 40L),
+      "the crash-window record must heal before any fold can retire it")
+    // reconcile sees BOTH levels: strand a record, fold it into the base,
+    // then reconcile drops exactly that row and the id re-admits
+    Seq(50L).toDF("doc_id")
+      .select($"doc_id", lit(s"$tmp/ckptX").as("__ckpt"), lit(7L).as("__batch"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(idsDir)
+    Streaming.foldSidecar(spark, idsDir, "doc_id", buckets = 4)
+    assert(Streaming.reconcileSidecar(spark, s"$tmp/clean", "doc_id") == 1L)
+    val strandedRetry = Seq((50L, "grumpy wizards make toxic brew for the evil queen"))
+      .toDF("doc_id", "text")
+    Streaming.cutBatch(strandedRetry, 0L, "doc_id", "text", idx, s"$tmp/clean",
+      checkpointDir = s"$tmp/ckptY", maxSinkFiles = 0)
+    assert(spark.read.parquet(s"$tmp/clean").select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(10L, 11L, 12L, 30L, 40L, 50L),
+      "a base-folded stranded decision must reconcile away and re-admit")
   }
 
   test("file-source events stream: windowed agg over the fixture matches batch") {
