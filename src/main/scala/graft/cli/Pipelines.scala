@@ -1,6 +1,6 @@
 package graft.cli
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.bench.{Sampling, Sinks}
@@ -41,8 +41,25 @@ object Pipelines {
       k: Int = 100, numSamples: Int = 500, dim: Int = 256,
       normalized: Boolean = true,
       seed: String = Sampling.defaultSeed,
+      embeddingModel: Option[String] = None): BenchmarkOutput =
+    runPojCorpus(spark, Corpus.poj(DirSource.files(spark, dataDir)),
+      k, numSamples, dim, normalized, seed, embeddingModel)
+
+  /**
+   * The POJ composition from the corpus frame down — everything after the
+   * directory walk, on any frame shaped (`code_uuid`, `clone_type`,
+   * `code_contents`). Extracted so the end-to-end pipeline is
+   * driver-oracled on the parquet fixtures (`pipeline_poj*` queries)
+   * through the SAME code the CLI runs, not a reconstruction of it.
+   * The uuid-string corpus keys ride the bounded-heap top-k path
+   * (UTF8String tie-break, r17) — no rank window over the scored corpus.
+   */
+  def runPojCorpus(
+      spark: SparkSession, corpus: DataFrame,
+      k: Int = 100, numSamples: Int = 500, dim: Int = 256,
+      normalized: Boolean = true,
+      seed: String = Sampling.defaultSeed,
       embeddingModel: Option[String] = None): BenchmarkOutput = {
-    val corpus = Corpus.poj(DirSource.files(spark, dataDir))
     val model = resolveEmbedder(embeddingModel, dim, normalized)
       .fit(corpus, "code_contents")
     val vecs = model.transform(corpus, "code_contents", "vec")
@@ -56,10 +73,17 @@ object Pipelines {
       col("query_id"), col("code_uuid").as("result_id"),
       col("clone_type").as("result_type"),
       col("score").as("similarity_score"), col("is_same_type"))
+    // Score means run through an exact DECIMAL sum (scores are 6-dp by
+    // construction) so the stats are order-independent and replayable in
+    // any engine — the same discipline as IrMetrics.perQuery. Semantics
+    // unchanged: mean, 0.0 when a side is empty (poj_utils.py:202-205).
+    def stableMean(pred: Column): Column = coalesce(
+      sum(when(pred, col("score")).cast("decimal(28,6)")).cast("double") /
+        count(when(pred, col("score"))), lit(0.0))
     val queryStats = res.groupBy(col("query_id"), col("query_clone_type").as("query_type"))
       .agg(
-        coalesce(avg(when(col("is_same_type"), col("score"))), lit(0.0)).as("avg_same_type_score"),
-        coalesce(avg(when(!col("is_same_type"), col("score"))), lit(0.0)).as("avg_diff_type_score"),
+        stableMean(col("is_same_type")).as("avg_same_type_score"),
+        stableMean(!col("is_same_type")).as("avg_diff_type_score"),
         count(when(col("is_same_type"), 1)).as("num_same_type_found"),
         count(when(!col("is_same_type"), 1)).as("num_diff_type_found"))
     val metrics = IrMetrics.global(

@@ -1201,6 +1201,73 @@ private[graft] trait SqlKit {
 
   protected val knnOracleCte: String = knnOracleCteK(10)
 
+  /** Shared CTE chain for the `pipeline_poj*` oracles — the full runPoj
+    * composition replayed in SQL: the TF-IDF embed twin
+    * ([[embedTfidfCtes]], identical params), the md5 uuid stand-in ids,
+    * the seeded sample, the uuid-string-keyed top-k (VARCHAR
+    * `result_id ASC` tie-break = DuckDB binary collation = the Spark
+    * heap's UTF8String byte order), same-lang relevance, and the running
+    * relevant count the AP numerator needs. Binds `topk`. */
+  protected def pojPipelineCtes(nQ: Int, k: Int): String =
+    s"""WITH RECURSIVE $embedTfidfCtes, pc AS (
+      |  SELECT md5('id:' || CAST(d.doc_id AS VARCHAR)) AS cid, d.lang, v.v
+      |  FROM documents d JOIN vec v USING (doc_id)
+      |), pq AS (
+      |  SELECT cid AS qid, lang AS qlang, v AS qv FROM pc
+      |  ORDER BY md5('graft42:' || cid), cid LIMIT $nQ
+      |), scored AS (
+      |  SELECT pq.qid AS query_id, pq.qlang, c.cid AS result_id, c.lang AS rlang,
+      |    ROUND(list_cosine_similarity(CAST(pq.qv AS DOUBLE[]), CAST(c.v AS DOUBLE[])), 6) AS score
+      |  FROM pq CROSS JOIN pc c WHERE c.cid <> pq.qid
+      |), ranked AS (
+      |  SELECT query_id, qlang, result_id, rlang, score,
+      |    (rlang = qlang) AS is_relevant,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+      |  FROM scored
+      |), topk AS (
+      |  SELECT *, SUM(CASE WHEN is_relevant THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY query_id ORDER BY rank ROWS UNBOUNDED PRECEDING) AS cum_rel
+      |  FROM ranked WHERE rank <= $k
+      |)
+      |""".stripMargin
+
+  /** pipeline_poj (global metric row) — the [[irMetricsOracleSql]] tail
+    * over the pipeline's own topk CTE. */
+  protected def pojPipelineMetricsSql(nQ: Int, k: Int): String =
+    pojPipelineCtes(nQ, k) +
+    s""", perq AS (
+      |  SELECT query_id,
+      |    COUNT(CASE WHEN is_relevant THEN 1 END) AS hits,
+      |    MIN(CASE WHEN is_relevant THEN rank END) AS first_rel_rank,
+      |    SUM(CASE WHEN is_relevant THEN CAST(cum_rel AS DOUBLE) / rank ELSE 0.0 END) AS ap_numerator,
+      |    COALESCE(CAST(SUM(CAST(CASE WHEN is_relevant THEN score END AS DECIMAL(28,6))) AS DOUBLE) / COUNT(CASE WHEN is_relevant THEN score END), 0.0) AS avg_rel,
+      |    COALESCE(CAST(SUM(CAST(CASE WHEN NOT is_relevant THEN score END AS DECIMAL(28,6))) AS DOUBLE) / COUNT(CASE WHEN NOT is_relevant THEN score END), 0.0) AS avg_irrel
+      |  FROM topk GROUP BY query_id
+      |)
+      |SELECT
+      |  FLOOR(AVG(CASE WHEN hits > 0 THEN 1.0 ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS success_rate,
+      |  FLOOR(AVG(CAST(hits AS DOUBLE) / $k) * 1000000.0 + 0.5) / 1000000.0 AS mean_precision_at_k,
+      |  FLOOR(AVG(COALESCE(1.0 / first_rel_rank, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS mrr,
+      |  FLOOR(AVG(ap_numerator / $k) * 1000000.0 + 0.5) / 1000000.0 AS map_at_k,
+      |  FLOOR(AVG(avg_rel) * 1000000.0 + 0.5) / 1000000.0 AS avg_relevant_score,
+      |  FLOOR(AVG(avg_irrel) * 1000000.0 + 0.5) / 1000000.0 AS avg_irrelevant_score
+      |FROM perq""".stripMargin
+
+  protected def pojPipelineDetailedSql(nQ: Int, k: Int): String =
+    pojPipelineCtes(nQ, k) +
+    """SELECT query_id, result_id, rlang AS result_type,
+      |  score AS similarity_score, is_relevant AS is_same_type
+      |FROM topk ORDER BY query_id, similarity_score DESC, result_id""".stripMargin
+
+  protected def pojPipelineStatsSql(nQ: Int, k: Int): String =
+    pojPipelineCtes(nQ, k) +
+    """SELECT query_id, qlang AS query_type,
+      |  COALESCE(FLOOR(CAST(SUM(CAST(CASE WHEN is_relevant THEN score END AS DECIMAL(28,6))) AS DOUBLE) / COUNT(CASE WHEN is_relevant THEN score END) * 1000000.0 + 0.5) / 1000000.0, 0.0) AS avg_same_type_score,
+      |  COALESCE(FLOOR(CAST(SUM(CAST(CASE WHEN NOT is_relevant THEN score END AS DECIMAL(28,6))) AS DOUBLE) / COUNT(CASE WHEN NOT is_relevant THEN score END) * 1000000.0 + 0.5) / 1000000.0, 0.0) AS avg_diff_type_score,
+      |  COUNT(CASE WHEN is_relevant THEN 1 END) AS num_same_type_found,
+      |  COUNT(CASE WHEN NOT is_relevant THEN 1 END) AS num_diff_type_found
+      |FROM topk GROUP BY query_id, qlang ORDER BY query_id""".stripMargin
+
   /** POJ-variant global IR metrics SQL over the topk CTE at a given k. */
   protected def irMetricsOracleSql(k: Int): String = knnOracleCteK(k) +
     s""", perq AS (

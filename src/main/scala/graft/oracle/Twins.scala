@@ -416,6 +416,13 @@ private[graft] object Twins extends SqlKit {
 
     "ir_metrics" -> irMetricsOracleSql(10),
 
+    // Entry point B end-to-end (the runPoj composition, Pipelines.scala):
+    // one CTE chain replays embed → sample → uuid-keyed top-k → relevance,
+    // three tails replay the three reference outputs.
+    "pipeline_poj" -> pojPipelineMetricsSql(100, 10),
+    "pipeline_poj_detailed" -> pojPipelineDetailedSql(100, 10),
+    "pipeline_poj_stats" -> pojPipelineStatsSql(100, 10),
+
     "ir_metrics_k100" -> irMetricsOracleSql(100),
 
     "dedup_keep_one" ->

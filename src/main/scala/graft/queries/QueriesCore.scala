@@ -584,6 +584,34 @@ private[graft] object QueriesCore {
     }),
 
     // ------------------------------------------------------------------
+    // Entry point B end-to-end (r17): the FULL runPoj composition —
+    // TF-IDF fit + embed → seeded sample → uuid-string-keyed top-k
+    // (bounded heap, no rank window) → same-label relevance → the three
+    // reference outputs — driven through Pipelines.runPojCorpus ITSELF,
+    // so a green row certifies the composition the CLI actually runs
+    // (main.py:92-148), not a reconstruction of its parts. Corpus =
+    // documents wearing the POJ schema (md5 uuid stand-ins for the
+    // uuid5 point ids; lang as the class label).
+    // ------------------------------------------------------------------
+    "pipeline_poj" -> ((s, dir) => {
+      val m = pojPipeline(s, dir).metrics
+      m.select(m.columns.map(c => r6(col(c)).as(c)): _*)
+    }),
+
+    "pipeline_poj_detailed" -> ((s, dir) =>
+      pojPipeline(s, dir).detailed
+        .orderBy(col("query_id"), col("similarity_score").desc, col("result_id"))),
+
+    "pipeline_poj_stats" -> ((s, dir) => {
+      pojPipeline(s, dir).queryStats
+        .select(col("query_id"), col("query_type"),
+          r6(col("avg_same_type_score")).as("avg_same_type_score"),
+          r6(col("avg_diff_type_score")).as("avg_diff_type_score"),
+          col("num_same_type_found"), col("num_diff_type_found"))
+        .orderBy(col("query_id"))
+    }),
+
+    // ------------------------------------------------------------------
     // P5/J3 + A6(BCB): the BigCloneBench relevance path — ground-truth
     // clone sets as arrays (A1), membership relevance via array_contains
     // (bcb_utils.py:183), and the BCB MAP denominator min(|clones|, k)
@@ -1083,4 +1111,17 @@ private[graft] object QueriesCore {
         .orderBy(col("cell"), col("id_a"), col("id_b"))
     }),
   )
+
+  /** Shared builder for the `pipeline_poj*` oracle queries: the documents
+    * table wearing the POJ corpus schema, through the real entry-point
+    * composition. 100 queries / k=10 keeps the DuckDB replay (a full
+    * TF-IDF embed + |Q|·|corpus| rescore in SQL) fixture-sized. */
+  private def pojPipeline(s: SparkSession, dir: String): graft.cli.Pipelines.BenchmarkOutput = {
+    val corpus = docsParallel(s, dir).select(
+      md5(concat(lit("id:"), col("doc_id"))).as("code_uuid"),
+      col("lang").as("clone_type"),
+      col("text").as("code_contents"))
+    graft.cli.Pipelines.runPojCorpus(s, corpus, k = 10, numSamples = 100,
+      dim = 256, normalized = true)
+  }
 }
