@@ -24,6 +24,17 @@ import org.apache.spark.sql.functions.{broadcast, col}
  * any corpus size. Null keys behave identically to the plain join: a
  * null never equi-matches, so it survives the anti and drops in the semi
  * either way.
+ *
+ * SIZE-AWARE DISPATCH (r17): below the broadcast threshold the reversed
+ * shape pays its two-join overhead for nothing — JoinsProbe measured it
+ * 2× slower than the plain join at 100k keys (0.33 s vs 0.16 s) while
+ * being the only viable shape at 10M+ (0.36 s vs 1.67 s at 50M). These
+ * entry points therefore dispatch on the key table's OWN plan statistics
+ * against the session's `autoBroadcastJoinThreshold` — the exact
+ * statistic and bound Spark's planner would use to broadcast the plain
+ * join's right side, so the plain path is chosen precisely when it
+ * cannot sort-merge. Unknown/huge statistics (the default for
+ * non-file-backed lineage) fall to the reversed shape: safe at any size.
  */
 object Joins {
 
@@ -31,12 +42,29 @@ object Joins {
     * `small.join(bigKeys, Seq(key), "left_anti")` without ever shuffling
     * `bigKeys`. Output columns are exactly `small`'s. */
   def antiSmallLeft(small: DataFrame, bigKeys: DataFrame, key: String): DataFrame =
-    small.join(broadcast(hits(small, bigKeys, key)), Seq(key), "left_anti")
+    if (bigIsBroadcastable(bigKeys))
+      small.join(broadcast(bigKeys.select(col(key))), Seq(key), "left_anti")
+    else
+      small.join(broadcast(hits(small, bigKeys, key)), Seq(key), "left_anti")
 
   /** `small` rows whose `key` DOES appear in `bigKeys(key)` — the
     * left-semi twin of [[antiSmallLeft]], same single-pass shape. */
   def semiSmallLeft(small: DataFrame, bigKeys: DataFrame, key: String): DataFrame =
-    small.join(broadcast(hits(small, bigKeys, key)), Seq(key), "left_semi")
+    if (bigIsBroadcastable(bigKeys))
+      small.join(broadcast(bigKeys.select(col(key))), Seq(key), "left_semi")
+    else
+      small.join(broadcast(hits(small, bigKeys, key)), Seq(key), "left_semi")
+
+  /** Whether the key table is small enough that the PLAIN join would
+    * broadcast it (its optimized-plan size-in-bytes statistic is within
+    * the session's broadcast threshold). A disabled threshold (≤ 0) or an
+    * unknown statistic dispatches to the reversed shape. */
+  private def bigIsBroadcastable(bigKeys: DataFrame): Boolean = {
+    val threshold =
+      bigKeys.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    threshold > 0 &&
+      bigKeys.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold
+  }
 
   /** The big-side keys that occur in `small` — at most |small| distinct
     * values, so always broadcastable. The semi's build side is the small

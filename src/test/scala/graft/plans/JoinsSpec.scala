@@ -40,11 +40,43 @@ class JoinsSpec extends SparkSpec {
 
   test("the big side never shuffles: plan has no exchange above its scan") {
     // the whole point of the reversed probe — assert the physical plan
-    // broadcasts twice and keeps the big side exchange-free
+    // broadcasts and keeps the big side exchange-free (these tiny frames
+    // dispatch to the plain-broadcast path; the reversed path is pinned
+    // in the dedicated dispatch test below)
     val plan = Joins.antiSmallLeft(small, big, "id")
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("size-aware dispatch: sub-threshold keys take the plain broadcast, reversed otherwise — same rows") {
+    // tiny in-memory key table -> plain path: ONE broadcast join, no
+    // second (hit-set) join in the plan
+    val plainPlan = Joins.antiSmallLeft(small, big, "id")
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plainPlan).size == 1,
+      s"sub-threshold keys must take the single plain broadcast join:\n$plainPlan")
+    // disabling the broadcast threshold forces the reversed shape (the
+    // explicit hints keep working): two broadcast joins, still no SMJ of
+    // the big side — and rows identical to the plain path
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val reversed = Joins.antiSmallLeft(small, big, "id")
+      val revPlan = reversed.queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin".r.findAllIn(revPlan).size == 2,
+        s"above-threshold keys must take the reversed two-join shape:\n$revPlan")
+      assert(!revPlan.contains("SortMergeJoin") && !revPlan.contains("ShuffledHashJoin"), revPlan)
+      val rows = reversed.collect().map(r => (Option(r.get(0)), r.getString(1))).toSet
+      val semi = Joins.semiSmallLeft(small, big, "id")
+        .collect().map(r => (Option(r.get(0)), r.getString(1))).toSet
+      spark.conf.set(key, saved)
+      assert(rows == Joins.antiSmallLeft(small, big, "id")
+        .collect().map(r => (Option(r.get(0)), r.getString(1))).toSet)
+      assert(semi == Joins.semiSmallLeft(small, big, "id")
+        .collect().map(r => (Option(r.get(0)), r.getString(1))).toSet)
+    } finally spark.conf.set(key, saved)
   }
 }
