@@ -46,23 +46,29 @@ object Sampling {
   /** Stratified deterministic sample: the first `nPerStratum` rows of each
     * stratum under the SAME salted-md5 order as [[seeded]] — a constant
     * per-class quota for balanced eval/training subsets (class-skewed
-    * corpora would otherwise drown rare strata). One rank window
-    * partitioned by the stratum: a single shuffle keyed on the stratum
-    * column; rows past the quota are discarded right after ranking. Strata
-    * with fewer than `nPerStratum` rows keep everything.
+    * corpora would otherwise drown rare strata). Strata with fewer than
+    * `nPerStratum` rows keep everything.
     *
-    * Scale note: the window funnels each stratum through one reducer
-    * (sort-based, spilling). Right for many-strata layouts (language ×
-    * source at corpus scale); for a FEW huge strata a bounded per-stratum
-    * heap (TopKRows over a numeric rank key) would cap the shuffle at
-    * |strata|·n rows — not implemented because its 60-bit md5-prefix rank
-    * key would order ties differently than the full-digest oracle sort. */
+    * Scale shape (r17): a bounded per-stratum heap
+    * ([[graft.plans.TopKRows]], keyed on the FULL md5 digest — the
+    * string tie-key the heap gained this round orders hex digests
+    * byte-wise, exactly the rank window's and the oracle's sort), so
+    * each map partition keeps ≤ n rows per stratum and the shuffle
+    * carries ≤ |strata|·n rows — a rank window would instead funnel
+    * every stratum's FULL row set through one sort reducer (the classic
+    * skewed-stratum spill at corpus scale). A null id has a null digest;
+    * it maps to "" so null-id rows sort first, as the window's
+    * nulls-first asc order did. Only a crafted md5 collision between
+    * distinct ids could reorder ties vs the (digest, id) window sort —
+    * not a property of these inputs. */
   def stratified(df: DataFrame, idCol: String, strataCol: String, nPerStratum: Int,
       seed: String = defaultSeed): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
-      .orderBy(md5(concat(lit(seed), col(idCol).cast("string"))), col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= nPerStratum)
-      .drop("__rn")
+    val cols = df.columns.toSeq
+    val key = coalesce(md5(concat(lit(seed), col(idCol).cast("string"))), lit(""))
+    df.groupBy(col(strataCol).as("__stratum"))
+      .agg(graft.functions.top_k_rows(
+        struct(cols.map(col): _*), lit(0.0), key, nPerStratum).as("__tk"))
+      .select(explode(col("__tk")).as("__e"))
+      .select(cols.map(n => col(s"__e.$n")): _*)
   }
 }

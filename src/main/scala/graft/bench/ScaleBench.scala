@@ -69,6 +69,21 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     val factors = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 10, 30)
+    // r17 deep-sweep knobs (factors past 100×): SPARK_GRAFT_SCALE_QUERIES
+    // subsets the query sweep, SPARK_GRAFT_SCALE_SECTIONS (csv of
+    // cc,span,streamflat) subsets the extra sections. The default runs
+    // everything — the knobs exist because N-clone amplification makes
+    // pair-EXPANSION outputs quadratic in N by construction (a 1000-clone
+    // family mines ~N²/2 pair rows), so a factor-1000 run of the pair
+    // families measures a deliberately degenerate output, not an engine
+    // term; the deep sweep measures the flagship linear families and
+    // records the expansion cliff analytically (BENCH_SCALE.md).
+    val queryNamesEff = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(queryNames)
+    val sections = sys.env.get("SPARK_GRAFT_SCALE_SECTIONS")
+      .map(_.split(',').map(_.trim).toSet)
+      .getOrElse(Set("cc", "span", "streamflat"))
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -87,7 +102,7 @@ object ScaleBench {
       val dir = amplified(spark, srcDir, n)
       val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
       val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
-      val fns = queryNames.map(q => q -> graft.SparkEntry.queries(q))
+      val fns = queryNamesEff.map(q => q -> graft.SparkEntry.queries(q))
       // Full evaluation via the noop sink — same rationale as graft.Bench:
       // a count() would let Catalyst prune projection-only query bodies
       // (bpe_tokens' encode, frame_hist's stripe features) down to a
@@ -108,7 +123,7 @@ object ScaleBench {
         q -> (System.nanoTime() - t0) / 1e9
       }.toMap
       val (p1, p2) = (pass(), pass())
-      val times = queryNames.filterNot(errs).map(q => q -> math.min(p1(q), p2(q)))
+      val times = queryNamesEff.filterNot(errs).map(q => q -> math.min(p1(q), p2(q)))
       System.err.println(s"factor $n done: " +
         times.map { case (q, t) => f"$q=$t%.2f" }.mkString(" ") +
         (if (errs.nonEmpty) s" ERRORS=${errs.mkString(",")}" else ""))
@@ -127,13 +142,16 @@ object ScaleBench {
     // Distributed-CC engagement at the largest factor: mine the same LSH
     // pair set dedup_clusters uses and run CC with the round counter.
     val maxDir = amplified(spark, srcDir, factors.max)
-    val docs = graft.Tables.documents(spark, maxDir)
-    val pairs = graft.dedup.Dedup.minHashNearDups(docs, "doc_id", "text",
-      n = 3, numHashes = 128, bands = 32, threshold = 0.8)
-    val edgeCount = pairs.count()
-    val (labels, rounds) = graft.dedup.Dedup.connectedComponentsWithRounds(
-      docs, "doc_id", pairs, "id_a", "id_b")
-    val nComponents = labels.select(col("component")).distinct().count()
+    val ccStats: Option[(Long, Int, Long)] = if (sections("cc")) {
+      val docs = graft.Tables.documents(spark, maxDir)
+      val pairs = graft.dedup.Dedup.minHashNearDups(docs, "doc_id", "text",
+        n = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      val edgeCount = pairs.count()
+      val (labels, rounds) = graft.dedup.Dedup.connectedComponentsWithRounds(
+        docs, "doc_id", pairs, "id_a", "id_b")
+      val nComponents = labels.select(col("component")).distinct().count()
+      Some((edgeCount, rounds, nComponents))
+    } else None
 
     // Streaming span-cut ADMISSION at the largest factor — the round-11
     // family's only unit-scale-tested surface. A stable reference corpus
@@ -144,39 +162,43 @@ object ScaleBench {
     // the per-batch upsert) persists a SpanIndex; the replica remainder
     // of the amplified corpus streams in as foreign AvailableNow
     // micro-batches (disjoint higher ids — the admission id contract).
-    val spanRoot = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_scale_spanadmit_x${factors.max}")
     val hfs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    hfs.delete(new org.apache.hadoop.fs.Path(spanRoot.toString), true)
-    val corpusDocs = graft.Tables.documents(spark, srcDir)
-      .filter(col("doc_id") % 2 === 0)
-    val tb0 = System.nanoTime()
-    val spanIdx = graft.index.SpanIndex(spark, s"$spanRoot/index", "documents")
-    spanIdx.build(corpusDocs, "doc_id", "text", n = 5)
-    val buildSecs = (System.nanoTime() - tb0) / 1e9
-    val corpusCount = corpusDocs.count()
-    val docSchema = spark.read.parquet(s"$maxDir/documents.parquet").schema
-    val incoming = spark.readStream.schema(docSchema)
-      .option("maxFilesPerTrigger", "4")
-      .parquet(s"$maxDir/documents.parquet")
-      .filter(col("doc_id") >= Stride) // replicas only: ids disjoint & higher
-    val ta0 = System.nanoTime()
-    val sq = graft.streaming.Streaming.cutStream(incoming, "doc_id", "text",
-      spanIdx, cleanDir = s"$spanRoot/clean", checkpointDir = s"$spanRoot/ckpt")
-    sq.awaitTermination()
-    val admitSecs = (System.nanoTime() - ta0) / 1e9
-    val admitBatches = sq.recentProgress.count(_.numInputRows > 0)
-    // Zero admitted rows (e.g. a factors=[1] run, where the replica filter
-    // matches nothing) never creates cleanDir — don't lose the whole
-    // sweep's measurements to an AnalysisException on the read-back.
-    val (admitted, fullyCut) =
-      if (hfs.exists(new org.apache.hadoop.fs.Path(s"$spanRoot/clean"))) {
-        val admittedDf = spark.read.parquet(s"$spanRoot/clean")
-        (admittedDf.count(), admittedDf.filter(length(col("text")) === 0).count())
-      } else (0L, 0L)
-    System.err.println(f"span admit done: build=$buildSecs%.2f " +
-      f"admit=$admitSecs%.2f batches=$admitBatches admitted=$admitted fully_cut=$fullyCut")
+    val spanStats: Option[(Long, Double, Double, Int, Long, Long)] =
+      if (sections("span")) {
+        val spanRoot = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_scale_spanadmit_x${factors.max}")
+        hfs.delete(new org.apache.hadoop.fs.Path(spanRoot.toString), true)
+        val corpusDocs = graft.Tables.documents(spark, srcDir)
+          .filter(col("doc_id") % 2 === 0)
+        val tb0 = System.nanoTime()
+        val spanIdx = graft.index.SpanIndex(spark, s"$spanRoot/index", "documents")
+        spanIdx.build(corpusDocs, "doc_id", "text", n = 5)
+        val buildSecs = (System.nanoTime() - tb0) / 1e9
+        val corpusCount = corpusDocs.count()
+        val docSchema = spark.read.parquet(s"$maxDir/documents.parquet").schema
+        val incoming = spark.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", "4")
+          .parquet(s"$maxDir/documents.parquet")
+          .filter(col("doc_id") >= Stride) // replicas only: ids disjoint & higher
+        val ta0 = System.nanoTime()
+        val sq = graft.streaming.Streaming.cutStream(incoming, "doc_id", "text",
+          spanIdx, cleanDir = s"$spanRoot/clean", checkpointDir = s"$spanRoot/ckpt")
+        sq.awaitTermination()
+        val admitSecs = (System.nanoTime() - ta0) / 1e9
+        val admitBatches = sq.recentProgress.count(_.numInputRows > 0)
+        // Zero admitted rows (e.g. a factors=[1] run, where the replica filter
+        // matches nothing) never creates cleanDir — don't lose the whole
+        // sweep's measurements to an AnalysisException on the read-back.
+        val (admitted, fullyCut) =
+          if (hfs.exists(new org.apache.hadoop.fs.Path(s"$spanRoot/clean"))) {
+            val admittedDf = spark.read.parquet(s"$spanRoot/clean")
+            (admittedDf.count(), admittedDf.filter(length(col("text")) === 0).count())
+          } else (0L, 0L)
+        System.err.println(f"span admit done: build=$buildSecs%.2f " +
+          f"admit=$admitSecs%.2f batches=$admitBatches admitted=$admitted fully_cut=$fullyCut")
+        Some((corpusCount, buildSecs, admitSecs, admitBatches, admitted, fullyCut))
+      } else None
 
     // ------------------------------------------------------------------
     // Streaming-admission FLAT-COST evidence: the "artifact IS the state,
@@ -194,7 +216,7 @@ object ScaleBench {
     // verbatim base-corpus clones, so the near-dup path exercises full
     // mine+verify+reject and the span path cuts every token — the
     // worst-case per-batch work, not the empty fast path.
-    val streamFlat = factors.map { n =>
+    val streamFlat = (if (sections("streamflat")) factors else Nil).map { n =>
       val dir = amplified(spark, srcDir, n)
       val root = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_scale_streamflat_x$n")
@@ -255,14 +277,20 @@ object ScaleBench {
         times.map { case (q, t) => s""""$q":${jNum(t)}""" }.mkString(",") +
         s"""},"errors":${errs.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     }.mkString("{", ",", "}")
+    val ccJson = ccStats.fold("") { case (edgeCount, rounds, nComponents) =>
+      s""""cc":{"factor":${factors.max},"edges":$edgeCount,"rounds":$rounds,""" +
+        s""""components":$nComponents,"driver_threshold":${1L << 20}},"""
+    }
+    val spanJson = spanStats.fold("") {
+      case (corpusCount, buildSecs, admitSecs, admitBatches, admitted, fullyCut) =>
+        s""""span_admit":{"factor":${factors.max},"corpus_docs":$corpusCount,""" +
+          s""""build_s":${jNum(buildSecs)},"admit_s":${jNum(admitSecs)},""" +
+          s""""batches":$admitBatches,"admitted":$admitted,"fully_cut":$fullyCut},"""
+    }
     val line = s"""{"metric":"scale","sf_dir":"$srcDir","cores":$cpus,""" +
       s""""factors":${factors.mkString("[", ",", "]")},""" +
       s""""per_factor":$factorJson,""" +
-      s""""cc":{"factor":${factors.max},"edges":$edgeCount,"rounds":$rounds,""" +
-      s""""components":$nComponents,"driver_threshold":${1L << 20}},""" +
-      s""""span_admit":{"factor":${factors.max},"corpus_docs":$corpusCount,""" +
-      s""""build_s":${jNum(buildSecs)},"admit_s":${jNum(admitSecs)},""" +
-      s""""batches":$admitBatches,"admitted":$admitted,"fully_cut":$fullyCut},""" +
+      ccJson + spanJson +
       s""""stream_flat":$streamFlatJson}"""
     println(line)
     try {

@@ -49,4 +49,16 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq
     assert(viaStrat == viaSeed) // same salted-md5 order on both paths
   }
+
+  test("stratified plans the bounded heap: no per-stratum rank window") {
+    // r17: the per-stratum quota is a TopKRows aggregate keyed on the full
+    // md5 digest (string tie-key) — map-side ≤ n rows per stratum, shuffle
+    // ≤ |strata|·n — instead of a window that funnels each stratum's full
+    // row set through one sort reducer
+    val plan = Sampling.stratified(df, "id", "stratum", 8)
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final ObjectHashAggregate, plan:\n$plan")
+    assert(!plan.contains("Window"), s"rank window still present:\n$plan")
+  }
 }
