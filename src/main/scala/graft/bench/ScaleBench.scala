@@ -89,7 +89,13 @@ object ScaleBench {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // Deep sweeps must scale partition count with data, exactly as a
+      // real cluster would: at 300× the 32-partition default gives each
+      // task a ~7M-row aggregation state and 32 concurrent tasks exhaust
+      // the single JVM's execution memory before the hash agg can even
+      // allocate (the measured factor-300 cliff, BENCH_SCALE.md r17).
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
