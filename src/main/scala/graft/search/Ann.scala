@@ -98,11 +98,30 @@ object Ann {
     val scored =
       if (excludeSelf) scored0.filter(col("query_id") =!= col(corpusId))
       else scored0
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col(corpusId).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .drop("__qv", "__cand_id", corpusVec)
+    // Per-query cut through the bounded heap (r17): the candidate set is
+    // |Q|·avgCollisions — usually small, but dense buckets can blow it up
+    // to corpus-scale, and a rank window would shuffle ALL of it; the
+    // heap keeps ≤ k rows per query map-side (same routing rule as
+    // Knn.knnJoin — integral/string ids; fractional ids keep the window).
+    Knn.tieKeyFor(corpus.schema(corpusId).dataType, corpusId) match {
+      case Some(tie) =>
+        val corpusCols = corpus.columns.toSeq.filterNot(_ == corpusVec)
+        val entry = struct((corpusCols :+ "score").map(col): _*)
+        scored
+          .groupBy(col("query_id"))
+          .agg(graft.functions.top_k_rows(entry, col("score"), tie, k).as("__tk"))
+          .select(col("query_id"), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+          .select(col("query_id") +:
+            corpusCols.map(n => col(s"__e.$n")) :+
+            col("__e.score").as("score") :+
+            (col("__pos") + 1).cast("int").as("rank"): _*)
+      case None =>
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col(corpusId).asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .drop("__qv", "__cand_id", corpusVec)
+    }
   }
 
   /**

@@ -104,7 +104,8 @@ object Ivf {
     val entry = struct((corpusCols :+ "score").map(col): _*)
     scored
       .groupBy(col("query_id"))
-      .agg(top_k_rows(entry, col("score"), col(corpusId).cast("long"), k).as("__tk"))
+      .agg(top_k_rows(entry, col("score"),
+        Knn.tieKeyForced(scored.schema(corpusId).dataType, corpusId), k).as("__tk"))
       .select(Seq(col("query_id"), posexplode(col("__tk")).as(Seq("__pos", "__entry"))): _*)
       .select(col("query_id") +:
         corpusCols.map(n => col(s"__entry.$n")) :+

@@ -71,6 +71,19 @@ object Knn {
     case _ => None
   }
 
+  /** [[tieKeyFor]] or a LOUD plan-time error — for heap-only call sites
+    * with no window fallback ([[knnJoinGrouped]], `Query.rescore*`,
+    * `Ivf.searchIvf`). Before r17 these sites cast the id to long
+    * unconditionally: a uuid-string id null-cast every row out of the
+    * heap and the query SILENTLY RETURNED EMPTY; a fractional id could
+    * truncation-collide two ids. String ids now rank on the heap;
+    * anything else refuses with a pointed message instead. */
+  private[graft] def tieKeyForced(dt: org.apache.spark.sql.types.DataType,
+      idCol: String): Column =
+    tieKeyFor(dt, idCol).getOrElse(throw new IllegalArgumentException(
+      s"bounded-heap ranking needs an integral or string id column; " +
+        s"'$idCol' is ${dt.catalogString}"))
+
   /**
    * For each row of `queries`, the top-`k` rows of `corpus` by descending
    * similarity, deterministic tie-break on ascending corpus id.
@@ -209,7 +222,8 @@ object Knn {
     val heapScore = if (ascending(metric)) -col("score") else col("score")
     val within = scored
       .groupBy(col("query_id"), col(groupCol))
-      .agg(top_k_rows(entry, heapScore, col(corpusId).cast("long"), groupSize).as("__tk"))
+      .agg(top_k_rows(entry, heapScore,
+        tieKeyForced(corpus.schema(corpusId).dataType, corpusId), groupSize).as("__tk"))
       .select(Seq(col("query_id"), col(groupCol),
         posexplode(col("__tk")).as(Seq("__pos", "__e"))): _*)
       .select(col("query_id") +: col(groupCol) +:

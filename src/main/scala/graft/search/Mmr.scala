@@ -111,6 +111,18 @@ object Mmr {
       k: Int, lambda: Double, fetchK: Int = 50): DataFrame = {
     require(k >= 1 && fetchK >= k, s"need fetchK >= k >= 1, got k=$k fetchK=$fetchK")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    // The greedy selector's typed grouping keys are Long: a non-integral
+    // id would NULL-cast below — collapsing every query into one group
+    // and silently returning garbage. Refuse loudly instead (string-id
+    // MMR would need a string-keyed Cand; not a reference surface).
+    Seq(queryId -> queries.schema(queryId).dataType,
+        corpusId -> corpus.schema(corpusId).dataType).foreach { case (c, dt) =>
+      require(dt match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }, s"diversifiedTopK requires integral ids; '$c' is ${dt.catalogString}")
+    }
     val spark = queries.sparkSession
     import spark.implicits._
     val cands = Knn.knnJoin(

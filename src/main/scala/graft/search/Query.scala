@@ -57,7 +57,7 @@ object Query {
     scored
       .groupBy(col("query_id"))
       .agg(graft.functions.top_k_rows(entry, heapScore,
-        col(corpusId).cast("long"), k).as("__tk"))
+        Knn.tieKeyForced(scored.schema(corpusId).dataType, corpusId), k).as("__tk"))
       .select(col("query_id"), posexplode(col("__tk")).as(Seq("__pos", "__entry")))
       .select(col("query_id") +:
         payloadCols.map(n => col(s"__entry.$n")) :+
@@ -107,7 +107,7 @@ object Query {
     scored
       .groupBy(col("query_id"))
       .agg(graft.functions.top_k_rows(entry, col("score"),
-        col(corpusId).cast("long"), k).as("__tk"))
+        Knn.tieKeyForced(scored.schema(corpusId).dataType, corpusId), k).as("__tk"))
       .select(col("query_id"), posexplode(col("__tk")).as(Seq("__pos", "__entry")))
       .select(col("query_id") +:
         payloadCols.map(n => col(s"__entry.$n")) :+

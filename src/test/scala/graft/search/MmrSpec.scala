@@ -114,4 +114,14 @@ class MmrSpec extends SparkSpec {
       assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
     }
   }
+  test("non-integral ids refuse loudly (the Long-keyed selector would null-group)") {
+    import org.apache.spark.sql.functions._
+    val q = Seq((1L, Array(1f, 0f))).toDF("id", "vec")
+      .select(concat(lit("u-"), $"id").as("id"), $"vec")
+    val err = intercept[IllegalArgumentException] {
+      Mmr.diversifiedTopK(q, "id", "vec", q, "id", "vec", k = 1, lambda = 0.5, fetchK = 1)
+    }
+    assert(err.getMessage.contains("integral ids"), err.getMessage)
+  }
+
 }

@@ -135,6 +135,36 @@ class QuerySpec extends SparkSpec {
     assert(ga(0) === 1.0 && close(ga(1), 0.5) && close(ga(2), math.pow(0.5, 9), 1e-9))
   }
 
+  test("string (uuid) ids rescore on the heap — rows present, order matches exact search") {
+    // pre-r17 these heap-only sites long-cast the id: a uuid-string corpus
+    // NULL-cast every row out of the heap and rescore silently returned
+    // EMPTY. Now string ids rank (UTF8String byte tie order).
+    val sc = corpus.select(concat(lit("doc-"), $"vec_id").as("vec_id"),
+      $"embedding", $"tag")
+    val staged = Query.prefetchRescore(
+        sc.select("vec_id", "embedding"), "vec_id", "embedding",
+        sc, "vec_id", "embedding",
+        cheapVec = v => slice(v, 1, 2), prefetchK = 6, k = 3,
+        roundScoreTo = Some(6))
+      .select($"query_id", $"vec_id", $"score", $"rank")
+    assert(staged.count() == 18, "string-keyed rescore must not silently drop rows")
+    val exact = Knn.knnJoin(sc.select("vec_id", "embedding"), "vec_id", "embedding",
+        sc, "vec_id", "embedding", k = 3, roundScoreTo = Some(6))
+      .select($"query_id", $"vec_id", $"score", $"rank")
+    assert(staged.except(exact).isEmpty && exact.except(staged).isEmpty)
+  }
+
+  test("fractional ids refuse the heap loudly instead of truncation-colliding") {
+    val fc = corpus.select(($"vec_id" + lit(0.5)).as("vec_id"), $"embedding", $"tag")
+    val err = intercept[IllegalArgumentException] {
+      Query.rescoreExact(
+        fc.select(($"vec_id").as("query_id"), $"vec_id"),
+        fc.select("vec_id", "embedding"), "vec_id", "embedding",
+        fc, "vec_id", "embedding", k = 3)
+    }
+    assert(err.getMessage.contains("integral or string id"), err.getMessage)
+  }
+
   test("prefetchK < 1 is rejected") {
     intercept[IllegalArgumentException] {
       Query.prefetchRescore(corpus, "vec_id", "embedding",
