@@ -140,7 +140,8 @@ object Streaming {
    * [[admitBatch]] for the exact commit protocol. Each batch appends one
    * small file to the corpus, one to the sidecar AND one to the index's
    * signature table; when any exceeds `maxSinkFiles` files the batch
-   * callback folds it first ([[graft.index.Compaction.compactDir]] /
+   * callback folds it first (corpus: [[graft.index.Compaction.compactDir]];
+   * sidecar: [[foldSidecar]] into the bucketed base; index:
    * [[MinHashIndex.compact]] — the callback IS the guaranteed
    * single-writer window; 0 disables), so file counts stay bounded by
    * data size, not by batches ever admitted. Single-writer contract per
@@ -616,8 +617,9 @@ object Streaming {
    * Each batch appends one small file to `cleanDir` and one to the
    * sidecar (the gram table itself is shadow-rewritten per upsert, never
    * appended) — when a file count exceeds `maxSinkFiles` the batch
-   * callback folds it first ([[graft.index.Compaction.compactDir]];
-   * 0 disables), so file counts stay bounded by data size, not by
+   * callback folds it first (cleanDir: [[graft.index.Compaction.compactDir]];
+   * sidecar: [[foldSidecar]] into the bucketed base; 0 disables), so
+   * file counts stay bounded by data size, not by
    * batches ever admitted.
    * Single-writer contract per index/cleanDir, and batch ids must be
    * disjoint from the indexed corpus (the index ownership contract).
