@@ -23,6 +23,16 @@ object Pipelines {
   private def sample(df: DataFrame, idCol: String, n: Int, seed: String): DataFrame =
     graft.bench.Sampling.seeded(df, idCol, n, seed)
 
+  /** Order-independent conditional score mean: scores are 6-dp by
+    * construction (`roundScoreTo = Some(6)`), so an exact DECIMAL sum
+    * followed by ONE double division is both bit-stable across partial
+    * aggregation orders and replayable in any engine. Semantics match the
+    * reference's plain mean with 0.0 on an empty side
+    * (`poj_utils.py:202-205`, `bcb_utils.py:203-206`). */
+  private def stableMean(pred: Column): Column = coalesce(
+    sum(when(pred, col("score")).cast("decimal(28,6)")).cast("double") /
+      count(when(pred, col("score"))), lit(0.0))
+
   /** Embedder selection mirroring the reference's `--embedding_model`
     * surface (`main.py:20,36`): a registry model name wins (its dim comes
     * from [[EmbedderRegistry]], never hand-passed — `draft.py:1-2`);
@@ -73,13 +83,6 @@ object Pipelines {
       col("query_id"), col("code_uuid").as("result_id"),
       col("clone_type").as("result_type"),
       col("score").as("similarity_score"), col("is_same_type"))
-    // Score means run through an exact DECIMAL sum (scores are 6-dp by
-    // construction) so the stats are order-independent and replayable in
-    // any engine — the same discipline as IrMetrics.perQuery. Semantics
-    // unchanged: mean, 0.0 when a side is empty (poj_utils.py:202-205).
-    def stableMean(pred: Column): Column = coalesce(
-      sum(when(pred, col("score")).cast("decimal(28,6)")).cast("double") /
-        count(when(pred, col("score"))), lit(0.0))
     val queryStats = res.groupBy(col("query_id"), col("query_clone_type").as("query_type"))
       .agg(
         stableMean(col("is_same_type")).as("avg_same_type_score"),
@@ -116,6 +119,26 @@ object Pipelines {
       .withColumn("file_name", element_at(split(col("path"), "/"), -1))
     val corpus = Corpus.bcb(adjacency, functions,
       "ID", "NAME", "STARTLINE", "ENDLINE", files, "file_name", "text")
+    runBcbCorpus(spark, corpus, k, numSamples, dim, normalized, seed, embeddingModel)
+  }
+
+  /**
+   * The BCB composition from the corpus frame down — everything after the
+   * CSV/file ingestion, on any frame shaped (`code_uuid`, `func_id`,
+   * `clones`, `code_contents`) as [[graft.ingest.Corpus.bcb]] emits it.
+   * Extracted (r18, mirroring [[runPojCorpus]]) so entry point A's
+   * end-to-end lifecycle — embed → seeded sample → func-id-keyed top-k →
+   * clone-set membership relevance → the BCB outputs with the
+   * `min(|clones|, k)` MAP denominator (`bcb_utils.py:250`) — is
+   * driver-oracled on the parquet fixtures (`pipeline_bcb*` queries)
+   * through the SAME code the CLI runs.
+   */
+  def runBcbCorpus(
+      spark: SparkSession, corpus: DataFrame,
+      k: Int = 100, numSamples: Int = 500, dim: Int = 256,
+      normalized: Boolean = true,
+      seed: String = Sampling.defaultSeed,
+      embeddingModel: Option[String] = None): BenchmarkOutput = {
     val model = resolveEmbedder(embeddingModel, dim, normalized)
       .fit(corpus, "code_contents")
     val vecs = model.transform(corpus, "code_contents", "vec")
@@ -136,8 +159,8 @@ object Pipelines {
       col("score").as("similarity_score"), col("is_clone"))
     val queryStats = res.groupBy(col("query_code_uuid").as("query_id"))
       .agg(
-        coalesce(avg(when(col("is_clone"), col("score"))), lit(0.0)).as("avg_clone_score"),
-        coalesce(avg(when(!col("is_clone"), col("score"))), lit(0.0)).as("avg_non_clone_score"),
+        stableMean(col("is_clone")).as("avg_clone_score"),
+        stableMean(!col("is_clone")).as("avg_non_clone_score"),
         count(when(col("is_clone"), 1)).as("num_clones_found"),
         count(when(!col("is_clone"), 1)).as("num_non_clones_found"))
     val pq = IrMetrics.perQuery(res.withColumnRenamed("is_clone", "is_relevant"))

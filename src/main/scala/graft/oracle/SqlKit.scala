@@ -45,17 +45,25 @@ private[graft] trait SqlKit {
     * `0.5·rel − 0.5·max(sim to selected)` with the pairwise sims
     * floor-quantized to the same 1e-6 grid as the Scala greedy loop, and
     * picks the (score desc, id asc) winner. λ = 0.5 inlined. */
-  protected def mmrOracleSql(nQ: Int, fetchK: Int, k: Int): String = {
+  /** `idExpr` re-keys the corpus (default: the raw integral vec_id; the
+    * `_uuid` variant passes an md5-of-id VARCHAR) — every downstream
+    * `result_id ASC` tie then rides DuckDB's binary VARCHAR collation,
+    * the same total order as the engine's UTF8String heap tie-break and
+    * [[graft.search.Mmr.utf8ByteOrder]] greedy tie. */
+  protected def mmrOracleSql(nQ: Int, fetchK: Int, k: Int,
+      idExpr: String = "vec_id"): String = {
     val header =
-      s"""WITH q AS (
-         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
-         |  ORDER BY md5('graft42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $nQ
+      s"""WITH e AS (
+         |  SELECT $idExpr AS vid, embedding FROM embeddings
+         |), q AS (
+         |  SELECT vid AS qid, embedding AS qv FROM e
+         |  ORDER BY md5('graft42:' || CAST(vid AS VARCHAR)), vid LIMIT $nQ
          |), scored AS (
-         |  SELECT q.qid AS query_id, c.vec_id AS result_id,
+         |  SELECT q.qid AS query_id, c.vid AS result_id,
          |    ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS rel,
          |    CAST(c.embedding AS DOUBLE[]) AS cv
-         |  FROM q CROSS JOIN embeddings c
-         |  WHERE c.vec_id <> q.qid
+         |  FROM q CROSS JOIN e c
+         |  WHERE c.vid <> q.qid
          |), cand AS (
          |  SELECT query_id, result_id, rel, cv FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, result_id ASC) AS rn
@@ -941,13 +949,13 @@ private[graft] trait SqlKit {
     * normalize → float32 cast. Every FP step is correctly-rounded IEEE
     * arithmetic in both engines; binds `vec(doc_id, v REAL[])`. Must be
     * spliced into a `WITH RECURSIVE` chain. */
-  protected def embedTfidfCtes: String = {
+  protected def embedTfidfCtes(src: String = "documents"): String = {
     val fnvStep = u64MulC(
       u64Uns(s"xor(${u64Signed("acc")}, CAST(c AS BIGINT))"), 256L, 435L)
     s"""tok AS (
        |  SELECT doc_id,
        |    unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS t
-       |  FROM documents
+       |  FROM $src
        |), th AS (
        |  -- FNV-1a folds the token's UTF-8 BYTES (UTF8String.getBytes)
        |  SELECT doc_id,
@@ -963,7 +971,7 @@ private[graft] trait SqlKit {
        |), esrc AS (
        |  SELECT dfb.b, CAST(cnt.m + 1 AS BIGINT) AS num,
        |    CAST(dfb.df + 1 AS BIGINT) AS den
-       |  FROM dfb CROSS JOIN (SELECT count(*) AS m FROM documents) cnt
+       |  FROM dfb CROSS JOIN (SELECT count(*) AS m FROM $src) cnt
        |), """.stripMargin +
       graft.expr.DetMath.duckdbLog2q20("esrc", "eqlg", "b") +
     s""", eidf AS (
@@ -972,7 +980,7 @@ private[graft] trait SqlKit {
        |  FROM eqlg
        |), egrid AS (
        |  SELECT d.doc_id, i
-       |  FROM (SELECT DISTINCT doc_id FROM documents) d, unnest(range(0, 256)) AS u(i)
+       |  FROM (SELECT DISTINCT doc_id FROM $src) d, unnest(range(0, 256)) AS u(i)
        |), evals AS (
        |  SELECT tfb.doc_id, tfb.b AS i, tfb.tf * eidf.idf AS v
        |  FROM tfb JOIN eidf USING (b)
@@ -993,14 +1001,14 @@ private[graft] trait SqlKit {
   }
 
   protected def embedCorpusSql: String =
-    s"""WITH RECURSIVE $embedTfidfCtes
+    s"""WITH RECURSIVE ${embedTfidfCtes()}
        |SELECT doc_id, 256 AS dim,
        |  FLOOR(sqrt(list_reduce(list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
        |    (a, b) -> a + b)) * 1000000.0 + 0.5) / 1000000.0 AS norm
        |FROM vec ORDER BY doc_id""".stripMargin
 
   protected def embedKnnSql: String =
-    s"""WITH RECURSIVE $embedTfidfCtes, q AS (
+    s"""WITH RECURSIVE ${embedTfidfCtes()}, q AS (
        |  SELECT doc_id AS qid, v AS qv FROM vec
        |  ORDER BY md5('graft42:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 100
        |), scored AS (
@@ -1209,7 +1217,7 @@ private[graft] trait SqlKit {
     * heap's UTF8String byte order), same-lang relevance, and the running
     * relevant count the AP numerator needs. Binds `topk`. */
   protected def pojPipelineCtes(nQ: Int, k: Int): String =
-    s"""WITH RECURSIVE $embedTfidfCtes, pc AS (
+    s"""WITH RECURSIVE ${embedTfidfCtes()}, pc AS (
       |  SELECT md5('id:' || CAST(d.doc_id AS VARCHAR)) AS cid, d.lang, v.v
       |  FROM documents d JOIN vec v USING (doc_id)
       |), pq AS (
@@ -1267,6 +1275,89 @@ private[graft] trait SqlKit {
       |  COUNT(CASE WHEN is_relevant THEN 1 END) AS num_same_type_found,
       |  COUNT(CASE WHEN NOT is_relevant THEN 1 END) AS num_diff_type_found
       |FROM topk GROUP BY query_id, qlang ORDER BY query_id""".stripMargin
+
+  /** Shared CTE chain for the `pipeline_bcb*` oracles — the full runBcb
+    * composition from the corpus frame down, replayed in SQL: the clone
+    * truth (same-lang ∧ same-(id mod 7), the `ir_metrics_bcb` relation) →
+    * the INNER corpus join (Corpus.bcb drop-on-miss) → the TF-IDF embed
+    * twin FIT ON THAT JOINED CORPUS (the reference fits on the clone-graph
+    * corpus, not the raw file set) → seeded sample on the integral func_id
+    * → top-k with the integral-id tie-break (the heap keys on func_id, so
+    * `fid ASC`, NOT the md5 point id) → clone-set membership relevance.
+    * Binds `topk` with (qcid, qfid, qnc, cid, fid, score, rank, is_clone,
+    * cum_rel). */
+  protected def bcbPipelineCtes(nQ: Int, k: Int): String =
+    s"""WITH RECURSIVE btp AS (
+      |  SELECT a.doc_id AS ida, b.doc_id AS idb
+      |  FROM documents a JOIN documents b
+      |    ON a.lang = b.lang AND a.doc_id % 7 = b.doc_id % 7 AND a.doc_id < b.doc_id
+      |), bsym AS (
+      |  SELECT ida AS id, idb AS other FROM btp
+      |  UNION ALL SELECT idb AS id, ida AS other FROM btp
+      |), btruth AS (
+      |  SELECT id, list(DISTINCT other) AS clones, count(DISTINCT other) AS nc
+      |  FROM bsym GROUP BY id
+      |), bdocs AS (
+      |  SELECT d.doc_id, d.text FROM documents d JOIN btruth t ON d.doc_id = t.id
+      |), ${embedTfidfCtes("bdocs")}, bc AS (
+      |  SELECT md5('fid:' || CAST(v.doc_id AS VARCHAR)) AS cid, v.doc_id AS fid,
+      |    t.clones, t.nc, v.v
+      |  FROM vec v JOIN btruth t ON v.doc_id = t.id
+      |), bq AS (
+      |  SELECT cid AS qcid, fid AS qfid, clones AS qclones, nc AS qnc, v AS qv
+      |  FROM bc
+      |  ORDER BY md5('graft42:' || CAST(fid AS VARCHAR)), fid LIMIT $nQ
+      |), scored AS (
+      |  SELECT bq.qcid, bq.qfid, bq.qclones, bq.qnc, c.cid, c.fid,
+      |    ROUND(list_cosine_similarity(CAST(bq.qv AS DOUBLE[]), CAST(c.v AS DOUBLE[])), 6) AS score
+      |  FROM bq CROSS JOIN bc c WHERE c.fid <> bq.qfid
+      |), ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qfid ORDER BY score DESC, fid ASC) AS rank
+      |  FROM scored
+      |), topk AS (
+      |  SELECT *, list_contains(qclones, fid) AS is_clone,
+      |    SUM(CASE WHEN list_contains(qclones, fid) THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY qfid ORDER BY rank ROWS UNBOUNDED PRECEDING) AS cum_rel
+      |  FROM ranked WHERE rank <= $k
+      |)
+      |""".stripMargin
+
+  /** pipeline_bcb (global metric row) — the BCB MAP denominator
+    * min(|clones|, k) (`bcb_utils.py:250`) over the pipeline's own topk. */
+  protected def bcbPipelineMetricsSql(nQ: Int, k: Int): String =
+    bcbPipelineCtes(nQ, k) +
+    s""", perq AS (
+      |  SELECT qfid, ANY_VALUE(qnc) AS nc,
+      |    COUNT(CASE WHEN is_clone THEN 1 END) AS hits,
+      |    MIN(CASE WHEN is_clone THEN rank END) AS first_rel_rank,
+      |    SUM(CASE WHEN is_clone THEN CAST(cum_rel AS DOUBLE) / rank ELSE 0.0 END) AS ap_numerator,
+      |    COALESCE(CAST(SUM(CAST(CASE WHEN is_clone THEN score END AS DECIMAL(28,6))) AS DOUBLE) / COUNT(CASE WHEN is_clone THEN score END), 0.0) AS avg_rel,
+      |    COALESCE(CAST(SUM(CAST(CASE WHEN NOT is_clone THEN score END AS DECIMAL(28,6))) AS DOUBLE) / COUNT(CASE WHEN NOT is_clone THEN score END), 0.0) AS avg_irrel
+      |  FROM topk GROUP BY qfid
+      |)
+      |SELECT
+      |  FLOOR(AVG(CASE WHEN hits > 0 THEN 1.0 ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS success_rate,
+      |  FLOOR(AVG(CAST(hits AS DOUBLE) / $k) * 1000000.0 + 0.5) / 1000000.0 AS mean_precision_at_k,
+      |  FLOOR(AVG(COALESCE(1.0 / first_rel_rank, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS mrr,
+      |  FLOOR(AVG(CASE WHEN LEAST(nc, $k) > 0 THEN ap_numerator / LEAST(nc, $k) ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS map_at_k,
+      |  FLOOR(AVG(avg_rel) * 1000000.0 + 0.5) / 1000000.0 AS avg_relevant_score,
+      |  FLOOR(AVG(avg_irrel) * 1000000.0 + 0.5) / 1000000.0 AS avg_irrelevant_score
+      |FROM perq""".stripMargin
+
+  protected def bcbPipelineDetailedSql(nQ: Int, k: Int): String =
+    bcbPipelineCtes(nQ, k) +
+    """SELECT qcid AS query_id, cid AS result_id, fid AS result_func_id,
+      |  score AS similarity_score, is_clone
+      |FROM topk ORDER BY query_id, similarity_score DESC, result_id""".stripMargin
+
+  protected def bcbPipelineStatsSql(nQ: Int, k: Int): String =
+    bcbPipelineCtes(nQ, k) +
+    """SELECT qcid AS query_id,
+      |  COALESCE(FLOOR(CAST(SUM(CAST(CASE WHEN is_clone THEN score END AS DECIMAL(28,6))) AS DOUBLE) / COUNT(CASE WHEN is_clone THEN score END) * 1000000.0 + 0.5) / 1000000.0, 0.0) AS avg_clone_score,
+      |  COALESCE(FLOOR(CAST(SUM(CAST(CASE WHEN NOT is_clone THEN score END AS DECIMAL(28,6))) AS DOUBLE) / COUNT(CASE WHEN NOT is_clone THEN score END) * 1000000.0 + 0.5) / 1000000.0, 0.0) AS avg_non_clone_score,
+      |  COUNT(CASE WHEN is_clone THEN 1 END) AS num_clones_found,
+      |  COUNT(CASE WHEN NOT is_clone THEN 1 END) AS num_non_clones_found
+      |FROM topk GROUP BY qcid ORDER BY query_id""".stripMargin
 
   /** POJ-variant global IR metrics SQL over the topk CTE at a given k. */
   protected def irMetricsOracleSql(k: Int): String = knnOracleCteK(k) +

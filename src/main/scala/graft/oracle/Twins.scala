@@ -226,6 +226,36 @@ private[graft] object Twins extends SqlKit {
         |FROM wg JOIN gr ON wg.query_id = gr.query_id AND wg.label = gr.label
         |ORDER BY wg.query_id, gr.group_rank, wg.rank""".stripMargin,
 
+    // String-id grouped search: the corpus re-keyed to md5 VARCHAR ids;
+    // the within-group rank tie-break is binary VARCHAR collation — the
+    // same order as the engine's UTF8String heap tie-key.
+    "knn_groups_uuid" ->
+      """WITH e AS (
+        |  SELECT md5('id:' || CAST(vec_id AS VARCHAR)) AS sid, label, embedding
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT sid AS qid, embedding AS qv FROM e
+        |  ORDER BY md5('graft42:' || sid), sid LIMIT 500
+        |), scored AS (
+        |  SELECT q.qid AS query_id, c.sid AS result_id, c.label,
+        |    ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS score
+        |  FROM q CROSS JOIN e c
+        |  WHERE c.sid <> q.qid
+        |), wg AS (
+        |  SELECT query_id, label, result_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id, label ORDER BY score DESC, result_id ASC) AS rank
+        |  FROM scored QUALIFY rank <= 2
+        |), best AS (
+        |  SELECT query_id, label, score AS best FROM wg WHERE rank = 1
+        |), gr AS (
+        |  SELECT query_id, label,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY best DESC, label ASC) AS group_rank
+        |  FROM best QUALIFY group_rank <= 3
+        |)
+        |SELECT wg.query_id, wg.label, gr.group_rank, wg.result_id, wg.rank, wg.score
+        |FROM wg JOIN gr ON wg.query_id = gr.query_id AND wg.label = gr.label
+        |ORDER BY wg.query_id, gr.group_rank, wg.rank""".stripMargin,
+
     "knn_groups_lookup" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
@@ -338,6 +368,11 @@ private[graft] object Twins extends SqlKit {
 
     "knn_mmr" -> mmrOracleSql(nQ = 8, fetchK = 20, k = 5),
 
+    // String-id MMR: identical machinery on the md5 key space — VARCHAR
+    // binary collation everywhere an id breaks a tie.
+    "knn_mmr_uuid" -> mmrOracleSql(nQ = 8, fetchK = 20, k = 5,
+      idExpr = "md5('id:' || CAST(vec_id AS VARCHAR))"),
+
     "embed_outliers" ->
       """WITH ref AS (
         |  SELECT vec_id AS rid, CAST(embedding AS DOUBLE[]) AS rv FROM embeddings
@@ -422,6 +457,11 @@ private[graft] object Twins extends SqlKit {
     "pipeline_poj" -> pojPipelineMetricsSql(100, 10),
     "pipeline_poj_detailed" -> pojPipelineDetailedSql(100, 10),
     "pipeline_poj_stats" -> pojPipelineStatsSql(100, 10),
+
+    // Entry point A (BCB) end-to-end — same nQ/k as the POJ pipeline rows.
+    "pipeline_bcb" -> bcbPipelineMetricsSql(100, 10),
+    "pipeline_bcb_detailed" -> bcbPipelineDetailedSql(100, 10),
+    "pipeline_bcb_stats" -> bcbPipelineStatsSql(100, 10),
 
     "ir_metrics_k100" -> irMetricsOracleSql(100),
 

@@ -243,6 +243,27 @@ private[graft] object QueriesCore {
         .orderBy(col("query_id"), col("group_rank"), col("rank"))
     }),
 
+    // Grouped search on a STRING (uuid stand-in) id space (r18): the
+    // within-group heap ranks md5 ids on UTF8 byte order — the
+    // knnJoinGrouped path was generalized to string tie-keys in r17 but
+    // only spec-covered; this row pins it cross-engine through the driver
+    // (the r17 near-miss class: a silently-empty uuid corpus would go red
+    // here, not just in a spec). Group keys (labels) stay integral.
+    "knn_groups_uuid" -> ((s, dir) => {
+      val sid = md5(concat(lit("id:"), col("vec_id")))
+      val corpus = embParallel(s, dir)
+        .select(sid.as("sid"), col("label"), col("embedding"))
+      val q = graft.bench.Sampling.seeded(
+        Tables.embeddings(s, dir).select(sid.as("sid"), col("embedding")),
+        "sid", knnSampleSize)
+      Knn.knnJoinGrouped(q, "sid", "embedding",
+          corpus, "sid", "embedding",
+          groupCol = "label", groupSize = 2, kGroups = 3, roundScoreTo = Some(6))
+        .select(col("query_id"), col("label"), col("group_rank"),
+          col("sid").as("result_id"), col("rank"), col("score"))
+        .orderBy(col("query_id"), col("group_rank"), col("rank"))
+    }),
+
     // Grouped search with lookup (the backend's `search_groups` +
     // `with_lookup`): each surfaced group carries its group key's record
     // from a lookup collection — here per-label metadata (member count +
@@ -321,6 +342,21 @@ private[graft] object QueriesCore {
           graft.bench.Sampling.seeded(Tables.embeddings(s, dir), "vec_id", 8),
           "vec_id", "embedding", emb, "vec_id", "embedding",
           k = 5, lambda = 0.5, fetchK = 20)
+        .orderBy(col("query_id"), col("mmr_rank"))
+    }),
+
+    // knn_mmr on a STRING (uuid stand-in) id space (r18): md5 ids reorder
+    // the corpus relative to numeric order, so every tie — the stage-1
+    // heap cut, the greedy argmax — must resolve on UTF8 byte order to
+    // match DuckDB's binary VARCHAR collation. Completes the r17 string-id
+    // sweep's last retrieval surface (VERDICT r17 next-round #2).
+    "knn_mmr_uuid" -> ((s, dir) => {
+      val sid = md5(concat(lit("id:"), col("vec_id")))
+      val emb = embParallel(s, dir).select(sid.as("sid"), col("embedding"))
+      val q = graft.bench.Sampling.seeded(
+        Tables.embeddings(s, dir).select(sid.as("sid"), col("embedding")), "sid", 8)
+      graft.search.Mmr.diversifiedTopK(q, "sid", "embedding",
+          emb, "sid", "embedding", k = 5, lambda = 0.5, fetchK = 20)
         .orderBy(col("query_id"), col("mmr_rank"))
     }),
 
@@ -608,6 +644,37 @@ private[graft] object QueriesCore {
           r6(col("avg_same_type_score")).as("avg_same_type_score"),
           r6(col("avg_diff_type_score")).as("avg_diff_type_score"),
           col("num_same_type_found"), col("num_diff_type_found"))
+        .orderBy(col("query_id"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Entry point A end-to-end (r18): the FULL runBcb composition from the
+    // corpus frame down — TF-IDF fit on the clone-graph-joined corpus →
+    // seeded sample on the integral func_id → bounded-heap top-k →
+    // clone-SET membership relevance (P5, bcb_utils.py:183) → the three
+    // BCB outputs incl. the min(|clones|, k) MAP denominator
+    // (bcb_utils.py:250) — driven through Pipelines.runBcbCorpus ITSELF,
+    // certifying the composition the CLI runs (main.py:42-90). Corpus =
+    // documents wearing the BCB schema; the clone truth is the same
+    // same-lang ∧ same-(id mod 7) relation ir_metrics_bcb uses, inner-
+    // joined exactly as Corpus.bcb drops functions absent from the clone
+    // graph (J1 drop-on-miss semantics).
+    // ------------------------------------------------------------------
+    "pipeline_bcb" -> ((s, dir) => {
+      val m = bcbPipeline(s, dir).metrics
+      m.select(m.columns.map(c => r6(col(c)).as(c)): _*)
+    }),
+
+    "pipeline_bcb_detailed" -> ((s, dir) =>
+      bcbPipeline(s, dir).detailed
+        .orderBy(col("query_id"), col("similarity_score").desc, col("result_id"))),
+
+    "pipeline_bcb_stats" -> ((s, dir) => {
+      bcbPipeline(s, dir).queryStats
+        .select(col("query_id"),
+          r6(col("avg_clone_score")).as("avg_clone_score"),
+          r6(col("avg_non_clone_score")).as("avg_non_clone_score"),
+          col("num_clones_found"), col("num_non_clones_found"))
         .orderBy(col("query_id"))
     }),
 
@@ -1122,6 +1189,34 @@ private[graft] object QueriesCore {
       col("lang").as("clone_type"),
       col("text").as("code_contents"))
     graft.cli.Pipelines.runPojCorpus(s, corpus, k = 10, numSamples = 100,
+      dim = 256, normalized = true)
+  }
+
+  /** Shared builder for the `pipeline_bcb*` oracle queries: the documents
+    * table wearing the BCB corpus schema — func_id = doc_id, point uuid =
+    * md5 stand-in, clone truth = same-lang ∧ same-(id mod 7) adjacency
+    * (the `ir_metrics_bcb` relation) — INNER-joined as [[Corpus.bcb]]
+    * joins the clone graph, then through the real entry-point composition.
+    * 100 queries / k=10 keeps the DuckDB replay fixture-sized; the clone
+    * relation leaves most queries with |clones| < k, so the BCB MAP
+    * denominator min(|clones|, k) is genuinely exercised. */
+  private def bcbPipeline(s: SparkSession, dir: String): graft.cli.Pipelines.BenchmarkOutput = {
+    val docs = docsParallel(s, dir)
+    val a = docs.select(col("doc_id").as("ida"), col("lang").as("la"),
+      (col("doc_id") % 7).as("ma"))
+    val b = docs.select(col("doc_id").as("idb"), col("lang").as("lb"),
+      (col("doc_id") % 7).as("mb"))
+    val pairs = a.join(b, col("la") === col("lb") && col("ma") === col("mb") &&
+      col("ida") < col("idb")).select(col("ida"), col("idb"))
+    val truth = CloneGraph.adjacencyWithCounts(pairs, "ida", "idb")
+    val corpus = docs.join(truth.withColumnRenamed("id", "func_id"),
+        col("doc_id") === col("func_id"), "inner")
+      .select(
+        md5(concat(lit("fid:"), col("doc_id"))).as("code_uuid"),
+        col("func_id"),
+        col("text").as("code_contents"),
+        col("clones"))
+    graft.cli.Pipelines.runBcbCorpus(s, corpus, k = 10, numSamples = 100,
       dim = 256, normalized = true)
   }
 }

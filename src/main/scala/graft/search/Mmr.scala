@@ -1,6 +1,6 @@
 package graft.search
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 
 /**
@@ -30,11 +30,26 @@ import org.apache.spark.sql.functions._
  * any engine computing on the same doubles agrees exactly); the greedy
  * argmax breaks ties on ascending candidate id. The emitted `mmr_score` is
  * floor-quantized the same way.
+ *
+ * Id types (r18): integral ids select on the Long key; string ids (the
+ * reference's uuid point-id space) on UTF-8 byte order — the same total
+ * order as the bounded heap's UTF8String tie-break and DuckDB's binary
+ * VARCHAR collation, so a string-keyed run is oracle-replayable with plain
+ * `ORDER BY ... id ASC`. Fractional ids refuse loudly (truncation would
+ * collide distinct ids), matching [[Knn.tieKeyForced]].
  */
 object Mmr {
-  private[search] case class Cand(qid: Long, id: Long, rel: Double, vec: Array[Float])
-  private[search] case class Picked(
-      query_id: Long, result_id: Long, mmr_rank: Int, mmr_score: Double, score: Double)
+  private[search] case class Cand[K](qid: K, id: K, rel: Double, vec: Array[Float])
+  private[search] case class Picked[K](
+      query_id: K, result_id: K, mmr_rank: Int, mmr_score: Double, score: Double)
+
+  /** UTF-8 byte order — identical to UTF8String.compareTo (the heap
+    * tie-break) and to DuckDB's binary VARCHAR collation. Scala's default
+    * Ordering[String] is UTF-16 unit order, which DIVERGES on
+    * supplementary-vs-[U+E000,U+FFFF] code points, so it must not leak in. */
+  private[search] val utf8ByteOrder: Ordering[String] = (x: String, y: String) =>
+    org.apache.spark.unsafe.types.UTF8String.fromString(x)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
 
   private def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
@@ -60,15 +75,16 @@ object Mmr {
 
   /** Greedy MMR over one query's candidate list (relevance-ordered input
     * not required; selection scans all remaining candidates each step). */
-  private[search] def select(
-      cands: Seq[Cand], k: Int, lambda: Double): Seq[Picked] = {
-    val remaining = scala.collection.mutable.ArrayBuffer(cands.sortBy(c => (-c.rel, c.id)): _*)
-    val picked = scala.collection.mutable.ArrayBuffer.empty[Picked]
+  private[search] def select[K](
+      cands: Seq[Cand[K]], k: Int, lambda: Double, ord: Ordering[K]): Seq[Picked[K]] = {
+    val sorted = cands.sortWith((a, b) =>
+      a.rel > b.rel || (a.rel == b.rel && ord.lt(a.id, b.id)))
+    val remaining = scala.collection.mutable.ArrayBuffer(sorted: _*)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Picked[K]]
     val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
     while (picked.size < k && remaining.nonEmpty) {
       var bestIdx = -1
       var bestScore = Double.NegativeInfinity
-      var bestId = Long.MaxValue
       var i = 0
       while (i < remaining.length) {
         val c = remaining(i)
@@ -85,8 +101,9 @@ object Mmr {
         val m =
           if (pickedVecs.isEmpty) lambda * c.rel
           else lambda * c.rel - (1.0 - lambda) * div
-        if (m > bestScore || (m == bestScore && c.id < bestId)) {
-          bestScore = m; bestIdx = i; bestId = c.id
+        if (m > bestScore ||
+            (m == bestScore && bestIdx >= 0 && ord.lt(c.id, remaining(bestIdx).id))) {
+          bestScore = m; bestIdx = i
         }
         i += 1
       }
@@ -97,13 +114,23 @@ object Mmr {
     picked.toSeq
   }
 
+  /** Keyed selection pass shared by both id types: stage-1 candidates with
+    * vectors re-attached, grouped per query, greedily selected. */
+  private def selectGrouped[K](withVec: DataFrame, k: Int, lambda: Double,
+      ord: Ordering[K])(implicit ce: Encoder[Cand[K]], ke: Encoder[K],
+      pe: Encoder[Picked[K]]): DataFrame =
+    withVec.as[Cand[K]]
+      .groupByKey(_.qid)
+      .flatMapGroups((_: K, it: Iterator[Cand[K]]) => select(it.toSeq, k, lambda, ord))
+      .toDF()
+
   /**
    * Diversified top-k: fetch `fetchK` candidates per query by cosine
    * relevance, then greedily pick `k` by MMR with trade-off `lambda`.
    *
    * Output: `query_id`, `result_id`, `mmr_rank` (1-based selection order),
-   * `mmr_score` (6-dp), `score` (the stage-1 relevance, 6-dp). Requires
-   * integral ids (the shared bounded-heap contract).
+   * `mmr_score` (6-dp), `score` (the stage-1 relevance, 6-dp); id columns
+   * keep the input id type (long for integral ids, string for string ids).
    */
   def diversifiedTopK(
       queries: DataFrame, queryId: String, queryVec: String,
@@ -111,18 +138,25 @@ object Mmr {
       k: Int, lambda: Double, fetchK: Int = 50): DataFrame = {
     require(k >= 1 && fetchK >= k, s"need fetchK >= k >= 1, got k=$k fetchK=$fetchK")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
-    // The greedy selector's typed grouping keys are Long: a non-integral
-    // id would NULL-cast below — collapsing every query into one group
-    // and silently returning garbage. Refuse loudly instead (string-id
-    // MMR would need a string-keyed Cand; not a reference surface).
-    Seq(queryId -> queries.schema(queryId).dataType,
-        corpusId -> corpus.schema(corpusId).dataType).foreach { case (c, dt) =>
-      require(dt match {
-        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
-        case _ => false
-      }, s"diversifiedTopK requires integral ids; '$c' is ${dt.catalogString}")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    def kindOf(dt: org.apache.spark.sql.types.DataType): Option[String] = dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some("long")
+      case StringType => Some("string")
+      case _ => None
     }
+    // The greedy selector's typed grouping key must match the id family: a
+    // fractional id would truncation-collide under a long cast (and before
+    // r17 a string id NULL-cast — collapsing every query into one group).
+    // Refuse anything but integral/string loudly, and refuse MIXED id
+    // families (query long vs corpus string): Cand keys query and result
+    // ids in one type, and a silent cross-cast would corrupt either space.
+    val kinds = Seq(queryId -> queries.schema(queryId).dataType,
+      corpusId -> corpus.schema(corpusId).dataType).map { case (c, dt) =>
+      kindOf(dt).getOrElse(throw new IllegalArgumentException(
+        s"diversifiedTopK requires integral or string ids; '$c' is ${dt.catalogString}"))
+    }
+    require(kinds.distinct.size == 1,
+      s"diversifiedTopK requires query and corpus ids of one family, got ${kinds.mkString("/")}")
     val spark = queries.sparkSession
     import spark.implicits._
     val cands = Knn.knnJoin(
@@ -133,15 +167,19 @@ object Mmr {
     // Candidate vectors ride back in via a candidate-sized equi-join (the
     // |Q|·fetchK side probes the corpus; at scale this is an id-lookup
     // join, not a second scoring pass).
-    val withVec = cands.join(
+    val withVec0 = cands.join(
         corpus.select(col(corpusId).as("result_id"), col(corpusVec).as("__cvec")),
         Seq("result_id"))
-      .select(col("query_id").cast("long").as("qid"),
-        col("result_id").cast("long").as("id"),
-        col("score").as("rel"), col("__cvec").as("vec"))
-      .as[Cand]
-    withVec.groupByKey(_.qid)
-      .flatMapGroups((_: Long, it: Iterator[Cand]) => select(it.toSeq, k, lambda))
-      .toDF()
+    if (kinds.head == "long")
+      selectGrouped[Long](withVec0.select(
+          col("query_id").cast("long").as("qid"),
+          col("result_id").cast("long").as("id"),
+          col("score").as("rel"), col("__cvec").as("vec")),
+        k, lambda, Ordering.Long)
+    else
+      selectGrouped[String](withVec0.select(
+          col("query_id").as("qid"), col("result_id").as("id"),
+          col("score").as("rel"), col("__cvec").as("vec")),
+        k, lambda, utf8ByteOrder)
   }
 }

@@ -114,14 +114,66 @@ class MmrSpec extends SparkSpec {
       assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
     }
   }
-  test("non-integral ids refuse loudly (the Long-keyed selector would null-group)") {
+  test("string (uuid) ids: same picks as a Long-surrogate run, string order ties") {
+    // Map each integral id to an md5 string: the md5 hex ORDER differs from
+    // the numeric order (pinned below), so agreement between the two runs
+    // proves the selection itself is key-order-independent while the
+    // string-keyed tie-break uses the string order.
+    val emb = spark.read.parquet(s"${graft.TestSpark.sf0001}/embeddings.parquet")
+    val sidOf = md5(concat(lit("id:"), col("vec_id")))
+    val embS = emb.select(sidOf.as("sid"), col("embedding"))
+    val queriesL = graft.bench.Sampling.seeded(emb, "vec_id", 3)
+    val queriesS = queriesL.select(sidOf.as("sid"), col("embedding"))
+    val longRun = Mmr.diversifiedTopK(queriesL, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5, lambda = 0.5, fetchK = 20)
+      .select(md5(concat(lit("id:"), col("query_id"))).as("query_id"),
+        md5(concat(lit("id:"), col("result_id"))).as("result_id"),
+        col("mmr_rank"), col("mmr_score"), col("score"))
+      .orderBy("query_id", "mmr_rank").collect()
+    val strRun = Mmr.diversifiedTopK(queriesS, "sid", "embedding",
+        embS, "sid", "embedding", k = 5, lambda = 0.5, fetchK = 20)
+      .orderBy("query_id", "mmr_rank").collect()
+    assert(strRun.length === 15)
+    assert(strRun.map(_.toString).toSeq === longRun.map(_.toString).toSeq)
+    // Fixture sanity: md5 order genuinely shuffles the id order.
+    val ids = emb.select(col("vec_id")).orderBy("vec_id").limit(50)
+      .collect().map(_.getLong(0))
+    val byMd5 = emb.select(col("vec_id")).orderBy(sidOf).limit(50)
+      .collect().map(_.getLong(0))
+    assert(!java.util.Arrays.equals(ids, byMd5))
+  }
+
+  test("string-id tie-break is UTF8 byte order (heap/DuckDB collation), not UTF-16") {
+    // U+10000 (surrogate pair, UTF-16 units 0xD800 0xDC00) vs U+FFFD:
+    // UTF-16 unit order says the surrogate sorts FIRST; UTF-8 byte order
+    // (and DuckDB binary collation) sorts the BMP char first.
+    val hi = "𐀀" // U+10000
+    val lo = "�"
+    assert(Mmr.utf8ByteOrder.lt(lo, hi))
+    assert(implicitly[Ordering[String]].lt(hi, lo)) // the divergence guarded against
+    // Exact-duplicate vectors tie on rel AND on every mmr step: the pick
+    // order must be byte order (lo first), not UTF-16 order.
+    val c = Seq((hi, Array(1f, 0f)), (lo, Array(1f, 0f))).toDF("sid", "vec")
+    val qs = Seq(("q", Array(1f, 0f))).toDF("sid", "vec")
+    val picks = Mmr.diversifiedTopK(qs, "sid", "vec", c, "sid", "vec",
+        k = 2, lambda = 0.5, fetchK = 2)
+      .orderBy("mmr_rank").collect().map(_.getAs[String]("result_id")).toSeq
+    assert(picks === Seq(lo, hi))
+  }
+
+  test("fractional ids refuse loudly; mixed id families refuse loudly") {
     import org.apache.spark.sql.functions._
-    val q = Seq((1L, Array(1f, 0f))).toDF("id", "vec")
-      .select(concat(lit("u-"), $"id").as("id"), $"vec")
+    val qd = Seq((1.5, Array(1f, 0f))).toDF("id", "vec")
     val err = intercept[IllegalArgumentException] {
-      Mmr.diversifiedTopK(q, "id", "vec", q, "id", "vec", k = 1, lambda = 0.5, fetchK = 1)
+      Mmr.diversifiedTopK(qd, "id", "vec", qd, "id", "vec", k = 1, lambda = 0.5, fetchK = 1)
     }
-    assert(err.getMessage.contains("integral ids"), err.getMessage)
+    assert(err.getMessage.contains("integral or string ids"), err.getMessage)
+    val ql = Seq((1L, Array(1f, 0f))).toDF("id", "vec")
+    val qs = ql.select(concat(lit("u-"), $"id").as("id"), $"vec")
+    val err2 = intercept[IllegalArgumentException] {
+      Mmr.diversifiedTopK(ql, "id", "vec", qs, "id", "vec", k = 1, lambda = 0.5, fetchK = 1)
+    }
+    assert(err2.getMessage.contains("one family"), err2.getMessage)
   }
 
 }
