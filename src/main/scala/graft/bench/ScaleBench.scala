@@ -83,7 +83,7 @@ object ScaleBench {
       .getOrElse(queryNames)
     val sections = sys.env.get("SPARK_GRAFT_SCALE_SECTIONS")
       .map(_.split(',').map(_.trim).toSet)
-      .getOrElse(Set("cc", "span", "streamflat"))
+      .getOrElse(Set("cc", "span", "streamflat", "ivf"))
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -271,6 +271,74 @@ object ScaleBench {
       org.apache.spark.sql.GraftInternal.releaseTrackedCheckpoints(spark)
       n -> (nCorpus, mhBuildS, admitMs, spBuildS, cutMs)
     }
+    // ------------------------------------------------------------------
+    // IVF ladder at scale (r18): the designed 100 TB ANN path, measured
+    // with clean attribution (the ivf_*_recall QUERIES fold build + exact
+    // comparator + probe into one timing). Deployment sizing rule under
+    // test: nList tracks the corpus so CELLS stay ~TargetCellRows vectors
+    // (nList = nVecs/TargetCellRows), nProbe stays fixed — a probe then
+    // scores ~nProbe·TargetCellRows candidates per query REGARDLESS of
+    // corpus size. Per factor and per codec (float32, int8): build time
+    // (one bounded-sample k-means + one linear assignment pass), probe
+    // latency for a FIXED 100-query batch (warmup + min of 2 — expected
+    // ~flat in corpus when the candidate term dominates), brute-force
+    // exact latency for the same batch (the linear comparator), and
+    // recall@10 vs that exact answer (the floor must hold at every
+    // factor; amplification keeps it honest — every base vector has N
+    // byte-identical replicas that MUST land in the probed cell).
+    val ivfStats = (if (sections("ivf")) factors else Nil).map { n =>
+      val dir = amplified(spark, srcDir, n)
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val nVecs = emb.count()
+      val nList = math.max(16L, nVecs / 8192L).toInt
+      val queries = emb.filter(col("vec_id") < Stride)
+        .orderBy(col("vec_id")).limit(100).localCheckpoint(true)
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val t0 = System.nanoTime()
+      val exact = graft.search.Knn.knnJoin(queries, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
+        .select(col("query_id"), col("vec_id").as("result_id"))
+        .localCheckpoint(true)
+      val exactS = (System.nanoTime() - t0) / 1e9
+      val exactN = exact.count()
+      val perCodec = Seq(false, true).map { int8 =>
+        val tag = if (int8) "int8" else "f32"
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_scale_ivf_x${n}_$tag")
+        hfs.delete(new org.apache.hadoop.fs.Path(root.toString), true)
+        val ivfc = graft.index.IvfCollection(spark, root.toString, "embeddings")
+        val tb = System.nanoTime()
+        ivfc.build(emb, "vec_id", "embedding", nList = nList, seed = 42L,
+          int8 = int8)
+        val buildS = (System.nanoTime() - tb) / 1e9
+        def probe() = ivfc.query(queries, "vec_id", "embedding",
+          "vec_id", "embedding", k = 10, nProbe = 4, roundScoreTo = Some(6))
+        noop(probe()) // warmup: codegen + meta/centroid caches
+        val probeS = (1 to 2).map { _ =>
+          val tp = System.nanoTime(); noop(probe())
+          (System.nanoTime() - tp) / 1e9
+        }.min
+        val hits = exact.join(
+            probe().select(col("query_id"), col("vec_id").as("result_id")),
+            Seq("query_id", "result_id"), "left_semi").count()
+        val recall = if (exactN == 0) 0.0 else hits.toDouble / exactN
+        System.err.println(f"ivf x$n $tag%s: nList=$nList build=$buildS%.1f " +
+          f"probe=$probeS%.2f exact=$exactS%.2f recall=$recall%.4f")
+        tag -> ((buildS, probeS, recall))
+      }
+      org.apache.spark.sql.GraftInternal.unpersistLocalCheckpoint(exact)
+      org.apache.spark.sql.GraftInternal.unpersistLocalCheckpoint(queries)
+      n -> ((nVecs, nList, exactS, perCodec))
+    }
+    val ivfJson = ivfStats.map { case (n, (nv, nl, es, codecs)) =>
+      s""""$n":{"n_vecs":$nv,"n_list":$nl,"exact_s":${jNum(es)},""" +
+        codecs.map { case (tag, (b, p, r)) =>
+          s""""${tag}_build_s":${jNum(b)},"${tag}_probe_s":${jNum(p)},""" +
+            s""""${tag}_recall":${jNum(r)}"""
+        }.mkString(",") + "}"
+    }.mkString("{", ",", "}")
+
     val streamFlatJson = streamFlat.map { case (n, (nc, mb, am, sb, cm)) =>
       s""""$n":{"corpus_docs":$nc,"mh_build_s":${jNum(mb)},""" +
         s""""admit_batch_ms":${am.mkString("[", ",", "]")},""" +
@@ -297,6 +365,7 @@ object ScaleBench {
       s""""factors":${factors.mkString("[", ",", "]")},""" +
       s""""per_factor":$factorJson,""" +
       ccJson + spanJson +
+      (if (ivfStats.nonEmpty) s""""ivf":$ivfJson,""" else "") +
       s""""stream_flat":$streamFlatJson}"""
     println(line)
     try {

@@ -31,6 +31,36 @@ import org.apache.spark.storage.StorageLevel
  */
 object Dedup {
 
+  /** Past this row count a mined pair set's checkpoint blocks move to
+    * DISK_ONLY (~1 GB deserialized at 3 longs/row — big enough to matter
+    * against the unified pool's protected storage floor, small enough
+    * that no realistic non-degenerate mining output trips it). */
+  private val PairMemoryRowCap = 16L << 20
+
+  /** Eager materialization for MINED PAIR outputs. Pair sets are
+    * OUTPUT-sized — quadratic in the duplication factor in the worst
+    * case — and the caller typically holds the frame across downstream
+    * stages, so a blown-up pair set kept at the default MEMORY_AND_DISK
+    * level pins the unified pool's PROTECTED storage floor for exactly
+    * as long as the connected-components aggregate downstream needs that
+    * memory for execution (the measured factor-300 cliff, BENCH_SCALE.md
+    * r17). Size-adaptive: the common case (pairs ≪ corpus) stays a
+    * memory-resident checkpoint at zero extra cost; past
+    * [[PairMemoryRowCap]] rows the blocks are rewritten DISK_ONLY and
+    * the memory copy is released — one extra sequential pass, noise next
+    * to the mining that produced them. The probe is a capped
+    * `limit().count()` over the already-materialized blocks (never a
+    * full count of an unbounded frame). */
+  private def eagerPairs(df: DataFrame): DataFrame = {
+    val mem = df.localCheckpoint(true)
+    if (mem.limit((PairMemoryRowCap + 1).toInt).count() <= PairMemoryRowCap) mem
+    else {
+      val disk = mem.localCheckpoint(true, StorageLevel.DISK_ONLY)
+      org.apache.spark.sql.GraftInternal.unpersistLocalCheckpoint(mem)
+      disk
+    }
+  }
+
   /** Lower-cased whitespace tokens (empty tokens dropped — consecutive
     * separators don't produce ghost shingles). Delegates to the canonical
     * [[graft.text.TextAnalysis.tokens]] so dedup and text analysis can
@@ -214,7 +244,7 @@ object Dedup {
         .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
         .filter(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"), col("jaccard"))
-      if (!collapseExact) repPairs.localCheckpoint(true)
+      if (!collapseExact) eagerPairs(repPairs)
       else {
         val members = hashed
           .join(reps.select(col("__h"), col("id").as("__rid")), Seq("__h"))
@@ -240,7 +270,7 @@ object Dedup {
             col("b.id").as("id_b"))
           .join(fams, Seq("__rid"))
           .select(col("id_a"), col("id_b"), col("jaccard"))
-        cross.unionByName(within).localCheckpoint(true)
+        eagerPairs(cross.unionByName(within))
       }
     } finally withSh.unpersist(false)
   }
@@ -331,7 +361,7 @@ object Dedup {
         .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
         .filter(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"), col("jaccard"))
-      if (!collapseExact) repPairs.localCheckpoint(true)
+      if (!collapseExact) eagerPairs(repPairs)
       else {
         val members = hashed
           .join(reps.select(col("__h"), col("id").as("__rid")), Seq("__h"))
@@ -360,7 +390,7 @@ object Dedup {
             col("b.id").as("id_b"))
           .join(selfScore, Seq("__rid"))
           .select(col("id_a"), col("id_b"), col("jaccard"))
-        cross.unionByName(within).localCheckpoint(true)
+        eagerPairs(cross.unionByName(within))
       }
     } finally {
       sigBands.unpersist(false)
@@ -517,12 +547,18 @@ object Dedup {
         .select(col("id"), coalesce(col("__ccomp"), col("id")).as("component"))
       return (labels, 0)
     }
+    // This path only engages above `smallEdgeThreshold` edges: round state
+    // goes to DISK_ONLY so the per-round join + hash aggregate keep the
+    // whole unified pool as EXECUTION memory (memory-resident round frames
+    // held the protected storage floor and starved the aggregate at the
+    // measured factor-300 cliff, BENCH_SCALE.md r17). Each round reads sym
+    // + labels once, sequentially — scan cost, not a random-access term.
     val sym = cleanEdges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(cleanEdges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.DISK_ONLY)
     var labels = vertices.select(col(idCol).as("id"), col(idCol).as("comp"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val compType = labels.schema("comp").dataType
     try {
       var iter = 0
@@ -554,7 +590,7 @@ object Dedup {
         val flagged = jumped.observe(obsName,
           count(when(col("comp") =!= col("__prev"), 1)).as("changed"))
         val projected = flagged.select(col("id"), col("comp"))
-        val next = projected.localCheckpoint(true)
+        val next = projected.localCheckpoint(true, StorageLevel.DISK_ONLY)
         converged =
           projected.queryExecution.observedMetrics(obsName).getLong(0) == 0L
         // release the superseded round's checkpoint blocks (GC would get
@@ -734,7 +770,7 @@ object Dedup {
         .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= minShared)
-      if (!collapseExact) repPairs.localCheckpoint(true)
+      if (!collapseExact) eagerPairs(repPairs)
       else {
         val members = hashed
           .join(reps.select(col("__h"), col("id").as("__rid")), Seq("__h"))
@@ -755,7 +791,7 @@ object Dedup {
             col("b.id").as("id_b"))
           .join(selfShared, Seq("__rid"))
           .select(col("id_a"), col("id_b"), col("n_shared"))
-        cross.unionByName(within).localCheckpoint(true)
+        eagerPairs(cross.unionByName(within))
       }
     } finally fps.unpersist(false)
   }
@@ -803,7 +839,7 @@ object Dedup {
         .withColumn("hamming", hamming_dist(col("fp_a"), col("fp_b")))
         .filter(col("hamming") <= maxHamming)
         .select(col("id_a"), col("id_b"), col("hamming"))
-        .localCheckpoint(true)
+        .transform(eagerPairs)
     } finally {
       banded0.unpersist(false)
     }

@@ -216,7 +216,9 @@ object Streaming {
   //    only ever needs the stream's latest batch, which by the
   //    fold-after-heal ordering in admitBatch/cutBatch is always still
   //    here) and stays bounded: at most ~maxSinkFiles batches.
-  //  - BASE: `<idsDir>/_base/bucket=N/` — the folded history, hive-
+  //  - BASE: `<idsDir>_base/bucket=N/` — a SIBLING dir (see
+  //    [[sidecarBaseDir]] for why it is not a hidden child) holding the
+  //    folded history, hive-
   //    partitioned by `pmod(xxhash64(id), buckets)` (the exact layout
   //    Bm25Index postings and SpanIndex grams use). The per-batch replay
   //    guard computes the batch's touched buckets and reads ONLY those
@@ -326,10 +328,19 @@ object Streaming {
     readIfData(spark, sidecarBaseDir(idsDir)).fold(l0.select(col(idCol))) { base =>
       val pruned = sidecarBaseBuckets(spark, idsDir) match {
         case Some(bk) =>
+          // Hash in the BASE's id type, not the batch's: xxhash64 hashes
+          // IntegerType and LongType (or otherwise equal-but-differently-
+          // typed ids) to DIFFERENT values, so an id-type drift in the
+          // stream's source schema would prune the wrong buckets and
+          // silently re-admit already-admitted ids. A cast that nulls any
+          // non-null batch id (drift the base type cannot represent)
+          // falls back to the unpruned full-base read — correct, slower.
+          val baseIdType = base.schema(idCol).dataType
           val touched = batch.filter(col(idCol).isNotNull)
-            .select(sidecarBucketOf(col(idCol), bk).as("__b"))
-            .distinct().collect().map(_.getInt(0)).toSeq
-          base.filter(col("bucket").isin(touched: _*))
+            .select(sidecarBucketOf(col(idCol).cast(baseIdType), bk).as("__b"))
+            .distinct().collect()
+          if (touched.exists(_.isNullAt(0))) base
+          else base.filter(col("bucket").isin(touched.map(_.getInt(0)).toSeq: _*))
         case None => base
       }
       pruned.select(col(idCol)).union(l0.select(col(idCol)))
@@ -343,6 +354,12 @@ object Streaming {
   private[graft] def foldSidecar(spark: SparkSession, idsDir: String,
       idCol: String, buckets: Int): Unit = {
     require(buckets > 0, s"sidecar buckets must be positive, got $buckets")
+    // The fold ATTACHES a `bucket` column (and the sidecar schema owns
+    // __ckpt/__batch): an id column with one of those names would be
+    // silently overwritten here and dropped by every base reader.
+    require(!Set("bucket", "__ckpt", "__batch").contains(idCol),
+      s"sidecar id column '$idCol' collides with a reserved sidecar " +
+        "column (bucket, __ckpt, __batch)")
     healTornBaseSwap(spark, idsDir)
     val p = new org.apache.hadoop.fs.Path(idsDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -400,7 +417,11 @@ object Streaming {
 
   private def decisionOf(sidecar: DataFrame, checkpointDir: String,
       batchId: Long): DataFrame =
-    sidecar.filter(col("__ckpt") === lit(ckptKey(checkpointDir)) &&
+    // Match the RAW spelling too: records written before the key was
+    // normalized stored checkpointDir verbatim, and a pre-upgrade
+    // crash-window record must still heal after the upgrade (it would
+    // otherwise stay guard-dropped until a manual reconcileSidecar).
+    sidecar.filter(col("__ckpt").isin(checkpointDir, ckptKey(checkpointDir)) &&
       col("__batch") === lit(batchId))
 
   /**

@@ -81,20 +81,23 @@ class StreamingSpec extends SparkSpec {
     val coll = VectorCollection(spark, tmp.toString, "stream_coll")
     coll.create(CollectionMeta(64, "cosine", normalized = true))
 
+    // data BEFORE start: AvailableNow snapshots available offsets when the
+    // query starts, so addData after .start() races the snapshot (flaky
+    // zero-batch runs). Same ordering at every AvailableNow site below.
     val source = MemoryStream[(Long, String)]
+    source.addData((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
     val q = Streaming.ingestStream(
       source.toDF().toDF("doc_id", "text"), "doc_id", "text", model, coll,
       s"$tmp/ckpt1")
-    source.addData((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
     q.awaitTermination() // AvailableNow drains and stops
     assert(coll.load().count() == 2)
 
     // second run re-delivers an old key plus a new one -> only the new lands
     val source2 = MemoryStream[(Long, String)]
+    source2.addData((2L, "delta epsilon zeta"), (3L, "eta theta iota"))
     val q2 = Streaming.ingestStream(
       source2.toDF().toDF("doc_id", "text"), "doc_id", "text", model, coll,
       s"$tmp/ckpt2")
-    source2.addData((2L, "delta epsilon zeta"), (3L, "eta theta iota"))
     q2.awaitTermination()
     val rows = coll.load()
     assert(rows.count() == 3)
@@ -152,9 +155,7 @@ class StreamingSpec extends SparkSpec {
     idx.build(corpus, "doc_id", "text", n = 3, numHashes = 128, bands = 32)
 
     val source = MemoryStream[(Long, String)]
-    val q = Streaming.admitStream(source.toDF().toDF("doc_id", "text"),
-      "doc_id", "text", idx, s"$tmp/admitted", threshold = 0.5, s"$tmp/ckpt1")
-    source.addData(
+    source.addData( // before start: AvailableNow snapshots offsets at start
       // near-dup of corpus doc 1 (one word changed, jaccard ~0.54) -> reject
       (10L, "the quick brown fox jumps over the crazy dog again and again"),
       // fresh -> admit
@@ -163,6 +164,8 @@ class StreamingSpec extends SparkSpec {
       (12L, "sphinx of black quartz judge my vow said the wise old owl"),
       // replayed already-admitted id -> reject
       (1L, "the quick brown fox jumps over the lazy dog again and again"))
+    val q = Streaming.admitStream(source.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", idx, s"$tmp/admitted", threshold = 0.5, s"$tmp/ckpt1")
     q.awaitTermination()
     val admitted = spark.read.parquet(s"$tmp/admitted")
     assert(admitted.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 11L))
@@ -170,11 +173,11 @@ class StreamingSpec extends SparkSpec {
     // the admitted doc was upserted into the index incrementally: a later
     // batch near-dupping IT (not the seed corpus) must now be rejected
     val source2 = MemoryStream[(Long, String)]
-    val q2 = Streaming.admitStream(source2.toDF().toDF("doc_id", "text"),
-      "doc_id", "text", idx, s"$tmp/admitted", threshold = 0.5, s"$tmp/ckpt2")
     source2.addData(
       (20L, "sphinx of black quartz judge my vow said the wise young owl"),
       (21L, "how vexingly quick daft zebras jump over the fence right now"))
+    val q2 = Streaming.admitStream(source2.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", idx, s"$tmp/admitted", threshold = 0.5, s"$tmp/ckpt2")
     q2.awaitTermination()
     val admitted2 = spark.read.parquet(s"$tmp/admitted")
     assert(admitted2.select("doc_id").as[Long].collect().sorted.toSeq
@@ -194,11 +197,11 @@ class StreamingSpec extends SparkSpec {
     val idx = graft.index.MinHashIndex(spark, tmp.toString, "sc_idx")
     idx.build(corpus, "doc_id", "text", n = 3, numHashes = 128, bands = 32)
     val source = MemoryStream[(Long, String)]
-    val q = Streaming.admitStream(source.toDF().toDF("doc_id", "text"),
-      "doc_id", "text", idx, s"$tmp/admitted", threshold = 0.5, s"$tmp/ckpt1")
     source.addData(
       (11L, "sphinx of black quartz judge my vow said the wise old owl"),
       (1L, "the quick brown fox jumps over the lazy dog again and again"))
+    val q = Streaming.admitStream(source.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", idx, s"$tmp/admitted", threshold = 0.5, s"$tmp/ckpt1")
     q.awaitTermination()
     // the sidecar is exactly the admitted id set: pre-existing corpus ids
     // seeded at bootstrap (__batch = -1) plus the committed batch's record
@@ -285,13 +288,13 @@ class StreamingSpec extends SparkSpec {
       .build(corpus, "doc_id", "text", n = 5, buckets = 8)
 
     val source = MemoryStream[(Long, String)]
-    val q = Streaming.cutStream(source.toDF().toDF("doc_id", "text"),
-      "doc_id", "text", idx, s"$tmp/clean", s"$tmp/ckpt1")
     source.addData(
       // embeds corpus doc 1's full text -> those 9 tokens cut, tail kept
       (10L, "the quick brown fox jumps over the lazy dog but what a tail"),
       // novel -> untouched
       (11L, "sphinx of black quartz judge my vow tonight"))
+    val q = Streaming.cutStream(source.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", idx, s"$tmp/clean", s"$tmp/ckpt1")
     q.awaitTermination()
     val clean = spark.read.parquet(s"$tmp/clean")
       .collect().map(r => r.getAs[Long]("doc_id") ->
@@ -303,12 +306,12 @@ class StreamingSpec extends SparkSpec {
     // passage (admitted) OR doc 10's surviving tail (too short to gram at
     // n=5... use 11) gets cut against the ADMITTED stream content.
     val source2 = MemoryStream[(Long, String)]
-    val q2 = Streaming.cutStream(source2.toDF().toDF("doc_id", "text"),
-      "doc_id", "text", idx, s"$tmp/clean", s"$tmp/ckpt2")
     source2.addData(
       (20L, "sphinx of black quartz judge my vow tonight"),
       // replayed id -> dropped entirely (exactly-once by key)
       (10L, "the quick brown fox jumps over the lazy dog but what a tail"))
+    val q2 = Streaming.cutStream(source2.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", idx, s"$tmp/clean", s"$tmp/ckpt2")
     q2.awaitTermination()
     val clean2 = spark.read.parquet(s"$tmp/clean")
       .collect().map(r => r.getAs[Long]("doc_id") ->
@@ -449,10 +452,10 @@ class StreamingSpec extends SparkSpec {
       "two driven jocks help fax my big quiz before lunch arrives")
     fresh.zipWithIndex.foreach { case (text, i) =>
       val src = MemoryStream[(Long, String)]
+      src.addData((100L + i, text))
       val q = Streaming.admitStream(src.toDF().toDF("doc_id", "text"),
         "doc_id", "text", idx, s"$tmp/admitted", threshold = 0.5,
         s"$tmp/ckpt_c$i", maxSinkFiles = 3, sidecarBuckets = 4)
-      src.addData((100L + i, text))
       q.awaitTermination()
     }
     def files(p: String): Int = {
@@ -552,6 +555,71 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/clean").select("doc_id").as[Long]
       .collect().sorted.toSeq == Seq(10L, 11L, 12L, 30L, 40L, 50L),
       "a base-folded stranded decision must reconcile away and re-admit")
+  }
+
+  test("sidecar drift guards: base-typed bucket pruning, reserved id column, raw-spelled decision records") {
+    val tmp = Files.createTempDirectory("graft_sidecar_drift").toString
+    val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val idx = graft.index.SpanIndex(spark, s"$tmp/idx", "drift_corpus")
+      .build(corpus, "doc_id", "text", n = 5, buckets = 8)
+    (0 until 3).foreach { i =>
+      val b = Seq((10L + i, s"wholly fresh document number $i with plenty of unique words here"))
+        .toDF("doc_id", "text")
+      Streaming.cutBatch(b, i.toLong, "doc_id", "text", idx, s"$tmp/clean",
+        checkpointDir = s"$tmp/ckpt", maxSinkFiles = 0)
+    }
+    val idsDir = Streaming.admitIdsDir(s"$tmp/clean")
+    Streaming.foldSidecar(spark, idsDir, "doc_id", buckets = 4)
+
+    // RESERVED COLUMN: an id column named after the fold's own bucket
+    // column (or the sidecar's commit columns) must refuse loudly.
+    Seq("bucket", "__ckpt", "__batch").foreach { bad =>
+      val err = intercept[IllegalArgumentException] {
+        Streaming.foldSidecar(spark, idsDir, bad, buckets = 4)
+      }
+      assert(err.getMessage.contains("reserved"), err.getMessage)
+    }
+
+    // RAW-SPELLED DECISION RECORD (pre-normalization writer): a decided-
+    // but-uncommitted record whose __ckpt stored the caller's RAW path
+    // spelling must still heal when the stream restarts with that same
+    // spelling (the normalized key alone would never match it).
+    val rawCkpt = s"$tmp/ckptZ/" // trailing slash: raw != normalized
+    Seq(40L).toDF("doc_id")
+      .select($"doc_id", lit(rawCkpt).as("__ckpt"), lit(0L).as("__batch"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(idsDir)
+    val healed = Seq((40L, "five boxing wizards jump quickly over the frozen river"))
+      .toDF("doc_id", "text")
+    Streaming.cutBatch(healed, 0L, "doc_id", "text", idx, s"$tmp/clean",
+      checkpointDir = rawCkpt, maxSinkFiles = 0)
+    assert(spark.read.parquet(s"$tmp/clean")
+      .filter($"doc_id" === 40L).count() == 1,
+      "a raw-spelled crash-window record must heal, not stay guard-dropped")
+
+    // ID-TYPE DRIFT (last — an int batch that admitted rows would append
+    // an int-typed file into long-typed dirs): the folded base hashed
+    // LONG ids into buckets; a source schema drifting to INT must not
+    // prune by xxhash64(int) — equal ids hash to different buckets across
+    // types and the guard would silently re-admit folded history. Premise
+    // check first: the fixture ids must actually bucket differently
+    // across the two types, or this test could pass vacuously.
+    val discriminates = spark.range(10, 13)
+      .select(
+        pmod(xxhash64($"id"), lit(4L)).as("asLong"),
+        pmod(xxhash64($"id".cast("int")), lit(4L)).as("asInt"))
+      .filter($"asLong" =!= $"asInt").count()
+    assert(discriminates > 0, "fixture ids must bucket differently as int vs long")
+    val before = spark.read.parquet(s"$tmp/clean").count()
+    val intBatch = Seq( // every id already admitted -> nothing may land
+      (10, "wholly fresh document number 0 with plenty of unique words here"),
+      (11, "wholly fresh document number 1 with plenty of unique words here"),
+      (12, "wholly fresh document number 2 with plenty of unique words here"))
+      .toDF("doc_id", "text") // IntegerType ids
+    Streaming.cutBatch(intBatch, 7L, "doc_id", "text", idx, s"$tmp/clean",
+      checkpointDir = s"$tmp/ckpt", maxSinkFiles = 0)
+    assert(spark.read.parquet(s"$tmp/clean").count() == before,
+      "base-folded ids must stay guard-dropped under an int-typed batch")
   }
 
   test("file-source events stream: windowed agg over the fixture matches batch") {
