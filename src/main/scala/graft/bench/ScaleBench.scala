@@ -71,7 +71,7 @@ object ScaleBench {
     val factors = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 10, 30)
     // r17 deep-sweep knobs (factors past 100×): SPARK_GRAFT_SCALE_QUERIES
     // subsets the query sweep, SPARK_GRAFT_SCALE_SECTIONS (csv of
-    // cc,span,streamflat) subsets the extra sections. The default runs
+    // cc,span,streamflat,ivf) subsets the extra sections. The default runs
     // everything — the knobs exist because N-clone amplification makes
     // pair-EXPANSION outputs quadratic in N by construction (a 1000-clone
     // family mines ~N²/2 pair rows), so a factor-1000 run of the pair

@@ -31,35 +31,24 @@ import org.apache.spark.storage.StorageLevel
  */
 object Dedup {
 
-  /** Past this row count a mined pair set's checkpoint blocks move to
-    * DISK_ONLY (~1 GB deserialized at 3 longs/row — big enough to matter
-    * against the unified pool's protected storage floor, small enough
-    * that no realistic non-degenerate mining output trips it). */
-  private val PairMemoryRowCap = 16L << 20
-
-  /** Eager materialization for MINED PAIR outputs. Pair sets are
-    * OUTPUT-sized — quadratic in the duplication factor in the worst
-    * case — and the caller typically holds the frame across downstream
-    * stages, so a blown-up pair set kept at the default MEMORY_AND_DISK
-    * level pins the unified pool's PROTECTED storage floor for exactly
-    * as long as the connected-components aggregate downstream needs that
-    * memory for execution (the measured factor-300 cliff, BENCH_SCALE.md
-    * r17). Size-adaptive: the common case (pairs ≪ corpus) stays a
-    * memory-resident checkpoint at zero extra cost; past
-    * [[PairMemoryRowCap]] rows the blocks are rewritten DISK_ONLY and
-    * the memory copy is released — one extra sequential pass, noise next
-    * to the mining that produced them. The probe is a capped
-    * `limit().count()` over the already-materialized blocks (never a
-    * full count of an unbounded frame). */
-  private def eagerPairs(df: DataFrame): DataFrame = {
-    val mem = df.localCheckpoint(true)
-    if (mem.limit((PairMemoryRowCap + 1).toInt).count() <= PairMemoryRowCap) mem
-    else {
-      val disk = mem.localCheckpoint(true, StorageLevel.DISK_ONLY)
-      org.apache.spark.sql.GraftInternal.unpersistLocalCheckpoint(mem)
-      disk
-    }
-  }
+  /** Eager materialization for MINED PAIR outputs: one `localCheckpoint`
+    * pass straight to DISK_ONLY blocks. Pair sets are OUTPUT-sized —
+    * quadratic in the duplication factor in the worst case — and the
+    * caller typically holds the frame across downstream stages, so a
+    * blown-up pair set kept at the default MEMORY_AND_DISK level pins the
+    * unified pool's PROTECTED storage floor for exactly as long as the
+    * connected-components aggregate downstream needs that memory for
+    * execution (the measured factor-300 cliff, BENCH_SCALE.md r17).
+    * DISK_ONLY unconditionally: the write is a single sequential pass
+    * either way (a memory-first checkpoint that is later demoted pays the
+    * materialization TWICE and thrashes the store while multi-hundred-MB
+    * partitions evict each other — measured at factor 300,
+    * BENCH_SCALE.md r18), small outputs cost ~tens of ms of local block
+    * writes, and consumers scan a pair set a handful of times, so
+    * sequential local-disk reads are noise next to the shuffles they
+    * feed. */
+  private def eagerPairs(df: DataFrame): DataFrame =
+    df.localCheckpoint(true, StorageLevel.DISK_ONLY)
 
   /** Lower-cased whitespace tokens (empty tokens dropped — consecutive
     * separators don't produce ghost shingles). Delegates to the canonical
