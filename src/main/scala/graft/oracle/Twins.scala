@@ -1218,6 +1218,37 @@ private[graft] object Twins extends SqlKit {
         |)
         |SELECT query_id, result_id, label, rank, score FROM ranked WHERE rank <= 10""".stripMargin,
 
+    // String-keyed prefetch→rescore: both stages tie-break on the md5 sid
+    // with DuckDB's binary VARCHAR collation == the Spark heap's
+    // UTF8String byte order (same argument as knn_uuid).
+    "query_prefetch_uuid" ->
+      """WITH c AS (
+        |  SELECT md5('id:' || CAST(vec_id AS VARCHAR)) AS sid, label, embedding
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT sid AS qid, embedding AS qv FROM c
+        |  ORDER BY md5('graft42:' || sid), qid LIMIT 500
+        |), pre AS (
+        |  SELECT q.qid, c.sid,
+        |    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+        |      ROUND(list_cosine_similarity(CAST(q.qv[1:8] AS DOUBLE[]), CAST(c.embedding[1:8] AS DOUBLE[])), 6) DESC,
+        |      c.sid ASC) AS rn
+        |  FROM q CROSS JOIN c
+        |  WHERE c.sid <> q.qid
+        |), resc AS (
+        |  SELECT p.qid AS query_id, p.sid AS result_id, c.label,
+        |    ROUND(list_cosine_similarity(CAST(q2.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS score
+        |  FROM pre p
+        |  JOIN c ON c.sid = p.sid
+        |  JOIN q q2 ON q2.qid = p.qid
+        |  WHERE p.rn <= 50
+        |), ranked AS (
+        |  SELECT query_id, result_id, label, score,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+        |  FROM resc
+        |)
+        |SELECT query_id, result_id, label, rank, score FROM ranked WHERE rank <= 10""".stripMargin,
+
     "query_boosted" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings

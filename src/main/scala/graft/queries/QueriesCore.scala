@@ -404,6 +404,26 @@ private[graft] object QueriesCore {
           col("label"), col("rank"), col("score"))
     }),
 
+    // Universal query with prefetch on a STRING (uuid stand-in) id space
+    // (r18): the rescore stage is Query.rescoreExact — one of the r17
+    // heap sites that silently returned EMPTY on uuid corpora before the
+    // tieKeyFor fix — so this row pins the whole prefetch→rescore
+    // composition cross-engine through the driver for string ids, the
+    // last of the Query family covered only by specs.
+    "query_prefetch_uuid" -> ((s, dir) => {
+      val sid = md5(concat(lit("id:"), col("vec_id")))
+      val corpus = embParallel(s, dir)
+        .select(sid.as("sid"), col("label"), col("embedding"))
+      graft.search.Query.prefetchRescore(
+          graft.bench.Sampling.seeded(corpus, "sid", knnSampleSize)
+            .select(col("sid"), col("embedding")),
+          "sid", "embedding", corpus, "sid", "embedding",
+          cheapVec = v => slice(v, 1, 8),
+          prefetchK = 50, k = 10, roundScoreTo = Some(6))
+        .select(col("query_id"), col("sid").as("result_id"),
+          col("label"), col("rank"), col("score"))
+    }),
+
     // Formula rescoring (the backend's score-boosting query): candidates
     // from an exact top-50 cosine prefetch are re-ranked by a FORMULA
     // over the similarity and a payload field — here a convex blend of
