@@ -176,7 +176,7 @@ object SparkEntry {
 
   private[graft] def evictMinedPairs(s: SparkSession, dir: String): Unit =
     Option(minedPairsCache.remove((s.sparkContext.applicationId, dir)))
-      .foreach(org.apache.spark.sql.GraftInternal.unpersistLocalCheckpoint)
+      .foreach(Dedup.releaseEager) // blocks OR durable backing files
 
   /** Release the per-dir memoized state (mined pair checkpoint blocks +
     * BPE merge lists). Long-lived sessions iterating over many corpus
@@ -193,6 +193,7 @@ object SparkEntry {
     * explicitly at their own nothing-in-flight boundaries. */
   private[graft] def evictDirCaches(s: SparkSession, dir: String): Unit = {
     evictMinedPairs(s, dir)
+    graft.queries.QueriesCore.evictPipelines(s, dir)
     bpeMergesCache.remove((s.sparkContext.applicationId, dir))
   }
 

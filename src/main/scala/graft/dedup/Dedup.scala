@@ -23,13 +23,79 @@ import org.apache.spark.storage.StorageLevel
  *    sets only; the LSH path is the production path.
  *
  * Eager results: the near-dup/cluster operators return frames materialized
- * via `localCheckpoint` (executor-local blocks). Caveat for clusters with
- * dynamic allocation or preemption: local checkpoint blocks die with their
- * executor and are NOT recomputable (lineage is cut) — pipelines on such
- * clusters should write these (small) results straight to a table and read
- * back, which is also the natural next step of a curation pipeline.
+ * via `localCheckpoint` (executor-local blocks) by default. Caveat for
+ * clusters with dynamic allocation or preemption: local checkpoint blocks
+ * die with their executor and are NOT recomputable (lineage is cut) — on
+ * such clusters set `spark.graft.checkpointDir` to a directory on a
+ * fault-tolerant filesystem (HDFS/S3A) and every mined-pair output and
+ * CC round state materializes as parquet there instead (write +
+ * read-back), surviving any executor loss. See [[CheckpointDirConf]].
  */
 object Dedup {
+
+  /** Session conf key for the DURABLE eager-materialization mode: when set
+    * (non-empty), [[eagerPairs]] outputs and the connected-components
+    * round state are written as parquet under this directory and read
+    * back, instead of `localCheckpoint`'s executor-local blocks. Flip it
+    * on clusters with dynamic allocation or preemptible/spot executors —
+    * there a lost executor destroys local-checkpoint blocks that are NOT
+    * recomputable (lineage is cut) and kills a multi-hour dedup job,
+    * while durable parquet rounds survive any executor loss and even let
+    * failed STAGES recompute from the last round's files. Cost: each
+    * materialization becomes a filesystem write + read-back rather than
+    * local block writes, and the CC convergence check becomes one extra
+    * scan of the round's skinny (id, comp, prev) parquet per round
+    * (the observe-metric ride-along needs the materializing action to run
+    * through the frame's own QueryExecution, which a parquet write does
+    * not).
+    *
+    * Lifecycle: superseded CC rounds are deleted as the loop advances;
+    * FINAL outputs (the returned pair/label frames) keep their backing
+    * files for the caller's lifetime — clean the directory between runs,
+    * the same contract as `sparkContext.setCheckpointDir`. Single
+    * directory per concurrent pipeline run is NOT required (file names
+    * are unique), but the cleanup is per-directory. */
+  val CheckpointDirConf = "spark.graft.checkpointDir"
+
+  private def durableRoot(df: DataFrame): Option[String] =
+    df.sparkSession.conf.getOption(CheckpointDirConf)
+      .map(_.trim).filter(_.nonEmpty)
+
+  /** Durable-backed frame → its backing dir, so [[releaseEager]] can
+    * delete exactly the files behind a superseded round. Weak keys: a
+    * frame the driver dropped without releasing stays GC-collectable and
+    * its (tiny) entry is pruned by the map itself; its files follow the
+    * documented clean-the-directory-between-runs contract. */
+  private val durableBacking =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, String]())
+
+  /** Write `df` as parquet under the durable checkpoint root and read it
+    * back — the fault-tolerant replacement for `localCheckpoint`. The
+    * write IS the materializing action; the returned frame's lineage
+    * roots at the parquet files, so downstream stages can recompute from
+    * them after any executor loss. */
+  private def writeReadBack(df: DataFrame, root: String, what: String): DataFrame = {
+    val path = s"${root.stripSuffix("/")}/graft_${what}_${java.util.UUID.randomUUID()}"
+    df.write.mode("overwrite").parquet(path)
+    val back = df.sparkSession.read.parquet(path)
+    durableBacking.put(back, path)
+    back
+  }
+
+  /** Release an eagerly-materialized frame: durable-backed → delete its
+    * parquet dir; local-checkpoint-backed → unpersist its executor
+    * blocks. The single release point for both modes, so iterative
+    * operators free superseded rounds without knowing which mode ran. */
+  private[graft] def releaseEager(df: DataFrame): Unit =
+    Option(durableBacking.remove(df)) match {
+      case Some(path) =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      case None =>
+        org.apache.spark.sql.GraftInternal.unpersistLocalCheckpoint(df)
+    }
 
   /** Eager materialization for MINED PAIR outputs: one `localCheckpoint`
     * pass straight to DISK_ONLY blocks. Pair sets are OUTPUT-sized —
@@ -46,9 +112,16 @@ object Dedup {
     * BENCH_SCALE.md r18), small outputs cost ~tens of ms of local block
     * writes, and consumers scan a pair set a handful of times, so
     * sequential local-disk reads are noise next to the shuffles they
-    * feed. */
-  private def eagerPairs(df: DataFrame): DataFrame =
-    df.localCheckpoint(true, StorageLevel.DISK_ONLY)
+    * feed.
+    *
+    * With [[CheckpointDirConf]] set, the materialization is a parquet
+    * write + read-back under that directory instead — same eager
+    * semantics, identical rows, but the blocks survive executor loss
+    * (preemptible-cluster mode; see the conf's scaladoc for lifecycle). */
+  private def eagerPairs(df: DataFrame): DataFrame = durableRoot(df) match {
+    case Some(root) => writeReadBack(df, root, "pairs")
+    case None => df.localCheckpoint(true, StorageLevel.DISK_ONLY)
+  }
 
   /** Lower-cased whitespace tokens (empty tokens dropped — consecutive
     * separators don't produce ghost shingles). Delegates to the canonical
@@ -542,12 +615,23 @@ object Dedup {
     // held the protected storage floor and starved the aggregate at the
     // measured factor-300 cliff, BENCH_SCALE.md r17). Each round reads sym
     // + labels once, sequentially — scan cost, not a random-access term.
+    //
+    // With [[CheckpointDirConf]] set, round state is parquet write +
+    // read-back instead of localCheckpoint — identical labels, but a
+    // preempted executor cannot destroy a round (preemptible-cluster
+    // mode). `sym` stays a DISK_ONLY persist in both modes: persist keeps
+    // lineage, so lost blocks recompute from the edge frame.
+    val durable = durableRoot(vertices)
+    def eagerRound(df: DataFrame): DataFrame = durable match {
+      case Some(root) => writeReadBack(df, root, "cc")
+      case None => df.localCheckpoint(true, StorageLevel.DISK_ONLY)
+    }
     val sym = cleanEdges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(cleanEdges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(StorageLevel.DISK_ONLY)
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("comp"))
-      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    var labels = eagerRound(
+      vertices.select(col(idCol).as("id"), col(idCol).as("comp")))
     val compType = labels.schema("comp").dataType
     try {
       var iter = 0
@@ -573,18 +657,38 @@ object Dedup {
           .select(gathered("id"),
             coalesce(col("__pcomp"), gathered("comp")).as("comp"),
             gathered("__prev"))
-        // The changed count accumulates inside the checkpoint job itself;
-        // __prev is consumed by the metric and pruned from the checkpoint.
-        val obsName = s"__cc_changed_$iter"
-        val flagged = jumped.observe(obsName,
-          count(when(col("comp") =!= col("__prev"), 1)).as("changed"))
-        val projected = flagged.select(col("id"), col("comp"))
-        val next = projected.localCheckpoint(true, StorageLevel.DISK_ONLY)
-        converged =
-          projected.queryExecution.observedMetrics(obsName).getLong(0) == 0L
-        // release the superseded round's checkpoint blocks (GC would get
-        // them eventually; iterative operators should not rely on that)
-        org.apache.spark.sql.GraftInternal.unpersistLocalCheckpoint(labels)
+        val next = durable match {
+          case Some(root) =>
+            // Durable round: __prev rides the written parquet, and the
+            // convergence check is a filter over the read-back (an
+            // observe metric only surfaces through the frame's own
+            // QueryExecution, which a write action bypasses). One extra
+            // scan of a skinny executor-independent file per round — the
+            // documented durable-mode trade; the filter's parquet
+            // row-group stats skip converged groups early.
+            val round = writeReadBack(jumped, root, "cc")
+            converged = round.filter(col("comp") =!= col("__prev")).isEmpty
+            val nxt = round.select(col("id"), col("comp"))
+            // re-key the backing dir to the projection we keep as `labels`
+            durableBacking.put(nxt, durableBacking.remove(round))
+            nxt
+          case None =>
+            // The changed count accumulates inside the checkpoint job
+            // itself; __prev is consumed by the metric and pruned from
+            // the checkpoint.
+            val obsName = s"__cc_changed_$iter"
+            val flagged = jumped.observe(obsName,
+              count(when(col("comp") =!= col("__prev"), 1)).as("changed"))
+            val projected = flagged.select(col("id"), col("comp"))
+            val out = projected.localCheckpoint(true, StorageLevel.DISK_ONLY)
+            converged =
+              projected.queryExecution.observedMetrics(obsName).getLong(0) == 0L
+            out
+        }
+        // release the superseded round (blocks or backing files; GC would
+        // get the blocks eventually — iterative operators should not rely
+        // on that, and durable files never GC)
+        releaseEager(labels)
         labels = next
         iter += 1
       }

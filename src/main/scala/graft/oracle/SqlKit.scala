@@ -465,6 +465,51 @@ private[graft] trait SqlKit {
        |  ) WHERE rank <= $k
        |)""".stripMargin
 
+  /** ivf_topk_uuid oracle — the IVF probe on an md5-re-keyed (uuid
+    * stand-in) corpus. Training and corpus cell assignment reuse
+    * [[ivfPipelineCtes]] VERBATIM (the engine trains on the integral ids
+    * too — training reads vectors, never ids, and cells are per-vector);
+    * only the query sample, the self-exclusion, and the top-k tie-break
+    * move to the string id space: the sample orders on
+    * md5('graft42:' || sid) and the rank window's `result_id ASC` rides
+    * DuckDB's binary VARCHAR collation — the engine heap's UTF8String
+    * byte order. Emits the probe's top-k ROWS (the knn_uuid contract),
+    * not a recall aggregate: rows are what a string-id regression
+    * corrupts. The prefix's unused integral `qs`/`probes` CTEs are
+    * non-materialized and prune away. */
+  protected def ivfUuidTopkSql(
+      nList: Int, nProbe: Int, iters: Int, sampleN: Int,
+      k: Int, nQueries: Int, salt: String): String =
+    s"""${ivfPipelineCtes(nList, nProbe, iters, sampleN, nQueries, salt)}, sidmap AS MATERIALIZED (
+       |  SELECT vec_id, md5('id:' || CAST(vec_id AS VARCHAR)) AS sid, embedding
+       |  FROM embeddings
+       |), uqs AS (
+       |  SELECT sid AS qid, embedding AS qv FROM sidmap
+       |  ORDER BY md5('graft42:' || sid), sid LIMIT $nQueries
+       |), uprobes AS (
+       |  SELECT qid, qv, cell FROM (
+       |    SELECT q.qid, q.qv, ct.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |        (CASE WHEN ct.nrm > 0 THEN
+       |          list_inner_product(CAST(q.qv AS DOUBLE[]), ct.cd) / ct.nrm
+       |         ELSE 0 END) DESC, ct.cell ASC) AS rk
+       |    FROM uqs q CROSS JOIN cnorm ct
+       |  ) WHERE rk <= $nProbe
+       |)
+       |SELECT query_id, result_id, rank, score FROM (
+       |  SELECT p.qid AS query_id, e.sid AS result_id,
+       |    ROUND(list_cosine_similarity(CAST(p.qv AS DOUBLE[]),
+       |      CAST(e.embedding AS DOUBLE[])), 6) AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+       |      ROUND(list_cosine_similarity(CAST(p.qv AS DOUBLE[]),
+       |        CAST(e.embedding AS DOUBLE[])), 6) DESC, e.sid ASC) AS rank
+       |  FROM uprobes p
+       |  JOIN (SELECT sm.sid, sm.embedding, cc.cell
+       |        FROM sidmap sm JOIN corpcell cc USING (vec_id)) e
+       |    ON p.cell = e.cell
+       |  WHERE e.sid <> p.qid
+       |) WHERE rank <= $k""".stripMargin
+
   /** Int8 code CTEs over `embeddings` — exact replay of
     * [[graft.expr.Int8VectorOps]]: scale inverse = one double division
     * `127.0/max|v|`, code = round-half-up `FLOOR(x*inv + 0.5)` (Java
@@ -1092,23 +1137,32 @@ private[graft] trait SqlKit {
   /** BM25 oracle — shared verbatim by `bm25_topk` and `bm25_index_topk`
     * (both route through `Bm25.scoreTf`, so their outputs are identical by
     * construction). */
-  protected def bm25TopkSql: String =
-    """WITH RECURSIVE q AS (
-      |  SELECT doc_id AS qid, text AS qtext FROM documents
+  protected def bm25TopkSql: String = bm25TopkSqlFor("doc_id")
+
+  /** [[bm25TopkSql]] with the doc id re-keyed by `idExpr` (the `_uuid`
+    * variant passes an md5-of-id VARCHAR): the seeded query sample orders
+    * on the RE-KEYED id — the engine samples after re-keying — and every
+    * `result_id ASC` tie rides DuckDB's binary VARCHAR collation, the
+    * same order as the engine heap's UTF8String tie-break. */
+  protected def bm25TopkSqlFor(idExpr: String): String =
+    s"""WITH RECURSIVE d AS (
+      |  SELECT $idExpr AS doc_id, text FROM documents
+      |), q AS (
+      |  SELECT doc_id AS qid, text AS qtext FROM d
       |  ORDER BY md5('graft42:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 10
       |), qt AS (
-      |  SELECT DISTINCT qid, unnest(list_distinct(list_filter(string_split_regex(lower(qtext), '\s+'), x -> len(x) > 0))) AS term
+      |  SELECT DISTINCT qid, unnest(list_distinct(list_filter(string_split_regex(lower(qtext), '\\s+'), x -> len(x) > 0))) AS term
       |  FROM q
       |), tk AS (
       |  SELECT doc_id,
-      |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS dl,
-      |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS term
-      |  FROM documents
+      |    len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS dl,
+      |    unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS term
+      |  FROM d
       |), tf AS (
       |  SELECT doc_id, dl, term, count(*) AS tf FROM tk GROUP BY doc_id, dl, term
       |), st AS (
       |  SELECT CAST(count(*) AS DOUBLE) AS n,
-      |    CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0))) AS DOUBLE) / count(*) AS avgdl
+      |    CAST(sum(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0))) AS DOUBLE) / count(*) AS avgdl
       |  FROM documents
       |), dft AS (
       |  SELECT term, count(*) AS df FROM tf GROUP BY term

@@ -569,6 +569,10 @@ private[graft] object Twins extends SqlKit {
     // persisted cell-partitioned layout, so it shares the oracle verbatim.
     "ivf_recall" -> ivfRecallSql(nList = 16, nProbe = 4, iters = 8,
       sampleN = 2048, k = 10, nQueries = 500, salt = "graftivf42:"),
+    // ivf_topk_uuid: identical training/cell replay, string-keyed probe
+    // top-k rows (binary VARCHAR collation = the heap's UTF8String order).
+    "ivf_topk_uuid" -> ivfUuidTopkSql(nList = 16, nProbe = 4, iters = 8,
+      sampleN = 2048, k = 10, nQueries = 500, salt = "graftivf42:"),
     "ivf_partitioned_recall" -> ivfRecallSql(nList = 16, nProbe = 4, iters = 8,
       sampleN = 2048, k = 10, nQueries = 500, salt = "graftivf42:"),
     "ivf_int8_recall" -> ivfInt8RecallSql(nList = 16, nProbe = 4, iters = 8,
@@ -1113,6 +1117,9 @@ private[graft] object Twins extends SqlKit {
       ("WITH " + qualityCte + "\nSELECT doc_id, quality FROM q ORDER BY doc_id"),
 
     "bm25_topk" -> bm25TopkSql,
+    // bm25_uuid: the identical Okapi replay with md5-re-keyed doc ids —
+    // sample and ties ride DuckDB's binary VARCHAR collation.
+    "bm25_uuid" -> bm25TopkSqlFor("md5('id:' || CAST(doc_id AS VARCHAR))"),
 
     // the index-backed path is output-identical by construction (shared
     // scoring kernel) — same oracle

@@ -144,6 +144,29 @@ private[graft] object QueriesAnalysis {
         floor = 0.3, q = "ivf_recall")
     }),
 
+    // IVF probe on a STRING (uuid stand-in) id space (r19, closing the
+    // last heap-site family without a uuid driver oracle — r18 verdict
+    // #3): centroids train on the integral ids (training reads vectors,
+    // not ids — the oracle's lattice replay applies verbatim), then the
+    // probe join + bounded-heap top-k run on the md5-re-keyed corpus, so
+    // the heap's UTF8String byte-order tie-break is pinned cross-engine
+    // through the driver (the r17 silent-empty-on-uuid bug class). Top-k
+    // ROWS, not a recall aggregate: the row set is what a string-id
+    // regression would corrupt.
+    "ivf_topk_uuid" -> ((s, dir) => {
+      val emb = embParallel(s, dir)
+      val cents = graft.search.Ivf.trainCentroids(emb, "vec_id", "embedding",
+        nList = 16, seed = 42L)
+      val corpus = emb.select(md5(concat(lit("id:"), col("vec_id"))).as("sid"),
+        col("embedding"))
+      val q = graft.bench.Sampling.seeded(corpus, "sid", SparkEntry.knnSampleSize)
+      graft.search.Ivf.knnJoinIvf(q, "sid", "embedding",
+          corpus, "sid", "embedding", k = 10, centroids = cents, nProbe = 4,
+          roundScoreTo = Some(6))
+        .select(col("query_id"), col("sid").as("result_id"),
+          col("rank"), col("score"))
+    }),
+
     // The PERSISTED pruning path at the driver surface: the same recall@10
     // measurement as ivf_recall, but the probe runs against the
     // cell-partitioned IvfCollection layout, so the scan reads only the
@@ -276,6 +299,23 @@ private[graft] object QueriesAnalysis {
       graft.search.Bm25.search(docs, "doc_id", "text", q, "doc_id", "text",
           k = 10, roundScoreTo = Some(6))
         .select(col("query_id"), col("doc_id").as("result_id"),
+          col("rank"), col("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // BM25 on a STRING (uuid stand-in) id space (r19, the cheap half of
+    // verdict #3): the identical Okapi pipeline with md5-re-keyed doc
+    // ids, so the per-query bounded heap tie-breaks on UTF8String byte
+    // order (Knn.tieKeyFor routes VARCHAR ids since r17, previously only
+    // plan-pinned in Bm25Spec) — driver-oracled against DuckDB's binary
+    // VARCHAR collation.
+    "bm25_uuid" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+        .select(md5(concat(lit("id:"), col("doc_id"))).as("sid"), col("text"))
+      val q = graft.bench.Sampling.seeded(docs, "sid", 10)
+      graft.search.Bm25.search(docs, "sid", "text", q, "sid", "text",
+          k = 10, roundScoreTo = Some(6))
+        .select(col("query_id"), col("sid").as("result_id"),
           col("rank"), col("score"))
         .orderBy(col("query_id"), col("rank"))
     }),

@@ -649,7 +649,13 @@ private[graft] object QueriesCore {
     // documents wearing the POJ schema (md5 uuid stand-ins for the
     // uuid5 point ids; lang as the class label).
     // ------------------------------------------------------------------
+    // The METRICS row evicts + rebuilds the memoized composition (the
+    // pair_mining pattern): it prices the full fit+knn lineage exactly
+    // once per bench pass, while _detailed/_stats read the materialized
+    // result and time as "marginal over the shared composition" — the
+    // honest attribution the r18 verdict asked for (#5).
     "pipeline_poj" -> ((s, dir) => {
+      evictPipeline(s, dir, "poj")
       val m = pojPipeline(s, dir).metrics
       m.select(m.columns.map(c => r6(col(c)).as(c)): _*)
     }),
@@ -680,7 +686,10 @@ private[graft] object QueriesCore {
     // joined exactly as Corpus.bcb drops functions absent from the clone
     // graph (J1 drop-on-miss semantics).
     // ------------------------------------------------------------------
+    // Evict+rebuild on the metrics row — same honest-attribution pattern
+    // as pipeline_poj above.
     "pipeline_bcb" -> ((s, dir) => {
+      evictPipeline(s, dir, "bcb")
       val m = bcbPipeline(s, dir).metrics
       m.select(m.columns.map(c => r6(col(c)).as(c)): _*)
     }),
@@ -1199,18 +1208,50 @@ private[graft] object QueriesCore {
     }),
   )
 
+  /** Memoized [[graft.cli.Pipelines.BenchmarkOutput]] per (app, dir,
+    * dataset) — the `minedNearDupPairs` pattern (SparkEntry): the
+    * composition's scored top-k frame is MATERIALIZED inside
+    * `runPojCorpus`/`runBcbCorpus` (localCheckpoint — output-sized), so
+    * the three per-family bench/oracle rows price the TF-IDF fit + knn
+    * ONCE and then compose over the computed result set, exactly as the
+    * CLI's one invocation does — instead of re-running the full lineage
+    * per row (~10 s of redundant bench work per family, r18 verdict #5).
+    * Keyed by applicationId because checkpoint blocks die with their
+    * context; evicted per-dir by [[evictPipelines]]. */
+  private val pipelineCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), graft.cli.Pipelines.BenchmarkOutput]()
+
+  private def memoizedPipeline(s: SparkSession, dir: String, dataset: String)(
+      build: => graft.cli.Pipelines.BenchmarkOutput): graft.cli.Pipelines.BenchmarkOutput =
+    pipelineCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir, dataset), _ => build)
+
+  /** Release the memoized pipeline outputs for `dir` (sweep-loop hygiene,
+    * same contract as SparkEntry.evictMinedPairs). Unpersisting any one
+    * output frame releases the shared top-k checkpoint blocks — the
+    * release helper walks the analyzed plan for LogicalRDDs, and all
+    * three frames contain the same one. */
+  private[graft] def evictPipelines(s: SparkSession, dir: String): Unit =
+    Seq("poj", "bcb").foreach(evictPipeline(s, dir, _))
+
+  private def evictPipeline(s: SparkSession, dir: String, ds: String): Unit =
+    Option(pipelineCache.remove((s.sparkContext.applicationId, dir, ds)))
+      .foreach(o =>
+        org.apache.spark.sql.GraftInternal.unpersistLocalCheckpoint(o.detailed))
+
   /** Shared builder for the `pipeline_poj*` oracle queries: the documents
     * table wearing the POJ corpus schema, through the real entry-point
     * composition. 100 queries / k=10 keeps the DuckDB replay (a full
     * TF-IDF embed + |Q|·|corpus| rescore in SQL) fixture-sized. */
-  private def pojPipeline(s: SparkSession, dir: String): graft.cli.Pipelines.BenchmarkOutput = {
+  private def pojPipeline(s: SparkSession, dir: String): graft.cli.Pipelines.BenchmarkOutput =
+    memoizedPipeline(s, dir, "poj") {
     val corpus = docsParallel(s, dir).select(
       md5(concat(lit("id:"), col("doc_id"))).as("code_uuid"),
       col("lang").as("clone_type"),
       col("text").as("code_contents"))
     graft.cli.Pipelines.runPojCorpus(s, corpus, k = 10, numSamples = 100,
       dim = 256, normalized = true)
-  }
+    }
 
   /** Shared builder for the `pipeline_bcb*` oracle queries: the documents
     * table wearing the BCB corpus schema — func_id = doc_id, point uuid =
@@ -1220,7 +1261,8 @@ private[graft] object QueriesCore {
     * 100 queries / k=10 keeps the DuckDB replay fixture-sized; the clone
     * relation leaves most queries with |clones| < k, so the BCB MAP
     * denominator min(|clones|, k) is genuinely exercised. */
-  private def bcbPipeline(s: SparkSession, dir: String): graft.cli.Pipelines.BenchmarkOutput = {
+  private def bcbPipeline(s: SparkSession, dir: String): graft.cli.Pipelines.BenchmarkOutput =
+    memoizedPipeline(s, dir, "bcb") {
     val docs = docsParallel(s, dir)
     val a = docs.select(col("doc_id").as("ida"), col("lang").as("la"),
       (col("doc_id") % 7).as("ma"))
@@ -1238,5 +1280,5 @@ private[graft] object QueriesCore {
         col("clones"))
     graft.cli.Pipelines.runBcbCorpus(s, corpus, k = 10, numSamples = 100,
       dim = 256, normalized = true)
-  }
+    }
 }

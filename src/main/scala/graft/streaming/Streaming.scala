@@ -160,7 +160,8 @@ object Streaming {
       checkpointDir: String,
       maxBucketSize: Int = 10000,
       maxSinkFiles: Int = 256,
-      sidecarBuckets: Int = 64): StreamingQuery =
+      sidecarBuckets: Int = 64): StreamingQuery = {
+    requireNonReservedIdCol(idCol) // fail at stream definition, not mid-fold
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -171,6 +172,7 @@ object Streaming {
           sidecarBuckets)
       }
       .start()
+  }
 
   /** The admitted-id sidecar dir for `admittedDir` (ids + commit record,
     * the replay guard's compact membership table). Shared shape with
@@ -251,6 +253,19 @@ object Streaming {
     * hid the failure). A sibling keeps L0 reads pure without relying on
     * hidden-path filtering at all. */
   private[graft] def sidecarBaseDir(idsDir: String): String = idsDir + "_base"
+
+  /** Refuse id columns that collide with sidecar-owned names. The fold
+    * ATTACHES a `bucket` column (and the sidecar schema owns
+    * __ckpt/__batch): a colliding id column would be silently
+    * overwritten there and dropped by every base reader. Validated at
+    * STREAM/BATCH ENTRY, not only inside [[foldSidecar]] — a
+    * fold-triggered failure would otherwise fire mid-stream, after the
+    * sidecar has already accumulated maxSinkFiles batches of ambiguous
+    * columns. */
+  private def requireNonReservedIdCol(idCol: String): Unit =
+    require(!Set("bucket", "__ckpt", "__batch").contains(idCol),
+      s"sidecar id column '$idCol' collides with a reserved sidecar " +
+        "column (bucket, __ckpt, __batch)")
 
   private def sidecarBucketOf(id: org.apache.spark.sql.Column,
       buckets: Int): org.apache.spark.sql.Column =
@@ -335,9 +350,22 @@ object Streaming {
           // silently re-admit already-admitted ids. A cast that nulls any
           // non-null batch id (drift the base type cannot represent)
           // falls back to the unpruned full-base read — correct, slower.
+          // The null check must ride the bucket expression itself:
+          // xxhash64 SKIPS null inputs (yielding the seed's hash, never
+          // null), so hashing the cast column directly would map a
+          // cast-nulled id to the seed's bucket and the fallback would
+          // never fire — while the join's own type coercion could still
+          // match that id in an unpruned bucket (e.g. long 100 vs
+          // drifted string '1e2' under double coercion), silently
+          // re-admitting folded history. try_cast, not cast: under ANSI
+          // (the Spark 4 default) a plain cast THROWS on malformed input
+          // and a single drifted id would kill the stream — the guard
+          // wants the null (→ unpruned fallback), never the error.
           val baseIdType = base.schema(idCol).dataType
+          val castId = col(idCol).try_cast(baseIdType)
           val touched = batch.filter(col(idCol).isNotNull)
-            .select(sidecarBucketOf(col(idCol).cast(baseIdType), bk).as("__b"))
+            .select(when(castId.isNull, lit(null))
+              .otherwise(sidecarBucketOf(castId, bk)).cast("int").as("__b"))
             .distinct().collect()
           if (touched.exists(_.isNullAt(0))) base
           else base.filter(col("bucket").isin(touched.map(_.getInt(0)).toSeq: _*))
@@ -354,12 +382,7 @@ object Streaming {
   private[graft] def foldSidecar(spark: SparkSession, idsDir: String,
       idCol: String, buckets: Int): Unit = {
     require(buckets > 0, s"sidecar buckets must be positive, got $buckets")
-    // The fold ATTACHES a `bucket` column (and the sidecar schema owns
-    // __ckpt/__batch): an id column with one of those names would be
-    // silently overwritten here and dropped by every base reader.
-    require(!Set("bucket", "__ckpt", "__batch").contains(idCol),
-      s"sidecar id column '$idCol' collides with a reserved sidecar " +
-        "column (bucket, __ckpt, __batch)")
+    requireNonReservedIdCol(idCol)
     healTornBaseSwap(spark, idsDir)
     val p = new org.apache.hadoop.fs.Path(idsDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -533,6 +556,7 @@ object Streaming {
       maxBucketSize: Int = 10000,
       maxSinkFiles: Int = 256,
       sidecarBuckets: Int = 64): Unit = {
+    requireNonReservedIdCol(idCol) // batch entry: before any sidecar write
     val spark = batch.sparkSession
     val idsDir = admitIdsDir(admittedDir)
     // DECISION CHECK FIRST, maintenance after: the heal consults L0 only,
@@ -654,7 +678,8 @@ object Streaming {
       checkpointDir: String,
       preserveCase: Boolean = false,
       maxSinkFiles: Int = 256,
-      sidecarBuckets: Int = 64): StreamingQuery =
+      sidecarBuckets: Int = 64): StreamingQuery = {
+    requireNonReservedIdCol(idCol) // fail at stream definition, not mid-fold
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -664,6 +689,7 @@ object Streaming {
           checkpointDir, preserveCase, maxSinkFiles, sidecarBuckets)
       }
       .start()
+  }
 
   /**
    * One micro-batch of [[cutStream]] — the span-cut sibling of
@@ -696,6 +722,7 @@ object Streaming {
       preserveCase: Boolean = false,
       maxSinkFiles: Int = 256,
       sidecarBuckets: Int = 64): Unit = {
+    requireNonReservedIdCol(idCol) // batch entry: before any sidecar write
     val spark = batch.sparkSession
     val idsDir = admitIdsDir(cleanDir)
     // decision check BEFORE maintenance — the heal consults L0 only, so

@@ -302,6 +302,53 @@ class DedupSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("durable checkpoint mode: identical pairs + cluster labels, superseded rounds deleted") {
+    import spark.implicits._
+    // The preemptible-cluster mode (spark.graft.checkpointDir) must be a
+    // pure materialization swap: same mined pairs, same CC labels, same
+    // round count — with round state living as parquet files (not
+    // executor-local blocks) and superseded rounds deleted as the loop
+    // advances. Identity is asserted against the DEFAULT (localCheckpoint)
+    // mode on the same inputs.
+    val df = docs(
+      1L -> "a b c d e f g h", 2L -> "a b c d e f g h", // exact family
+      3L -> "a b c d e f g x", 4L -> "q r s t u v w",
+      5L -> "q r s t u v w z", 6L -> "lonely text entirely elsewhere")
+    def mine() = Dedup.minHashNearDups(df, "doc_id", "text",
+      n = 3, numHashes = 128, bands = 32, threshold = 0.4)
+    def pairsOf(p: org.apache.spark.sql.DataFrame) = p.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // diameter-7 chain forces multiple distributed rounds
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L,
+      6L -> 7L, 7L -> 8L, 21L -> 20L).toDF("id_a", "id_b")
+    val vertices = ((1L to 8L) ++ Seq(20L, 21L, 30L)).toDF("doc_id")
+    def cc() = Dedup.connectedComponentsWithRounds(vertices, "doc_id",
+      edges, "id_a", "id_b", smallEdgeThreshold = -1L)
+    val basePairs = pairsOf(mine())
+    val (bl, baseRounds) = cc()
+    val baseLabels = bl.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val root = java.nio.file.Files.createTempDirectory("graft_durable_ckpt").toFile
+    spark.conf.set(Dedup.CheckpointDirConf, root.toString)
+    try {
+      assert(pairsOf(mine()) == basePairs)
+      val (dl, dRounds) = cc()
+      assert(dl.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == baseLabels)
+      assert(dRounds == baseRounds && dRounds > 1, s"rounds: $dRounds vs $baseRounds")
+      val kids = Option(root.listFiles()).getOrElse(Array.empty).map(_.getName)
+      // pairs: one eagerPairs materialization per mine(); rounds: only the
+      // FINAL round's dir survives (superseded rounds deleted in-loop; the
+      // initial-labels dir counts as superseded too)
+      assert(kids.count(_.startsWith("graft_pairs_")) == 1, kids.mkString(","))
+      assert(kids.count(_.startsWith("graft_cc_")) == 1, kids.mkString(","))
+    } finally {
+      spark.conf.unset(Dedup.CheckpointDirConf)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+
   test("operators tolerate empty corpora") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")

@@ -580,6 +580,17 @@ class StreamingSpec extends SparkSpec {
       }
       assert(err.getMessage.contains("reserved"), err.getMessage)
     }
+    // ... and at BATCH ENTRY, not only inside the fold: a stream with
+    // maxSinkFiles=0 never folds, so a fold-only check would admit
+    // batches with the ambiguous column forever (r18 ADVICE) — the
+    // misconfiguration must refuse before any sidecar row is written.
+    val err2 = intercept[IllegalArgumentException] {
+      Streaming.cutBatch(
+        Seq((99L, "some wholly different text")).toDF("bucket", "text"),
+        99L, "bucket", "text", idx, s"$tmp/clean",
+        checkpointDir = s"$tmp/ckptR", maxSinkFiles = 0)
+    }
+    assert(err2.getMessage.contains("reserved"), err2.getMessage)
 
     // RAW-SPELLED DECISION RECORD (pre-normalization writer): a decided-
     // but-uncommitted record whose __ckpt stored the caller's RAW path
@@ -620,6 +631,37 @@ class StreamingSpec extends SparkSpec {
       checkpointDir = s"$tmp/ckpt", maxSinkFiles = 0)
     assert(spark.read.parquet(s"$tmp/clean").count() == before,
       "base-folded ids must stay guard-dropped under an int-typed batch")
+    // ...and the reserved-column refusal above wrote no sidecar row
+    // (idsDir is readable here — the heal section re-populated its L0)
+    assert(spark.read.parquet(idsDir).filter($"__batch" === 99L).isEmpty,
+      "the refused batch must not have appended a sidecar row")
+  }
+
+  test("touched-bucket pruning: a cast-nulled batch id falls back to the UNPRUNED base") {
+    val tmp = Files.createTempDirectory("graft_sidecar_castnull").toString
+    val idsDir = s"$tmp/data__ids"
+    (0L until 16L).map(i => (i, "ck", 0L)).toDF("doc_id", "__ckpt", "__batch")
+      .write.parquet(idsDir)
+    Streaming.foldSidecar(spark, idsDir, "doc_id", buckets = 4)
+    // one L0 row so the guard's L0 frame keeps the base's LONG id type
+    Seq((100L, "ck", 1L)).toDF("doc_id", "__ckpt", "__batch")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(idsDir)
+    // premise: the folded base spans several buckets, so a wrongly-pruned
+    // read would actually lose ids (not pass vacuously)
+    val baseBuckets = spark.read.parquet(Streaming.sidecarBaseDir(idsDir))
+      .select($"bucket").distinct().count()
+    assert(baseBuckets > 1, s"fixture must span >1 bucket, got $baseBuckets")
+    // '1e2' casts to NULL as BIGINT yet equals long id 100 under the
+    // join's double coercion — and xxhash64 SKIPS null inputs (yielding
+    // the seed's hash, never null), so hashing the cast directly would
+    // prune to the seed's one bucket and silently re-admit most of the
+    // folded base. The guard must detect the null on the CAST column and
+    // read the base unpruned.
+    val batch = Seq("1e2").toDF("doc_id")
+    val got = Streaming.guardIdsFor(spark, idsDir, batch, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (0L until 16L).toSet + 100L,
+      s"guard must see the FULL base on a cast-nulled id; got ${got.size} ids")
   }
 
   test("file-source events stream: windowed agg over the fixture matches batch") {
