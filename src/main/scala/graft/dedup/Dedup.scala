@@ -118,7 +118,7 @@ object Dedup {
     * write + read-back under that directory instead — same eager
     * semantics, identical rows, but the blocks survive executor loss
     * (preemptible-cluster mode; see the conf's scaladoc for lifecycle). */
-  private def eagerPairs(df: DataFrame): DataFrame = durableRoot(df) match {
+  private[dedup] def eagerPairs(df: DataFrame): DataFrame = durableRoot(df) match {
     case Some(root) => writeReadBack(df, root, "pairs")
     case None => df.localCheckpoint(true, StorageLevel.DISK_ONLY)
   }

@@ -54,8 +54,11 @@ object SemDedup {
       .select(col("cell"), col(idCol), col(vecCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      pairsPlan(assigned, idCol, vecCol, threshold, maxCellSize, roundScoreTo)
-        .localCheckpoint(true)
+      // Same eager-pair discipline as every miner in this package:
+      // DISK_ONLY off the storage floor, and the durable parquet path
+      // when spark.graft.checkpointDir is set (preemptible clusters).
+      Dedup.eagerPairs(
+        pairsPlan(assigned, idCol, vecCol, threshold, maxCellSize, roundScoreTo))
     } finally assigned.unpersist(false)
   }
 
