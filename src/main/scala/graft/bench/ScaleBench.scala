@@ -102,6 +102,14 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Opt-in durable-materialization sweep (MAINTENANCE.md
+    // "Eager-materialization modes"): measures the preemptible-cluster
+    // mode's cost at scale — identical results by DedupSpec's identity
+    // pin, different placement (parquet write+read-back per mined pair
+    // set / CC round instead of localCheckpoint blocks).
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty).foreach {
+      dir => spark.conf.set(graft.dedup.Dedup.CheckpointDirConf, dir)
+    }
 
     def jNum(d: Double): String = "%.4f".format(d)
     val perFactor = factors.map { n =>
