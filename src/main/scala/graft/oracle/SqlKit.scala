@@ -1182,6 +1182,77 @@ private[graft] trait SqlKit {
       |SELECT query_id, result_id, rank, score FROM ranked WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** hybrid_rrf oracle, parameterized over the id re-key (the `_uuid`
+    * variant passes md5-of-id VARCHARs for both tables): BM25 top-20 +
+    * cosine top-20, each rank list re-keyed consistently (doc_id and
+    * vec_id share one id domain in the fixture), fused by 1e-12-floored
+    * DECIMAL-summed reciprocal ranks, cut to top-10 with the
+    * `result_id ASC` tie on DuckDB's binary VARCHAR collation — the
+    * engine heap's UTF8String byte order (Hybrid.topKPerQuery). Defaults
+    * reproduce the integral-id hybrid_rrf verbatim. */
+  protected def hybridRrfSqlFor(docIdExpr: String = "doc_id",
+      vecIdExpr: String = "vec_id"): String =
+    s"""WITH RECURSIVE d AS (
+      |  SELECT $docIdExpr AS doc_id, text FROM documents
+      |), ev AS (
+      |  SELECT $vecIdExpr AS vec_id, embedding FROM embeddings
+      |), q AS (
+      |  SELECT doc_id AS qid, text AS qtext FROM d
+      |  ORDER BY md5('graft42:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 10
+      |), qt AS (
+      |  SELECT DISTINCT qid, unnest(list_distinct(list_filter(string_split_regex(lower(qtext), '\\s+'), x -> len(x) > 0))) AS term
+      |  FROM q
+      |), tk AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS dl,
+      |    unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS term
+      |  FROM d
+      |), tf AS (
+      |  SELECT doc_id, dl, term, count(*) AS tf FROM tk GROUP BY doc_id, dl, term
+      |), st AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0))) AS DOUBLE) / count(*) AS avgdl
+      |  FROM d
+      |), dft AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY term
+      |), """.stripMargin + bm25IdfCtes + """, c AS (
+      |  SELECT idf.qid AS query_id, tf.doc_id AS result_id,
+      |    CAST(FLOOR(idf.idf * tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / st.avgdl)) * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12)) AS c
+      |  FROM tf JOIN idf USING (term) CROSS JOIN st
+      |), sc AS (
+      |  SELECT query_id, result_id,
+      |    FLOOR(CAST(SUM(c) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS score
+      |  FROM c WHERE result_id <> query_id GROUP BY query_id, result_id
+      |), bm AS (
+      |  SELECT query_id, result_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+      |  FROM sc QUALIFY rank <= 20
+      |), vs AS (
+      |  SELECT q.qid AS query_id, e2.vec_id AS result_id,
+      |    ROUND(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])), 6) AS score
+      |  FROM q JOIN ev e1 ON e1.vec_id = q.qid
+      |  CROSS JOIN ev e2
+      |  WHERE e2.vec_id <> q.qid
+      |), vv AS (
+      |  SELECT query_id, result_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+      |  FROM vs QUALIFY rank <= 20
+      |), contrib AS (
+      |  SELECT query_id, result_id, CAST(FLOOR(1.0 / (60 + rank) * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12)) AS r FROM bm
+      |  UNION ALL
+      |  SELECT query_id, result_id, CAST(FLOOR(1.0 / (60 + rank) * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12)) AS r FROM vv
+      |), fused AS (
+      |  SELECT query_id, result_id,
+      |    FLOOR(CAST(SUM(r) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS score
+      |  FROM contrib GROUP BY query_id, result_id
+      |), franked AS (
+      |  SELECT query_id, result_id, score,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
+      |  FROM fused
+      |)
+      |SELECT query_id, result_id, rank, score FROM franked WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   protected val bigramCte: String =
     """WITH t AS (
       |  SELECT lang, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks

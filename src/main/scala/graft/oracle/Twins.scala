@@ -1125,63 +1125,13 @@ private[graft] object Twins extends SqlKit {
     // scoring kernel) — same oracle
     "bm25_index_topk" -> bm25TopkSql,
 
-    "hybrid_rrf" ->
-      ("""WITH RECURSIVE q AS (
-        |  SELECT doc_id AS qid, text AS qtext FROM documents
-        |  ORDER BY md5('graft42:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 10
-        |), qt AS (
-        |  SELECT DISTINCT qid, unnest(list_distinct(list_filter(string_split_regex(lower(qtext), '\s+'), x -> len(x) > 0))) AS term
-        |  FROM q
-        |), tk AS (
-        |  SELECT doc_id,
-        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS dl,
-        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS term
-        |  FROM documents
-        |), tf AS (
-        |  SELECT doc_id, dl, term, count(*) AS tf FROM tk GROUP BY doc_id, dl, term
-        |), st AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n,
-        |    CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0))) AS DOUBLE) / count(*) AS avgdl
-        |  FROM documents
-        |), dft AS (
-        |  SELECT term, count(*) AS df FROM tf GROUP BY term
-        |), """.stripMargin + bm25IdfCtes + """, c AS (
-        |  SELECT idf.qid AS query_id, tf.doc_id AS result_id,
-        |    CAST(FLOOR(idf.idf * tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / st.avgdl)) * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12)) AS c
-        |  FROM tf JOIN idf USING (term) CROSS JOIN st
-        |), sc AS (
-        |  SELECT query_id, result_id,
-        |    FLOOR(CAST(SUM(c) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS score
-        |  FROM c WHERE result_id <> query_id GROUP BY query_id, result_id
-        |), bm AS (
-        |  SELECT query_id, result_id,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
-        |  FROM sc QUALIFY rank <= 20
-        |), vs AS (
-        |  SELECT q.qid AS query_id, e2.vec_id AS result_id,
-        |    ROUND(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])), 6) AS score
-        |  FROM q JOIN embeddings e1 ON e1.vec_id = q.qid
-        |  CROSS JOIN embeddings e2
-        |  WHERE e2.vec_id <> q.qid
-        |), vv AS (
-        |  SELECT query_id, result_id,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
-        |  FROM vs QUALIFY rank <= 20
-        |), contrib AS (
-        |  SELECT query_id, result_id, CAST(FLOOR(1.0 / (60 + rank) * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12)) AS r FROM bm
-        |  UNION ALL
-        |  SELECT query_id, result_id, CAST(FLOOR(1.0 / (60 + rank) * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12)) AS r FROM vv
-        |), fused AS (
-        |  SELECT query_id, result_id,
-        |    FLOOR(CAST(SUM(r) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS score
-        |  FROM contrib GROUP BY query_id, result_id
-        |), franked AS (
-        |  SELECT query_id, result_id, score,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, result_id ASC) AS rank
-        |  FROM fused
-        |)
-        |SELECT query_id, result_id, rank, score FROM franked WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin),
+    "hybrid_rrf" -> hybridRrfSqlFor(),
+
+    // Hybrid RRF on md5-re-keyed (uuid stand-in) ids for BOTH tables —
+    // the shared topKPerQuery heap's string tie-break, driver-oracled.
+    "hybrid_uuid" -> hybridRrfSqlFor(
+      docIdExpr = "md5('id:' || CAST(doc_id AS VARCHAR))",
+      vecIdExpr = "md5('id:' || CAST(vec_id AS VARCHAR))"),
 
     "multi_vec_knn" ->
       """WITH q AS (

@@ -350,6 +350,30 @@ private[graft] object QueriesAnalysis {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Hybrid RRF on a STRING (uuid stand-in) id space (r19): both ranked
+    // lists carry md5 sids, so the fusion's shared bounded-heap cut
+    // (Hybrid.topKPerQuery — also the weighted mode's helper) is
+    // driver-oracled with the UTF8String byte-order tie-break, completing
+    // the r18 verdict's string-id certification sweep (IVF, BM25, hybrid).
+    // Lexical side runs the self-contained operator (output-identical to
+    // the index path by the shared-kernel construction).
+    "hybrid_uuid" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+        .select(md5(concat(lit("id:"), col("doc_id"))).as("sid"), col("text"))
+      val qDocs = graft.bench.Sampling.seeded(docs, "sid", 10)
+      val lexical = graft.search.Bm25.search(docs, "sid", "text",
+          qDocs, "sid", "text", k = 20, roundScoreTo = Some(6))
+        .select(col("query_id"), col("sid").as("result_id"), col("rank"))
+      val emb = embParallel(s, dir)
+        .select(md5(concat(lit("id:"), col("vec_id"))).as("sid"), col("embedding"))
+      val qVecs = emb.join(broadcast(qDocs.select(col("sid"))), Seq("sid"))
+      val vector = Knn.knnJoin(qVecs, "sid", "embedding",
+          emb, "sid", "embedding", k = 20, roundScoreTo = Some(6))
+        .select(col("query_id"), col("sid").as("result_id"), col("rank"))
+      graft.search.Hybrid.rrf(Seq(lexical, vector), k = 60, topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Hybrid retrieval, weighted mode: the same BM25 top-20 + cosine
     // top-20 lists as hybrid_rrf, fused by min-max-normalized convex
     // combination (alpha = 0.5) instead of reciprocal ranks — the fusion
