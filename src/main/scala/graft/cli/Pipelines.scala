@@ -79,10 +79,14 @@ object Pipelines {
     // tiny next to the corpus) feeds all three outputs, and the CLI
     // executes all three (two CSV writes + the metrics head) — without
     // materialization the embed+knn lineage would run once per output.
-    val res = Knn.knnJoin(queries, "code_uuid", "vec", vecs, "code_uuid", "vec",
-        k = k, roundScoreTo = Some(6))
-      .withColumn("is_same_type", col("clone_type") === col("query_clone_type"))
-      .localCheckpoint(true)
+    // Mode-aware (Dedup.eagerResult): on a preemptible cluster with
+    // spark.graft.checkpointDir set this must not become the one
+    // lineage-cut local block set that kills the job.
+    val res = graft.dedup.Dedup.eagerResult(
+      Knn.knnJoin(queries, "code_uuid", "vec", vecs, "code_uuid", "vec",
+          k = k, roundScoreTo = Some(6))
+        .withColumn("is_same_type", col("clone_type") === col("query_clone_type")),
+      "topk")
     // poj_utils.py:196-222 output shapes
     val detailed = res.select(
       col("query_id"), col("code_uuid").as("result_id"),
@@ -150,12 +154,14 @@ object Pipelines {
       .select(col("code_uuid"), col("func_id"), col("clones"), col("vec"))
     val queries = sample(vecs, "func_id", numSamples, seed)
     // Eager for the same three-consumer reason as [[runPojCorpus]]: the
-    // top-k frame is output-sized and feeds detailed/stats/metrics.
-    val res = Knn.knnJoin(queries, "func_id", "vec", vecs, "func_id", "vec",
-        k = k, roundScoreTo = Some(6))
-      .withColumn("is_clone",
-        coalesce(array_contains(col("query_clones"), col("func_id")), lit(false)))
-      .localCheckpoint(true)
+    // top-k frame is output-sized and feeds detailed/stats/metrics
+    // (mode-aware — see the note there).
+    val res = graft.dedup.Dedup.eagerResult(
+      Knn.knnJoin(queries, "func_id", "vec", vecs, "func_id", "vec",
+          k = k, roundScoreTo = Some(6))
+        .withColumn("is_clone",
+          coalesce(array_contains(col("query_clones"), col("func_id")), lit(false))),
+      "topk")
     // bcb_utils.py:191-199 column set: query/result identity is the uuid5
     // POINT id (code_uuid), with the raw func_id carried alongside. The
     // search itself keys on func_id (integral → bounded-heap agg path);

@@ -84,17 +84,62 @@ object Dedup {
   }
 
   /** Release an eagerly-materialized frame: durable-backed → delete its
-    * parquet dir; local-checkpoint-backed → unpersist its executor
+    * parquet dir(s); local-checkpoint-backed → unpersist its executor
     * blocks. The single release point for both modes, so iterative
-    * operators free superseded rounds without knowing which mode ran. */
-  private[graft] def releaseEager(df: DataFrame): Unit =
+    * operators and cache evictors free superseded state without knowing
+    * which mode ran.
+    *
+    * Durable backing is found two ways: the exact frame instance
+    * [[writeReadBack]] returned (registry fast path), or — for DERIVED
+    * frames (a projection over the materialized result, the shape cache
+    * evictors hold) — by walking the analyzed plan for parquet relations
+    * rooted under the session's checkpoint dir, deleting only this
+    * module's own `graft_*` subdirectories. Caller contract is the same
+    * as unpersist: every durable dir referenced by `df`'s plan is
+    * released, so don't pass a frame whose backing another live consumer
+    * still needs. */
+  private[graft] def releaseEager(df: DataFrame): Unit = {
+    def delete(path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      ()
+    }
     Option(durableBacking.remove(df)) match {
-      case Some(path) =>
-        val p = new org.apache.hadoop.fs.Path(path)
-        p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-          .delete(p, true)
+      case Some(path) => delete(path)
       case None =>
+        durableRoot(df).foreach { root =>
+          val rp = new org.apache.hadoop.fs.Path(root)
+          val rootQ = rp.getFileSystem(
+              df.sparkSession.sparkContext.hadoopConfiguration)
+            .makeQualified(rp).toString.stripSuffix("/") + "/graft_"
+          df.queryExecution.analyzed.foreach {
+            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              lr.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toString)
+                    .filter(_.startsWith(rootQ)).foreach(delete)
+                case _ => ()
+              }
+            case _ => ()
+          }
+        }
+        // blocks too: a frame may mix modes across a session reconfigure
         org.apache.spark.sql.GraftInternal.unpersistLocalCheckpoint(df)
+    }
+  }
+
+  /** Eager materialization for OUTPUT-SIZED result frames outside the
+    * pair miners (e.g. a pipeline's scored top-k feeding several
+    * consumers): default = plain `localCheckpoint` (the frame is small
+    * and short-lived, the default storage level is right), durable mode
+    * ([[CheckpointDirConf]]) = the same parquet write + read-back as
+    * every miner — an eager result on a preemptible cluster must not be
+    * the one lineage-cut block set that kills the job. */
+  private[graft] def eagerResult(df: DataFrame, what: String): DataFrame =
+    durableRoot(df) match {
+      case Some(root) => writeReadBack(df, root, what)
+      case None => df.localCheckpoint(true)
     }
 
   /** Eager materialization for MINED PAIR outputs: one `localCheckpoint`

@@ -1143,7 +1143,11 @@ private[graft] trait SqlKit {
     * variant passes an md5-of-id VARCHAR): the seeded query sample orders
     * on the RE-KEYED id — the engine samples after re-keying — and every
     * `result_id ASC` tie rides DuckDB's binary VARCHAR collation, the
-    * same order as the engine heap's UTF8String tie-break. */
+    * same order as the engine heap's UTF8String tie-break.
+    *
+    * Contract: `idExpr` must be a 1:1 row-preserving re-key of `doc_id`
+    * (the shared [[bm25IdfCtes]] counts N over the raw `documents`
+    * table, which only equals the scored corpus under that contract). */
   protected def bm25TopkSqlFor(idExpr: String): String =
     s"""WITH RECURSIVE d AS (
       |  SELECT $idExpr AS doc_id, text FROM documents
@@ -1163,7 +1167,7 @@ private[graft] trait SqlKit {
       |), st AS (
       |  SELECT CAST(count(*) AS DOUBLE) AS n,
       |    CAST(sum(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0))) AS DOUBLE) / count(*) AS avgdl
-      |  FROM documents
+      |  FROM d
       |), dft AS (
       |  SELECT term, count(*) AS df FROM tf GROUP BY term
       |), """.stripMargin + bm25IdfCtes + """, c AS (
@@ -1189,7 +1193,9 @@ private[graft] trait SqlKit {
     * DECIMAL-summed reciprocal ranks, cut to top-10 with the
     * `result_id ASC` tie on DuckDB's binary VARCHAR collation — the
     * engine heap's UTF8String byte order (Hybrid.topKPerQuery). Defaults
-    * reproduce the integral-id hybrid_rrf verbatim. */
+    * reproduce the integral-id hybrid_rrf verbatim. Same id-expr contract
+    * as [[bm25TopkSqlFor]]: both exprs must be 1:1 row-preserving
+    * re-keys (the shared [[bm25IdfCtes]] counts N over raw `documents`). */
   protected def hybridRrfSqlFor(docIdExpr: String = "doc_id",
       vecIdExpr: String = "vec_id"): String =
     s"""WITH RECURSIVE d AS (

@@ -1227,17 +1227,20 @@ private[graft] object QueriesCore {
       (s.sparkContext.applicationId, dir, dataset), _ => build)
 
   /** Release the memoized pipeline outputs for `dir` (sweep-loop hygiene,
-    * same contract as SparkEntry.evictMinedPairs). Unpersisting any one
-    * output frame releases the shared top-k checkpoint blocks — the
-    * release helper walks the analyzed plan for LogicalRDDs, and all
-    * three frames contain the same one. */
+    * same contract as SparkEntry.evictMinedPairs). Releasing any one
+    * output frame frees the shared top-k materialization — checkpoint
+    * blocks AND durable-mode backing files (Dedup.releaseEager walks the
+    * plan for both) — and all three frames contain the same one. The
+    * materialization is lineage-CUT, so the eviction contract mirrors
+    * unpersist-of-a-checkpoint: callers must have fully consumed every
+    * frame of the evicted BenchmarkOutput first (the bench/Verify loops
+    * consume each query's frame before invoking the next). */
   private[graft] def evictPipelines(s: SparkSession, dir: String): Unit =
     Seq("poj", "bcb").foreach(evictPipeline(s, dir, _))
 
   private def evictPipeline(s: SparkSession, dir: String, ds: String): Unit =
     Option(pipelineCache.remove((s.sparkContext.applicationId, dir, ds)))
-      .foreach(o =>
-        org.apache.spark.sql.GraftInternal.unpersistLocalCheckpoint(o.detailed))
+      .foreach(o => graft.dedup.Dedup.releaseEager(o.detailed))
 
   /** Shared builder for the `pipeline_poj*` oracle queries: the documents
     * table wearing the POJ corpus schema, through the real entry-point

@@ -340,6 +340,21 @@ class DedupSpec extends SparkSpec {
       // initial-labels dir counts as superseded too)
       assert(kids.count(_.startsWith("graft_pairs_")) == 1, kids.mkString(","))
       assert(kids.count(_.startsWith("graft_cc_")) == 1, kids.mkString(","))
+      def count(prefix: String) = Option(root.listFiles()).getOrElse(Array.empty)
+        .count(_.getName.startsWith(prefix))
+      // releaseEager must free the backing dir through a DERIVED frame
+      // too (the shape cache evictors hold — a projection, not the exact
+      // writeReadBack instance): plan-walk resolution, not registry-only.
+      val derived = mine().select(col("id_a"))
+      assert(count("graft_pairs_") == 2)
+      Dedup.releaseEager(derived)
+      assert(count("graft_pairs_") == 1, "derived-frame release must delete its dir")
+      // eagerResult (the pipelines' top-k materializer) rides the same
+      // durable machinery: backed under the dir, released via registry.
+      val er = Dedup.eagerResult(df, "topk")
+      assert(er.count() == df.count() && count("graft_topk_") == 1)
+      Dedup.releaseEager(er)
+      assert(count("graft_topk_") == 0, "eagerResult release must delete its dir")
     } finally {
       spark.conf.unset(Dedup.CheckpointDirConf)
       def rm(f: java.io.File): Unit = {
