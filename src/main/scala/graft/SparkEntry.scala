@@ -148,10 +148,21 @@ object SparkEntry {
     * self-contained calls would compute. */
   private val minedPairsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-  private[graft] def minedNearDupPairs(s: SparkSession, dir: String): DataFrame =
+  /** Drop cache entries from STOPPED applications (their blocks died with
+    * the context; durable-mode backing dirs follow the
+    * [[Dedup.cleanCheckpoints]] contract) — a JVM cycling sessions must
+    * not accumulate dead-context frames for its lifetime. One live
+    * SparkContext per JVM, so "not this appId" means "stopped". */
+  private def pruneStaleApps[V](
+      cache: java.util.concurrent.ConcurrentHashMap[(String, String), V],
+      app: String): Unit =
+    cache.keySet.removeIf(k => k._1 != app)
+  private[graft] def minedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    pruneStaleApps(minedPairsCache, s.sparkContext.applicationId)
     minedPairsCache.computeIfAbsent((s.sparkContext.applicationId, dir),
       _ => Dedup.minHashNearDups(docsParallel(s, dir), "doc_id", "text",
         n = 3, numHashes = 128, bands = 32, threshold = 0.8))
+  }
 
   /** BPE merge list per (app, dir) — training is a driver-side loop over
     * a bounded seeded sample (the production shape; see graft.text.Bpe),
@@ -162,10 +173,12 @@ object SparkEntry {
     * the SQL twin re-trains with these exact parameters. */
   private[graft] val bpeNumMerges = 64
   private[graft] val bpeSampleSize = 200
-  private[graft] def bpeMerges(s: SparkSession, dir: String): graft.text.Bpe.Merges =
+  private[graft] def bpeMerges(s: SparkSession, dir: String): graft.text.Bpe.Merges = {
+    pruneStaleApps(bpeMergesCache, s.sparkContext.applicationId)
     bpeMergesCache.computeIfAbsent((s.sparkContext.applicationId, dir),
       _ => graft.text.Bpe.train(Tables.documents(s, dir), "doc_id", "text",
         numMerges = bpeNumMerges, sampleSize = bpeSampleSize))
+  }
 
   /** (files_total, files_read) of the most recent zorder_scan plan — the
     * bench main records it in the artifact so the pruning ratio is
@@ -189,8 +202,9 @@ object SparkEntry {
     * releasing them from a per-dir API would drop blocks a still-pending
     * consumer of ANOTHER dir needs (checkpoint lineage is truncated — the
     * failure would be unrecoverable). Sweep drivers call
-    * [[org.apache.spark.sql.GraftInternal.releaseTrackedCheckpoints]]
-    * explicitly at their own nothing-in-flight boundaries. */
+    * [[graft.dedup.Dedup.releaseTracked]] (blocks AND durable-mode
+    * backing dirs) explicitly at their own nothing-in-flight
+    * boundaries. */
   private[graft] def evictDirCaches(s: SparkSession, dir: String): Unit = {
     evictMinedPairs(s, dir)
     graft.queries.QueriesCore.evictPipelines(s, dir)

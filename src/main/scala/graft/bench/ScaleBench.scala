@@ -65,7 +65,7 @@ object ScaleBench {
     "media_meta", "audio_env", "video_meta", "video_frames",
     "ivf_partitioned_recall", "curation_pipeline")
 
-  private val Stride = 10_000_000L // far above any fixture id
+  private[bench] val Stride = 10_000_000L // far above any fixture id
 
   def main(args: Array[String]): Unit = {
     val factors = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 10, 30)
@@ -149,7 +149,7 @@ object ScaleBench {
       // here too: between factors nothing is in flight, the contract
       // the app-wide release requires.
       graft.SparkEntry.evictDirCaches(spark, dir)
-      org.apache.spark.sql.GraftInternal.releaseTrackedCheckpoints(spark)
+      graft.dedup.Dedup.releaseTracked(spark)
       n -> (nDocs, nVecs, times, errs.toSeq)
     }
 
@@ -276,7 +276,7 @@ object ScaleBench {
         f"mh_build=$mhBuildS%.1f admit_ms=${admitMs.mkString("/")} " +
         f"span_build=$spBuildS%.1f cut_ms=${cutMs.mkString("/")}")
       graft.SparkEntry.evictDirCaches(spark, dir)
-      org.apache.spark.sql.GraftInternal.releaseTrackedCheckpoints(spark)
+      graft.dedup.Dedup.releaseTracked(spark)
       n -> (nCorpus, mhBuildS, admitMs, spBuildS, cutMs)
     }
     // ------------------------------------------------------------------
@@ -412,7 +412,7 @@ object ScaleBench {
   /** N-fold union of documents/embeddings with replica-offset ids (replica
     * r shifts ids by r·Stride, keeping every other column byte-identical —
     * exact N-clone families). Cached under java.io.tmpdir per (src, N). */
-  private def amplified(spark: SparkSession, srcDir: String, n: Int): String = {
+  private[bench] def amplified(spark: SparkSession, srcDir: String, n: Int): String = {
     if (n == 1) return srcDir
     // v2: write 16 files per table (the fixture collapses to one split,
     // which would make the admission stream below a single micro-batch

@@ -81,7 +81,12 @@ object Pipelines {
     // materialization the embed+knn lineage would run once per output.
     // Mode-aware (Dedup.eagerResult): on a preemptible cluster with
     // spark.graft.checkpointDir set this must not become the one
-    // lineage-cut local block set that kills the job.
+    // lineage-cut local block set that kills the job. Lifecycle contract
+    // for callers: once every output frame is consumed, release the
+    // shared materialization via Dedup.releaseEager(output.detailed) —
+    // the CLI one-shot does, the bench/oracle paths evict through
+    // QueriesCore.evictPipelines — or sweep leftovers with
+    // Dedup.cleanCheckpoints between runs.
     val res = graft.dedup.Dedup.eagerResult(
       Knn.knnJoin(queries, "code_uuid", "vec", vecs, "code_uuid", "vec",
           k = k, roundScoreTo = Some(6))
@@ -243,6 +248,11 @@ object Main {
     out.metrics.columns.zipWithIndex.foreach { case (c, i) =>
       println(f"$c%-22s ${m.getDouble(i)}%.6f")
     }
+    // All three outputs are consumed — release the shared top-k
+    // materialization (all frames wrap the same one): in durable mode
+    // (spark.graft.checkpointDir) this deletes the run's graft_topk_*
+    // backing dir, so the one-shot CLI never leaks a dir per invocation.
+    graft.dedup.Dedup.releaseEager(out.detailed)
     spark.stop()
   }
 }

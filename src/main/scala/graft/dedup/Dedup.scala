@@ -50,9 +50,12 @@ object Dedup {
     * not).
     *
     * Lifecycle: superseded CC rounds are deleted as the loop advances;
-    * FINAL outputs (the returned pair/label frames) keep their backing
-    * files for the caller's lifetime — clean the directory between runs,
-    * the same contract as `sparkContext.setCheckpointDir`. Single
+    * operator-internal frames ([[eagerTracked]]) are freed by
+    * [[releaseTracked]] at sweep boundaries; FINAL outputs (the returned
+    * pair/label frames) keep their backing files for the caller's
+    * lifetime — release them via [[releaseEager]], or sweep everything
+    * unreferenced with [[cleanCheckpoints]] between runs (the same
+    * contract as `sparkContext.setCheckpointDir`, made callable). Single
     * directory per concurrent pipeline run is NOT required (file names
     * are unique), but the cleanup is per-directory. */
   val CheckpointDirConf = "spark.graft.checkpointDir"
@@ -65,10 +68,45 @@ object Dedup {
     * delete exactly the files behind a superseded round. Weak keys: a
     * frame the driver dropped without releasing stays GC-collectable and
     * its (tiny) entry is pruned by the map itself; its files follow the
-    * documented clean-the-directory-between-runs contract. */
+    * documented clean-the-directory-between-runs contract (made callable
+    * by [[cleanCheckpoints]]). */
   private val durableBacking =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[DataFrame, String]())
+
+  /** Qualified `<root>/graft_` prefix — the namespace every durable dir
+    * this module writes lives under, in the filesystem's own URI form so
+    * it compares equal to `HadoopFsRelation.rootPaths`. */
+  private def qualifiedPrefix(
+      spark: org.apache.spark.sql.SparkSession, root: String): String = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(rp).toString.stripSuffix("/") + "/graft_"
+  }
+
+  /** Every (applicationId, qualified `<root>/graft_` prefix) a
+    * [[writeReadBack]] of this JVM actually wrote to — captured at WRITE
+    * time, so [[releaseEager]]'s derived-frame plan walk and
+    * [[cleanCheckpoints]] keep working even if the session conf is unset
+    * or re-pointed between materialization and release (a mid-sweep
+    * reconfigure would otherwise silently skip the cleanup and leak the
+    * backing dirs). Bounded: one entry per distinct configured root per
+    * application. */
+  private val writtenRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
+  /** Operator-INTERNAL durable materializations ([[eagerTracked]]):
+    * (applicationId, backing dir, weak ref to the frame). The durable twin
+    * of [[org.apache.spark.sql.GraftInternal.trackLocalCheckpoint]]'s
+    * registry — drained by [[releaseTracked]] at the caller's
+    * nothing-in-flight boundaries. Frame refs are weak so
+    * [[cleanCheckpoints]] can tell live from abandoned, but an entry is
+    * NEVER dropped on GC alone: it carries the deletion duty for its
+    * parquet dir until releaseTracked (this app) or a dead-other-app
+    * sweep removes it. Bounded by undeleted dirs — the real resource. */
+  private val trackedDurable =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, String, java.lang.ref.WeakReference[DataFrame])]()
 
   /** Write `df` as parquet under the durable checkpoint root and read it
     * back — the fault-tolerant replacement for `localCheckpoint`. The
@@ -80,6 +118,8 @@ object Dedup {
     df.write.mode("overwrite").parquet(path)
     val back = df.sparkSession.read.parquet(path)
     durableBacking.put(back, path)
+    writtenRoots.add((df.sparkSession.sparkContext.applicationId,
+      qualifiedPrefix(df.sparkSession, root)))
     back
   }
 
@@ -108,21 +148,32 @@ object Dedup {
     Option(durableBacking.remove(df)) match {
       case Some(path) => delete(path)
       case None =>
-        durableRoot(df).foreach { root =>
-          val rp = new org.apache.hadoop.fs.Path(root)
-          val rootQ = rp.getFileSystem(
-              df.sparkSession.sparkContext.hadoopConfiguration)
-            .makeQualified(rp).toString.stripSuffix("/") + "/graft_"
-          df.queryExecution.analyzed.foreach {
-            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-              lr.relation match {
-                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-                  fs.location.rootPaths.map(_.toString)
-                    .filter(_.startsWith(rootQ)).foreach(delete)
-                case _ => ()
-              }
-            case _ => ()
+        // Backing roots come from WRITE-time state ([[writtenRoots]]), not
+        // only the conf value at release time: an unset or re-pointed
+        // spark.graft.checkpointDir between materialization and eviction
+        // must not skip the plan walk and leak the dirs. The current conf
+        // root rides along for frames written by another JVM's run over a
+        // shared directory.
+        val app = df.sparkSession.sparkContext.applicationId
+        val prefixes: Set[String] = {
+          val recorded = writtenRoots.iterator()
+          val b = Set.newBuilder[String]
+          while (recorded.hasNext) {
+            val (a, p) = recorded.next()
+            if (a == app) b += p
           }
+          durableRoot(df).foreach(r => b += qualifiedPrefix(df.sparkSession, r))
+          b.result()
+        }
+        if (prefixes.nonEmpty) df.queryExecution.analyzed.foreach {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString)
+                  .filter(p => prefixes.exists(p.startsWith)).foreach(delete)
+              case _ => ()
+            }
+          case _ => ()
         }
         // blocks too: a frame may mix modes across a session reconfigure
         org.apache.spark.sql.GraftInternal.unpersistLocalCheckpoint(df)
@@ -163,9 +214,112 @@ object Dedup {
     * write + read-back under that directory instead — same eager
     * semantics, identical rows, but the blocks survive executor loss
     * (preemptible-cluster mode; see the conf's scaladoc for lifecycle). */
-  private[dedup] def eagerPairs(df: DataFrame): DataFrame = durableRoot(df) match {
+  private[graft] def eagerPairs(df: DataFrame): DataFrame = durableRoot(df) match {
     case Some(root) => writeReadBack(df, root, "pairs")
     case None => df.localCheckpoint(true, StorageLevel.DISK_ONLY)
+  }
+
+  /** Eager materialization for operator-INTERNAL frames that can be
+    * CORPUS-scale (DupSpans' gram-count and positioned-gram streams,
+    * Selection's narrow base): default = the tracked `localCheckpoint`
+    * discipline ([[org.apache.spark.sql.GraftInternal.trackLocalCheckpoint]]
+    * — scoped release at sweep boundaries instead of waiting on driver
+    * GC); durable mode ([[CheckpointDirConf]]) = the same parquet
+    * write + read-back as every miner, registered for the SAME scoped
+    * release via [[releaseTracked]]. These frames were the last
+    * corpus-sized lineage-cut block sets outside the dedup family — a
+    * span-dedup job on a preemptible fleet died exactly the way CC used
+    * to before the durable mode covered it. */
+  private[graft] def eagerTracked(df: DataFrame, what: String): DataFrame =
+    durableRoot(df) match {
+      case Some(root) =>
+        val back = writeReadBack(df, root, what)
+        // NO dead-ref pruning here (unlike trackLocalCheckpoint's
+        // registry): a GC-cleared frame's entry still carries the
+        // DELETION DUTY for its parquet dir — pruning it would leak the
+        // files until cleanCheckpoints (observed as a GC-timing flake in
+        // DupSpansSpec). The queue is bounded by UNDELETED dirs, which is
+        // the real resource; releaseTracked drains this app's entries.
+        trackedDurable.add((df.sparkSession.sparkContext.applicationId,
+          durableBacking.get(back),
+          new java.lang.ref.WeakReference[DataFrame](back)))
+        back
+      case None =>
+        org.apache.spark.sql.GraftInternal.trackLocalCheckpoint(
+          df.localCheckpoint(true))
+    }
+
+  /** Release every operator-internal tracked materialization of this
+    * session — localCheckpoint blocks AND durable backing dirs — in one
+    * call. The single sweep-boundary release for both modes: callers
+    * (the scale sweep between factors, a long curation session between
+    * corpus dirs) guarantee no tracked frame is still awaiting
+    * consumption, exactly the contract
+    * [[org.apache.spark.sql.GraftInternal.releaseTrackedCheckpoints]]
+    * documents for the block half. */
+  private[graft] def releaseTracked(
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    org.apache.spark.sql.GraftInternal.releaseTrackedCheckpoints(spark)
+    val app = spark.sparkContext.applicationId
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val it = trackedDurable.iterator()
+    while (it.hasNext) {
+      val (a, path, ref) = it.next()
+      if (a == app) {
+        // delete even if the frame was already GC'd: the caller's
+        // nothing-in-flight guarantee covers every tracked frame
+        Option(ref.get()).foreach(durableBacking.remove)
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(hconf).delete(p, true)
+        it.remove()
+      } else if (ref.get() == null) it.remove()
+    }
+  }
+
+  /** Operational sweep of the durable checkpoint directory: deletes every
+    * `graft_*` child dir under the configured [[CheckpointDirConf]] root
+    * (and under every root this session has written to) that no LIVE
+    * registered frame still references — abandoned final outputs, dirs
+    * left by a previous crashed run, the CLI one-shot's top-k backing.
+    * Makes the documented clean-the-directory-between-runs contract a
+    * call instead of a manual step. Safe direction by construction: a
+    * frame still registered (even one the caller merely hasn't dropped
+    * yet) keeps its dir; only dirs NOTHING in this JVM references go. */
+  def cleanCheckpoints(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val app = spark.sparkContext.applicationId
+    val roots: Set[String] = {
+      val b = Set.newBuilder[String]
+      val it = writtenRoots.iterator()
+      while (it.hasNext) {
+        val (a, p) = it.next()
+        if (a == app) b += p.stripSuffix("/graft_")
+      }
+      spark.conf.getOption(CheckpointDirConf).map(_.trim).filter(_.nonEmpty)
+        .foreach(r => b += qualifiedPrefix(spark, r).stripSuffix("/graft_"))
+      b.result()
+    }
+    if (roots.isEmpty) return
+    val live = scala.collection.mutable.Set[String]()
+    durableBacking.synchronized { // synchronizedMap: iteration needs the lock
+      val vs = durableBacking.values().iterator()
+      while (vs.hasNext) live += new org.apache.hadoop.fs.Path(vs.next()).getName
+    }
+    val td = trackedDurable.iterator()
+    while (td.hasNext) {
+      val (_, path, ref) = td.next()
+      if (ref.get() != null) live += new org.apache.hadoop.fs.Path(path).getName
+    }
+    val hconf = spark.sparkContext.hadoopConfiguration
+    roots.foreach { root =>
+      val rp = new org.apache.hadoop.fs.Path(root)
+      val fs = rp.getFileSystem(hconf)
+      if (fs.exists(rp)) fs.listStatus(rp).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("graft_") && !live.contains(name)) {
+          fs.delete(st.getPath, true); ()
+        }
+      }
+    }
   }
 
   /** Lower-cased whitespace tokens (empty tokens dropped — consecutive

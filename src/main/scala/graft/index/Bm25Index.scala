@@ -87,6 +87,10 @@ class Bm25Index(
     // every later score. Reversed anti probe ([[graft.plans.Joins]]): one
     // streaming pass over the postings' doc column, no global distinct of
     // the |docs × terms|-row table and no shuffle of it per batch.
+    // Plain localCheckpoint, deliberately NOT the durable mode
+    // (spark.graft.checkpointDir): the frame is BATCH-sized and consumed
+    // within this call — the TF append below is the durable artifact,
+    // and a mid-call executor loss just re-runs admit() from its input.
     val fresh = graft.plans.Joins.antiSmallLeft(batch.dropDuplicates(idCol),
         spark.read.parquet(tfPath).select(col("doc").as(idCol)), idCol)
       .select(col(idCol), col(textCol))

@@ -272,9 +272,30 @@ class MinHashIndex(
       corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
       threshold: Double, maxBucketSize: Int = 10000): DataFrame = {
     require(exists, s"index $name does not exist - build() it first")
+    val cand = candidatePairsAgainst(batch, idCol, textCol, maxBucketSize)
+    verifyCandidatesExact(cand, batch, idCol, textCol,
+      corpus, corpusIdCol, corpusTextCol, threshold)
+  }
+
+  /** Stage 1 of [[nearDupAgainstExact]] — the LSH BAND JOIN: batch
+    * signatures broadcast onto the corpus band table, bucket-capped,
+    * distinct (bid, id) candidate pairs out. Split from the verify so the
+    * admission probe ([[graft.bench.AdmitProbe]]) can price the two
+    * stages separately; composition unchanged.
+    *
+    * @return eager (bid, id) candidate pairs */
+  private[graft] def candidatePairsAgainst(
+      batch: DataFrame, idCol: String, textCol: String,
+      maxBucketSize: Int): DataFrame = {
     val m = meta
     // batch side is small by contract — pay its text kernel once (eager;
-    // two consumers below) and broadcast it onto the corpus band stream
+    // two consumers below) and broadcast it onto the corpus band stream.
+    // The localCheckpoints in both stages are deliberately NOT routed
+    // through the durable mode (spark.graft.checkpointDir): the frames
+    // are BATCH-sized and micro-batch-scoped — an executor loss mid-batch
+    // fails only that batch, which the streaming admission's
+    // decision-record replay heals — so parquet round-trips per
+    // micro-batch would buy nothing but latency.
     val bBands = batch
       .select(col(idCol).as("bid"),
         Dedup.minHashSignature(Dedup.shingles(col(textCol), m.n), m.numHashes).as("sig"))
@@ -303,11 +324,24 @@ class MinHashIndex(
     // no-candidate batch (the streaming common case) otherwise pays a
     // full corpus id+text column scan for the semi-join that will
     // match nothing.
-    val cand = underCap
+    underCap
       .join(broadcast(bBands), Seq("band"))
       .filter(col("bid") =!= col("id"))
       .select(col("bid"), col("id")).distinct()
       .localCheckpoint(true)
+  }
+
+  /** Stage 2 of [[nearDupAgainstExact]] — the EXACT VERIFY: shingles
+    * recomputed for candidate docs only (semi-join first), exact Jaccard
+    * over the candidate pairs. Empty candidates short-circuit WITHOUT
+    * planning the corpus-side scan (the streaming common case).
+    *
+    * @return eager (batch_id, match_id, jaccard) ≥ threshold */
+  private[graft] def verifyCandidatesExact(
+      cand: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
+      threshold: Double): DataFrame = {
+    val m = meta
     if (cand.isEmpty)
       cand.select(col("bid").as("batch_id"), col("id").as("match_id"),
         lit(0.0).as("jaccard"))
@@ -343,11 +377,17 @@ class MinHashIndex(
       val cand = Dedup.lshCandidatePairs(bands, maxBucketSize)
       val sa = signatures().select(col("id").as("id_a"), col("sig").as("__sa"))
       val sb = signatures().select(col("id").as("id_b"), col("sig").as("__sb"))
-      cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
-        .withColumn("jaccard_est", Dedup.minHashEstimate(col("__sa"), col("__sb")))
-        .filter(col("jaccard_est") >= threshold)
-        .select(col("id_a"), col("id_b"), col("jaccard_est"))
-        .localCheckpoint(true)
+      // Mined-pair output: same eager discipline as Dedup's own miners
+      // (DISK_ONLY blocks; durable parquet under
+      // spark.graft.checkpointDir on preemptible clusters) — a pair set
+      // is quadratic in the duplication factor in the worst case, the
+      // one frame shape that must not pin the storage floor or die with
+      // an executor.
+      Dedup.eagerPairs(
+        cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+          .withColumn("jaccard_est", Dedup.minHashEstimate(col("__sa"), col("__sb")))
+          .filter(col("jaccard_est") >= threshold)
+          .select(col("id_a"), col("id_b"), col("jaccard_est")))
     } finally bands.unpersist(false)
   }
 
@@ -393,13 +433,13 @@ class MinHashIndex(
         val withSh = df.join(candIds, df(idCol) === candIds("id"), "left_semi")
           .select(col(idCol).as("id"),
             Dedup.shingles(col(textCol), m.n).as("sh"))
-        cand
+        // Mined-pair output — same mode-aware discipline as nearDupPairs
+        Dedup.eagerPairs(cand
           .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
           .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
           .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
           .filter(col("jaccard") >= threshold)
-          .select(col("id_a"), col("id_b"), col("jaccard"))
-          .localCheckpoint(true)
+          .select(col("id_a"), col("id_b"), col("jaccard")))
       } finally cand.unpersist(false)
     } finally bands.unpersist(false)
   }

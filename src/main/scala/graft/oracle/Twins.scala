@@ -399,6 +399,41 @@ private[graft] object Twins extends SqlKit {
         |  ROW_NUMBER() OVER (ORDER BY mean_knn_sim ASC, vec_id ASC) AS outlier_rank
         |FROM top""".stripMargin,
 
+    // String-id twin of embed_outliers: identical pipeline on the
+    // md5-re-keyed id space — the reference sample orders on the salted
+    // md5 of the STRING id (Sampling.seeded over sid), ties inside the
+    // per-document top-10 break on the rid VARCHAR (binary collation =
+    // the heap's UTF8String byte compare), and the final ordering ties on
+    // sid. 1:1 row-preserving re-key, so row counts match embed_outliers.
+    "embed_outliers_uuid" ->
+      """WITH keyed AS (
+        |  SELECT md5('id:' || CAST(vec_id AS VARCHAR)) AS sid,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), ref AS (
+        |  SELECT sid AS rid, v AS rv FROM keyed
+        |  ORDER BY md5('graft42:' || sid), sid LIMIT 500
+        |), sims AS (
+        |  SELECT k.sid, ref.rid,
+        |    ROUND(list_cosine_similarity(k.v, ref.rv), 6) AS sim
+        |  FROM keyed k CROSS JOIN ref
+        |  WHERE k.sid <> ref.rid
+        |), topk AS (
+        |  SELECT sid, sim FROM (
+        |    SELECT sid, sim,
+        |      ROW_NUMBER() OVER (PARTITION BY sid ORDER BY sim DESC, rid ASC) AS rn
+        |    FROM sims) WHERE rn <= 10
+        |), scored AS (
+        |  SELECT sid,
+        |    FLOOR(CAST(SUM(CAST(sim AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS mean_knn_sim
+        |  FROM topk GROUP BY sid
+        |), top AS (
+        |  SELECT sid, mean_knn_sim FROM scored
+        |  ORDER BY mean_knn_sim ASC, sid ASC LIMIT 20
+        |)
+        |SELECT sid, mean_knn_sim,
+        |  ROW_NUMBER() OVER (ORDER BY mean_knn_sim ASC, sid ASC) AS outlier_rank
+        |FROM top""".stripMargin,
+
     "collection_scroll_by" ->
       """SELECT vec_id, label FROM embeddings
         |WHERE label > 4 OR (label = 4 AND vec_id > 200)

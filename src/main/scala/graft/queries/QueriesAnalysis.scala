@@ -484,6 +484,20 @@ private[graft] object QueriesAnalysis {
         "vec_id", "embedding", k = 10, n = 20)
     }),
 
+    // String-id outlier scan: the SAME mean-kNN-sim machinery over an
+    // md5-re-keyed corpus — certifies the last bounded-heap family
+    // (Outliers) on the uuid id space: the heap's tie-break compares
+    // UTF8String bytes = DuckDB's binary VARCHAR collation, and the
+    // seeded reference sample orders on the salted md5 of the STRING id.
+    "embed_outliers_uuid" -> ((s, dir) => {
+      def keyed(df: org.apache.spark.sql.DataFrame) =
+        df.select(md5(concat(lit("id:"), col("vec_id"))).as("sid"), col("embedding"))
+      graft.search.Outliers.topOutliers(
+        keyed(embParallel(s, dir)), "sid", "embedding",
+        graft.bench.Sampling.seeded(keyed(Tables.embeddings(s, dir)), "sid", 500),
+        "sid", "embedding", k = 10, n = 20)
+    }),
+
     // SimHash near-dups: FNV-1a token hashes + Charikar bit votes — fully
     // deterministic integer arithmetic, replayed in SQL by the oracle
     // (simhashPairsSql); semantics also pinned in DedupSpec.

@@ -1222,9 +1222,16 @@ private[graft] object QueriesCore {
     (String, String, String), graft.cli.Pipelines.BenchmarkOutput]()
 
   private def memoizedPipeline(s: SparkSession, dir: String, dataset: String)(
-      build: => graft.cli.Pipelines.BenchmarkOutput): graft.cli.Pipelines.BenchmarkOutput =
-    pipelineCache.computeIfAbsent(
-      (s.sparkContext.applicationId, dir, dataset), _ => build)
+      build: => graft.cli.Pipelines.BenchmarkOutput): graft.cli.Pipelines.BenchmarkOutput = {
+    // Drop entries from STOPPED applications on access (one live
+    // SparkContext per JVM): their frames are bound to dead contexts and
+    // would otherwise accumulate for the JVM lifetime — the same hygiene
+    // SparkEntry.minedPairsCache applies. Durable-mode backing dirs of a
+    // dead app follow the Dedup.cleanCheckpoints contract.
+    val app = s.sparkContext.applicationId
+    pipelineCache.keySet.removeIf(k => k._1 != app)
+    pipelineCache.computeIfAbsent((app, dir, dataset), _ => build)
+  }
 
   /** Release the memoized pipeline outputs for `dir` (sweep-loop hygiene,
     * same contract as SparkEntry.evictMinedPairs). Releasing any one

@@ -68,7 +68,11 @@ object Bm25 {
         .groupBy(col("__t")).agg(count(lit(1)).as("__df"))
       // eager: the result must materialize while tf is still persisted
       // (scoped-persist pattern; the index path stays lazy — its inputs
-      // are durable parquet, nothing to scope)
+      // are durable parquet, nothing to scope). Plain localCheckpoint,
+      // deliberately NOT the durable mode: the frame is |Q|·k
+      // OUTPUT-sized — never corpus-scale — and the exposure window ends
+      // when the caller consumes it; a preemption re-runs one query, not
+      // a multi-hour job.
       scoreTf(tf, dfTable, n, avgdl, queries, queryIdCol, queryTextCol,
         k, k1, b, excludeSelf, roundScoreTo, idCol)
         .localCheckpoint(true)

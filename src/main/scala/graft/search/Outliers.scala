@@ -31,14 +31,20 @@ object Outliers {
 
   /**
    * Mean-kNN-similarity per corpus row against `reference`. Output:
-   * `idCol`, `mean_knn_sim` (6-dp double). Requires an integral id (the
-   * bounded-heap tie-break contract shared with [[Knn.knnJoin]]).
+   * `idCol`, `mean_knn_sim` (6-dp double). Integral AND string (uuid)
+   * reference ids ride the bounded heap (the shared [[Knn.tieKeyFor]]
+   * routing rule — string ties compare UTF8String bytes, DuckDB's binary
+   * VARCHAR collation); fractional ids refuse LOUDLY at plan time rather
+   * than truncation-colliding on a long cast (before r20 a uuid corpus
+   * instead THREW at runtime under ANSI mode — the last heap site not on
+   * the shared rule).
    */
   def meanKnnSim(
       corpus: DataFrame, idCol: String, vecCol: String,
       reference: DataFrame, refId: String, refVec: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    val tieKey = Knn.tieKeyForced(reference.schema(refId).dataType, "__rid")
     val ref = broadcast(
       reference.select(col(refId).as("__rid"), col(refVec).as("__rvec")))
     val sims = corpus.select(col(idCol), col(vecCol))
@@ -50,8 +56,7 @@ object Outliers {
     // collapses to ≤ k entries per document before any exchange.
     sims
       .groupBy(col(idCol))
-      .agg(top_k_rows(struct(col("__sim")), col("__sim"),
-        col("__rid").cast("long"), k).as("__tk"))
+      .agg(top_k_rows(struct(col("__sim")), col("__sim"), tieKey, k).as("__tk"))
       .select(col(idCol), explode(col("__tk")).as("__e"))
       .groupBy(col(idCol))
       .agg(r6(sum(col("__e.__sim").cast("decimal(28,6)")).cast("double") /

@@ -58,11 +58,15 @@ object DupSpans {
     // feeds both the duplicate-set aggregate and the join back, and the
     // static planner would otherwise re-run the tokenize+gram kernel for
     // each consumer (measured: 2 FileScans / 12.5 s → 1 scan at the 30×
-    // sweep). ~25 B/row narrow vs re-tokenizing the corpus.
-    val gcnt = org.apache.spark.sql.GraftInternal.trackLocalCheckpoint(
+    // sweep). ~25 B/row narrow vs re-tokenizing the corpus — but one row
+    // per (doc, distinct gram): CORPUS-scale at 100 TB, so the
+    // materialization is mode-aware (Dedup.eagerTracked) — on a
+    // preemptible cluster with spark.graft.checkpointDir set it lives as
+    // durable parquet, not lineage-cut local blocks a lost executor
+    // destroys unrecoverably.
+    val gcnt = graft.dedup.Dedup.eagerTracked(
       grams.groupBy(col(idCol), col("__h"))
-        .agg(count(lit(1)).as("__c"))
-        .localCheckpoint(true))
+        .agg(count(lit(1)).as("__c")), "spangcnt")
     val dup = gcnt.groupBy(col("__h"))
       .agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= 2)
@@ -127,10 +131,13 @@ object DupSpans {
       materializeGrams: Boolean = true): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val gramsRaw = gramFrame(docs, idCol, textCol, n)
+    // Mode-aware (Dedup.eagerTracked): the positioned gram stream is
+    // TOKEN-COUNT-sized — with spark.graft.checkpointDir set it
+    // materializes as durable parquet instead of local blocks (the
+    // storage-vs-recompute trade in the scaladoc above still applies;
+    // durable mode additionally survives executor loss).
     val grams =
-      if (materializeGrams)
-        org.apache.spark.sql.GraftInternal.trackLocalCheckpoint(
-          gramsRaw.localCheckpoint(true))
+      if (materializeGrams) graft.dedup.Dedup.eagerTracked(gramsRaw, "spangrams")
       else gramsRaw
     val owners = grams.groupBy(col("__h"))
       .agg(min(col(idCol)).as("__owner"), countDistinct(col(idCol)).as("__nd"))

@@ -223,16 +223,20 @@ object Selection {
     // output has without an external shuffle service. Storage cost is
     // corpus-sized but narrow (~32 B/row vs re-running the quality
     // kernel per consumer).
-    // tracked for scoped release (evictDirCaches) — a long session
-    // looping many dirs must not accumulate one pinned base per call
-    // while waiting on driver GC + ContextCleaner.
-    val base = org.apache.spark.sql.GraftInternal.trackLocalCheckpoint(
+    // tracked for scoped release (Dedup.releaseTracked at sweep
+    // boundaries) — a long session looping many dirs must not accumulate
+    // one pinned base per call while waiting on driver GC +
+    // ContextCleaner. Mode-aware: the base is corpus-sized (narrow), so
+    // with spark.graft.checkpointDir set it materializes as durable
+    // parquet instead of the lineage-free blocks described above —
+    // preemptible clusters keep the one-scan economics without the
+    // lost-executor-fails-the-job exposure.
+    val base = graft.dedup.Dedup.eagerTracked(
       withBand.select(
         col(idCol).as("id"),
         floor(quality * lit(Fp) + lit(0.5)).cast("long").as("__qb"),
         tokens.cast("long").as("n_tokens"),
-        col("__sb"))
-        .localCheckpoint(true))
+        col("__sb")), "selbase")
 
     // Cell pass: per-(bucket, band) sums over the CHECKPOINTED base. The
     // cell frame feeds three consumers (bucket rollup → sweep,

@@ -364,6 +364,70 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cleanCheckpoints sweeps unreferenced graft_* dirs, keeps live frames and foreign files") {
+    import spark.implicits._
+    val df = docs(1L -> "a b c", 2L -> "d e f")
+    val root = java.nio.file.Files.createTempDirectory("graft_clean_ckpt").toFile
+    spark.conf.set(Dedup.CheckpointDirConf, root.toString)
+    try {
+      def names() = Option(root.listFiles()).getOrElse(Array.empty)
+        .map(_.getName).toSet
+      val live = Dedup.eagerResult(df, "topk")
+      assert(live.count() == 2)
+      // a dir left behind by a crashed/abandoned run: no registry entry
+      val stale = new java.io.File(root, "graft_pairs_00000000-dead")
+      assert(stale.mkdirs())
+      assert(new java.io.File(stale, "part-00000.parquet").createNewFile())
+      // user data under the same root must never be touched
+      val foreign = new java.io.File(root, "user_data")
+      assert(foreign.mkdirs())
+      Dedup.cleanCheckpoints(spark)
+      val after = names()
+      assert(!after.exists(_.startsWith("graft_pairs_")),
+        s"stale dir must be swept: $after")
+      assert(after.count(_.startsWith("graft_topk_")) == 1,
+        s"live registered frame's dir must survive: $after")
+      assert(after.contains("user_data"), s"non-graft dirs are off-limits: $after")
+      assert(live.count() == 2, "the kept frame must still read")
+      Dedup.releaseEager(live)
+      Dedup.cleanCheckpoints(spark)
+      assert(!names().exists(_.startsWith("graft_")), names().mkString(","))
+    } finally {
+      spark.conf.unset(Dedup.CheckpointDirConf)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+
+  test("derived-frame release survives a conf unset between write and release (write-time roots)") {
+    import spark.implicits._
+    // The ADVICE r19 failure mode: spark.graft.checkpointDir re-pointed or
+    // unset between materialization and eviction skipped the plan walk and
+    // leaked the backing dir. Roots are now captured at WRITE time.
+    val df = docs(1L -> "a b c", 2L -> "d e f")
+    val root = java.nio.file.Files.createTempDirectory("graft_rootcap_ckpt").toFile
+    spark.conf.set(Dedup.CheckpointDirConf, root.toString)
+    def count(prefix: String) = Option(root.listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith(prefix))
+    try {
+      val er = Dedup.eagerResult(df, "topk")
+      assert(er.count() == 2 && count("graft_topk_") == 1)
+      val derived = er.select(col("doc_id")) // registry fast path misses
+      spark.conf.unset(Dedup.CheckpointDirConf) // session reconfigured mid-sweep
+      Dedup.releaseEager(derived)
+      assert(count("graft_topk_") == 0,
+        "plan-walk release must use roots captured at write time, not the live conf")
+    } finally {
+      spark.conf.unset(Dedup.CheckpointDirConf)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+
   test("operators tolerate empty corpora") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")

@@ -57,6 +57,41 @@ class OutliersSpec extends SparkSpec {
     })
   }
 
+  test("string (uuid) ids ride the bounded heap and match integral-id scores") {
+    // The last bounded-heap site joins the shared Knn.tieKeyFor routing
+    // rule (r19 verdict #2): an md5-re-keyed corpus must take the SAME
+    // ObjectHashAggregate heap plan as integral ids — before r20 the
+    // long-cast tie key THREW at runtime under ANSI on a uuid corpus.
+    def m(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"id:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keyed = corpus.select(
+      md5(concat(lit("id:"), $"vec_id")).as("sid"), $"embedding")
+    val df = Outliers.meanKnnSim(keyed, "sid", "embedding",
+      keyed, "sid", "embedding", k = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final bounded-heap aggregate, plan:\n$plan")
+    assert(!plan.contains("Window"), s"window fallback still present:\n$plan")
+    val byUuid = df.collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("mean_knn_sim")).toMap
+    val base = Outliers.meanKnnSim(corpus, "vec_id", "embedding",
+        corpus, "vec_id", "embedding", k = 3).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("mean_knn_sim")).toMap
+    // scores are id-independent (this fixture has no heap-boundary sim
+    // ties), so the re-key must not move any mean
+    base.foreach { case (id, s) =>
+      assert(math.abs(byUuid(m(id)) - s) < 1e-9, s"doc $id moved")
+    }
+  }
+
+  test("fractional reference ids refuse loudly at plan time") {
+    val frac = corpus.select($"vec_id".cast("double").as("fid"), $"embedding")
+    val e = intercept[IllegalArgumentException] {
+      Outliers.meanKnnSim(frac, "fid", "embedding", frac, "fid", "embedding", k = 2)
+    }
+    assert(e.getMessage.contains("integral or string"), e.getMessage)
+  }
+
   test("sf0.001 run: 20 outliers, ranks 1..20, scores non-decreasing") {
     val emb = spark.read.parquet(s"${graft.TestSpark.sf0001}/embeddings.parquet")
     val res = Outliers.topOutliers(emb, "vec_id", "embedding",
