@@ -60,12 +60,17 @@ object AdmitProbe {
       val corpus = spark.read.parquet(s"$dir/documents.parquet")
       val nCorpus = corpus.count()
       // worst-case foreign batch: 128 verbatim base-doc clones, ids
-      // disjoint from every replica (same shape as ScaleBench streamflat)
-      val batch = spark.read.parquet(s"$srcDir/documents.parquet")
+      // disjoint from every replica (same shape as ScaleBench streamflat).
+      // Parquet-backed, NOT localCheckpoint: the per-rep release below
+      // walks each stage frame's plan and unpersists every LogicalRDD in
+      // it — a checkpointed batch riding inside a stage plan would lose
+      // its blocks on the first release (lineage is cut, unrecoverable).
+      spark.read.parquet(s"$srcDir/documents.parquet")
         .orderBy(col("doc_id")).limit(128)
         .withColumn("doc_id", col("doc_id") + lit(1000L * ScaleBench.Stride))
         .repartition(4)
-        .localCheckpoint(true)
+        .write.mode("overwrite").parquet(s"$root/batch_x$n")
+      val batch = spark.read.parquet(s"$root/batch_x$n")
       val mh = graft.index.MinHashIndex(spark, s"$root/mh_x$n", "documents")
       val tb0 = System.nanoTime()
       mh.build(corpus, "doc_id", "text", n = 3, numHashes = 128, bands = 32)

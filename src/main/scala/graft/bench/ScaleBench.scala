@@ -406,6 +406,16 @@ object ScaleBench {
       java.nio.file.Files.write(out,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
+    // Durable-mode sweep hygiene: every memoized frame was evicted and
+    // every tracked materialization released above, so the graft_* dirs
+    // still under the checkpoint root are exactly the abandoned FINAL
+    // outputs (noop-written query results) — sweep them via the
+    // operational cleanup instead of leaving the documented-but-manual
+    // clean-between-runs step to the operator (r19 ADVICE #2 shape; the
+    // r20 durable sweep left 1.4 GB of them before this call existed).
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty).foreach { _ =>
+      graft.dedup.Dedup.cleanCheckpoints(spark)
+    }
     spark.stop()
   }
 
