@@ -153,12 +153,20 @@ object SparkEntry {
     * [[Dedup.cleanCheckpoints]] contract) — a JVM cycling sessions must
     * not accumulate dead-context frames for its lifetime. One live
     * SparkContext per JVM, so "not this appId" means "stopped". */
-  private def pruneStaleApps[V](
-      cache: java.util.concurrent.ConcurrentHashMap[(String, String), V],
-      app: String): Unit =
-    cache.keySet.removeIf(k => k._1 != app)
+  /** Drop cache entries from STOPPED applications on access (one live
+    * SparkContext per JVM): their frames are bound to dead contexts and
+    * would otherwise accumulate for the JVM lifetime. THE one definition
+    * of the policy — every (appId, …)-keyed frame cache in the repo
+    * (mined pairs, BPE merges, pipeline outputs) prunes through here, so
+    * a policy change (e.g. releasing durable backing dirs on prune)
+    * lands everywhere at once. `appOf` extracts the applicationId from
+    * the cache's key shape. */
+  private[graft] def pruneStaleApps[K, V](
+      cache: java.util.concurrent.ConcurrentHashMap[K, V],
+      app: String)(appOf: K => String): Unit =
+    cache.keySet.removeIf(k => appOf(k) != app)
   private[graft] def minedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    pruneStaleApps(minedPairsCache, s.sparkContext.applicationId)
+    pruneStaleApps(minedPairsCache, s.sparkContext.applicationId)(_._1)
     minedPairsCache.computeIfAbsent((s.sparkContext.applicationId, dir),
       _ => Dedup.minHashNearDups(docsParallel(s, dir), "doc_id", "text",
         n = 3, numHashes = 128, bands = 32, threshold = 0.8))
@@ -174,7 +182,7 @@ object SparkEntry {
   private[graft] val bpeNumMerges = 64
   private[graft] val bpeSampleSize = 200
   private[graft] def bpeMerges(s: SparkSession, dir: String): graft.text.Bpe.Merges = {
-    pruneStaleApps(bpeMergesCache, s.sparkContext.applicationId)
+    pruneStaleApps(bpeMergesCache, s.sparkContext.applicationId)(_._1)
     bpeMergesCache.computeIfAbsent((s.sparkContext.applicationId, dir),
       _ => graft.text.Bpe.train(Tables.documents(s, dir), "doc_id", "text",
         numMerges = bpeNumMerges, sampleSize = bpeSampleSize))

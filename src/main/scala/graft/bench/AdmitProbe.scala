@@ -88,7 +88,12 @@ object AdmitProbe {
         val (df, t) = timed(body)
         release(df); t
       }.min
-      // warmup: one full pass through every stage (JIT, codegen, scans)
+      // warmup: prime the batch/sig/band scans and the shingle+minhash
+      // codegen via the band stage; inbatch/band/verify then self-warm
+      // through minOf3. upsert is NOT warmed — it runs once by necessity
+      // (idempotent repeats anti-join to nothing), so its number carries
+      // cold-start and reads as an upper bound, which is fine for the
+      // stage split's question (is the growth in verify or in upsert?).
       release(mh.candidatePairsAgainst(batch, "doc_id", "text", 10000))
       val tInbatch = minOf3 {
         val d = graft.dedup.Dedup.dropNearDuplicates(batch, "doc_id", "text",

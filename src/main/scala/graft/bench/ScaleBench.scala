@@ -407,8 +407,9 @@ object ScaleBench {
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
     // Durable-mode sweep hygiene: every memoized frame was evicted and
-    // every tracked materialization released above, so the graft_* dirs
-    // still under the checkpoint root are exactly the abandoned FINAL
+    // every tracked materialization released above (the boundary contract
+    // cleanCheckpoints requires), so this app's graft_ckpt_* dirs still
+    // under the checkpoint root are exactly the abandoned FINAL
     // outputs (noop-written query results) — sweep them via the
     // operational cleanup instead of leaving the documented-but-manual
     // clean-between-runs step to the operator (r19 ADVICE #2 shape; the

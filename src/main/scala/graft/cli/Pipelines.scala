@@ -17,8 +17,18 @@ import graft.search.Knn
  */
 object Pipelines {
 
+  /** The three reference output shapes, all derived from one eagerly
+    * materialized scored top-k. `backing` pins the exact read-back frame
+    * that materialization returned: the three output frames are DERIVED
+    * plans that reference its files without strongly reaching the frame
+    * instance, so without the pin a GC between runs would let
+    * `Dedup.cleanCheckpoints` mistake the durable backing for abandoned
+    * and sweep it under a live output. Release via
+    * `Dedup.releaseEager(detailed)` once every output is consumed (the
+    * plan walk frees the shared materialization). */
   final case class BenchmarkOutput(
-      detailed: DataFrame, queryStats: DataFrame, metrics: DataFrame)
+      detailed: DataFrame, queryStats: DataFrame, metrics: DataFrame,
+      private[graft] val backing: Option[DataFrame] = None)
 
   private def sample(df: DataFrame, idCol: String, n: Int, seed: String): DataFrame =
     graft.bench.Sampling.seeded(df, idCol, n, seed)
@@ -106,7 +116,7 @@ object Pipelines {
     val metrics = IrMetrics.global(
       IrMetrics.perQuery(res.withColumnRenamed("is_same_type", "is_relevant")),
       k = k, apDenominator = lit(k)) // POJ MAP denominator = k (poj_utils.py:259)
-    BenchmarkOutput(detailed, queryStats, metrics)
+    BenchmarkOutput(detailed, queryStats, metrics, backing = Some(res))
   }
 
   /**
@@ -188,7 +198,7 @@ object Pipelines {
       .na.fill(0, Seq("nc"))
     val metrics = IrMetrics.global(pq, k = k,
       apDenominator = least(col("nc"), lit(k))) // bcb_utils.py:250
-    BenchmarkOutput(detailed, queryStats, metrics)
+    BenchmarkOutput(detailed, queryStats, metrics, backing = Some(res))
   }
 
   /** Persist a benchmark's two CSVs (S7, main.py:85-90). One shared
@@ -250,8 +260,9 @@ object Main {
     }
     // All three outputs are consumed — release the shared top-k
     // materialization (all frames wrap the same one): in durable mode
-    // (spark.graft.checkpointDir) this deletes the run's graft_topk_*
-    // backing dir, so the one-shot CLI never leaks a dir per invocation.
+    // (spark.graft.checkpointDir) this deletes the run's
+    // graft_ckpt_<app>_topk_* backing dir, so the one-shot CLI never
+    // leaks a dir per invocation.
     graft.dedup.Dedup.releaseEager(out.detailed)
     spark.stop()
   }

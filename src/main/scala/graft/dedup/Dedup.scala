@@ -53,16 +53,36 @@ object Dedup {
     * operator-internal frames ([[eagerTracked]]) are freed by
     * [[releaseTracked]] at sweep boundaries; FINAL outputs (the returned
     * pair/label frames) keep their backing files for the caller's
-    * lifetime — release them via [[releaseEager]], or sweep everything
-    * unreferenced with [[cleanCheckpoints]] between runs (the same
-    * contract as `sparkContext.setCheckpointDir`, made callable). Single
-    * directory per concurrent pipeline run is NOT required (file names
-    * are unique), but the cleanup is per-directory. */
+    * lifetime — release them via [[releaseEager]], or sweep this JVM's
+    * leftovers with [[cleanCheckpoints]] between runs (the same contract
+    * as `sparkContext.setCheckpointDir`, made callable). Concurrent runs
+    * MAY share a directory: every dir name embeds its application's tag
+    * (`graft_ckpt_<app>_...`), so each run's sweep claims only its own
+    * JVM's dirs unless explicitly widened. */
   val CheckpointDirConf = "spark.graft.checkpointDir"
 
   private def durableRoot(df: DataFrame): Option[String] =
     df.sparkSession.conf.getOption(CheckpointDirConf)
       .map(_.trim).filter(_.nonEmpty)
+
+  /** The applicationId reduced to a filename-safe tag — embedded in every
+    * durable dir name so ownership is recoverable from the DIRECTORY
+    * LISTING alone: [[cleanCheckpoints]] must be able to tell this JVM's
+    * dirs from a concurrent run's over a shared root, and JVM-local
+    * registries cannot see the other JVM. `_` maps to `-` so the tag
+    * never collides with the `_`-separated name fields. */
+  private def appTag(spark: org.apache.spark.sql.SparkSession): String =
+    spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9-]", "-")
+
+  /** Durable dir-name prefix for THIS session's writes:
+    * `graft_ckpt_<appTag>_`. The `graft_ckpt_` namespace is deliberately
+    * narrower than `graft_` — the repo's own fixture caches and probe
+    * work dirs (`graft_scale_*`, `graft_admit_probe*`) may legitimately
+    * live under the same root (e.g. both defaulted to the tmp dir), and
+    * a checkpoint sweep must never claim them. */
+  private[graft] def durableDirPrefix(
+      spark: org.apache.spark.sql.SparkSession): String =
+    s"graft_ckpt_${appTag(spark)}_"
 
   /** Durable-backed frame → its backing dir, so [[releaseEager]] can
     * delete exactly the files behind a superseded round. Weak keys: a
@@ -74,26 +94,57 @@ object Dedup {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[DataFrame, String]())
 
-  /** Qualified `<root>/graft_` prefix — the namespace every durable dir
-    * this module writes lives under, in the filesystem's own URI form so
-    * it compares equal to `HadoopFsRelation.rootPaths`. */
+  /** Qualified `<root>/graft_ckpt_` prefix — the namespace every durable
+    * dir this module writes lives under, in the filesystem's own URI form
+    * so it compares equal to `HadoopFsRelation.rootPaths`. App-agnostic
+    * on purpose: the plan walk in [[releaseEager]] matches dirs a frame's
+    * plan actually REFERENCES, which is ownership enough. */
   private def qualifiedPrefix(
       spark: org.apache.spark.sql.SparkSession, root: String): String = {
     val rp = new org.apache.hadoop.fs.Path(root)
     rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .makeQualified(rp).toString.stripSuffix("/") + "/graft_"
+      .makeQualified(rp).toString.stripSuffix("/") + "/graft_ckpt_"
   }
 
-  /** Every (applicationId, qualified `<root>/graft_` prefix) a
+  /** Every (applicationId, qualified `<root>/graft_ckpt_` prefix) a
     * [[writeReadBack]] of this JVM actually wrote to — captured at WRITE
     * time, so [[releaseEager]]'s derived-frame plan walk and
     * [[cleanCheckpoints]] keep working even if the session conf is unset
     * or re-pointed between materialization and release (a mid-sweep
     * reconfigure would otherwise silently skip the cleanup and leak the
-    * backing dirs). Bounded: one entry per distinct configured root per
+    * backing dirs). Entries for STOPPED applications are kept —
+    * [[cleanCheckpoints]] uses them to sweep a previous session's
+    * leftovers. Bounded: one entry per distinct configured root per
     * application. */
   private val writtenRoots =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
+  /** Dir NAMES with a parquet write in flight: registered BEFORE the
+    * write starts, dropped once the read-back frame is in
+    * [[durableBacking]] — so a concurrently-invoked [[cleanCheckpoints]]
+    * (itself a boundary-contract violation, but one that must stay
+    * recoverable) can never delete a directory between its write and its
+    * registration. */
+  private val pendingWrites =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** This app's write-time qualified `<root>/graft_ckpt_` prefixes, plus
+    * the session's CURRENT conf root if set — the one definition of
+    * "roots to search" shared by [[releaseEager]]'s plan walk and
+    * [[cleanCheckpoints]]. */
+  private def knownPrefixes(
+      spark: org.apache.spark.sql.SparkSession,
+      onlyApp: Option[String]): Set[String] = {
+    val b = Set.newBuilder[String]
+    val it = writtenRoots.iterator()
+    while (it.hasNext) {
+      val (a, p) = it.next()
+      if (onlyApp.forall(_ == a)) b += p
+    }
+    spark.conf.getOption(CheckpointDirConf).map(_.trim).filter(_.nonEmpty)
+      .foreach(r => b += qualifiedPrefix(spark, r))
+    b.result()
+  }
 
   /** Operator-INTERNAL durable materializations ([[eagerTracked]]):
     * (applicationId, backing dir, weak ref to the frame). The durable twin
@@ -102,9 +153,11 @@ object Dedup {
     * nothing-in-flight boundaries. Frame refs are weak so
     * [[cleanCheckpoints]] can tell live from abandoned, but an entry is
     * NEVER dropped on GC alone: it carries the deletion duty for its
-    * parquet dir until releaseTracked (this app) or a dead-other-app
-    * sweep removes it. Bounded by undeleted dirs — the real resource. */
-  private val trackedDurable =
+    * parquet dir until [[releaseTracked]] deletes the dir and retires the
+    * entry (current-app entries under the caller's boundary guarantee;
+    * stopped-app entries because their frames are dead by construction).
+    * Bounded by undeleted dirs — the real resource. */
+  private[dedup] val trackedDurable =
     new java.util.concurrent.ConcurrentLinkedQueue[
       (String, String, java.lang.ref.WeakReference[DataFrame])]()
 
@@ -114,13 +167,28 @@ object Dedup {
     * roots at the parquet files, so downstream stages can recompute from
     * them after any executor loss. */
   private def writeReadBack(df: DataFrame, root: String, what: String): DataFrame = {
-    val path = s"${root.stripSuffix("/")}/graft_${what}_${java.util.UUID.randomUUID()}"
-    df.write.mode("overwrite").parquet(path)
-    val back = df.sparkSession.read.parquet(path)
-    durableBacking.put(back, path)
-    writtenRoots.add((df.sparkSession.sparkContext.applicationId,
-      qualifiedPrefix(df.sparkSession, root)))
-    back
+    val spark = df.sparkSession
+    val name = s"${durableDirPrefix(spark)}${what}_${java.util.UUID.randomUUID()}"
+    val path = s"${root.stripSuffix("/")}/$name"
+    pendingWrites.add(name)
+    try {
+      df.write.mode("overwrite").parquet(path)
+      val back = spark.read.parquet(path)
+      durableBacking.put(back, path)
+      writtenRoots.add((spark.sparkContext.applicationId,
+        qualifiedPrefix(spark, root)))
+      back
+    } finally {
+      pendingWrites.remove(name); ()
+    }
+  }
+
+  /** The one deletion point for a durable backing dir. */
+  private def deleteDir(
+      hconf: org.apache.hadoop.conf.Configuration, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(hconf).delete(p, true)
+    ()
   }
 
   /** Release an eagerly-materialized frame: durable-backed → delete its
@@ -139,14 +207,9 @@ object Dedup {
     * released, so don't pass a frame whose backing another live consumer
     * still needs. */
   private[graft] def releaseEager(df: DataFrame): Unit = {
-    def delete(path: String): Unit = {
-      val p = new org.apache.hadoop.fs.Path(path)
-      p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-        .delete(p, true)
-      ()
-    }
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
     Option(durableBacking.remove(df)) match {
-      case Some(path) => delete(path)
+      case Some(path) => deleteDir(hconf, path)
       case None =>
         // Backing roots come from WRITE-time state ([[writtenRoots]]), not
         // only the conf value at release time: an unset or re-pointed
@@ -154,23 +217,15 @@ object Dedup {
         // must not skip the plan walk and leak the dirs. The current conf
         // root rides along for frames written by another JVM's run over a
         // shared directory.
-        val app = df.sparkSession.sparkContext.applicationId
-        val prefixes: Set[String] = {
-          val recorded = writtenRoots.iterator()
-          val b = Set.newBuilder[String]
-          while (recorded.hasNext) {
-            val (a, p) = recorded.next()
-            if (a == app) b += p
-          }
-          durableRoot(df).foreach(r => b += qualifiedPrefix(df.sparkSession, r))
-          b.result()
-        }
+        val prefixes = knownPrefixes(df.sparkSession,
+          Some(df.sparkSession.sparkContext.applicationId))
         if (prefixes.nonEmpty) df.queryExecution.analyzed.foreach {
           case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
             lr.relation match {
               case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
                 fs.location.rootPaths.map(_.toString)
-                  .filter(p => prefixes.exists(p.startsWith)).foreach(delete)
+                  .filter(p => prefixes.exists(p.startsWith))
+                  .foreach(deleteDir(hconf, _))
               case _ => ()
             }
           case _ => ()
@@ -237,9 +292,11 @@ object Dedup {
         // NO dead-ref pruning here (unlike trackLocalCheckpoint's
         // registry): a GC-cleared frame's entry still carries the
         // DELETION DUTY for its parquet dir — pruning it would leak the
-        // files until cleanCheckpoints (observed as a GC-timing flake in
+        // files outright (cleanCheckpoints deliberately never claims
+        // current-app tracked dirs; observed as a GC-timing flake in
         // DupSpansSpec). The queue is bounded by UNDELETED dirs, which is
-        // the real resource; releaseTracked drains this app's entries.
+        // the real resource; releaseTracked drains and deletes every
+        // entry at the caller's boundary.
         trackedDurable.add((df.sparkSession.sparkContext.applicationId,
           durableBacking.get(back),
           new java.lang.ref.WeakReference[DataFrame](back)))
@@ -260,54 +317,80 @@ object Dedup {
   private[graft] def releaseTracked(
       spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.GraftInternal.releaseTrackedCheckpoints(spark)
-    val app = spark.sparkContext.applicationId
     val hconf = spark.sparkContext.hadoopConfiguration
     val it = trackedDurable.iterator()
     while (it.hasNext) {
-      val (a, path, ref) = it.next()
-      if (a == app) {
-        // delete even if the frame was already GC'd: the caller's
-        // nothing-in-flight guarantee covers every tracked frame
-        Option(ref.get()).foreach(durableBacking.remove)
-        val p = new org.apache.hadoop.fs.Path(path)
-        p.getFileSystem(hconf).delete(p, true)
-        it.remove()
-      } else if (ref.get() == null) it.remove()
+      // Current-app entries: the caller's nothing-in-flight guarantee
+      // covers every tracked frame, GC'd or not. Other-app entries: that
+      // application is STOPPED (one live SparkContext per JVM), its
+      // frames are dead by construction — the deletion duty is discharged
+      // here rather than dropping the entry, which would leak the dir for
+      // the JVM lifetime. Either way the dir goes and the entry leaves.
+      val (_, path, ref) = it.next()
+      Option(ref.get()).foreach(durableBacking.remove)
+      deleteDir(hconf, path)
+      it.remove()
     }
   }
 
-  /** Operational sweep of the durable checkpoint directory: deletes every
-    * `graft_*` child dir under the configured [[CheckpointDirConf]] root
-    * (and under every root this session has written to) that no LIVE
-    * registered frame still references — abandoned final outputs, dirs
-    * left by a previous crashed run, the CLI one-shot's top-k backing.
-    * Makes the documented clean-the-directory-between-runs contract a
-    * call instead of a manual step. Safe direction by construction: a
-    * frame still registered (even one the caller merely hasn't dropped
-    * yet) keeps its dir; only dirs NOTHING in this JVM references go. */
-  def cleanCheckpoints(spark: org.apache.spark.sql.SparkSession): Unit = {
+  /** Operational sweep of the durable checkpoint directory — the
+    * clean-the-directory-between-runs contract as a call instead of a
+    * manual step. Deletes `graft_ckpt_*` child dirs under the configured
+    * [[CheckpointDirConf]] root (and under every root any session of this
+    * JVM has written to) that belong to THIS JVM's applications — current
+    * or stopped — and that no strongly-reachable read-back frame still
+    * backs: abandoned final outputs, a stopped session's leftovers, the
+    * CLI one-shot's top-k backing.
+    *
+    * CALLER CONTRACT (the same boundary guarantee as [[releaseTracked]]):
+    * invoke only when no durable-backed result of this JVM is still
+    * awaiting consumption, unless the exact frame [[writeReadBack]]
+    * returned is still strongly held (those are detected live and kept).
+    * A DERIVED frame — a projection or join over the materialized result
+    * whose read-back instance has been dropped — is indistinguishable
+    * from an abandoned one once the weak registry entry is collected, and
+    * its backing WILL be swept; release such frames with [[releaseEager]]
+    * (which walks the plan) before calling this. The engine's own shapes
+    * are covered: [[graft.cli.Pipelines.BenchmarkOutput]] pins its
+    * read-back strongly, and operator-internal tracked materializations
+    * of the CURRENT application are always kept here (they are
+    * [[releaseTracked]]'s duty, GC state notwithstanding).
+    *
+    * Dirs whose name carries an application tag this JVM never ran —
+    * a CONCURRENT run sharing the root — are kept unless `sweepForeign`
+    * is set, which widens the sweep to every unreferenced `graft_ckpt_*`
+    * dir: flip it for crashed-run cleanup, asserting no other live run
+    * shares the directory. Non-`graft_ckpt_` children are never touched
+    * in either mode. */
+  def cleanCheckpoints(
+      spark: org.apache.spark.sql.SparkSession,
+      sweepForeign: Boolean = false): Unit = {
     val app = spark.sparkContext.applicationId
-    val roots: Set[String] = {
+    // every root any session of this JVM wrote to, plus the current conf
+    val roots: Set[String] =
+      knownPrefixes(spark, None).map(_.stripSuffix("/graft_ckpt_"))
+    if (roots.isEmpty) return
+    // tags of applications this JVM ran — the dirs this call may claim
+    val ownTags: Set[String] = {
       val b = Set.newBuilder[String]
       val it = writtenRoots.iterator()
-      while (it.hasNext) {
-        val (a, p) = it.next()
-        if (a == app) b += p.stripSuffix("/graft_")
-      }
-      spark.conf.getOption(CheckpointDirConf).map(_.trim).filter(_.nonEmpty)
-        .foreach(r => b += qualifiedPrefix(spark, r).stripSuffix("/graft_"))
+      while (it.hasNext) b += it.next()._1.replaceAll("[^A-Za-z0-9-]", "-")
+      b += appTag(spark)
       b.result()
     }
-    if (roots.isEmpty) return
-    val live = scala.collection.mutable.Set[String]()
+    val keep = scala.collection.mutable.Set[String]()
+    pendingWrites.forEach(n => { keep += n; () })
     durableBacking.synchronized { // synchronizedMap: iteration needs the lock
       val vs = durableBacking.values().iterator()
-      while (vs.hasNext) live += new org.apache.hadoop.fs.Path(vs.next()).getName
+      while (vs.hasNext) keep += new org.apache.hadoop.fs.Path(vs.next()).getName
     }
     val td = trackedDurable.iterator()
     while (td.hasNext) {
-      val (_, path, ref) = td.next()
-      if (ref.get() != null) live += new org.apache.hadoop.fs.Path(path).getName
+      val (a, path, ref) = td.next()
+      // current-app internals are releaseTracked's duty even when the
+      // read-back was GC'd (a lazy derived consumer may still be pending)
+      if (a == app || ref.get() != null)
+        keep += new org.apache.hadoop.fs.Path(path).getName
     }
     val hconf = spark.sparkContext.hadoopConfiguration
     roots.foreach { root =>
@@ -315,7 +398,9 @@ object Dedup {
       val fs = rp.getFileSystem(hconf)
       if (fs.exists(rp)) fs.listStatus(rp).foreach { st =>
         val name = st.getPath.getName
-        if (name.startsWith("graft_") && !live.contains(name)) {
+        val ours = sweepForeign ||
+          ownTags.exists(t => name.startsWith(s"graft_ckpt_${t}_"))
+        if (name.startsWith("graft_ckpt_") && ours && !keep.contains(name)) {
           fs.delete(st.getPath, true); ()
         }
       }

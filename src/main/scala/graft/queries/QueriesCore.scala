@@ -1223,13 +1223,11 @@ private[graft] object QueriesCore {
 
   private def memoizedPipeline(s: SparkSession, dir: String, dataset: String)(
       build: => graft.cli.Pipelines.BenchmarkOutput): graft.cli.Pipelines.BenchmarkOutput = {
-    // Drop entries from STOPPED applications on access (one live
-    // SparkContext per JVM): their frames are bound to dead contexts and
-    // would otherwise accumulate for the JVM lifetime — the same hygiene
-    // SparkEntry.minedPairsCache applies. Durable-mode backing dirs of a
-    // dead app follow the Dedup.cleanCheckpoints contract.
+    // Stale-app hygiene via the shared policy (SparkEntry.pruneStaleApps —
+    // same rule as minedPairsCache/bpeMergesCache). Durable-mode backing
+    // dirs of a dead app follow the Dedup.cleanCheckpoints contract.
     val app = s.sparkContext.applicationId
-    pipelineCache.keySet.removeIf(k => k._1 != app)
+    graft.SparkEntry.pruneStaleApps(pipelineCache, app)(_._1)
     pipelineCache.computeIfAbsent((app, dir, dataset), _ => build)
   }
 

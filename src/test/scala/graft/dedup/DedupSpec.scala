@@ -334,27 +334,32 @@ class DedupSpec extends SparkSpec {
       val (dl, dRounds) = cc()
       assert(dl.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == baseLabels)
       assert(dRounds == baseRounds && dRounds > 1, s"rounds: $dRounds vs $baseRounds")
+      val pfx = Dedup.durableDirPrefix(spark)
       val kids = Option(root.listFiles()).getOrElse(Array.empty).map(_.getName)
+      // every durable dir carries the graft_ckpt_<app>_ namespace — the
+      // sweep's ownership evidence, and disjoint from the repo's own
+      // graft_scale_*/graft_admit_probe* work dirs
+      assert(kids.forall(_.startsWith(pfx)), kids.mkString(","))
       // pairs: one eagerPairs materialization per mine(); rounds: only the
       // FINAL round's dir survives (superseded rounds deleted in-loop; the
       // initial-labels dir counts as superseded too)
-      assert(kids.count(_.startsWith("graft_pairs_")) == 1, kids.mkString(","))
-      assert(kids.count(_.startsWith("graft_cc_")) == 1, kids.mkString(","))
+      assert(kids.count(_.startsWith(s"${pfx}pairs_")) == 1, kids.mkString(","))
+      assert(kids.count(_.startsWith(s"${pfx}cc_")) == 1, kids.mkString(","))
       def count(prefix: String) = Option(root.listFiles()).getOrElse(Array.empty)
         .count(_.getName.startsWith(prefix))
       // releaseEager must free the backing dir through a DERIVED frame
       // too (the shape cache evictors hold — a projection, not the exact
       // writeReadBack instance): plan-walk resolution, not registry-only.
       val derived = mine().select(col("id_a"))
-      assert(count("graft_pairs_") == 2)
+      assert(count(s"${pfx}pairs_") == 2)
       Dedup.releaseEager(derived)
-      assert(count("graft_pairs_") == 1, "derived-frame release must delete its dir")
+      assert(count(s"${pfx}pairs_") == 1, "derived-frame release must delete its dir")
       // eagerResult (the pipelines' top-k materializer) rides the same
       // durable machinery: backed under the dir, released via registry.
       val er = Dedup.eagerResult(df, "topk")
-      assert(er.count() == df.count() && count("graft_topk_") == 1)
+      assert(er.count() == df.count() && count(s"${pfx}topk_") == 1)
       Dedup.releaseEager(er)
-      assert(count("graft_topk_") == 0, "eagerResult release must delete its dir")
+      assert(count(s"${pfx}topk_") == 0, "eagerResult release must delete its dir")
     } finally {
       spark.conf.unset(Dedup.CheckpointDirConf)
       def rm(f: java.io.File): Unit = {
@@ -364,36 +369,78 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("cleanCheckpoints sweeps unreferenced graft_* dirs, keeps live frames and foreign files") {
+  test("cleanCheckpoints sweeps own abandoned dirs; keeps live frames, foreign runs, user files") {
     import spark.implicits._
     val df = docs(1L -> "a b c", 2L -> "d e f")
     val root = java.nio.file.Files.createTempDirectory("graft_clean_ckpt").toFile
     spark.conf.set(Dedup.CheckpointDirConf, root.toString)
     try {
+      val pfx = Dedup.durableDirPrefix(spark)
       def names() = Option(root.listFiles()).getOrElse(Array.empty)
         .map(_.getName).toSet
       val live = Dedup.eagerResult(df, "topk")
       assert(live.count() == 2)
-      // a dir left behind by a crashed/abandoned run: no registry entry
-      val stale = new java.io.File(root, "graft_pairs_00000000-dead")
-      assert(stale.mkdirs())
-      assert(new java.io.File(stale, "part-00000.parquet").createNewFile())
-      // user data under the same root must never be touched
-      val foreign = new java.io.File(root, "user_data")
-      assert(foreign.mkdirs())
+      // a dir abandoned by THIS app (frame dropped without release, then
+      // GC'd): weak registry entry gone, name carries our tag → swept
+      val abandoned = new java.io.File(root, s"${pfx}pairs_00000000-dead")
+      assert(abandoned.mkdirs())
+      assert(new java.io.File(abandoned, "part-00000.parquet").createNewFile())
+      // a CONCURRENT run's dir (another JVM sharing the root): its tag is
+      // not ours, its registries are invisible here → off-limits by
+      // default, swept only with the explicit sweepForeign opt-in
+      val foreignRun = new java.io.File(root,
+        "graft_ckpt_other-jvm-42_pairs_11111111-live")
+      assert(foreignRun.mkdirs())
+      // repo work dirs under the same root use the wider graft_ prefix —
+      // never the sweep's namespace — and user data is always off-limits
+      val fixture = new java.io.File(root, "graft_scale_docs_x300_v2")
+      assert(fixture.mkdirs())
+      val user = new java.io.File(root, "user_data")
+      assert(user.mkdirs())
       Dedup.cleanCheckpoints(spark)
       val after = names()
-      assert(!after.exists(_.startsWith("graft_pairs_")),
-        s"stale dir must be swept: $after")
-      assert(after.count(_.startsWith("graft_topk_")) == 1,
+      assert(!after.contains(abandoned.getName),
+        s"own abandoned dir must be swept: $after")
+      assert(after.count(_.startsWith(s"${pfx}topk_")) == 1,
         s"live registered frame's dir must survive: $after")
-      assert(after.contains("user_data"), s"non-graft dirs are off-limits: $after")
+      assert(after.contains(foreignRun.getName),
+        s"a concurrent run's dir is off-limits without sweepForeign: $after")
+      assert(after.contains("graft_scale_docs_x300_v2") && after.contains("user_data"),
+        s"non-checkpoint dirs are off-limits: $after")
       assert(live.count() == 2, "the kept frame must still read")
       Dedup.releaseEager(live)
-      Dedup.cleanCheckpoints(spark)
-      assert(!names().exists(_.startsWith("graft_")), names().mkString(","))
+      Dedup.cleanCheckpoints(spark, sweepForeign = true)
+      val end = names()
+      assert(!end.exists(_.startsWith("graft_ckpt_")),
+        s"sweepForeign widens to every unreferenced checkpoint dir: $end")
+      assert(end.contains("graft_scale_docs_x300_v2") && end.contains("user_data"),
+        s"even sweepForeign never leaves the graft_ckpt_ namespace: $end")
     } finally {
       spark.conf.unset(Dedup.CheckpointDirConf)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+
+  test("releaseTracked discharges a stopped application's deletion duty") {
+    // A JVM that cycles Spark sessions must not leak a prior session's
+    // durable operator-internal dirs: releaseTracked deletes other-app
+    // entries' dirs (that app is stopped — one live SparkContext per JVM)
+    // instead of silently dropping them from the queue.
+    val root = java.nio.file.Files.createTempDirectory("graft_deadapp_ckpt").toFile
+    val dead = new java.io.File(root, "graft_ckpt_stopped-app-7_spangcnt_feed")
+    assert(dead.mkdirs())
+    Dedup.trackedDurable.add(("stopped-app-7", dead.toString,
+      new java.lang.ref.WeakReference[org.apache.spark.sql.DataFrame](null)))
+    try {
+      Dedup.releaseTracked(spark)
+      assert(!dead.exists(), "stopped-app dir must be deleted, not dropped")
+      import scala.jdk.CollectionConverters._
+      assert(!Dedup.trackedDurable.asScala.exists(_._2 == dead.toString),
+        "the discharged entry must leave the queue")
+    } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
       }
@@ -411,13 +458,14 @@ class DedupSpec extends SparkSpec {
     spark.conf.set(Dedup.CheckpointDirConf, root.toString)
     def count(prefix: String) = Option(root.listFiles())
       .getOrElse(Array.empty).count(_.getName.startsWith(prefix))
+    val pfx = Dedup.durableDirPrefix(spark)
     try {
       val er = Dedup.eagerResult(df, "topk")
-      assert(er.count() == 2 && count("graft_topk_") == 1)
+      assert(er.count() == 2 && count(s"${pfx}topk_") == 1)
       val derived = er.select(col("doc_id")) // registry fast path misses
       spark.conf.unset(Dedup.CheckpointDirConf) // session reconfigured mid-sweep
       Dedup.releaseEager(derived)
-      assert(count("graft_topk_") == 0,
+      assert(count(s"${pfx}topk_") == 0,
         "plan-walk release must use roots captured at write time, not the live conf")
     } finally {
       spark.conf.unset(Dedup.CheckpointDirConf)

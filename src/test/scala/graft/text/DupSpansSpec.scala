@@ -148,10 +148,11 @@ class DupSpansSpec extends SparkSpec {
     try {
       assert(spans() === baseSpans)
       assert(cuts() === baseCuts)
+      val pfx = Dedup.durableDirPrefix(spark)
       def count(prefix: String) = Option(root.listFiles())
         .getOrElse(Array.empty).count(_.getName.startsWith(prefix))
-      assert(count("graft_spangcnt_") == 1, "duplicatedSpans' gcnt must back durably")
-      assert(count("graft_spangrams_") == 1, "cut's gram stream must back durably")
+      assert(count(s"${pfx}spangcnt_") == 1, "duplicatedSpans' gcnt must back durably")
+      assert(count(s"${pfx}spangrams_") == 1, "cut's gram stream must back durably")
       // outputs fully consumed above — the nothing-in-flight boundary
       Dedup.releaseTracked(spark)
       assert(count("graft_") == 0, "releaseTracked must delete the backing dirs")
