@@ -148,25 +148,34 @@ object SparkEntry {
     * self-contained calls would compute. */
   private val minedPairsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-  /** Drop cache entries from STOPPED applications (their blocks died with
-    * the context; durable-mode backing dirs follow the
-    * [[Dedup.cleanCheckpoints]] contract) — a JVM cycling sessions must
-    * not accumulate dead-context frames for its lifetime. One live
-    * SparkContext per JVM, so "not this appId" means "stopped". */
   /** Drop cache entries from STOPPED applications on access (one live
     * SparkContext per JVM): their frames are bound to dead contexts and
     * would otherwise accumulate for the JVM lifetime. THE one definition
     * of the policy — every (appId, …)-keyed frame cache in the repo
     * (mined pairs, BPE merges, pipeline outputs) prunes through here, so
-    * a policy change (e.g. releasing durable backing dirs on prune)
-    * lands everywhere at once. `appOf` extracts the applicationId from
-    * the cache's key shape. */
+    * a policy change lands everywhere at once. `appOf` extracts the
+    * applicationId from the cache's key shape; `onRemove` runs on each
+    * evicted value — frame-holding caches pass
+    * [[Dedup.releaseStale]] so a durable-mode backing dir is deleted at
+    * eviction instead of leaking until a [[Dedup.cleanCheckpoints]]
+    * sweep someone may never run. */
   private[graft] def pruneStaleApps[K, V](
       cache: java.util.concurrent.ConcurrentHashMap[K, V],
-      app: String)(appOf: K => String): Unit =
-    cache.keySet.removeIf(k => appOf(k) != app)
+      app: String)(appOf: K => String)(
+      onRemove: V => Unit = (_: V) => ()): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (appOf(e.getKey) != app) {
+        val v = e.getValue
+        it.remove()
+        onRemove(v)
+      }
+    }
+  }
   private[graft] def minedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    pruneStaleApps(minedPairsCache, s.sparkContext.applicationId)(_._1)
+    pruneStaleApps(minedPairsCache, s.sparkContext.applicationId)(_._1)(
+      Dedup.releaseStale(_, s))
     minedPairsCache.computeIfAbsent((s.sparkContext.applicationId, dir),
       _ => Dedup.minHashNearDups(docsParallel(s, dir), "doc_id", "text",
         n = 3, numHashes = 128, bands = 32, threshold = 0.8))
@@ -182,7 +191,7 @@ object SparkEntry {
   private[graft] val bpeNumMerges = 64
   private[graft] val bpeSampleSize = 200
   private[graft] def bpeMerges(s: SparkSession, dir: String): graft.text.Bpe.Merges = {
-    pruneStaleApps(bpeMergesCache, s.sparkContext.applicationId)(_._1)
+    pruneStaleApps(bpeMergesCache, s.sparkContext.applicationId)(_._1)()
     bpeMergesCache.computeIfAbsent((s.sparkContext.applicationId, dir),
       _ => graft.text.Bpe.train(Tables.documents(s, dir), "doc_id", "text",
         numMerges = bpeNumMerges, sampleSize = bpeSampleSize))

@@ -414,9 +414,13 @@ object ScaleBench {
     // operational cleanup instead of leaving the documented-but-manual
     // clean-between-runs step to the operator (r19 ADVICE #2 shape; the
     // r20 durable sweep left 1.4 GB of them before this call existed).
-    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty).foreach { _ =>
-      graft.dedup.Dedup.cleanCheckpoints(spark)
-    }
+    // Gate on the CONF (the knob Dedup itself consults), not the env var
+    // that merely seeds it — durable mode supplied via spark-defaults or
+    // --conf must get the same end-of-run sweep.
+    spark.conf.getOption(graft.dedup.Dedup.CheckpointDirConf)
+      .map(_.trim).filter(_.nonEmpty).foreach { _ =>
+        graft.dedup.Dedup.cleanCheckpoints(spark)
+      }
     spark.stop()
   }
 

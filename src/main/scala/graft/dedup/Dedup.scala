@@ -71,8 +71,10 @@ object Dedup {
     * dirs from a concurrent run's over a shared root, and JVM-local
     * registries cannot see the other JVM. `_` maps to `-` so the tag
     * never collides with the `_`-separated name fields. */
+  private def tagOf(applicationId: String): String =
+    applicationId.replaceAll("[^A-Za-z0-9-]", "-")
   private def appTag(spark: org.apache.spark.sql.SparkSession): String =
-    spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9-]", "-")
+    tagOf(spark.sparkContext.applicationId)
 
   /** Durable dir-name prefix for THIS session's writes:
     * `graft_ckpt_<appTag>_`. The `graft_ckpt_` namespace is deliberately
@@ -235,6 +237,39 @@ object Dedup {
     }
   }
 
+  /** Best-effort release for a frame whose owning application has
+    * STOPPED — the cache-prune hook ([[graft.SparkEntry.pruneStaleApps]]):
+    * a session-cycling JVM must not leak the pruned entries' durable
+    * backing dirs until someone happens to call [[cleanCheckpoints]].
+    * Only the durable side needs freeing (the dead frame's checkpoint
+    * blocks died with its context), and the filesystem is reached
+    * through the LIVE session's Hadoop conf, not the dead frame's.
+    * Never throws: a dead-context plan that resists walking just falls
+    * back to the operational sweep. */
+  private[graft] def releaseStale(
+      df: DataFrame, spark: org.apache.spark.sql.SparkSession): Unit =
+    try {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      Option(durableBacking.remove(df)) match {
+        case Some(path) => deleteDir(hconf, path)
+        case None =>
+          // all roots any session of this JVM wrote — the frame's own
+          // app is stopped, so its root may differ from the current conf
+          val prefixes = knownPrefixes(spark, None)
+          if (prefixes.nonEmpty) df.queryExecution.analyzed.foreach {
+            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              lr.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toString)
+                    .filter(p => prefixes.exists(p.startsWith))
+                    .foreach(deleteDir(hconf, _))
+                case _ => ()
+              }
+            case _ => ()
+          }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   /** Eager materialization for OUTPUT-SIZED result frames outside the
     * pair miners (e.g. a pipeline's scored top-k feeding several
     * consumers): default = plain `localCheckpoint` (the frame is small
@@ -374,10 +409,19 @@ object Dedup {
     val ownTags: Set[String] = {
       val b = Set.newBuilder[String]
       val it = writtenRoots.iterator()
-      while (it.hasNext) b += it.next()._1.replaceAll("[^A-Za-z0-9-]", "-")
+      while (it.hasNext) b += tagOf(it.next()._1)
       b += appTag(spark)
       b.result()
     }
+    // Make weak-registry liveness reflect actual reachability before the
+    // scan: a final-output frame the caller just dropped may not have
+    // been collected yet, and a not-yet-cleared weak entry reads as
+    // "live" — the dir would survive this sweep and, carrying this app's
+    // tag, look like a concurrent run's to every LATER JVM's default
+    // sweep. One explicit full GC on an explicitly-invoked operational
+    // sweep is the same trade Spark's own ContextCleaner makes with its
+    // periodic GC for reference-tracked cleanup.
+    System.gc()
     val keep = scala.collection.mutable.Set[String]()
     pendingWrites.forEach(n => { keep += n; () })
     durableBacking.synchronized { // synchronizedMap: iteration needs the lock

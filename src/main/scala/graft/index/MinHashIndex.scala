@@ -342,10 +342,23 @@ class MinHashIndex(
       corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
       threshold: Double): DataFrame = {
     val m = meta
-    if (cand.isEmpty)
-      cand.select(col("bid").as("batch_id"), col("id").as("match_id"),
-        lit(0.0).as("jaccard"))
-    else {
+    if (cand.isEmpty) {
+      // Independent empty frame, NOT a projection over `cand`: the
+      // non-empty branch returns an owned checkpoint, so callers may
+      // release the returned frame (plan-walk unpersist) — a plan that
+      // aliased cand's lineage-cut blocks would let that release destroy
+      // the caller's candidate frame unrecoverably.
+      val s = cand.sparkSession
+      s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "batch_id", cand.schema("bid").dataType),
+          org.apache.spark.sql.types.StructField(
+            "match_id", cand.schema("id").dataType),
+          org.apache.spark.sql.types.StructField(
+            "jaccard", org.apache.spark.sql.types.DoubleType))))
+    } else {
       val bIds = cand.select(col("bid")).distinct()
       val cIds = cand.select(col("id")).distinct()
       val bSh = batch.join(bIds, batch(idCol) === bIds("bid"), "left_semi")

@@ -1224,10 +1224,14 @@ private[graft] object QueriesCore {
   private def memoizedPipeline(s: SparkSession, dir: String, dataset: String)(
       build: => graft.cli.Pipelines.BenchmarkOutput): graft.cli.Pipelines.BenchmarkOutput = {
     // Stale-app hygiene via the shared policy (SparkEntry.pruneStaleApps —
-    // same rule as minedPairsCache/bpeMergesCache). Durable-mode backing
-    // dirs of a dead app follow the Dedup.cleanCheckpoints contract.
+    // same rule as minedPairsCache/bpeMergesCache). The release hook
+    // frees a pruned output's durable backing dir at eviction (the
+    // pinned read-back carries the registry fast path; the detailed
+    // frame rides along for the plan-walk fallback).
     val app = s.sparkContext.applicationId
-    graft.SparkEntry.pruneStaleApps(pipelineCache, app)(_._1)
+    graft.SparkEntry.pruneStaleApps(pipelineCache, app)(_._1) { out =>
+      graft.dedup.Dedup.releaseStale(out.backing.getOrElse(out.detailed), s)
+    }
     pipelineCache.computeIfAbsent((app, dir, dataset), _ => build)
   }
 

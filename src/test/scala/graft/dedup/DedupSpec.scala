@@ -424,6 +424,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("pruneStaleApps release hook deletes a stopped app's durable backing at eviction") {
+    import spark.implicits._
+    // A session-cycling JVM in durable mode: the frame caches evict
+    // stopped-app entries on access, and the eviction hook
+    // (Dedup.releaseStale) must free the durable backing THEN — not leak
+    // it until someone happens to run cleanCheckpoints.
+    val df = docs(1L -> "a b c", 2L -> "d e f")
+    val root = java.nio.file.Files.createTempDirectory("graft_stale_ckpt").toFile
+    spark.conf.set(Dedup.CheckpointDirConf, root.toString)
+    try {
+      val pfx = Dedup.durableDirPrefix(spark)
+      def count(p: String) = Option(root.listFiles())
+        .getOrElse(Array.empty).count(_.getName.startsWith(p))
+      val cache = new java.util.concurrent.ConcurrentHashMap[
+        (String, String), org.apache.spark.sql.DataFrame]()
+      cache.put(("stopped-app-9", "some-dir"), Dedup.eagerResult(df, "topk"))
+      assert(count(s"${pfx}topk_") == 1)
+      graft.SparkEntry.pruneStaleApps(
+        cache, spark.sparkContext.applicationId)(_._1)(Dedup.releaseStale(_, spark))
+      assert(cache.isEmpty, "the stale entry must be evicted")
+      assert(count(s"${pfx}topk_") == 0,
+        "eviction must delete the durable backing dir")
+    } finally {
+      spark.conf.unset(Dedup.CheckpointDirConf)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+
   test("releaseTracked discharges a stopped application's deletion duty") {
     // A JVM that cycles Spark sessions must not leak a prior session's
     // durable operator-internal dirs: releaseTracked deletes other-app

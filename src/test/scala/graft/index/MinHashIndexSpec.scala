@@ -136,6 +136,31 @@ class MinHashIndexSpec extends SparkSpec {
     assert(capped.isEmpty)
   }
 
+  test("empty-candidate exact verify returns an INDEPENDENT frame (release-safe)") {
+    // The non-empty branch returns an owned checkpoint, so callers may
+    // release the returned frame (plan-walk unpersist of its
+    // LogicalRDDs). The empty branch must therefore NOT be a projection
+    // over `cand` — aliasing its lineage-cut blocks would let that
+    // release destroy the caller's candidate frame unrecoverably.
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(1L -> base).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft_mh_emptyverify").toString
+    val idx = MinHashIndex(spark, root, "docs")
+      .build(corpus, "doc_id", "text", n = 3, numHashes = 128, bands = 32)
+    val batch = Seq(100L -> "completely different words entirely here")
+      .toDF("doc_id", "text")
+    val cand = idx.candidatePairsAgainst(batch, "doc_id", "text", 10000)
+    assert(cand.isEmpty)
+    val out = idx.verifyCandidatesExact(cand, batch, "doc_id", "text",
+      corpus, "doc_id", "text", threshold = 0.7)
+    assert(out.columns.toSeq == Seq("batch_id", "match_id", "jaccard") && out.isEmpty)
+    val aliased = out.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }
+    assert(aliased.isEmpty, "empty verify must not wrap cand's plan")
+    assert(cand.count() == 0, "cand must stay readable after the call")
+  }
+
   test("materializeBands: identical answers, upsert tail visible, stale/torn coverage falls back") {
     val root = Files.createTempDirectory("graft_mh_mat").toString
     val idx = MinHashIndex(spark, root, "docs")
