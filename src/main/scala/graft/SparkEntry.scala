@@ -45,12 +45,10 @@ object SparkEntry {
   private[graft] def knnQueries(spark: SparkSession, dir: String): DataFrame =
     graft.bench.Sampling.seeded(Tables.embeddings(spark, dir), "vec_id", knnSampleSize)
 
-  /** Cross-engine-stable 6-dp rounding: floor(x*1e6+0.5)/1e6 in plain IEEE
-    * double arithmetic — bit-identical in any engine for identical inputs.
-    * Spark's round() (shortest-string BigDecimal HALF_UP) and DuckDB's
-    * round() (exact-binary) disagree when the value sits on a decimal half
-    * boundary, which happens STRUCTURALLY for means of two 6-dp scores. */
-  private[graft] def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+  /** Cross-engine-stable 6-dp rounding — delegates to the one shared
+    * definition, [[graft.functions.round6]] (see its scaladoc for the
+    * round-half-up / engine-disagreement rationale). */
+  private[graft] def r6(c: Column): Column = graft.functions.round6(c)
 
   /** Order-independent mean of a ≤6-dp score column: exact DECIMAL sum, then
     * one double division — immune to partial-aggregation summation order. */

@@ -49,6 +49,21 @@ package object functions {
     * (see [[graft.expr.SimpleCaseFold]] for why not `lower()`). */
   def simple_lower(a: Column): Column = col(SimpleLower(ex(a)))
 
+  /** THE engine's cross-engine-stable 6-dp wire rounding:
+    * `floor(x·1e6 + 0.5) / 1e6` in plain IEEE double arithmetic —
+    * round-half-up, bit-identical in any engine for identical inputs
+    * (Spark's `round()` is shortest-string BigDecimal HALF_UP, DuckDB's
+    * is exact-binary; the two disagree exactly when a value sits on a
+    * decimal half boundary, which happens STRUCTURALLY for means of
+    * 6-dp scores). Every operator that emits a rounded score the oracle
+    * replays folds through this one definition — changing the wire
+    * rounding means changing it here and in the DuckDB twins together,
+    * nowhere else. */
+  def round6(c: Column): Column = {
+    import org.apache.spark.sql.functions.{floor, lit}
+    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+  }
+
   /** 64-bit SimHash fingerprint of an array<string> token column. */
   def simhash64(a: Column): Column = col(SimHash64(ex(a)))
 

@@ -122,11 +122,20 @@ private[graft] trait SqlKit {
       |), tok AS (
       |  SELECT doc_id, i, toks[i] AS tok
       |  FROM tk, unnest(range(1, len(toks) + 1)) AS v(i)
+      |), agg AS (
+      |  SELECT tok.doc_id, count(*) AS n_tokens, count(cov.i) AS n_cut,
+      |    coalesce(string_agg(CASE WHEN cov.i IS NULL THEN tok.tok END, ' ' ORDER BY tok.i), '') AS text_clean
+      |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.i
+      |  GROUP BY tok.doc_id
       |)
-      |SELECT tok.doc_id, count(*) AS n_tokens, count(cov.i) AS n_cut,
-      |  coalesce(string_agg(CASE WHEN cov.i IS NULL THEN tok.tok END, ' ' ORDER BY tok.i), '') AS text_clean
-      |FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.i
-      |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin
+      |-- zero-token docs (empty/whitespace/NULL text) emit no tok rows but
+      |-- pass through the cut as (0, 0, '') — the engine's posexplode_outer
+      |-- stub row; replayed here by left-joining from documents itself
+      |SELECT d.doc_id, coalesce(agg.n_tokens, 0) AS n_tokens,
+      |  coalesce(agg.n_cut, 0) AS n_cut,
+      |  coalesce(agg.text_clean, '') AS text_clean
+      |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   /** winnow_pairs oracle — exact SQL replay of the fused Karp-Rabin +
     * murmur-mix + sliding-minimum winnowing kernel

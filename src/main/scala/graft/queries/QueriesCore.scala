@@ -462,7 +462,7 @@ private[graft] object QueriesCore {
           graft.bench.Sampling.seeded(Tables.embeddings(s, dir), "vec_id", 10),
           "vec_id", "embedding", emb, "vec_id", "embedding", k = 10,
           scoreFn = Some((a, b) =>
-            floor(graft.functions.max_sim(a, b, 8) * lit(1e6) + lit(0.5)) / lit(1e6)))
+            graft.functions.round6(graft.functions.max_sim(a, b, 8))))
         .select(col("query_id"), col("vec_id").as("result_id"),
           col("rank"), col("score"))
         .orderBy(col("query_id"), col("rank"))

@@ -110,7 +110,7 @@ object Bm25 {
       k: Int, k1: Double, b: Double,
       excludeSelf: Boolean, roundScoreTo: Option[Int],
       outIdCol: String): DataFrame = {
-    val r6: Column => Column = c => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val r6: Column => Column = graft.functions.round6 // the one wire rounding
     val queryTerms = queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("__t"))
     // idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) = ln((2N+2)/(2df+1)):

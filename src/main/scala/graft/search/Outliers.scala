@@ -27,7 +27,8 @@ import graft.functions.{cosine_similarity, top_k_rows}
  * on (same rule as [[graft.search.Bm25]]).
  */
 object Outliers {
-  private def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+  private def r6(c: Column): Column =
+    graft.functions.round6(c) // the one wire-rounding definition
 
   /**
    * Mean-kNN-similarity per corpus row against `reference`. Output:

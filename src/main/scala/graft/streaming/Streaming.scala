@@ -18,6 +18,13 @@ import graft.index.{MinHashIndex, VectorCollection}
  * frames — Spark's unified Dataset API means the SAME function is
  * oracle-checked in batch mode (SparkEntry `events_windowed`) and driven
  * through a real StreamingQuery in StreamingSpec.
+ *
+ * Every stream starter here defaults to `Trigger.AvailableNow()` — drain
+ * what is currently available, then STOP (the test/bench discipline, and
+ * the right shape for scheduled catch-up runs). A continuous deployment
+ * that should keep watching its source passes an explicit `trigger`
+ * (e.g. `Trigger.ProcessingTime("1 minute")`); the batch callbacks are
+ * trigger-agnostic.
  */
 object Streaming {
 
@@ -65,11 +72,12 @@ object Streaming {
       model: EmbedModel,
       collection: VectorCollection,
       checkpointDir: String,
-      maxSinkFiles: Int = 256): StreamingQuery =
+      maxSinkFiles: Int = 256,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // auto-maintenance inside the single-writer batch window (same
         // trigger discipline as admitStream): each upsert appends one
@@ -100,9 +108,10 @@ object Streaming {
       model: EmbedModel,
       collection: VectorCollection,
       checkpointDir: String,
-      glob: String = "*.txt"): StreamingQuery =
+      glob: String = "*.txt",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     ingestStream(graft.ingest.DirSource.filesStream(spark, dir, glob),
-      "path", "text", model, collection, checkpointDir)
+      "path", "text", model, collection, checkpointDir, trigger = trigger)
 
   /**
    * Streaming NEAR-duplicate admission: each micro-batch of documents is
@@ -160,12 +169,13 @@ object Streaming {
       checkpointDir: String,
       maxBucketSize: Int = 10000,
       maxSinkFiles: Int = 256,
-      sidecarBuckets: Int = 64): StreamingQuery = {
+      sidecarBuckets: Int = 64,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     requireNonReservedIdCol(idCol) // fail at stream definition, not mid-fold
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitBatch(batch, batchId, idCol, textCol, index, admittedDir,
           threshold, checkpointDir, maxBucketSize, maxSinkFiles,
@@ -427,24 +437,32 @@ object Streaming {
     if (n > maxFiles) foldSidecar(spark, idsDir, idCol, buckets)
   }
 
-  /** Canonical decision-record key for a checkpoint path — the SAME
-    * normalization [[admitIdsDir]] applies to data dirs. Restarting a
-    * stream with an equivalent-but-respelled path (trailing slash,
-    * `file://` scheme doubling) must produce the same key, or ids decided
-    * in the 2→3 crash window are silently stranded (guard-dropped until a
-    * manual [[reconcileSidecar]]) even though the checkpoint never moved.
-    * Both the sidecar APPEND and [[decisionOf]]'s filter go through here
-    * so the two sides can never disagree. */
-  private def ckptKey(checkpointDir: String): String =
-    new org.apache.hadoop.fs.Path(checkpointDir).toString
+  /** Canonical decision-record key for a checkpoint path. Restarting a
+    * stream with an equivalent-but-respelled path must produce the same
+    * key, or ids decided in the 2→3 crash window are silently stranded
+    * (guard-dropped until a manual [[reconcileSidecar]]) even though the
+    * checkpoint never moved. FULLY QUALIFIED against the path's own
+    * filesystem: `Path.toString` alone normalizes slashes but keeps
+    * `/x` and `file:///x` distinct spellings of the same directory —
+    * Spark's checkpointLocation resolves both identically, so the key
+    * must too. Both the sidecar APPEND and [[decisionOf]]'s filter go
+    * through here so the two sides can never disagree. */
+  private def ckptKey(
+      spark: org.apache.spark.sql.SparkSession, checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+  }
 
   private def decisionOf(sidecar: DataFrame, checkpointDir: String,
       batchId: Long): DataFrame =
-    // Match the RAW spelling too: records written before the key was
-    // normalized stored checkpointDir verbatim, and a pre-upgrade
-    // crash-window record must still heal after the upgrade (it would
-    // otherwise stay guard-dropped until a manual reconcileSidecar).
-    sidecar.filter(col("__ckpt").isin(checkpointDir, ckptKey(checkpointDir)) &&
+    // Match the LEGACY spellings too: records written before the key was
+    // normalized (verbatim), or before it was fs-qualified (bare
+    // Path.toString), must still heal after an upgrade — they would
+    // otherwise stay guard-dropped until a manual reconcileSidecar.
+    sidecar.filter(col("__ckpt").isin(checkpointDir,
+        new org.apache.hadoop.fs.Path(checkpointDir).toString,
+        ckptKey(sidecar.sparkSession, checkpointDir)) &&
       col("__batch") === lit(batchId))
 
   /**
@@ -609,7 +627,13 @@ object Streaming {
       index.compact(minFiles = maxSinkFiles)
     }
     val m = index.meta
-    val corpus = spark.read.parquet(admittedDir)
+    // Greenfield-tolerant like every other corpus access here (the heal
+    // path's readIfData, the sidecar bootstrap): an admission stream over
+    // a brand-new corpus reaches this read on batch 0 with admittedDir
+    // absent or holding only a crashed write's droppings — an unguarded
+    // read would throw and kill the StreamingQuery.
+    val corpus = readIfData(spark, admittedDir)
+      .getOrElse(batch.select(col(idCol), col(textCol)).limit(0))
     // replay guard: touched-bucket-pruned base ∪ L0 (the fold above may
     // have retired the earlier L0 frame's files — re-derive it), probed
     // with the reversed join so the big side is never shuffled
@@ -632,8 +656,16 @@ object Streaming {
       .localCheckpoint(true)
     if (!admitted.isEmpty) {
       index.upsert(admitted, idCol, textCol)
-      admitted.select(col(idCol), lit(ckptKey(checkpointDir)).as("__ckpt"),
+      // The decision record must appear ATOMICALLY: a multi-file append
+      // can tear mid-job-commit (FileOutputCommitter renames task files
+      // one by one), and the heal treats the record as authoritative —
+      // a torn record would heal only the visible subset while the
+      // checkpoint commits the batch, losing the rest forever. One file
+      // = one rename = all-or-nothing; the record is batch-sized ids,
+      // so the coalesce costs nothing.
+      admitted.select(col(idCol), lit(ckptKey(spark, checkpointDir)).as("__ckpt"),
           lit(batchId).as("__batch"))
+        .coalesce(1)
         .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(idsDir)
       admitted.write.mode(org.apache.spark.sql.SaveMode.Append)
         .parquet(admittedDir)
@@ -678,12 +710,13 @@ object Streaming {
       checkpointDir: String,
       preserveCase: Boolean = false,
       maxSinkFiles: Int = 256,
-      sidecarBuckets: Int = 64): StreamingQuery = {
+      sidecarBuckets: Int = 64,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     requireNonReservedIdCol(idCol) // fail at stream definition, not mid-fold
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         cutBatch(batch, batchId, idCol, textCol, index, cleanDir,
           checkpointDir, preserveCase, maxSinkFiles, sidecarBuckets)
@@ -779,8 +812,10 @@ object Streaming {
       // of admitted passages were never cut. Then the decision record,
       // then the data append (see admitBatch for the window analysis).
       index.upsert(cleaned, idCol, textCol)
-      cleaned.select(col(idCol), lit(ckptKey(checkpointDir)).as("__ckpt"),
+      // atomic decision record — same torn-append analysis as admitBatch
+      cleaned.select(col(idCol), lit(ckptKey(spark, checkpointDir)).as("__ckpt"),
           lit(batchId).as("__batch"))
+        .coalesce(1)
         .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(idsDir)
       cleaned.write.mode(org.apache.spark.sql.SaveMode.Append)
         .parquet(cleanDir)

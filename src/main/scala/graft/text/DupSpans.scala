@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
  *  - a span is duplicated iff its n-gram text occurs in ≥ 2 DISTINCT
  *    documents (within-doc repetition alone does not count — that is
  *    [[TextAnalysis]] repetition's job);
- *  - `dup_frac` = duplicated spans ÷ spans, 6-dp floor-quantized (one
- *    integer division — engine-exact).
+ *  - `dup_frac` = duplicated spans ÷ spans as an IEEE double, wire-rounded
+ *    to 6 dp by the engine's one rounding rule
+ *    ([[graft.functions.round6]] — floor(x·1e6 + 0.5)/1e6, round-half-up;
+ *    the DuckDB twin applies the identical expression).
  *
  * Scale shape: n-grams are keyed by `md5` of the span text (the same
  * bytes in every engine, so the oracle reproduces the keys without
@@ -72,7 +74,7 @@ object DupSpans {
       .filter(col("__nd") >= 2)
       .select(col("__h"))
     val r6: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      c => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      graft.functions.round6 // the one wire-rounding definition
     gcnt
       .join(dup.withColumn("__dup", lit(1L)), Seq("__h"), "left")
       .groupBy(col(idCol))
@@ -98,7 +100,9 @@ object DupSpans {
    * original-case tokens when `preserveCase` — gram KEYS always fold, so
    * detection is case-insensitive either way, and folding never moves
    * whitespace, so the two token sequences index identically. Documents
-   * shorter than `n` tokens pass through untouched. Integer/string
+   * shorter than `n` tokens pass through untouched — INCLUDING
+   * zero-token docs (empty/whitespace/null text), which emit
+   * (0, 0, "") rather than disappearing. Integer/string
    * arithmetic only — the oracle twin is cell-exact with no float
    * discipline needed.
    *
@@ -181,13 +185,21 @@ object DupSpans {
       .select(col(idCol),
         explode(expr(s"sequence(__pos, __pos + ${n - 1})")).as("__i"))
       .distinct()
+    // posexplode_OUTER: a zero-token document (empty/whitespace-only/null
+    // text) still emits one (null, null) row, so the doc survives the
+    // groupBy as (n_tokens=0, n_cut=0, text_clean="") instead of
+    // vanishing from the output — the pass-through contract, and for
+    // cutStream the difference between an empty file landing in the
+    // clean corpus and being silently lost. count(__t) skips the stub
+    // row's null token; the null __i joins nothing and array_join drops
+    // the null element.
     docs
-      .select(col(idCol), posexplode(rebuildToks).as(Seq("__i0", "__t")))
+      .select(col(idCol), posexplode_outer(rebuildToks).as(Seq("__i0", "__t")))
       .select(col(idCol), (col("__i0") + 1).as("__i"), col("__t"))
       .join(covered.withColumn("__cut", lit(1L)), Seq(idCol, "__i"), "left")
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_tokens"),
+        count(col("__t")).as("n_tokens"),
         coalesce(sum(col("__cut")), lit(0L)).as("n_cut"),
         array_join(transform(array_sort(collect_list(
           when(col("__cut").isNull, struct(col("__i"), col("__t"))))),

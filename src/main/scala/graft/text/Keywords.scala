@@ -49,7 +49,7 @@ object Keywords {
     val dfTable = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
       .withColumn("__qidf", graft.expr.DetMath.log2q20(lit(n), col("__df")))
     val r6: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      c => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      graft.functions.round6 // the one wire-rounding definition
     val w = Window.partitionBy(col("__d"))
       .orderBy(col("__qtfidf").desc, col("__t").asc)
     tf.join(dfTable, Seq("__t"))

@@ -41,7 +41,7 @@ import org.apache.spark.sql.functions._
 object Perplexity {
 
   private def r6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    graft.functions.round6(c) // the one wire-rounding definition
 
   /** Per-document bits-per-transition under the corpus-trained bigram LM.
     * Output: `doc_id`-named id column, `n_bigrams`, `q20_bits` (the EXACT

@@ -138,11 +138,21 @@ object Selection {
         }.sortBy(_._1)
         val cum = weighted.scanLeft(0.0)(_ + _._2).tail
         val tw = cum.last
-        (1 until idBands).map { i =>
+        // One merged forward sweep: targets ascend and cum is
+        // non-decreasing, so the first-index-≥-target pointer is
+        // monotone — O(samples + idBands) instead of a fresh
+        // O(samples) indexWhere scan per band (~10⁸ driver
+        // comparisons at idBands=1024 over a big sample set).
+        val out = Array.newBuilder[Long]
+        var j = 0
+        var i = 1
+        while (i < idBands) {
           val target = tw * i / idBands
-          val j = cum.indexWhere(_ >= target)
-          weighted(if (j < 0) weighted.length - 1 else j)._1
-        }.toArray.distinct.sorted
+          while (j < cum.length && cum(j) < target) j += 1
+          out += weighted(math.min(j, weighted.length - 1))._1
+          i += 1
+        }
+        out.result().distinct.sorted
       }
     }
 

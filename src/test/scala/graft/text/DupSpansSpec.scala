@@ -53,6 +53,29 @@ class DupSpansSpec extends SparkSpec {
     assert(got(2L) === ((3L, 3L, 1.0)))
   }
 
+  test("zero-token documents pass through the cut as (0, 0, \"\") — never dropped") {
+    // The pass-through contract covers the EMPTY case too: a doc whose
+    // text yields no tokens (empty, whitespace-only, or null) must
+    // survive the cut with an empty clean text — in cutStream, dropping
+    // it here would silently lose the document from the clean corpus
+    // forever (the sidecar replay guard never re-admits).
+    val docs = Seq[(Long, String)](
+      (1L, "a b c d e f"), (2L, "x a b c d e"),
+      (3L, ""), (4L, "   \t  ")).toDF("doc_id", "text")
+      .union(Seq(5L).toDF("doc_id").withColumn("text",
+        org.apache.spark.sql.functions.lit(null).cast("string")))
+    val got = DupSpans.cutDuplicatedSpans(docs, "doc_id", "text", 5)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_cut"),
+          r.getAs[String]("text_clean")))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L), "no doc may vanish")
+    Seq(3L, 4L, 5L).foreach { id =>
+      assert(got(id) === ((0L, 0L, "")), s"doc $id must emit (0, 0, \"\")")
+    }
+    assert(got(1L)._1 === 6L) // non-empty docs unchanged by the outer explode
+  }
+
   private def runCut(docs: Seq[(Long, String)], n: Int = 5) =
     DupSpans.cutDuplicatedSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n)
       .collect()
