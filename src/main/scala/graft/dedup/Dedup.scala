@@ -457,16 +457,11 @@ object Dedup {
     * never drift apart. */
   def tokens(text: Column): Column = graft.text.TextAnalysis.tokens(text)
 
-  /** Distinct word n-gram shingles of `text`. Documents shorter than n
-    * tokens have no shingles (empty array — Spark's sequence(1,0) would
-    * count BACKWARDS, so the empty case is guarded explicitly). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val count = size(toks) - (n - 1)
-    when(count < 1, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(sequence(lit(1), count),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))))
-  }
+  /** Distinct word n-gram shingles of `text` (first-occurrence order);
+    * documents shorter than n tokens have no shingles (empty array).
+    * Fused single-pass kernel — see [[graft.expr.TokenOps.shingles]]. */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.word_shingles(text, n)
 
   /** Exact-duplicate groups: md5 of the raw text → (hash, keeper=min id,
     * ids, group size). Groups of size 1 are unique documents. */

@@ -64,6 +64,21 @@ package object functions {
     floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
   }
 
+  /** Fused whitespace tokenizer: non-empty tokens of the simple-lowercased
+    * input in one byte pass — byte-identical to (and the codegen
+    * replacement for) `filter(split(simple_lower(x), "\\s+"), t ->
+    * length(t) > 0)`; see [[graft.expr.TokenOps]]. */
+  def simple_tokens(a: Column): Column = col(SimpleTokens(ex(a)))
+
+  /** `size(simple_tokens(x))` without building the array (fold-free
+    * raw-byte run count; see [[graft.expr.TokenOps.tokenCount]]). */
+  def simple_token_count(a: Column): Column = col(SimpleTokenCount(ex(a)))
+
+  /** Distinct word n-gram shingles (first-occurrence order) over
+    * [[simple_tokens]], fused into one pass — the codegen replacement for
+    * the array_distinct∘transform∘sequence shingle spelling. */
+  def word_shingles(a: Column, n: Int): Column = col(WordShingles(ex(a), n))
+
   /** 64-bit SimHash fingerprint of an array<string> token column. */
   def simhash64(a: Column): Column = col(SimHash64(ex(a)))
 
@@ -277,6 +292,11 @@ package object functions {
     reg.createOrReplaceTempFunction("manhattan_distance", es => ManhattanDistance(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("uuid5", es => Uuid5(es.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("simple_tokens", es => SimpleTokens(es.head), "built-in")
+    reg.createOrReplaceTempFunction("simple_token_count",
+      es => SimpleTokenCount(es.head), "built-in")
+    reg.createOrReplaceTempFunction("word_shingles",
+      es => WordShingles(es(0), litInt("word_shingles", "n")(es(1))), "built-in")
     // the canonical fold + portable edit distance must be reachable from
     // SQL too — a SQL user falling back to lower() would get Spark's
     // full-mapping, default-locale fold, the exact divergence the engine

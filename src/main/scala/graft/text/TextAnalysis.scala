@@ -21,11 +21,11 @@ object TextAnalysis {
     * code point, context-free, locale-independent — NOT Spark's full-
     * mapping `lower()`, whose Final_Sigma/locale context would make token
     * keys depend on surrounding text and on the executor JVM's locale. */
-  def tokens(text: Column): Column =
-    filter(split(graft.functions.simple_lower(text), "\\s+"), t => length(t) > 0)
+  def tokens(text: Column): Column = graft.functions.simple_tokens(text)
 
-  /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Whitespace token count (fused fold-free kernel — same value as
+    * `size(tokens(text))` without materializing the array). */
+  def tokenCount(text: Column): Column = graft.functions.simple_token_count(text)
 
   /** BPE-ish lexer token count: word runs + each standalone non-word
     * non-space char (the usual pre-tokenizer granularity). */
