@@ -48,6 +48,27 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     def loadAvg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // Per-query executor CPU accounting (r21): wall-clock on a shared box
+    // drifts with co-tenant load — four rounds of phantom "regressions"
+    // were all load artifacts — so the artifact now also carries summed
+    // executor-CPU seconds per query (`cpu_queries`), which is
+    // load-invariant to first order. Additive key: the driver contract
+    // (metric/value/queries/sf) is unchanged.
+    val cpuAcc = new org.apache.spark.scheduler.SparkListener {
+      val ns = new java.util.concurrent.atomic.AtomicLong
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) ns.addAndGet(m.executorCpuTime)
+      }
+    }
+    spark.sparkContext.addSparkListener(cpuAcc)
+    def cpuSnap(): Long = {
+      // the listener bus is async; drain it so task metrics from the just-
+      // finished query are attributed to it, not the next one
+      org.apache.spark.sql.GraftInternal.drainListenerBus(spark)
+      cpuAcc.ns.get
+    }
     val headline = SparkEntry.queries
       .filterNot { case (name, _) => skipAtBenchScale(name) }
     // Force FULL evaluation through the built-in `noop` sink. Timing
@@ -71,11 +92,17 @@ object Bench {
     // round 10's fixture drift broke 12 queries and the bench recorded
     // their fail-fast exceptions as 48-66ms improvements.
     val errors = scala.collection.mutable.TreeSet[String]()
+    val cpuSec = scala.collection.mutable.Map[String, Double]()
     def timeOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val c0 = cpuSnap()
       val t0 = System.nanoTime()
       try { run(fn(spark, sfDir)) } catch { case _: Throwable => errors += name }
-      (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = (cpuSnap() - c0) / 1e9
+      // keep the MIN across passes, like the wall protocol
+      cpuSec(name) = math.min(cpu, cpuSec.getOrElse(name, Double.MaxValue))
+      wall
     }
     def timedPass(): Map[String, Double] =
       headline.map { case (name, fn) => name -> timeOne(name, fn) }
@@ -109,6 +136,8 @@ object Bench {
     def jNum(d: Double): String = "%.4f".format(d)
     val qs = results.map { case (k, v) => s"\"$k\":${jNum(v)}" }
       .mkString("{", ",", "}")
+    val cpuQs = results.map { case (k, _) =>
+      s"\"$k\":${jNum(cpuSec.getOrElse(k, 0.0))}" }.mkString("{", ",", "}")
     val passesJson = perQueryPasses
       .map { case (k, ps) => s"\"$k\":" + ps.map(jNum).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
@@ -128,7 +157,7 @@ object Bench {
     val (zTotal, zRead) =
       if (errors.contains("zorder_scan")) (0, 0)
       else SparkEntry.lastZorderScanStats
-    val line = s"""{"metric":"total","value":${jNum(total)},"unit":"sec","queries":$qs,"passes":$passesJson,"pass_load_avg_1m":$loadsJson,"disputed":$disputedJson,"errors":$errorsJson,"zorder_scan_files":{"total":$zTotal,"read":$zRead},"sf":"$sfDir","cores":$cpus,"load_avg_1m":${jNum(loadAvg)}}"""
+    val line = s"""{"metric":"total","value":${jNum(total)},"unit":"sec","queries":$qs,"cpu_queries":$cpuQs,"passes":$passesJson,"pass_load_avg_1m":$loadsJson,"disputed":$disputedJson,"errors":$errorsJson,"zorder_scan_files":{"total":$zTotal,"read":$zRead},"sf":"$sfDir","cores":$cpus,"load_avg_1m":${jNum(loadAvg)}}"""
     println(line)
     // Durable copy: the driver snapshots only the tail of stdout (~2000
     // chars), which the full self-adjudicating line can overflow (BENCH_r06

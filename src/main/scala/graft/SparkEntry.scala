@@ -56,13 +56,17 @@ object SparkEntry {
     sum(c.cast("decimal(28,6)")).cast("double") / count(c)
 
   /** Detailed results (one row per query×retrieved) with POJ-style relevance:
-    * same `label` ⇒ relevant (poj_utils.py:188). Shared by the metric queries. */
+    * same `label` ⇒ relevant (poj_utils.py:188). Shared by the metric
+    * queries. k=10 reads the memoized exact baseline ([[exactKnnBaseline]]
+    * — identical lineage, priced by `knn_topk`); other k values score
+    * fresh. */
   private[graft] def detailedResults(s: SparkSession, dir: String, k: Int): DataFrame = {
-    val corpus = embParallel(s, dir)
-    Knn.knnJoin(knnQueries(s, dir), "vec_id", "embedding",
-        corpus, "vec_id", "embedding", k = k, roundScoreTo = Some(6))
-      .select(col("query_id"), col("vec_id").as("result_id"), col("rank"),
-        col("score"), (col("label") === col("query_label")).as("is_relevant"))
+    val base =
+      if (k == 10) exactKnnBaseline(s, dir)
+      else Knn.knnJoin(knnQueries(s, dir), "vec_id", "embedding",
+        embParallel(s, dir), "vec_id", "embedding", k = k, roundScoreTo = Some(6))
+    base.select(col("query_id"), col("vec_id").as("result_id"), col("rank"),
+      col("score"), (col("label") === col("query_label")).as("is_relevant"))
   }
 
   /** Round-robin rebalance ONLY when the scan yields fewer splits than the
@@ -179,6 +183,37 @@ object SparkEntry {
         n = 3, numHashes = 128, bands = 32, threshold = 0.8))
   }
 
+  /** Memoized EXACT k=10 kNN baseline over the embeddings corpus —
+    * shared by the priced entry (`knn_topk`, which evicts + rebuilds so
+    * the |Q|·|C| scoring cost is timed once per bench pass, the
+    * pair_mining pattern) and its nine read-side consumers: the seven
+    * recall gates' exact side (ann/quant/ivf/ivf_int8/ivf_binary/ivf_pq/
+    * ivf_partitioned) and the k=10 metric suite (ir_metrics,
+    * detailed_results, ir_metrics_bcb via detailedResults). All of them
+    * composed over the IDENTICAL knnJoin lineage; r21 makes the reuse
+    * explicit instead of re-scoring |Q|·|C| cosines up to ten times per
+    * pass — the same "price once, consumers compose" discipline as
+    * minedNearDupPairs. The frame is output-sized (|Q|·k rows) and
+    * eagerly materialized mode-aware (Dedup.eagerResult). */
+  private val exactKnnCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  /** The baseline's raw (un-materialized) lineage — PlanSpec asserts the
+    * knnJoin plan shape here, since the memoized frame reads back as a
+    * checkpoint scan. */
+  private[graft] def buildExactKnn(s: SparkSession, dir: String): DataFrame =
+    graft.search.Knn.knnJoin(knnQueries(s, dir), "vec_id", "embedding",
+      embParallel(s, dir), "vec_id", "embedding",
+      k = 10, roundScoreTo = Some(6))
+  private[graft] def exactKnnBaseline(s: SparkSession, dir: String): DataFrame = {
+    pruneStaleApps(exactKnnCache, s.sparkContext.applicationId)(_._1)(
+      Dedup.releaseStale(_, s))
+    exactKnnCache.computeIfAbsent((s.sparkContext.applicationId, dir),
+      _ => Dedup.eagerResult(buildExactKnn(s, dir), "knnbase"))
+  }
+  private[graft] def evictExactKnn(s: SparkSession, dir: String): Unit =
+    Option(exactKnnCache.remove((s.sparkContext.applicationId, dir)))
+      .foreach(Dedup.releaseEager)
+
   /** BPE merge list per (app, dir) — training is a driver-side loop over
     * a bounded seeded sample (the production shape; see graft.text.Bpe),
     * memoized so bench warmup+passes train once. */
@@ -222,6 +257,7 @@ object SparkEntry {
     * boundaries. */
   private[graft] def evictDirCaches(s: SparkSession, dir: String): Unit = {
     evictMinedPairs(s, dir)
+    evictExactKnn(s, dir)
     graft.queries.QueriesCore.evictPipelines(s, dir)
     bpeMergesCache.remove((s.sparkContext.applicationId, dir))
   }

@@ -32,7 +32,14 @@ object Profile {
     override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
       stages.incrementAndGet()
       val agg = byStage.computeIfAbsent(s.stageInfo.stageId, _ => new StageAgg)
-      agg.name = s.stageInfo.name
+      // the stage NAME is usually an AQE materialization future — the
+      // graft frame inside `details` (the submission stack) names the
+      // operator that actually built the RDD
+      val graftFrames = s.stageInfo.details.linesIterator
+        .filter(l => l.contains("graft.") && !l.contains("graft.bench"))
+        .take(2).map(_.trim.stripPrefix("at ")).mkString(" <- ")
+      agg.name = s.stageInfo.name +
+        (if (graftFrames.nonEmpty) s"  [$graftFrames]" else "")
     }
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       tasks.incrementAndGet()

@@ -84,7 +84,14 @@ object Pipelines {
       .fit(corpus, "code_contents")
     val vecs = model.transform(corpus, "code_contents", "vec")
       .select(col("code_uuid"), col("clone_type"), col("vec"))
-    val queries = sample(vecs, "code_uuid", numSamples, seed)
+    // Sample BEFORE embedding (r21): the seeded sample orders on
+    // md5(seed‖id) + id only, so sampling the raw corpus and embedding
+    // just the sampled rows returns the identical query frame while
+    // skipping a full-corpus embed (and a full corpus-lineage replay)
+    // that existed only to be thrown away — guide §1.2.
+    val queries = model.transform(
+        sample(corpus, "code_uuid", numSamples, seed), "code_contents", "vec")
+      .select(col("code_uuid"), col("clone_type"), col("vec"))
     // Eager: the scored top-k frame (numSamples·k rows — output-sized,
     // tiny next to the corpus) feeds all three outputs, and the CLI
     // executes all three (two CSV writes + the metrics head) — without
@@ -167,7 +174,11 @@ object Pipelines {
       .fit(corpus, "code_contents")
     val vecs = model.transform(corpus, "code_contents", "vec")
       .select(col("code_uuid"), col("func_id"), col("clones"), col("vec"))
-    val queries = sample(vecs, "func_id", numSamples, seed)
+    // Sample BEFORE embedding — same identical-output reorder as
+    // [[runPojCorpus]] (the seeded sample keys on func_id alone).
+    val queries = model.transform(
+        sample(corpus, "func_id", numSamples, seed), "code_contents", "vec")
+      .select(col("code_uuid"), col("func_id"), col("clones"), col("vec"))
     // Eager for the same three-consumer reason as [[runPojCorpus]]: the
     // top-k frame is output-sized and feeds detailed/stats/metrics
     // (mode-aware — see the note there).

@@ -486,8 +486,15 @@ object Dedup {
       .select(col("__row.*"))
   }
 
-  /** Jaccard similarity of two (distinct-element) arrays. */
-  def jaccard(a: Column, b: Column): Column = {
+  /** Jaccard similarity of two (distinct-element) string arrays — fused
+    * one-pass kernel (r21; see [[graft.expr.SetSimOps.jaccard]]): the
+    * original spelling materialized the intersection AND union arrays per
+    * candidate pair only to size them. [[jaccardTree]] keeps that spelling
+    * as the SetSimSpec equivalence reference. */
+  def jaccard(a: Column, b: Column): Column = graft.functions.jaccard_sim(a, b)
+
+  /** The pre-fusion builtin spelling of [[jaccard]]. */
+  private[graft] def jaccardTree(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = size(array_union(a, b)).cast("double")
     when(union === 0, 0.0).otherwise(inter / union)
@@ -1213,8 +1220,15 @@ object Dedup {
   }
 
   /** MinHash Jaccard ESTIMATE (signature agreement rate) — used when even
-    * candidate-verify must avoid touching shingles. */
+    * candidate-verify must avoid touching shingles. Fused equal-count
+    * kernel (r21; see [[graft.expr.SetSimOps.eqCount]]): the original ran
+    * two interpreted higher-order functions per pair. [[minHashEstimateTree]]
+    * keeps that spelling as the SetSimSpec equivalence reference. */
   def minHashEstimate(sigA: Column, sigB: Column): Column =
+    graft.functions.sig_eq_count(sigA, sigB).cast("double") / size(sigA)
+
+  /** The pre-fusion builtin spelling of [[minHashEstimate]]. */
+  private[graft] def minHashEstimateTree(sigA: Column, sigB: Column): Column =
     size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b))
       .cast("double") / size(sigA)
 

@@ -64,11 +64,18 @@ final class TfIdfEmbedder(
     // size.
     val bucketCol = GraftInternal.column(
       TfIdfBuckets(GraftInternal.expression(tokens(col(textCol))), dim))
+    // The doc count rides the SAME corpus pass as the df aggregate via an
+    // observed metric (r21: a separate corpus.count() re-executed the whole
+    // corpus lineage — joins included for derived corpora — once more per
+    // fit; the CollectMetrics node sits below the explode, so it sees every
+    // corpus row exactly once).
+    val obs = org.apache.spark.sql.Observation()
     val dfRows = corpus
+      .observe(obs, count(lit(1)).as("__m"))
       .select(explode(bucketCol).as("__b"))
       .groupBy(col("__b")).agg(count(lit(1)).as("__df"))
       .collect()
-    val m = corpus.count()
+    val m = obs.get("__m").asInstanceOf[Long]
     val dfArr = new Array[Long](dim)
     dfRows.foreach(r => dfArr(r.getInt(0)) = r.getLong(1))
     val idf6 = new Array[Double](dim)

@@ -74,6 +74,127 @@ object TokenOps {
     count
   }
 
+  /** ALL word n-grams (single-space joined) in position order — fused
+    * equivalent of
+    * `transform(sequence(1, m-n+1), i -> array_join(slice(toks, i, n), ' '))`
+    * over [[tokens]] (the span-dedup gram stream). Empty array when the
+    * doc has fewer than n tokens (the original guarded `__len >= n`
+    * upstream; `sequence(1, 0)` would count backwards). */
+  def grams(s: UTF8String, n: Int): ArrayData = {
+    val folded = SimpleCaseFold.lower(s)
+    val bytes = folded.getBytes
+    val len = bytes.length
+    val starts = new java.util.ArrayList[Integer](16)
+    val ends = new java.util.ArrayList[Integer](16)
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < len && !isWs(bytes(i))) i += 1
+      if (i > start) { starts.add(start); ends.add(i) }
+    }
+    val m = starts.size()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    var t = 0
+    while (t <= m - n) {
+      var size = n - 1 // joining spaces
+      var j = t
+      while (j < t + n) { size += ends.get(j) - starts.get(j); j += 1 }
+      val buf = new Array[Byte](size)
+      var o = 0
+      j = t
+      while (j < t + n) {
+        if (j > t) { buf(o) = 0x20.toByte; o += 1 }
+        val l = ends.get(j) - starts.get(j)
+        System.arraycopy(bytes, starts.get(j), buf, o, l)
+        o += l
+        j += 1
+      }
+      out(t) = UTF8String.fromBytes(buf)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Count of non-whitespace CODE POINTS — fused equivalent of
+    * `length(regexp_replace(s, "\\s+", ""))` (which materialized the
+    * stripped string just to count it). ASCII bytes classify directly;
+    * every non-ASCII code point (one lead byte) is non-whitespace under
+    * Java regex `\s` (the six ASCII bytes). */
+  def nonWsCharCount(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var count = 0
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if (b >= 0) { if (!isWs(b)) count += 1 }
+      else if ((b & 0xC0) != 0x80) count += 1
+      i += 1
+    }
+    count
+  }
+
+  @inline private def isWordAscii(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+      (b >= '0' && b <= '9') || b == '_'
+
+  /** BPE-ish lexer token count — fused equivalent of
+    * `regexp_count(s, "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]")`: maximal ASCII
+    * word runs count once, every other non-whitespace code point counts
+    * individually (the alternation's single-code-point class — non-ASCII
+    * code points land there and also terminate a word run). */
+  def lexTokenCount(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var count = 0
+    var inWord = false
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if (b >= 0) {
+        if (isWordAscii(b)) { if (!inWord) count += 1; inWord = true }
+        else { if (!isWs(b)) count += 1; inWord = false }
+      } else {
+        if ((b & 0xC0) != 0x80) count += 1 // one per non-ASCII code point
+        inWord = false
+      }
+      i += 1
+    }
+    count
+  }
+
+  /** All adjacent CODE-POINT bigrams in position order — fused equivalent
+    * of `transform(sequence(1, numChars-1), i -> substring(s, i, 2))`.
+    * The original paid an O(i) code-point seek per substring call (O(len²)
+    * per document); this is one boundary scan + zero-copy slices. Strings
+    * with fewer than 2 code points yield an empty array (the original's
+    * `sequence(1, 0)` case was guarded by an upstream length filter). */
+  def charBigrams(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    // code-point start offsets (continuation bytes are 10xxxxxx)
+    val starts = new java.util.ArrayList[Integer](Math.min(n, 64))
+    var i = 0
+    while (i < n) {
+      if ((bytes(i) & 0xC0) != 0x80) starts.add(i)
+      i += 1
+    }
+    val m = starts.size()
+    if (m < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - 1)
+    var t = 0
+    while (t < m - 1) {
+      val a = starts.get(t)
+      val b = if (t + 2 < m) starts.get(t + 2).intValue() else n
+      out(t) = UTF8String.fromBytes(bytes, a, b - a)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct word n-gram shingles (single-space joined), first-occurrence
     * order — fused equivalent of
     * `array_distinct(transform(sequence(1, m-n+1), i -> concat_ws(" ", tok_i..tok_{i+n-1})))`
@@ -148,6 +269,73 @@ case class SimpleTokenCount(child: Expression) extends UnaryExpression {
     TokenOps.tokenCount(v.asInstanceOf[UTF8String])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expr.TokenOps.tokenCount($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** word_grams(string, n) -> array<string>: ALL n-grams over
+  * [[SimpleTokens]] in position order (see [[TokenOps.grams]]). */
+case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"gram size must be >= 1, got $n")
+  override def prettyName: String = "word_grams"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_grams expects a string argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TokenOps.grams(v.asInstanceOf[UTF8String], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TokenOps.grams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** non_ws_chars(string) -> int (see [[TokenOps.nonWsCharCount]]). */
+case class NonWsCharCount(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "non_ws_chars"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"non_ws_chars expects a string argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TokenOps.nonWsCharCount(v.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TokenOps.nonWsCharCount($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** lex_token_count(string) -> int (see [[TokenOps.lexTokenCount]]). */
+case class LexTokenCount(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "lex_token_count"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"lex_token_count expects a string argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TokenOps.lexTokenCount(v.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TokenOps.lexTokenCount($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** char_bigrams(string) -> array<string>: adjacent code-point bigrams in
+  * position order (see [[TokenOps.charBigrams]]). */
+case class CharBigrams(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "char_bigrams"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_bigrams expects a string argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TokenOps.charBigrams(v.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TokenOps.charBigrams($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -79,6 +79,43 @@ package object functions {
     * the array_distinct∘transform∘sequence shingle spelling. */
   def word_shingles(a: Column, n: Int): Column = col(WordShingles(ex(a), n))
 
+  /** ALL word n-grams in position order over [[simple_tokens]] (the
+    * span-dedup gram stream), fused into one pass. */
+  def word_grams(a: Column, n: Int): Column = col(WordGrams(ex(a), n))
+
+  /** Adjacent code-point bigrams in position order — the one-pass
+    * replacement for `transform(sequence(1, len-1), i -> substring(x, i,
+    * 2))`, whose per-position substring seek was O(len²). */
+  def char_bigrams(a: Column): Column = col(CharBigrams(ex(a)))
+
+  /** Count of non-whitespace code points — the fused replacement for
+    * `length(regexp_replace(x, "\\s+", ""))`. */
+  def non_ws_chars(a: Column): Column = col(NonWsCharCount(ex(a)))
+
+  /** BPE-ish lexer token count (word runs + standalone non-word chars) —
+    * the fused replacement for
+    * `regexp_count(x, "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]")`. */
+  def lex_token_count(a: Column): Column = col(LexTokenCount(ex(a)))
+
+  /** Distinct-set Jaccard of two array<string> columns in one hash pass —
+    * the fused replacement for size(array_intersect)/size(array_union). */
+  def jaccard_sim(a: Column, b: Column): Column = col(JaccardSim(ex(a), ex(b)))
+
+  /** Count of equal same-index non-null positions of two array<long>
+    * columns — the fused replacement for
+    * size(filter(zip_with(a, b, ==), v -> v)). */
+  def sig_eq_count(a: Column, b: Column): Column = col(SigEqCount(ex(a), ex(b)))
+
+  /** Fused document-quality heuristic (length × cleanliness × stopword
+    * terms) — bit-identical, single-pass replacement for the original
+    * Catalyst tree; see [[graft.expr.QualityOps.score]]. */
+  def quality_score(a: Column): Column = col(QualityScore(ex(a)))
+
+  /** Fused heuristic language id (CJK scan + stopword argmax) —
+    * bit-identical single-pass replacement; see
+    * [[graft.expr.QualityOps.langId]]. */
+  def lang_id(a: Column): Column = col(LangIdExpr(ex(a)))
+
   /** 64-bit SimHash fingerprint of an array<string> token column. */
   def simhash64(a: Column): Column = col(SimHash64(ex(a)))
 
@@ -297,6 +334,15 @@ package object functions {
       es => SimpleTokenCount(es.head), "built-in")
     reg.createOrReplaceTempFunction("word_shingles",
       es => WordShingles(es(0), litInt("word_shingles", "n")(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("word_grams",
+      es => WordGrams(es(0), litInt("word_grams", "n")(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("char_bigrams", es => CharBigrams(es.head), "built-in")
+    reg.createOrReplaceTempFunction("non_ws_chars", es => NonWsCharCount(es.head), "built-in")
+    reg.createOrReplaceTempFunction("lex_token_count", es => LexTokenCount(es.head), "built-in")
+    reg.createOrReplaceTempFunction("jaccard_sim", es => JaccardSim(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("sig_eq_count", es => SigEqCount(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("quality_score", es => QualityScore(es.head), "built-in")
+    reg.createOrReplaceTempFunction("lang_id", es => LangIdExpr(es.head), "built-in")
     // the canonical fold + portable edit distance must be reachable from
     // SQL too — a SQL user falling back to lower() would get Spark's
     // full-mapping, default-locale fold, the exact divergence the engine

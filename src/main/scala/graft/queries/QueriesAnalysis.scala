@@ -39,9 +39,8 @@ private[graft] object QueriesAnalysis {
     "ann_recall" -> ((s, dir) => {
       val emb = embParallel(s, dir)
       val q = knnQueries(s, dir)
-      val exact = Knn.knnJoin(q, "vec_id", "embedding",
-          emb, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
-        .select(col("query_id"), col("vec_id").as("result_id"))
+      val exact = SparkEntry.exactKnnBaseline(s, dir) // shared memo, priced by knn_topk
+          .select(col("query_id"), col("vec_id").as("result_id"))
       val approx = Ann.knnJoinLsh(q, "vec_id", "embedding",
           emb, "vec_id", "embedding", k = 10, bits = annRecallBits, tables = annRecallTables,
           roundScoreTo = Some(6), maxBucketSize = 10000)
@@ -64,9 +63,8 @@ private[graft] object QueriesAnalysis {
       import graft.functions.quantize_int8
       val emb = embParallel(s, dir)
       val q = knnQueries(s, dir)
-      val exact = Knn.knnJoin(q, "vec_id", "embedding",
-          emb, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
-        .select(col("query_id"), col("vec_id").as("result_id"))
+      val exact = SparkEntry.exactKnnBaseline(s, dir) // shared memo, priced by knn_topk
+          .select(col("query_id"), col("vec_id").as("result_id"))
       val codes = emb.select(col("vec_id"), quantize_int8(col("embedding")).as("code"))
       val qCodes = q.select(col("vec_id"), quantize_int8(col("embedding")).as("code"))
       val quant = Knn.knnJoin(qCodes, "vec_id", "code",
@@ -130,9 +128,8 @@ private[graft] object QueriesAnalysis {
       val q = knnQueries(s, dir)
       val cents = graft.search.Ivf.trainCentroids(emb, "vec_id", "embedding",
         nList = 16, seed = 42L)
-      val exact = Knn.knnJoin(q, "vec_id", "embedding",
-          emb, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
-        .select(col("query_id"), col("vec_id").as("result_id"))
+      val exact = SparkEntry.exactKnnBaseline(s, dir) // shared memo, priced by knn_topk
+          .select(col("query_id"), col("vec_id").as("result_id"))
       val approx = graft.search.Ivf.knnJoinIvf(q, "vec_id", "embedding",
           emb, "vec_id", "embedding", k = 10, centroids = cents, nProbe = 4,
           roundScoreTo = Some(6))
@@ -187,9 +184,8 @@ private[graft] object QueriesAnalysis {
         s"graft_ivfcol_${fp}_nl16_s42_lk1_rv${graft.index.IvfCollection.RoutingVersion}").toString
       val ivfc = graft.index.IvfCollection(s, root, "embeddings")
       if (!ivfc.exists) ivfc.build(emb, "vec_id", "embedding", nList = 16, seed = 42L)
-      val exact = Knn.knnJoin(q, "vec_id", "embedding",
-          emb, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
-        .select(col("query_id"), col("vec_id").as("result_id"))
+      val exact = SparkEntry.exactKnnBaseline(s, dir) // shared memo, priced by knn_topk
+          .select(col("query_id"), col("vec_id").as("result_id"))
       val approx = ivfc.query(q, "vec_id", "embedding", "vec_id", "embedding",
           k = 10, nProbe = 4, roundScoreTo = Some(6))
         .select(col("query_id"), col("vec_id").as("result_id"), lit(1).as("__found"))
@@ -216,9 +212,8 @@ private[graft] object QueriesAnalysis {
       val ivfc = graft.index.IvfCollection(s, root, "embeddings")
       if (!ivfc.exists) ivfc.build(emb, "vec_id", "embedding", nList = 16, seed = 42L,
         int8 = true)
-      val exact = Knn.knnJoin(q, "vec_id", "embedding",
-          emb, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
-        .select(col("query_id"), col("vec_id").as("result_id"))
+      val exact = SparkEntry.exactKnnBaseline(s, dir) // shared memo, priced by knn_topk
+          .select(col("query_id"), col("vec_id").as("result_id"))
       val approx = ivfc.query(q, "vec_id", "embedding", "vec_id", "embedding",
           k = 10, nProbe = 4, roundScoreTo = Some(6))
         .select(col("query_id"), col("vec_id").as("result_id"), lit(1).as("__found"))
@@ -246,9 +241,8 @@ private[graft] object QueriesAnalysis {
       val ivfc = graft.index.IvfCollection(s, root, "embeddings")
       if (!ivfc.exists) ivfc.build(emb, "vec_id", "embedding", nList = 16, seed = 42L,
         pq = true, pqM = 8, pqCodebookSize = 256)
-      val exact = Knn.knnJoin(q, "vec_id", "embedding",
-          emb, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
-        .select(col("query_id"), col("vec_id").as("result_id"))
+      val exact = SparkEntry.exactKnnBaseline(s, dir) // shared memo, priced by knn_topk
+          .select(col("query_id"), col("vec_id").as("result_id"))
       val approx = ivfc.query(q, "vec_id", "embedding", "vec_id", "embedding",
           k = 10, nProbe = 4, roundScoreTo = Some(6))
         .select(col("query_id"), col("vec_id").as("result_id"), lit(1).as("__found"))
@@ -274,9 +268,8 @@ private[graft] object QueriesAnalysis {
       val ivfc = graft.index.IvfCollection(s, root, "embeddings")
       if (!ivfc.exists) ivfc.build(emb, "vec_id", "embedding", nList = 16, seed = 42L,
         binary = true)
-      val exact = Knn.knnJoin(q, "vec_id", "embedding",
-          emb, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
-        .select(col("query_id"), col("vec_id").as("result_id"))
+      val exact = SparkEntry.exactKnnBaseline(s, dir) // shared memo, priced by knn_topk
+          .select(col("query_id"), col("vec_id").as("result_id"))
       val approx = ivfc.query(q, "vec_id", "embedding", "vec_id", "embedding",
           k = 10, nProbe = 4, roundScoreTo = Some(6),
           rescore = Some(emb), oversample = 4)

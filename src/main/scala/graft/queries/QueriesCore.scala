@@ -164,10 +164,14 @@ private[graft] object QueriesCore {
     // J2/T1/W3: the reference's core operator — exact per-query top-k
     // cosine search with self-exclusion (bcb_utils.py:168-176).
     // ------------------------------------------------------------------
+    // Honest bench attribution for the shared exact baseline (r21, the
+    // pair_mining pattern): this entry EVICTS the memoized exact-knn frame
+    // and re-scores, so the |Q|·|C| cosine cost — reused by the recall
+    // gates and the k=10 metric suite — is timed as its own named entry.
+    // Output (and oracle) identical to the pre-memo query by construction.
     "knn_topk" -> ((s, dir) => {
-      val corpus = embParallel(s, dir)
-      Knn.knnJoin(knnQueries(s, dir), "vec_id", "embedding",
-          corpus, "vec_id", "embedding", k = 10, roundScoreTo = Some(6))
+      evictExactKnn(s, dir)
+      exactKnnBaseline(s, dir)
         .select(col("query_id"), col("vec_id").as("result_id"),
           col("rank"), col("score"))
     }),
@@ -1283,13 +1287,19 @@ private[graft] object QueriesCore {
     val pairs = a.join(b, col("la") === col("lb") && col("ma") === col("mb") &&
       col("ida") < col("idb")).select(col("ida"), col("idb"))
     val truth = CloneGraph.adjacencyWithCounts(pairs, "ida", "idb")
-    val corpus = docs.join(truth.withColumnRenamed("id", "func_id"),
-        col("doc_id") === col("func_id"), "inner")
-      .select(
-        md5(concat(lit("fid:"), col("doc_id"))).as("code_uuid"),
-        col("func_id"),
-        col("text").as("code_contents"),
-        col("clones"))
+    // Materialize the DERIVED corpus once (r21): this join-built frame
+    // feeds the fit aggregate, the query sample, and the knn corpus side —
+    // three statically-planned consumers that would each replay the
+    // self-join + collect_set adjacency + corpus join. Mode-aware
+    // (Dedup.eagerTracked), same one-scan discipline as Selection/DupSpans.
+    val corpus = graft.dedup.Dedup.eagerTracked(
+      docs.join(truth.withColumnRenamed("id", "func_id"),
+          col("doc_id") === col("func_id"), "inner")
+        .select(
+          md5(concat(lit("fid:"), col("doc_id"))).as("code_uuid"),
+          col("func_id"),
+          col("text").as("code_contents"),
+          col("clones")), "bcbcorpus")
     graft.cli.Pipelines.runBcbCorpus(s, corpus, k = 10, numSamples = 100,
       dim = 256, normalized = true)
     }

@@ -45,12 +45,10 @@ object DupSpans {
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val grams = docs
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .withColumn("__len", size(col("__toks")))
-      .filter(col("__len") >= n)
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(1, __len - ${n - 1}), i -> array_join(slice(__toks, i, $n), ' '))"))
-        .as("__g"))
+      // fused gram kernel (r21) — see [[gramFrame]]; empty arrays from
+      // short docs vanish under explode exactly like the old length filter
+      .select(col(idCol), explode(
+        graft.functions.word_grams(col(textCol), n)).as("__g"))
       .select(col(idCol), md5(col("__g")).as("__h"))
     // Collapse to (doc, hash, positions) FIRST: the explode runs once, the
     // partial aggregate combines map-side, and the (doc, hash) shuffle
@@ -157,12 +155,14 @@ object DupSpans {
   private[graft] def gramFrame(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .withColumn("__len", size(col("__toks")))
-      .filter(col("__len") >= n)
-      .select(col(idCol), posexplode(expr(
-        s"transform(sequence(1, __len - ${n - 1}), i -> array_join(slice(__toks, i, $n), ' '))"))
-        .as(Seq("__p0", "__g")))
+      // fused gram kernel (r21): one byte pass emits the position-ordered
+      // gram array — the original tokenize → size-guard → interpreted
+      // transform(sequence, slice, array_join) chain ran as a
+      // CodegenFallback higher-order function and allocated per gram;
+      // short docs yield an empty array, which posexplode drops exactly
+      // like the old `__len >= n` filter did
+      .select(col(idCol), posexplode(
+        graft.functions.word_grams(col(textCol), n)).as(Seq("__p0", "__g")))
       // posexplode is 0-based; token indices are 1-based throughout
       .select(col(idCol), (col("__p0") + 1).as("__pos"), md5(col("__g")).as("__h"))
 

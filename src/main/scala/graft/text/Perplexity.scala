@@ -53,8 +53,10 @@ object Perplexity {
     val big = docs
       .select(col(idCol), graft.functions.simple_lower(col(textCol)).as("__t"))
       .filter(length(col("__t")) >= 2)
-      .select(col(idCol), explode(expr(
-        "transform(sequence(1, length(__t) - 1), i -> substring(__t, i, 2))")).as("bg"))
+      // fused bigram kernel (r21): the original per-position substring
+      // paid an O(i) code-point seek each call — O(len²) per document —
+      // inside an interpreted higher-order transform
+      .select(col(idCol), explode(graft.functions.char_bigrams(col("__t"))).as("bg"))
     val tf = big.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("tf"))
     // Corpus model from the SAME exploded stream: bigram counts, context
     // (first-char) totals, and the distinct-second-char vocabulary.

@@ -156,13 +156,28 @@ object Selection {
       }
     }
 
-  /** Band of an id under sorted LONG boundaries: a BALANCED when-tree
-    * binary search — O(log idBands) codegen'd comparisons per row, no
-    * lateral O(idBands) scan. Comparisons are long-vs-long (no double
-    * round trip, exact at any magnitude). Ties at a boundary go right;
-    * any fixed rule works because both passes evaluate this identical
-    * expression. */
+  /** Band of an id under sorted LONG boundaries: a binary-search kernel
+    * ([[graft.expr.BandOf]]) — O(log idBands) comparisons per row with the
+    * boundary array riding as a plan reference. Comparisons are
+    * long-vs-long (no double round trip, exact at any magnitude). Ties at
+    * a boundary go right; any fixed rule works because both passes
+    * evaluate this identical expression.
+    * (r21: replaced the original balanced when-tree, which executed
+    * O(log n) but GENERATED O(n) code — at idBands=1024 its ~1023 inlined
+    * comparisons overflowed janino's 64 KB method limit inside the
+    * curation_pipeline/budget_select projections and dropped the stage out
+    * of compiled execution. [[bandColumnTree]] keeps the original tree as
+    * the SelectionSpec equivalence reference.) */
   private[text] def bandColumn(id: Column, bnds: Array[Long]): Column = {
+    import org.apache.spark.sql.GraftInternal
+    if (bnds.isEmpty) lit(0)
+    else GraftInternal.column(graft.expr.BandOf(
+      GraftInternal.expression(id.cast(LongType)), bnds))
+  }
+
+  /** The pre-fusion when-tree spelling of [[bandColumn]] — kept as the
+    * SelectionSpec equivalence reference. */
+  private[text] def bandColumnTree(id: Column, bnds: Array[Long]): Column = {
     val v = id.cast(LongType)
     def tree(lo: Int, hi: Int): Column =
       if (lo == hi) lit(lo)

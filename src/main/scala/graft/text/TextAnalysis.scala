@@ -29,13 +29,28 @@ object TextAnalysis {
 
   /** BPE-ish lexer token count: word runs + each standalone non-word
     * non-space char (the usual pre-tokenizer granularity). */
-  def regexTokenCount(text: Column): Column =
+  def regexTokenCount(text: Column): Column = graft.functions.lex_token_count(text)
+
+  /** The pre-fusion regex spelling of [[regexTokenCount]] — the TokensSpec
+    * equivalence reference. */
+  private[graft] def regexTokenCountTree(text: Column): Column =
     regexp_count(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"))
 
-  /** Mean token length = non-whitespace chars / tokens (0 for empty docs). */
+  /** Mean token length = non-whitespace chars / tokens (0 for empty docs).
+    * (r21: the non-ws char count is a fused byte scan — the original
+    * regexp_replace materialized the whitespace-stripped string just to
+    * length() it.) */
   def avgTokenLen(text: Column): Column = {
-    val chars = length(regexp_replace(text, "\\s+", ""))
+    val chars = graft.functions.non_ws_chars(text)
     val n = tokenCount(text)
+    when(n === 0, 0.0).otherwise(chars.cast("double") / n)
+  }
+
+  /** The pre-fusion spelling of [[avgTokenLen]] — the TokensSpec
+    * equivalence reference. */
+  private[graft] def avgTokenLenTree(text: Column): Column = {
+    val chars = length(regexp_replace(text, "\\s+", ""))
+    val n = size(tokens(text))
     when(n === 0, 0.0).otherwise(chars.cast("double") / n)
   }
 
@@ -60,7 +75,31 @@ object TextAnalysis {
   /** Heuristic language id: CJK characters ⇒ zh; otherwise the language
     * with the most (distinct) stopword hits, priority order en>es>de>fr on
     * ties; 'und' when nothing matches. */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = graft.functions.lang_id(text)
+
+  /** Quality score in [0,1]: length criterion × cleanliness × stopword
+    * signal — the standard cheap pre-filter shape (rational arithmetic
+    * only, so any engine computes it bit-identically):
+    * min(1, n_tok/100) · (1 − punct_ratio) · (0.5 + 0.5·min(stop_hits,5)/5).
+    */
+  def qualityScore(text: Column): Column = graft.functions.quality_score(text)
+
+  /** The pre-fusion expression-tree spelling of [[qualityScore]] — kept
+    * (package-visible) as the semantic reference the QualitySpec
+    * equivalence pins the fused kernel against. */
+  private[graft] def qualityScoreTree(text: Column): Column = {
+    val toks = tokens(text)
+    val lengthTerm = least(lit(1.0), tokenCount(text).cast("double") / 100.0)
+    val clean = lit(1.0) - punctRatio(text)
+    val stopHits = stopwords.map { case (_, w) => hits(toks, w) }
+      .reduce(_ + _)
+    val stopTerm = lit(0.5) + lit(0.5) * least(stopHits, lit(5)).cast("double") / 5.0
+    lengthTerm * clean * stopTerm
+  }
+
+  /** The pre-fusion expression-tree spelling of [[langId]] — the
+    * QualitySpec equivalence reference. */
+  private[graft] def langIdTree(text: Column): Column = {
     val toks = tokens(text)
     val h = stopwords.map { case (lang, words) => lang -> hits(toks, words) }.toMap
     val cjk = regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]"))
@@ -70,21 +109,6 @@ object TextAnalysis {
       .when(h("de") >= h("fr") && h("de") > 0, "de")
       .when(h("fr") > 0, "fr")
       .otherwise("und")
-  }
-
-  /** Quality score in [0,1]: length criterion × cleanliness × stopword
-    * signal — the standard cheap pre-filter shape (rational arithmetic
-    * only, so any engine computes it bit-identically):
-    * min(1, n_tok/100) · (1 − punct_ratio) · (0.5 + 0.5·min(stop_hits,5)/5).
-    */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
-    val lengthTerm = least(lit(1.0), tokenCount(text).cast("double") / 100.0)
-    val clean = lit(1.0) - punctRatio(text)
-    val stopHits = stopwords.map { case (_, w) => hits(toks, w) }
-      .reduce(_ + _)
-    val stopTerm = lit(0.5) + lit(0.5) * least(stopHits, lit(5)).cast("double") / 5.0
-    lengthTerm * clean * stopTerm
   }
 
   /** 64-bit document fingerprint: first 16 hex chars of md5 over the
@@ -105,8 +129,14 @@ object TextAnalysis {
       "[ \\t\\n\\r\\f]+", " "))
 
   /** Adjacent-token bigrams ("a b") of the canonical tokens — n-gram LM /
-    * collocation statistics input. Empty array below 2 tokens. */
-  def bigrams(text: Column): Column = {
+    * collocation statistics input. Empty array below 2 tokens.
+    * (r21: the zip_with spelling ran as an interpreted higher-order
+    * function; adjacent bigrams are exactly the n=2 fused gram kernel.) */
+  def bigrams(text: Column): Column = graft.functions.word_grams(text, 2)
+
+  /** The pre-fusion zip_with spelling of [[bigrams]] — the TokensSpec
+    * equivalence reference. */
+  private[graft] def bigramsTree(text: Column): Column = {
     val toks = tokens(text)
     val n = size(toks)
     when(n < 2, array().cast("array<string>"))

@@ -21,7 +21,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("knn_topk: fixed-size sample via TakeOrderedAndProject, queries broadcast, corpus streams") {
-    val p = plan("knn_topk")
+    // r21: the query entry reads the memoized exact baseline (a checkpoint
+    // scan) — the lineage whose shape this pins is the baseline BUILD
+    val p = SparkEntry.buildExactKnn(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), s"sample should not be a full sort:\n$p")
     assert(p.contains("BroadcastExchange"), "query side must broadcast")
     assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the join")

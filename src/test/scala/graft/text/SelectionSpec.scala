@@ -126,6 +126,30 @@ class SelectionSpec extends SparkSpec {
         .sortBy(_._1).toSeq == naive(rows, budget), s"budget=$budget")
   }
 
+  test("band_of kernel == original when-tree (incl. boundary ties, extremes, null)") {
+    // r21: bandColumn swapped its O(n)-code when-tree for the
+    // binary-search BandOf expression; band assignment feeds the
+    // deterministic selection sweep, so the two spellings must agree on
+    // every id — exact boundary hits (ties go right), band interiors,
+    // Long extremes, and NULL (the tree's all-null predicates fell through
+    // to the rightmost band, never NULL).
+    val bnds = Array(-5000L, -1L, 0L, 7L, 123456789L, Long.MaxValue - 1)
+    val probe = (bnds.flatMap(b => Seq(b - 1, b, b + 1)) ++
+      Seq(Long.MinValue, Long.MaxValue, 42L)).distinct
+    val df = probe.toSeq.map(Option(_)).:+(Option.empty[Long]).toDF("id")
+    val bad = df.select(
+        Selection.bandColumn($"id", bnds).as("fused"),
+        Selection.bandColumnTree($"id", bnds).as("orig"))
+      .filter(not($"fused" <=> $"orig"))
+    assert(bad.count() === 0)
+    // empty boundary set: both spellings are the constant 0
+    val bad0 = df.select(
+        Selection.bandColumn($"id", Array.empty[Long]).as("fused"),
+        Selection.bandColumnTree($"id", Array.empty[Long]).as("orig"))
+      .filter(not($"fused" <=> $"orig"))
+    assert(bad0.count() === 0)
+  }
+
   test("exact-budget boundary: zero-token docs in the next bucket stay selected") {
     // better buckets consume EXACTLY the budget; the following bucket's
     // leading zero-token docs still satisfy the inclusive rule (cum ==
