@@ -237,11 +237,13 @@ private[graft] object QueriesCore {
     // DISTINCT groups", which plain top-k can't express when one group
     // dominates. Within-group top-k via the bounded heap; group ranking
     // windows over |Q|·|groups| best rows only.
+    // Pricing entry for the shared grouped search (r21, the pair_mining
+    // pattern): evicts + re-scores, so the |Q|·|C| grouped scoring cost is
+    // timed here while knn_groups_lookup reads the memoized frame. Output
+    // (and oracle) identical to the pre-memo query by construction.
     "knn_groups" -> ((s, dir) => {
-      val corpus = embParallel(s, dir)
-      Knn.knnJoinGrouped(knnQueries(s, dir), "vec_id", "embedding",
-          corpus, "vec_id", "embedding",
-          groupCol = "label", groupSize = 2, kGroups = 3, roundScoreTo = Some(6))
+      evictGroupedKnn(s, dir)
+      groupedKnnBaseline(s, dir)
         .select(col("query_id"), col("label"), col("group_rank"),
           col("vec_id").as("result_id"), col("rank"), col("score"))
         .orderBy(col("query_id"), col("group_rank"), col("rank"))
@@ -275,13 +277,13 @@ private[graft] object QueriesCore {
     // rows by contract, so it BROADCASTS into the lookup scan: the
     // lookup collection can be corpus-sized and is probed, not shuffled.
     "knn_groups_lookup" -> ((s, dir) => {
-      val corpus = embParallel(s, dir)
       val labelMeta = Tables.embeddings(s, dir).groupBy("label")
         .agg(count(lit(1)).as("n_members"), min("vec_id").as("rep_id"))
-      Knn.knnJoinGrouped(knnQueries(s, dir), "vec_id", "embedding",
-          corpus, "vec_id", "embedding",
-          groupCol = "label", groupSize = 2, kGroups = 3, roundScoreTo = Some(6),
-          withLookup = Some((labelMeta, "label")))
+      // the grouped search itself is the shared memoized frame (priced by
+      // knn_groups); this entry re-dresses it with the lookup — the same
+      // attachGroupLookup code path knnJoinGrouped(withLookup) delegates to
+      Knn.attachGroupLookup(groupedKnnBaseline(s, dir), "label",
+          labelMeta, "label")
         .select(col("query_id"), col("label"), col("group_rank"),
           col("vec_id").as("result_id"), col("rank"), col("score"),
           col("lookup_n_members"), col("lookup_rep_id"))
@@ -1222,6 +1224,30 @@ private[graft] object QueriesCore {
     * per row (~10 s of redundant bench work per family, r18 verdict #5).
     * Keyed by applicationId because checkpoint blocks die with their
     * context; evicted per-dir by [[evictPipelines]]. */
+  /** Memoized grouped-kNN result over the embeddings corpus — shared by
+    * `knn_groups` (the evict-and-rebuild pricing entry, the pair_mining
+    * pattern) and `knn_groups_lookup` (which re-dresses the identical
+    * grouped frame with the label-metadata lookup via
+    * [[graft.search.Knn.attachGroupLookup]] instead of re-scoring
+    * |Q|·|C|). Output-sized (|Q|·kGroups·groupSize rows), mode-aware
+    * eager; (applicationId, dir)-keyed — dies with the session, never a
+    * cross-run cache. */
+  private val groupedKnnCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private[graft] def groupedKnnBaseline(s: SparkSession, dir: String): DataFrame = {
+    SparkEntry.pruneStaleApps(groupedKnnCache, s.sparkContext.applicationId)(_._1)(
+      Dedup.releaseStale(_, s))
+    groupedKnnCache.computeIfAbsent((s.sparkContext.applicationId, dir),
+      _ => Dedup.eagerResult(
+        Knn.knnJoinGrouped(knnQueries(s, dir), "vec_id", "embedding",
+          embParallel(s, dir), "vec_id", "embedding",
+          groupCol = "label", groupSize = 2, kGroups = 3,
+          roundScoreTo = Some(6)), "knngrp"))
+  }
+  private[graft] def evictGroupedKnn(s: SparkSession, dir: String): Unit =
+    Option(groupedKnnCache.remove((s.sparkContext.applicationId, dir)))
+      .foreach(Dedup.releaseEager)
+
   private val pipelineCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, String), graft.cli.Pipelines.BenchmarkOutput]()
 
@@ -1248,8 +1274,10 @@ private[graft] object QueriesCore {
     * unpersist-of-a-checkpoint: callers must have fully consumed every
     * frame of the evicted BenchmarkOutput first (the bench/Verify loops
     * consume each query's frame before invoking the next). */
-  private[graft] def evictPipelines(s: SparkSession, dir: String): Unit =
+  private[graft] def evictPipelines(s: SparkSession, dir: String): Unit = {
     Seq("poj", "bcb").foreach(evictPipeline(s, dir, _))
+    evictGroupedKnn(s, dir)
+  }
 
   private def evictPipeline(s: SparkSession, dir: String, ds: String): Unit =
     Option(pipelineCache.remove((s.sparkContext.applicationId, dir, ds)))

@@ -242,26 +242,36 @@ object Knn {
     val grouped = within.join(rankedGroups, Seq("query_id", groupCol))
       .select(col("query_id") +: col(groupCol) +: col("group_rank") +:
         corpusCols.map(col) :+ col("score") :+ col("rank"): _*)
-    // The backend's `with_lookup`: attach the GROUP KEY's record from a
-    // lookup collection to every row of its group, columns prefixed
-    // `lookup_`. The grouped result is |Q|·kGroups·groupSize rows — tiny
-    // by contract — so it broadcasts into the lookup scan (the lookup
-    // collection can be corpus-sized and is probed, never shuffled).
     withLookup.fold(grouped) { case (lookup, lookupId) =>
-      val renamed = lookup.columns.foldLeft(lookup) { (df, c) =>
-        if (c == lookupId) df else df.withColumnRenamed(c, s"lookup_$c")
-      }
-      // Probe first: group keys broadcast INTO the lookup scan (inner —
-      // a preserved side can't be an outer join's build side), leaving a
-      // keys-sized found set; the null-preserving outer join then runs
-      // between two tiny frames with the found set as broadcast build.
-      val keys = grouped.select(col(groupCol)).distinct()
-      val found = renamed
-        .join(broadcast(keys), renamed(lookupId) === keys(groupCol))
-        .drop(keys(groupCol))
-      grouped.join(broadcast(found), grouped(groupCol) === found(lookupId), "left")
-        .drop(found(lookupId)) // by reference: groupCol may share the name
+      attachGroupLookup(grouped, groupCol, lookup, lookupId)
     }
+  }
+
+  /** The backend's `with_lookup`: attach the GROUP KEY's record from a
+    * lookup collection to every row of its group, columns prefixed
+    * `lookup_`. The grouped result is |Q|·kGroups·groupSize rows — tiny
+    * by contract — so it broadcasts into the lookup scan (the lookup
+    * collection can be corpus-sized and is probed, never shuffled).
+    * Public seam (r21) so a memoized grouped result can be re-dressed with
+    * a lookup without re-running the grouped search — output identical to
+    * passing `withLookup` into [[knnJoinGrouped]] by construction (that
+    * path delegates here). */
+  def attachGroupLookup(
+      grouped: DataFrame, groupCol: String,
+      lookup: DataFrame, lookupId: String): DataFrame = {
+    val renamed = lookup.columns.foldLeft(lookup) { (df, c) =>
+      if (c == lookupId) df else df.withColumnRenamed(c, s"lookup_$c")
+    }
+    // Probe first: group keys broadcast INTO the lookup scan (inner —
+    // a preserved side can't be an outer join's build side), leaving a
+    // keys-sized found set; the null-preserving outer join then runs
+    // between two tiny frames with the found set as broadcast build.
+    val keys = grouped.select(col(groupCol)).distinct()
+    val found = renamed
+      .join(broadcast(keys), renamed(lookupId) === keys(groupCol))
+      .drop(keys(groupCol))
+    grouped.join(broadcast(found), grouped(groupCol) === found(lookupId), "left")
+      .drop(found(lookupId)) // by reference: groupCol may share the name
   }
 
   /**
